@@ -1,0 +1,69 @@
+"""Post-classification / scoring utilities over probability matrices
+(rows = series/windows, cols = labels). Semantics mirror the reference
+kernels, cited per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def softmax(values: np.ndarray) -> np.ndarray:
+    """Numerically-stable softmax (reference ``src/softmax.cpp:15-37``).
+
+    Note: the reference subtracts the GLOBAL matrix max (not per-row) before
+    exponentiating; the result is mathematically identical to per-row
+    stabilization, and we use per-row for better conditioning."""
+    v = np.atleast_2d(np.asarray(values, dtype=np.float64))
+    mx = np.max(v, axis=1, keepdims=True)
+    e = np.exp(v - mx)
+    return e / np.sum(e, axis=1, keepdims=True)
+
+
+def normalize_minmax(data: np.ndarray, mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
+    """Column min-max normalization clamped to [1e-4, 1]
+    (reference ``src/normalize_data.cpp:10-20``)."""
+    d = np.atleast_2d(np.asarray(data, dtype=np.float64))
+    res = (d - mins) / (np.asarray(maxs) - np.asarray(mins))
+    return np.clip(res, 0.0001, 1.0)
+
+
+def label_max_prob(probs: np.ndarray) -> np.ndarray:
+    """1-based argmax per row; NaNs treated as 0; all-zero rows -> NaN
+    (reference ``src/label_class.cpp:7-20``)."""
+    p = np.nan_to_num(np.atleast_2d(np.asarray(probs, dtype=np.float64)), nan=0.0)
+    out = np.argmax(p, axis=1).astype(np.float64) + 1.0
+    out[np.all(p == 0.0, axis=1)] = np.nan
+    return out
+
+
+def entropy_probs(probs: np.ndarray) -> np.ndarray:
+    """Normalized entropy -sum p*log(p)/log(k) (reference ``src/uncertainty.cpp:8-10``)."""
+    p = np.atleast_2d(np.asarray(probs, dtype=np.float64))
+    k = p.shape[1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = p * (np.log(p) / np.log(k))
+    return -np.nansum(t, axis=1)
+
+
+def margin_probs(probs: np.ndarray) -> np.ndarray:
+    """1 - (p1 - p2) with p1>=p2 the two largest (reference ``src/uncertainty.cpp:13-19``)."""
+    p = np.sort(np.atleast_2d(np.asarray(probs, dtype=np.float64)), axis=1)[:, ::-1]
+    return 1.0 - (p[:, 0] - p[:, 1])
+
+
+def least_probs(probs: np.ndarray) -> np.ndarray:
+    """1 - max(p) least-confidence (reference ``src/uncertainty.cpp:22-23``)."""
+    p = np.atleast_2d(np.asarray(probs, dtype=np.float64))
+    return 1.0 - np.max(p, axis=1)
+
+
+def combine_average(prob_stack: list[np.ndarray], weights: list[float] | None = None) -> np.ndarray:
+    """Ensemble average of k probability matrices, uniform or weighted
+    (reference ``src/combine_data.cpp:8-87`` / ``R/sits_combine_predictions.R:82-182``)."""
+    stack = np.stack([np.asarray(p, dtype=np.float64) for p in prob_stack])
+    if weights is None:
+        return np.mean(stack, axis=0)
+    w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+    return np.tensordot(w, stack, axes=1)

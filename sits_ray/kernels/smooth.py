@@ -1,0 +1,102 @@
+"""Smoothing filters over (series x time) matrices.
+
+* :func:`whittaker` — Whittaker smoother with 2nd-order difference penalty,
+  default ``lambda = 0.5``; replicates the exact banded-solver recursion of
+  the reference kernel ``src/smooth_whit.cpp:20-64`` (itself from the ptw
+  package), weights all 1. The recursion is carried along the time axis and
+  vectorized across series rows (``data`` arrays of shape (nrows,) per step).
+* :func:`sgolay_coef` / :func:`sgolay` — Savitzky-Golay filter, default
+  order 3 / length 5; coefficient matrix built from the Moore-Penrose
+  pseudo-inverse of the local Vandermonde system exactly like the reference
+  (``R/api_signal.R:49-79``); edge rows use the one-sided filters, interior
+  uses the central row (``src/smooth_sgp.cpp:37-75``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def whittaker(m: np.ndarray, lam: float = 0.5) -> np.ndarray:
+    """Row-wise Whittaker smoothing; exact recursion of ``src/smooth_whit.cpp``."""
+    x = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    nrows, n = x.shape
+    if n < 4:
+        return x.copy()
+    lam = float(lam)
+    mm = n - 1
+
+    d = np.empty((n, nrows))
+    c = np.empty((n, nrows))
+    e = np.empty((n, nrows))
+    z = np.empty((n, nrows))
+    xt = x.T  # (time, rows)
+
+    d[0] = 1.0 + lam
+    c[0] = -2.0 * lam / d[0]
+    e[0] = lam / d[0]
+    z[0] = xt[0]
+    d[1] = 1.0 + 5.0 * lam - d[0] * c[0] * c[0]
+    c[1] = (-4.0 * lam - d[0] * c[0] * e[0]) / d[1]
+    e[1] = lam / d[1]
+    z[1] = xt[1] - c[0] * z[0]
+
+    for i in range(2, mm - 1):
+        i1, i2 = i - 1, i - 2
+        d[i] = 1.0 + 6.0 * lam - c[i1] * c[i1] * d[i1] - e[i2] * e[i2] * d[i2]
+        c[i] = (-4.0 * lam - d[i1] * c[i1] * e[i1]) / d[i]
+        e[i] = lam / d[i]
+        z[i] = xt[i] - c[i1] * z[i1] - e[i2] * z[i2]
+
+    i1, i2 = mm - 2, mm - 3
+    d[mm - 1] = 1.0 + 5.0 * lam - c[i1] * c[i1] * d[i1] - e[i2] * e[i2] * d[i2]
+    c[mm - 1] = (-2.0 * lam - d[i1] * c[i1] * e[i1]) / d[mm - 1]
+    z[mm - 1] = xt[mm - 1] - c[i1] * z[i1] - e[i2] * z[i2]
+    i1, i2 = mm - 1, mm - 2
+    d[mm] = 1.0 + lam - c[i1] * c[i1] * d[i1] - e[i2] * e[i2] * d[i2]
+    z[mm] = (xt[mm] - c[i1] * z[i1] - e[i2] * z[i2]) / d[mm]
+    z[mm - 1] = z[mm - 1] / d[mm - 1] - c[mm - 1] * z[mm]
+    for i in range(mm - 2, -1, -1):
+        z[i] = z[i] / d[i] - c[i] * z[i + 1] - e[i] * z[i + 2]
+    return z.T.copy()
+
+
+def sgolay_coef(order: int = 3, length: int = 5) -> np.ndarray:
+    """(length x length) S-G filter bank: row r evaluates the fit at offset r
+    within the window (``R/api_signal.R:49-79``)."""
+    p, n = int(order), int(length)
+    if n % 2 != 1:
+        raise ValueError("length must be odd")
+    if p >= n:
+        raise ValueError("order must be < length")
+    k = n // 2
+    f = np.zeros((n, n))
+    for row in range(k + 1):
+        xx = np.arange(1, n + 1, dtype=np.float64) - (row + 1)
+        cmat = xx[:, None] ** np.arange(p + 1)[None, :]
+        pinv = np.linalg.pinv(cmat)
+        f[row] = pinv[0]
+    # right-edge filters mirror the left-edge ones
+    f[k + 1 : n] = f[k - 1 :: -1, ::-1]
+    return f
+
+
+def sgolay(m: np.ndarray, order: int = 3, length: int = 5, f: np.ndarray | None = None) -> np.ndarray:
+    """Row-wise S-G smoothing; edge rows use one-sided filters
+    (``src/smooth_sgp.cpp:37-75``). ``f`` lets callers precompute/broadcast
+    the coefficient bank once (sits computes it once per filter closure,
+    ``R/sits_filters.R:127-157``)."""
+    x = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    nrows, ln = x.shape
+    n = int(length)
+    if ln < n:
+        return x.copy()
+    if f is None:
+        f = sgolay_coef(order, n)
+    k = n // 2
+    win = np.lib.stride_tricks.sliding_window_view(x, n, axis=1)  # (rows, ln-n+1, n)
+    out = np.empty_like(x)
+    out[:, k : ln - k] = win @ f[k]
+    out[:, :k] = x[:, :n] @ f[:k].T
+    out[:, ln - k :] = x[:, ln - n :] @ f[k + 1 :].T
+    return out

@@ -1,0 +1,64 @@
+import numpy as np
+
+from sits_ray.kernels.smooth import sgolay, sgolay_coef, whittaker
+
+
+def _whittaker_dense_oracle(y, lam):
+    """Solve (I + lam*D'D) z = y with dense linear algebra (2nd-order D)."""
+    n = y.size
+    D = np.diff(np.eye(n), n=2, axis=0)
+    return np.linalg.solve(np.eye(n) + lam * D.T @ D, y)
+
+
+def test_whittaker_matches_dense_solver():
+    rng = np.random.default_rng(3)
+    y = rng.normal(0, 1, size=30).cumsum()
+    for lam in (0.5, 2.0, 25.0):
+        got = whittaker(y.reshape(1, -1), lam)[0]
+        np.testing.assert_allclose(got, _whittaker_dense_oracle(y, lam), rtol=1e-8)
+
+
+def test_whittaker_smooths():
+    rng = np.random.default_rng(4)
+    clean = np.sin(np.linspace(0, 4 * np.pi, 50))
+    noisy = clean + rng.normal(0, 0.3, 50)
+    sm = whittaker(noisy.reshape(1, -1), 10.0)[0]
+    assert np.mean((sm - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+
+def test_whittaker_vectorized_rows_match_single():
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(6, 23))
+    full = whittaker(m, 0.5)
+    for i in range(6):
+        np.testing.assert_allclose(full[i], whittaker(m[i : i + 1], 0.5)[0])
+
+
+def test_sgolay_coef_properties():
+    f = sgolay_coef(3, 5)
+    assert f.shape == (5, 5)
+    # each filter row must preserve constants (weights sum to 1)
+    np.testing.assert_allclose(f.sum(axis=1), np.ones(5), atol=1e-12)
+    # and reproduce polynomials up to the order exactly
+    x = np.arange(1.0, 6.0)
+    poly = 2 + 3 * x - 0.5 * x**2 + 0.1 * x**3
+    # central row evaluates the fit at the middle point
+    np.testing.assert_allclose(f[2] @ poly, poly[2], rtol=1e-10)
+    np.testing.assert_allclose(f[0] @ poly, poly[0], rtol=1e-10)
+    np.testing.assert_allclose(f[4] @ poly, poly[4], rtol=1e-10)
+
+
+def test_sgolay_polynomial_invariance():
+    # an order-3 polynomial series passes through an order-3 S-G filter unchanged
+    x = np.linspace(0, 1, 23)
+    poly = 1 + x - 2 * x**2 + 0.3 * x**3
+    got = sgolay(poly.reshape(1, -1), order=3, length=5)[0]
+    np.testing.assert_allclose(got, poly, rtol=1e-9)
+
+
+def test_sgolay_matrix_rows_independent():
+    rng = np.random.default_rng(6)
+    m = rng.normal(size=(4, 23))
+    full = sgolay(m)
+    for i in range(4):
+        np.testing.assert_allclose(full[i], sgolay(m[i : i + 1])[0])
