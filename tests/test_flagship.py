@@ -1,0 +1,90 @@
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from sits_ray.pipelines.flagship import read_tier, run_flagship
+from sits_ray.reference_impl import rollup_reference
+from sits_ray.state.manifest import Manifest
+
+TIERS = ("1m", "1h", "1d")
+SORT = ["conv_id", "tier", "bucket_ts"]
+
+
+@pytest.fixture(scope="module")
+def outputs(ray_session, transcripts_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("flagship"))
+    res = run_flagship(transcripts_dir, out, tiers=TIERS, n_parts=8)
+    return out, res
+
+
+def test_runs_and_writes_all_tiers(outputs):
+    out, res = outputs
+    assert res["parts_built"] > 0 and res["parts_skipped"] == 0
+    for tier in TIERS:
+        assert res["tiers"][tier] > 0
+        assert glob.glob(os.path.join(out, "long", f"tier={tier}", "part_id=*", "*.parquet"))
+        assert glob.glob(os.path.join(out, "blocks", f"tier={tier}", "part_id=*", "*.parquet"))
+
+
+def test_long_matches_reference(outputs, transcripts_dir):
+    out, _ = outputs
+    raw = pq.read_table(sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet"))))
+    exp = rollup_reference(raw, tiers=TIERS, n_parts=8).sort_values(SORT).reset_index(drop=True)
+    got = pd.concat(
+        [read_tier(out, t).to_pandas().assign(tier=t) for t in TIERS]
+    )
+    got = got[exp.columns.tolist()].sort_values(SORT).reset_index(drop=True)
+    exp_cmp = exp.drop(columns=["part_id"])
+    got_cmp = got.drop(columns=["part_id"])
+    pd.testing.assert_frame_equal(got_cmp, exp_cmp, check_dtype=False)
+
+
+def test_resume_skips_everything_when_unchanged(outputs, transcripts_dir):
+    out, _ = outputs
+    res2 = run_flagship(transcripts_dir, out, tiers=TIERS, n_parts=8)
+    assert res2["parts_built"] == 0
+    assert res2["parts_skipped"] == res2["parts_total"]
+
+
+def test_resume_rebuilds_only_missing_partition(outputs, transcripts_dir):
+    out, _ = outputs
+    m = Manifest(out)
+    before = {(e.tier, e.part_id): e for e in m.entries()}
+    victim = m.entries()[0]
+    m.invalidate({victim.part_id}, TIERS)
+    res = run_flagship(transcripts_dir, out, tiers=TIERS, n_parts=8)
+    assert res["parts_built"] == 1
+    after = {(e.tier, e.part_id): e for e in m.entries()}
+    assert set(after) == set(before)
+    for k in after:
+        assert after[k].output_rows == before[k].output_rows
+    # rebuilt partition is byte-identical in content (sorted rows equal)
+    tier_df = read_tier(out, "1m").to_pandas()
+    assert tier_df["conv_id"].nunique() == sum(
+        e.n_convs for e in after.values() if e.tier == "1m"
+    )
+
+
+def test_manifest_fingerprint_detects_late_data(outputs, transcripts_dir, tmp_path):
+    """Changed input rows for a partition -> exactly that partition rebuilt."""
+    out, _ = outputs
+    import shutil
+
+    newdir = str(tmp_path / "late")
+    shutil.copytree(transcripts_dir, newdir)
+    # append extra rows for one conversation (late data)
+    from sits_ray.synth import generate_transcripts
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    extra = generate_transcripts(n_convs=1, mean_turns=5, seed=99, mega_conv=False)
+    pqw.write_table(extra, os.path.join(newdir, "late-0001.parquet"))
+    res = run_flagship(newdir, out, tiers=TIERS, n_parts=8)
+    from sits_ray.stages.regularize import part_of
+
+    touched = part_of("conv00000000", 8)
+    assert res["parts_built"] >= 1
+    assert res["parts_built"] < res["parts_total"]  # partial rebuild only
