@@ -1,44 +1,48 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship retention pipeline (transcripts -> gap-filled
+1m/1h/1d tiers with Gorilla blocks + lineage manifests) on a deterministic
+synthetic transcript table (BASELINE.json ``input_hint`` shape; seeded, no
+external data) and returns the 1m long tier.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 over the driver's testdata tables; see
+``sits_ray/queries.py``. Ray is initialised by the driver before import —
+nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a synthetic sf0.001-scale transcript table."""
+    from sits_ray.pipelines.flagship import read_tier, run_flagship
+    from sits_ray.synth import write_transcripts
+
+    in_dir = write_transcripts(
+        "/tmp/sits_ray_entry/transcripts", n_convs=100, mean_turns=30, seed=42, files=4
+    )
+    out_dir = "/tmp/sits_ray_entry/tiers"
+    run_flagship(in_dir, out_dir, tiers=("1m", "1h", "1d"), n_parts=8)
+    return read_tier(out_dir, "1m")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sits_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sits_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,636 @@
+"""Driver-contract queries: one entry per implemented operator/pipeline from
+SURVEY.md §2, each paired (where SQL-expressible) with the exact ANSI-SQL
+DuckDB oracle the driver runs side-by-side.
+
+Every callable takes ``sf_dir`` (e.g. ``/root/testdata/sf0.01``) and returns
+a Ray ``Dataset`` / pandas DataFrame / pyarrow Table. Column names and types
+are aligned with the oracle SQL (the driver sorts columns by name and
+value-hashes).
+
+The transcript-shaped time-series queries run over the ``events`` table
+(``user_id`` = conversation key, ``event_id`` = turn order,
+``event_type='click'`` = tool-call flag), which matches BASELINE.json's
+``input_hint`` shape 1:1 while staying joint-queryable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from sits_ray.kernels import reduce as kred
+from sits_ray.kernels.rolling import w_mean
+from sits_ray.kernels.smooth import sgolay, whittaker
+from sits_ray.stages.regularize import nested_to_long, rollup_tiers
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _events_as_transcripts(sf_dir: str):
+    """events -> transcript shape: conv=user_id, order=event_id, tool=click."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type", "ts"])
+
+    def add_tool(t: pa.Table) -> pa.Table:
+        tool = pc.if_else(
+            pc.equal(t["event_type"], "click"), t["event_type"], pa.scalar("")
+        )
+        return t.append_column("tool", tool)
+
+    return ds.map_batches(add_tool, batch_format="pyarrow")
+
+
+_ROLLUP_COLS = [
+    "conv_id", "bucket_ts", "turn_count", "tool_calls", "sum_latency",
+    "mean_latency", "p95_latency", "min_latency", "max_latency",
+]
+
+
+def _rollup_events(sf_dir: str, tier: str, gapfill: bool):
+    ds = _events_as_transcripts(sf_dir)
+    nested = rollup_tiers(
+        ds, tiers=(tier,), gapfill=gapfill,
+        key="user_id", ts_col="ts", order_col="event_id", tool_col="tool",
+    )
+    long = nested_to_long(nested)
+    if gapfill:
+        return long.select_columns(
+            ["conv_id", "bucket_ts", "turn_count", "mean_latency", "filled"]
+        )
+    return long.select_columns(_ROLLUP_COLS)
+
+
+def _rollup_sql(trunc: str) -> str:
+    # latency of event i = seconds since the user's previous event
+    # (lag semantics == the engine's first-turn-NULL rule)
+    return f"""
+with lagged as (
+  select user_id, event_type, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select user_id as conv_id,
+       date_trunc('{trunc}', ts) as bucket_ts,
+       count(*) as turn_count,
+       count(*) filter (where event_type = 'click') as tool_calls,
+       coalesce(sum(lat), 0.0) as sum_latency,
+       avg(lat) as mean_latency,
+       quantile_disc(lat, 0.95) as p95_latency,
+       min(lat) as min_latency,
+       max(lat) as max_latency
+from lagged
+group by 1, 2
+"""
+
+
+# --- §2.1 regularization / temporal compositing (observed buckets) ---------
+@q("rollup_1m", _rollup_sql("minute"))
+def rollup_1m(sf_dir):
+    return _rollup_events(sf_dir, "1m", gapfill=False)
+
+
+@q("rollup_1h", _rollup_sql("hour"))
+def rollup_1h(sf_dir):
+    return _rollup_events(sf_dir, "1h", gapfill=False)
+
+
+@q("rollup_1d", _rollup_sql("day"))
+def rollup_1d(sf_dir):
+    return _rollup_events(sf_dir, "1d", gapfill=False)
+
+
+# --- §2.1+§2.2 regular grid with explicit empty buckets + linear gap-fill --
+@q(
+    "gapfill_1h",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+obs as (
+  select user_id as conv_id, date_trunc('hour', ts) as bucket_ts,
+         count(*) as turn_count, avg(lat) as mean_latency
+  from lagged group by 1, 2),
+bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx from obs group by 1),
+grid as (
+  select conv_id, unnest(generate_series(mn, mx, interval '1 hour')) as bucket_ts
+  from bounds),
+joined as (
+  select g.conv_id, g.bucket_ts, o.turn_count, o.mean_latency,
+         (o.turn_count is null) as filled,
+         epoch(g.bucket_ts) as pos
+  from grid g left join obs o using (conv_id, bucket_ts)),
+marked as (
+  select *,
+    last_value(case when mean_latency is not null then pos end ignore nulls)
+      over (partition by conv_id order by pos rows between unbounded preceding and current row) as ppos,
+    last_value(case when mean_latency is not null then mean_latency end ignore nulls)
+      over (partition by conv_id order by pos rows between unbounded preceding and current row) as pval,
+    first_value(case when mean_latency is not null then pos end ignore nulls)
+      over (partition by conv_id order by pos rows between current row and unbounded following) as npos,
+    first_value(case when mean_latency is not null then mean_latency end ignore nulls)
+      over (partition by conv_id order by pos rows between current row and unbounded following) as nval
+  from joined)
+select conv_id, bucket_ts,
+       coalesce(turn_count, 0) as turn_count,
+       case
+         when mean_latency is not null then mean_latency
+         when ppos is not null and npos is not null
+           then pval + ((pos - ppos) / 3600.0 * (nval - pval) / ((npos - ppos) / 3600.0))
+         when ppos is not null then pval
+         else nval
+       end as mean_latency,
+       filled
+from marked
+""",
+)
+def gapfill_1h(sf_dir):
+    """Regular per-conv hourly grid; empty buckets synthesized (filled=true,
+    count 0) and mean_latency linearly interpolated — sits_regularize +
+    impute_linear semantics (R/api_regularize.R:90-109, src/linear_interp.cpp)."""
+    return _rollup_events(sf_dir, "1h", gapfill=True)
+
+
+# --- §2.8 sits_timeline: distinct sorted buckets ---------------------------
+@q(
+    "timeline_1h",
+    "select distinct date_trunc('hour', ts) as bucket_ts from events",
+)
+def timeline_1h(sf_dir):
+    ds = _events(sf_dir, columns=["ts"])
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"bucket_ts": b})
+
+    # partial distinct per batch, tiny global distinct at the end
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bucket_ts": pa.array(
+                    sorted(
+                        set(
+                            ds.map_batches(to_bucket, batch_format="pyarrow")
+                            .unique("bucket_ts")
+                        )
+                    ),
+                    pa.timestamp("us"),
+                )
+            }
+        )
+    )
+
+
+# --- §2.4 temporal reducers (sits_reduce t_* analog) -----------------------
+@q(
+    "reduce_value_stats",
+    """
+with d as (
+  select user_id, value,
+         abs(value - lag(value) over (partition by user_id order by ts, event_id)) as dv
+  from events)
+select user_id as conv_id,
+       max(value) as t_max, min(value) as t_min,
+       median(value) as t_median,
+       max(value) - min(value) as t_amplitude,
+       quantile_disc(value, 0.95) as t_p95,
+       max(dv) as t_fslope,
+       count(*) as n
+from d group by 1
+""",
+)
+def reduce_value_stats(sf_dir):
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = g["event_id"].to_numpy()
+        v = g["value"].to_numpy()[np.lexsort((order, ts))]
+        m = v[None, :]
+        return pa.table(
+            {
+                "conv_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "t_max": kred.t_max(m),
+                "t_min": kred.t_min(m),
+                "t_median": kred.t_median(m),
+                "t_amplitude": kred.t_amplitude(m),
+                "t_p95": kred.t_p95(m),
+                "t_fslope": kred.t_fslope(m) if v.size > 1 else pa.array([None], pa.float64()),
+                "n": pa.array([v.size], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+
+
+# --- §2.3 sits_apply expression (band math) --------------------------------
+@q(
+    "apply_revenue_expr",
+    """
+select l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) as revenue,
+       l_quantity * l_extendedprice as gross
+from lineitem
+""",
+)
+def apply_revenue_expr(sf_dir):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def expr(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        gross = pc.multiply(t["l_quantity"], t["l_extendedprice"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+                "gross": gross,
+            }
+        )
+
+    return ds.map_batches(expr, batch_format="pyarrow")
+
+
+# --- §2.3 sits_select: project + predicate pushdown ------------------------
+@q(
+    "select_purchases",
+    """
+select user_id, ts, value from events
+where event_type = 'purchase' and value > 50.0
+""",
+)
+def select_purchases(sf_dir):
+    ds = _events(sf_dir, columns=["user_id", "ts", "value", "event_type"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 50.0))
+        ).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- §2.8 exact dedup (groupby-first, R/api_data.R:215-223) ----------------
+@q(
+    "dedup_exact_docs",
+    """
+select text, min(doc_id) as doc_id, count(*) as n_copies
+from documents group by text
+""",
+)
+def dedup_exact_docs(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# --- §2.4 summary.* --------------------------------------------------------
+@q(
+    "summary_orders",
+    """
+select o_orderstatus, count(*) as n,
+       sum(cast(round(o_totalprice * 100) as bigint)) as total_cents,
+       max(o_totalprice) as max_price
+from orders group by 1
+""",
+)
+def summary_orders(sf_dir):
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    # money sums in integer cents: order-independent exact aggregation
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return t.append_column("cents", cents)
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="total_cents"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+    )
+
+
+# --- §2.4 hist.* -----------------------------------------------------------
+@q(
+    "hist_value",
+    """
+select cast(floor(value / 10.0) as bigint) as bin, count(*) as n
+from events group by 1
+""",
+)
+def hist_value(sf_dir):
+    ds = _events(sf_dir, columns=["value"])
+
+    def bin_batch(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], 10.0)), pa.int64())
+        return pa.table({"bin": b})
+
+    return ds.map_batches(bin_batch, batch_format="pyarrow").groupby("bin").aggregate(
+        Count(alias_name="n")
+    )
+
+
+# --- §2.6 sits_get_data analog: broadcast key-set semi-join ----------------
+@q(
+    "semi_join_building",
+    """
+select user_id as conv_id, count(*) as n_events
+from events
+where user_id in (select c_custkey from customer where c_mktsegment = 'BUILDING')
+group by 1
+""",
+)
+def semi_join_building(sf_dir):
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keyset = keys.filter(pc.equal(keys["c_mktsegment"], "BUILDING"))["c_custkey"]
+    key_ref = ray.put(keyset.combine_chunks())  # broadcast once, read per task
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        return t.filter(pc.is_in(t["user_id"], value_set=ks))
+
+    ds = _events(sf_dir, columns=["user_id"])
+    out = ds.map_batches(semi, batch_format="pyarrow").groupby("user_id").aggregate(
+        Count(alias_name="n_events")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "n_events"]), batch_format="pyarrow"
+    )
+
+
+# --- §2.6 sits_merge / broadcast dimension join ----------------------------
+@q(
+    "merge_orders_customers",
+    """
+select c.c_mktsegment, count(*) as n_orders, max(o.o_totalprice) as max_price
+from orders o join customer c on o.o_custkey = c.c_custkey
+group by 1
+""",
+)
+def merge_orders_customers(sf_dir):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = ray.get(seg_ref)
+        seg = pa.array([lut.get(k) for k in t["o_custkey"].to_pylist()], pa.string())
+        return pa.table({"c_mktsegment": seg, "o_totalprice": t["o_totalprice"]}).filter(
+            pc.is_valid(seg)
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return ds.map_batches(attach, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Max("o_totalprice", alias_name="max_price")
+    )
+
+
+# --- §2.8 top-k (uncertainty_sampling shape: sort desc + limit) ------------
+@q(
+    "topk_active_convs",
+    """
+select user_id as conv_id, count(*) as n from events
+group by 1 order by n desc, conv_id asc limit 10
+""",
+)
+def topk_active_convs(sf_dir):
+    ds = _events(sf_dir, columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    out = out.sort(["n", "user_id"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "n"]), batch_format="pyarrow"
+    )
+
+
+# --- §2.3 sits_labels ------------------------------------------------------
+@q(
+    "label_distribution",
+    "select label, count(*) as n from embeddings group by 1",
+)
+def label_distribution(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n"))
+
+
+# --- §2.8 deterministic stratified sample (sits_sample analog) -------------
+@q(
+    "stratified_sample_docs",
+    """
+select lang, doc_id from documents where doc_id % 10 < 3
+""",
+)
+def stratified_sample_docs(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 10 < 3))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# --- §2.3 C_normalize_data -------------------------------------------------
+@q(
+    "normalize_value",
+    """
+with mm as (select min(value) as mn, max(value) as mx from events)
+select event_id,
+       least(greatest((value - mn) / (mx - mn), 0.0001), 1.0) as norm
+from events, mm
+""",
+)
+def normalize_value(sf_dir):
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    mn, mx = mm["min(value)"], mm["max(value)"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        n = np.minimum(np.maximum((v - mn) / (mx - mn), 0.0001), 1.0)
+        return pa.table({"event_id": t["event_id"], "norm": pa.array(n)})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# --- text analysis ---------------------------------------------------------
+@q(
+    "text_stats",
+    """
+select doc_id, length(text) as n_chars,
+       len(regexp_extract_all(text, '[a-z]+')) as n_words_az,
+       len(regexp_extract_all(text, '\\S+')) as n_tokens
+from documents
+""",
+)
+def text_stats(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    az = re.compile(r"[a-z]+")
+    tok = re.compile(r"\S+")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_words_az": df["text"].map(lambda s: len(az.findall(s))).astype("int64"),
+                "n_tokens": df["text"].map(lambda s: len(tok.findall(s))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+# --- similarity search: brute-force cosine top-k ---------------------------
+@q(
+    "knn_cosine_top10",
+    """
+with q as (select embedding as qe from embeddings where vec_id = 0)
+select vec_id
+from embeddings, q
+where vec_id <> 0
+order by list_cosine_similarity(embedding, qe) desc, vec_id asc limit 10
+""",
+)
+def knn_cosine_top10(sf_dir):
+    # DuckDB's list_cosine_similarity is float32; the compared output is the
+    # top-k id set only (order-insensitive hash), scores stay engine-side.
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    q_ref = ray.put(qvec / np.linalg.norm(qvec))
+
+    def score(t: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qn) / norms
+        return pa.table(
+            {"vec_id": t["vec_id"], "sim": pa.array(np.round(sims, 6))}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ds.map_batches(score, batch_format="pyarrow")
+    out = out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+    out = out.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    return out.select_columns(["vec_id"])
+
+
+# --- smoothing over regular series (engine-only: no SQL equivalent) --------
+@q("whittaker_daily")
+def whittaker_daily(sf_dir):
+    """Whittaker-smoothed per-conv daily mean-latency series
+    (sits_whittaker, src/smooth_whit.cpp). Rows-only driver check; numeric
+    parity is pinned by tests/test_smooth.py against the dense solver."""
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+
+    def smooth_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        v = g["mean_latency"].to_numpy(dtype=np.float64)
+        g["smoothed"] = whittaker(v[None, :], 0.5)[0] if v.size >= 4 else v
+        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
+
+    return long.groupby("conv_id").map_groups(smooth_group, batch_format="pandas")
+
+
+@q("sgolay_daily")
+def sgolay_daily(sf_dir):
+    """Savitzky-Golay (order 3, length 5) smoothing of per-conv daily series
+    (sits_sgolay, R/api_signal.R:49-79). Rows-only driver check."""
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+
+    def smooth_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        v = g["mean_latency"].to_numpy(dtype=np.float64)
+        g["smoothed"] = sgolay(v[None, :])[0] if v.size >= 5 else v
+        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
+
+    return long.groupby("conv_id").map_groups(smooth_group, batch_format="pandas")
+
+
+@q("rolling_mean_1h")
+def rolling_mean_1h(sf_dir):
+    """w_mean rolling kernel (src/kernel.cpp analog) over hourly series;
+    clip edges. Rows-only driver check."""
+    long = _rollup_events(sf_dir, "1h", gapfill=True)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        v = g["mean_latency"].to_numpy(dtype=np.float64)
+        g["w_mean3"] = w_mean(v[None, :], 3, edge="clip")[0] if v.size else v
+        return g[["conv_id", "bucket_ts", "mean_latency", "w_mean3"]]
+
+    return long.groupby("conv_id").map_groups(roll, batch_format="pandas")
+
+
+@q("compress_roundtrip")
+def compress_roundtrip(sf_dir):
+    """Gorilla tier blocks: per (conv, tier) compressed sizes + verified
+    bit-exact round-trip flag. Rows-only driver check."""
+    from sits_ray.kernels.compress import decode_block, encode_block
+
+    long = _rollup_events(sf_dir, "1h", gapfill=True)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        ts = g["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = {"mean_latency": g["mean_latency"].to_numpy(dtype=np.float64)}
+        blocks = encode_block(ts, vals)
+        ts2, vals2 = decode_block(blocks)
+        ok = bool(
+            np.array_equal(ts, ts2)
+            and np.array_equal(
+                vals["mean_latency"].view(np.uint64), vals2["mean_latency"].view(np.uint64)
+            )
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_points": [len(g)],
+                "raw_bytes": [int(ts.nbytes + vals["mean_latency"].nbytes)],
+                "compressed_bytes": [sum(len(b) for b in blocks.values())],
+                "roundtrip_ok": [ok],
+            }
+        )
+
+    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")

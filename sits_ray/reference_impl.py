@@ -40,7 +40,12 @@ def rollup_reference(
     df = df.sort_values(["conv_id", "ts_us", "order"], kind="stable")
     if dedup:
         df = df.drop_duplicates(subset=["conv_id", "order"], keep="first")
-    df["lat"] = df.groupby("conv_id")["ts_us"].diff() / 1e6
+    from sits_ray.stages.regularize import delta_us_to_seconds
+
+    d = df.groupby("conv_id")["ts_us"].diff()
+    df["lat"] = np.where(
+        d.isna(), np.nan, delta_us_to_seconds(d.fillna(0).to_numpy(dtype=np.int64))
+    )
 
     out = []
     for conv, g in df.groupby("conv_id", sort=True):
@@ -48,13 +53,11 @@ def rollup_reference(
             w = TIER_WIDTH_US[tier]
             b = (g["ts_us"].to_numpy() // w) * w
             gg = g.assign(bucket=b)
-            # pinned summation contract (SURVEY.md §7.5): IEEE double sum in
-            # np.add.reduceat order over time-ordered values (NaN -> 0).
-            # reduceat is deterministic for a given array, which is what
-            # makes tiers bit-reproducible across parallelism levels.
+            # pinned summation contract (SURVEY.md §7.5): IEEE double
+            # SEQUENTIAL sum in time order (NaN -> 0), matching both the
+            # distributed kernel and SQL aggregation over window-ordered rows.
             def _seq_sum(s):
-                v = s.fillna(0.0).to_numpy(dtype=np.float64)
-                return float(np.add.reduceat(v, [0])[0]) if v.size else 0.0
+                return float(sum(s.fillna(0.0).tolist(), 0.0))
 
             agg = gg.groupby("bucket").agg(
                 turn_count=("bucket", "size"),

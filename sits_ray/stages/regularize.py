@@ -54,9 +54,10 @@ CONT_METRICS = ("mean_latency", "p95_latency", "min_latency", "max_latency")
 ALL_METRICS = COUNT_METRICS + SUM_METRICS + CONT_METRICS
 
 
-def part_of(conv_id: str, n_parts: int) -> int:
+def part_of(conv_id, n_parts: int) -> int:
     """Stable partition id of a conversation (crc32 hash-partitioning)."""
-    return zlib.crc32(conv_id.encode()) % n_parts
+    key = conv_id if isinstance(conv_id, str) else str(conv_id)
+    return zlib.crc32(key.encode()) % n_parts
 
 
 def prepare_turns(
@@ -85,6 +86,15 @@ def prepare_turns(
         np.array([part_of(c, n_parts) for c in conv], dtype=np.int32)
     )
     return pa.table(cols)
+
+
+def delta_us_to_seconds(d_us: np.ndarray) -> np.ndarray:
+    """Microsecond deltas -> seconds as ``days*86400 + rem/1e6`` — the pinned
+    latency definition (matches SQL ``epoch(ts - lag(ts))``, which splits
+    timestamp differences into days + microseconds before converting)."""
+    d = np.asarray(d_us, dtype=np.int64)
+    days, rem = np.divmod(d, 86_400_000_000)
+    return days * 86400.0 + rem / 1e6
 
 
 def _segment_starts(sorted_vals: np.ndarray) -> np.ndarray:
@@ -117,7 +127,7 @@ def _conv_series(
     lat = np.empty(ts.size, dtype=np.float64)
     if ts.size:
         lat[0] = np.nan
-        lat[1:] = np.diff(ts) / 1e6
+        lat[1:] = delta_us_to_seconds(np.diff(ts))
     lat_valid = ~np.isnan(lat)
     lat0 = np.where(lat_valid, lat, 0.0)
 
@@ -135,7 +145,15 @@ def _conv_series(
         counts = (ends - starts).astype(np.int64)
         tools = np.add.reduceat(is_tool.astype(np.int64), starts) if starts.size else np.empty(0, np.int64)
         n_lat = np.add.reduceat(lat_valid.astype(np.int64), starts) if starts.size else np.empty(0, np.int64)
-        s_lat = np.add.reduceat(lat0, starts) if starts.size else np.empty(0)
+        # pinned summation contract: IEEE sequential sum in time order
+        # (== SQL aggregate over window-ordered rows; deterministic across
+        # parallelism levels). Builtin sum is left-to-right float adds.
+        lat_list = lat0.tolist()
+        s_lat = np.fromiter(
+            (sum(lat_list[a:b], 0.0) for a, b in zip(starts, ends)),
+            dtype=np.float64,
+            count=starts.size,
+        )
         with np.errstate(invalid="ignore", divide="ignore"):
             mean_lat = np.where(n_lat > 0, s_lat / n_lat, np.nan)
         # min/max/p95 over valid latencies: sort (bucket, lat) once;
@@ -190,7 +208,7 @@ def _conv_series(
 
     return pa.table(
         {
-            "conv_id": pa.array(out_rows["conv_id"], pa.string()),
+            "conv_id": pa.array(out_rows["conv_id"], g["conv_id"].type),
             "tier": pa.array(out_rows["tier"], pa.string()),
             "part_id": pa.array(out_rows["part_id"], pa.int32()),
             "n_buckets": pa.array(out_rows["n_buckets"], pa.int64()),
