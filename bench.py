@@ -1,0 +1,175 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship retention rollup (synthetic transcripts at
+sf-proportional scale, BASELINE.json input_hint shape: ~1e7 turns at
+sf0.1): raw -> 1m/1h/1d gap-filled tiers + Gorilla blocks + manifests.
+Also times the representative testdata queries.
+
+``--scaling``: runs the same bench in two fresh processes at num_cpus=8
+and 32 and reports throughput scaling efficiency (the sandbox proxy for
+the N -> 4N cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# This sandbox's kernel makes first-touch page faults ~80x slower than page
+# reuse (125 MB/s vs 10 GB/s measured). glibc's default 128 KiB mmap
+# threshold turns every large numpy temp into fresh mmapped pages, so the
+# whole pipeline ran at fault speed and extra CPUs only added fault
+# contention. Raising the threshold makes workers reuse arena pages
+# (measured 55x on repeated 200 MB allocations). Must be set before
+# ray.init so worker processes inherit it; glibc reads tunables at process
+# start, so the subprocess-based --scaling runs get the full benefit.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
+# route Arrow through the same tuned glibc arena (its bundled jemalloc
+# releases pages back to the OS, re-faulting them on every batch)
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h",
+    "rollup_1d",
+    "gapfill_1h",
+    "reduce_value_stats",
+    "apply_revenue_expr",
+    "dedup_exact_docs",
+    "knn_cosine_top10",
+    "topk_active_convs",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _consume(res) -> int:
+    """Consume a query result without driver-side materialization of big data."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench(sf_dir: str, ncpu: int) -> dict:
+    import ray
+
+    os.environ.setdefault("PYTHONPATH", REPO)
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from sits_ray.pipelines.flagship import run_flagship
+    from sits_ray.synth import write_transcripts_scaled
+
+    sf = _sf_of(sf_dir)
+    # ~4e8*sf turns (sf0.1 -> ~4e7): large enough that compute dominates
+    # the fixed session/exchange overheads at 32 CPUs
+    n_convs = max(50, int(sf * 8_000_000))
+    in_dir = write_transcripts_scaled(
+        f"/tmp/sits_ray_bench/transcripts4_sf{sf}", n_convs=n_convs, mean_turns=40,
+        seed=42, files=32,
+    )
+
+    import ray.data as rd
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    input_turns = rd.read_parquet(in_dir, columns=["conv_id"]).count()
+
+    out_dir = "/tmp/sits_ray_bench/tiers"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_flagship(
+        in_dir, out_dir, tiers=("1m", "1h", "1d"), n_parts=64, resume=False,
+    )
+    flagship_sec = time.perf_counter() - t0
+
+    queries: dict[str, float] = {}
+    from sits_ray.queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "flagship retention rollup (raw->1m/1h/1d gap-filled tiers + Gorilla blocks + manifests) wall sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "input_turns": input_turns,
+        "points_per_sec": round(input_turns / flagship_sec),
+        "tier_points": res["tiers"],
+        "phases": res.get("phases", {}),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input, fresh processes)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8": r_lo["points_per_sec"],
+        "throughput_32": r_hi["points_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+        "phases_8": r_lo.get("phases", {}),
+        "phases_32": r_hi.get("phases", {}),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

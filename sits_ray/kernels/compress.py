@@ -113,21 +113,45 @@ def _read_dod(r: BitReader) -> int:
 
 
 def encode_timestamps(ts_us: np.ndarray) -> bytes:
+    """Inlined hot loop: ~an order of magnitude faster than going through
+    BitWriter method calls (BitWriter stays as the readable reference and
+    is exercised against this in tests)."""
     ts = np.asarray(ts_us, dtype=np.int64)
-    w = BitWriter()
     n = ts.size
-    w.write(n, 64)
+    buf = bytearray(n.to_bytes(8))
     if n == 0:
-        return w.getvalue()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+        return bytes(buf)
+    buf += (int(ts[0]) & _M64).to_bytes(8)
     if n == 1:
-        return w.getvalue()
+        return bytes(buf)
     deltas = np.diff(ts)
-    _write_dod(w, int(deltas[0]))
-    dods = np.diff(deltas)
+    dods = np.concatenate([deltas[:1], np.diff(deltas)]).tolist()
+    acc = 0
+    nb = 0
     for d in dods:
-        _write_dod(w, int(d))
-    return w.getvalue()
+        if d == 0:
+            acc <<= 1
+            nb += 1
+        elif -63 <= d <= 64:
+            acc = (acc << 9) | (0b10 << 7) | (d + 63)
+            nb += 9
+        elif -255 <= d <= 256:
+            acc = (acc << 12) | (0b110 << 9) | (d + 255)
+            nb += 12
+        elif -2047 <= d <= 2048:
+            acc = (acc << 16) | (0b1110 << 12) | (d + 2047)
+            nb += 16
+        else:
+            acc = (acc << 68) | (0b1111 << 64) | (d & _M64)
+            nb += 68
+        while nb >= 64:
+            nb -= 64
+            buf += ((acc >> nb) & _M64).to_bytes(8)
+            acc &= (1 << nb) - 1
+    if nb:
+        pad = (-nb) % 8
+        buf += ((acc << pad) & ((1 << (nb + pad)) - 1)).to_bytes((nb + pad) // 8)
+    return bytes(buf)
 
 
 def decode_timestamps(data: bytes) -> np.ndarray:
@@ -150,37 +174,50 @@ def decode_timestamps(data: bytes) -> np.ndarray:
     return out
 
 
+_M64 = (1 << 64) - 1
+
+
 def encode_values(values: np.ndarray) -> bytes:
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    w = BitWriter()
     n = bits.size
-    w.write(n, 64)
+    buf = bytearray(n.to_bytes(8))
     if n == 0:
-        return w.getvalue()
-    prev = int(bits[0])
-    w.write(prev, 64)
-    lead, mlen = 65, 0  # previous window: invalid sentinel
-    for i in range(1, n):
-        cur = int(bits[i])
-        x = cur ^ prev
-        prev = cur
+        return bytes(buf)
+    xors = np.bitwise_xor(bits[1:], bits[:-1]).tolist()
+    buf += int(bits[0]).to_bytes(8)
+    lead, mlen, shift = 65, 0, 64  # previous window: invalid sentinel
+    acc = 0
+    nb = 0
+    for x in xors:
         if x == 0:
-            w.write(0, 1)
-            continue
-        w.write(1, 1)
-        xl = 64 - x.bit_length()  # leading zeros
-        xt = (x & -x).bit_length() - 1  # trailing zeros
-        if mlen > 0 and xl >= lead and xt >= 64 - lead - mlen:
-            w.write(0, 1)
-            w.write(x >> (64 - lead - mlen), mlen)
+            acc <<= 1
+            nb += 1
         else:
-            lead = min(xl, 63)
-            mlen = 64 - lead - xt
-            w.write(1, 1)
-            w.write(lead, 6)
-            w.write(mlen - 1, 6)
-            w.write(x >> xt, mlen)
-    return w.getvalue()
+            xl = 64 - x.bit_length()
+            xt = (x & -x).bit_length() - 1
+            if mlen > 0 and xl >= lead and xt >= shift:
+                acc = (acc << (2 + mlen)) | (0b10 << mlen) | (x >> shift)
+                nb += 2 + mlen
+            else:
+                lead = xl if xl < 63 else 63
+                mlen = 64 - lead - xt
+                shift = xt
+                acc = (
+                    (acc << (14 + mlen))
+                    | (0b11 << (12 + mlen))
+                    | (lead << (6 + mlen))
+                    | ((mlen - 1) << mlen)
+                    | (x >> xt)
+                )
+                nb += 14 + mlen
+        while nb >= 64:
+            nb -= 64
+            buf += ((acc >> nb) & _M64).to_bytes(8)
+            acc &= (1 << nb) - 1
+    if nb:
+        pad = (-nb) % 8
+        buf += ((acc << pad) & ((1 << (nb + pad)) - 1)).to_bytes((nb + pad) // 8)
+    return bytes(buf)
 
 
 def decode_values(data: bytes) -> np.ndarray:

@@ -7,34 +7,31 @@ Mirrors the reference's regularize orchestration (``.gc_regularize``,
 the ledger (input fingerprint must match — late data invalidates exactly
 the touched partitions), execute the distributed plan, append manifests.
 
-Dataflow (one pass, streaming — nothing materializes the raw input):
+Physical plan (fused exchange; see ``sits_ray/stages/exchange.py`` for why
+the shuffle is an explicit map-reduce rather than ``Dataset.groupby``):
 
-    read_parquet(columns=pruned)                   # prune at the read
-      -> map_batches(prepare_turns)                # vectorized derive, drop text
-      [-> filter out finished part_ids]            # resume
-      -> groupby(conv_id).map_groups(_conv_series) # THE shuffle; all tiers
-      -> materialize nested tier series            # small vs raw (bounded by
-                                                   # time-range/width per conv)
-      -> branch A: nested_to_long -> write_parquet(long/, partition_cols)
-      -> branch B: GorillaEncode actor pool -> write_parquet(blocks/, ...)
+    stage 1 (task per input file): read(pruned) -> prepare_turns ->
+        hash-split by part_id  [fingerprint counts fall out for free]
+    [manifest diff decides which partitions to (re)build]
+    stage 2 (task per partition): concat -> _part_series (all tiers, one
+        vectorized pass) -> explode -> Gorilla encode -> atomic
+        per-partition Parquet writes (long/ + blocks/) -> stats row
+
+The unfused composable Dataset path (``rollup_tiers`` ->
+``nested_to_long`` / ``compress`` actor pool) remains the API used by the
+query layer and tests; this module is the throughput-optimized retention
+job built from the same kernels.
 """
 
 from __future__ import annotations
 
+import glob
 import os
-
-import pyarrow as pa
-import pyarrow.compute as pc
+import time
 
 import ray.data as rd
-from ray.data.aggregate import Count
 
-from sits_ray.stages.compressor import compress as compress_stage
-from sits_ray.stages.regularize import (
-    nested_to_long,
-    prepare_turns,
-    rollup_nested,
-)
+from sits_ray.stages.exchange import rollup_exchange_fused
 from sits_ray.state.manifest import Manifest, PartEntry, clean_partition_dirs
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "tool", "ts"]
@@ -49,88 +46,76 @@ def run_flagship(
     write_blocks: bool = True,
     gapfill: bool = True,
     dedup: bool = False,
-    encoder_concurrency: int | tuple[int, int] = (1, 4),
 ) -> dict:
     """Run (or resume) the full rollup. Returns summary metrics."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
+    phases: dict[str, float] = {}
+    result: dict = {"tiers": {}, "phases": phases}
 
-    ds = rd.read_parquet(input_path, columns=TRANSCRIPT_COLUMNS)
-    prepared = ds.map_batches(
-        prepare_turns, batch_format="pyarrow", fn_kwargs=dict(n_parts=n_parts)
+    paths = (
+        sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        if os.path.isdir(input_path)
+        else [input_path]
     )
 
-    # input fingerprint: rows per hash partition (tiny aggregate)
-    counts = prepared.groupby("part_id").aggregate(Count(alias_name="n")).take_all()
-    input_rows_by_part = {int(r["part_id"]): int(r["n"]) for r in counts}
+    state: dict = {}
 
-    done: set[int] = set()
-    if resume:
-        done = manifest.done_parts(input_rows_by_part, tiers)
-    todo = set(input_rows_by_part) - done
-    # stale or partial outputs for partitions being rebuilt are removed first
-    manifest.invalidate(todo, tiers)
-    clean_partition_dirs(os.path.join(out_dir, "long"), tiers, todo)
-    clean_partition_dirs(os.path.join(out_dir, "blocks"), tiers, todo)
+    def decide(input_rows_by_part: dict[int, int]) -> set[int]:
+        done: set[int] = set()
+        if resume:
+            done = manifest.done_parts(input_rows_by_part, tiers)
+        todo = set(input_rows_by_part) - done
+        # stale or partial outputs for rebuilt partitions are removed first
+        manifest.invalidate(todo, tiers)
+        clean_partition_dirs(os.path.join(out_dir, "long"), tiers, todo)
+        clean_partition_dirs(os.path.join(out_dir, "blocks"), tiers, todo)
+        state["done"] = done
+        state["todo"] = todo
+        return todo
 
-    result = {
-        "parts_total": len(input_rows_by_part),
-        "parts_skipped": len(done),
-        "parts_built": len(todo),
-        "tiers": {},
-    }
-    if not todo:
-        return result
-
-    if done:
-        todo_arr = pa.array(sorted(todo), pa.int32())
-        prepared = prepared.map_batches(
-            lambda t: t.filter(pc.is_in(t["part_id"], value_set=todo_arr)),
-            batch_format="pyarrow",
-        )
-
-    nested = rollup_nested(prepared, tiers=tiers, gapfill=gapfill, dedup=dedup)
-    nested = nested.materialize()
-
-    long_ds = nested_to_long(nested)
-    long_ds.write_parquet(
-        os.path.join(out_dir, "long"), partition_cols=["tier", "part_id"]
+    t0 = time.perf_counter()
+    stats_rows, input_rows_by_part = rollup_exchange_fused(
+        paths,
+        out_dir,
+        tiers=tiers,
+        gapfill=gapfill,
+        dedup=dedup,
+        n_parts=n_parts,
+        columns=TRANSCRIPT_COLUMNS,
+        write_blocks=write_blocks,
+        decide_parts=decide,
     )
-    if write_blocks:
-        blocks = compress_stage(nested, concurrency=encoder_concurrency)
-        blocks.write_parquet(
-            os.path.join(out_dir, "blocks"), partition_cols=["tier", "part_id"]
-        )
+    phases["exchange_fused"] = round(time.perf_counter() - t0, 2)
 
-    # lineage entries per (tier, part): output rows + conv counts
-    stats = (
-        nested.groupby(["tier", "part_id"])
-        .aggregate(Count(alias_name="n_series"))
-        .take_all()
+    result.update(
+        parts_total=len(input_rows_by_part),
+        parts_skipped=len(state["done"]),
+        parts_built=len(state["todo"]),
     )
-    rows = (
-        nested_to_long(nested)
-        .groupby(["tier", "part_id"])
-        .aggregate(Count(alias_name="n_rows"))
-        .take_all()
-    )
-    rows_by = {(r["tier"], int(r["part_id"])): int(r["n_rows"]) for r in rows}
-    for s in stats:
+
+    for s in stats_rows:
         tier, part_id = s["tier"], int(s["part_id"])
         files_dir = os.path.join(out_dir, "long", f"tier={tier}", f"part_id={part_id}")
-        files = sorted(os.listdir(files_dir)) if os.path.isdir(files_dir) else []
+        files = sorted(
+            f for f in os.listdir(files_dir) if f.endswith(".parquet")
+        ) if os.path.isdir(files_dir) else []
         manifest.put(
             PartEntry(
                 tier=tier,
                 part_id=part_id,
                 input_rows=input_rows_by_part.get(part_id, 0),
-                output_rows=rows_by.get((tier, part_id), 0),
+                output_rows=int(s["n_rows"]),
                 n_convs=int(s["n_series"]),
                 files=files,
             )
         )
         result["tiers"].setdefault(tier, 0)
-        result["tiers"][tier] += rows_by.get((tier, part_id), 0)
+        result["tiers"][tier] += int(s["n_rows"])
+    # include rows of partitions that were skipped via resume in the totals
+    for e in manifest.entries():
+        if e.part_id in state["done"] and e.tier in tiers:
+            result["tiers"][e.tier] = result["tiers"].get(e.tier, 0) + e.output_rows
     return result
 
 

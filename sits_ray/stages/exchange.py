@@ -1,0 +1,222 @@
+"""Explicit hash-partition exchange for the flagship rollup.
+
+WHY raw Ray tasks here (the documented last-resort, used deliberately):
+the rollup needs a *hash partition* exchange — all rows of a partition in
+one place, no ordering between partitions — but ``Dataset.groupby`` in
+local Ray implements it as a sample-sort whose cost grows superlinearly
+with block count (measured on 9.6M rows: 8 blocks -> 7s, 64 blocks ->
+70s; the hash-shuffle strategy measured 54s). Few-large-blocks keeps the
+sort fast but caps parallelism at the block count, which destroyed
+N->4N scaling (eff 0.4). A classic two-stage map-reduce exchange through
+the object store gives file x partition parallelism with zero sort:
+
+    stage 1 (one task per input file):  read(pruned) -> prepare_turns ->
+        split by part_id -> n_parts separate object refs + a counts row
+    stage 2 (one task per partition):   concat that partition's chunks
+        from every file -> _part_series (vectorized kernel)
+
+The results re-enter Ray Data via ``from_arrow_refs`` so everything
+downstream (explode, Gorilla actor pool, partitioned writes) stays on the
+Dataset API. Partitioning assumptions: inputs are a directory of Parquet
+files (file count >= CPUs for full stage-1 parallelism — the generator
+writes 32+ parts); partition chunks for one file fit in worker memory
+(bounded by file size). Task retries cover worker failure; the manifest
+diff covers driver restart (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from sits_ray.stages.regularize import _part_series, prepare_turns
+
+
+def _split_one(
+    path: str,
+    columns: list[str],
+    n_parts: int,
+    key: str,
+    ts_col: str,
+    order_col: str,
+    tool_col: str | None,
+):
+    tbl = pq.read_table(path, columns=columns)
+    prep = prepare_turns(
+        tbl, key=key, ts_col=ts_col, order_col=order_col,
+        tool_col=tool_col, n_parts=n_parts,
+    )
+    pid = prep["part_id"].to_numpy()
+    order = np.argsort(pid, kind="stable")
+    sorted_tbl = prep.take(pa.array(order))
+    counts = np.bincount(pid, minlength=n_parts).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    chunks = [
+        sorted_tbl.slice(int(offsets[p]), int(counts[p])) for p in range(n_parts)
+    ]
+    return (*chunks, counts)
+
+
+def _build_part(tiers, gapfill, dedup, *chunks):
+    tables = [c for c in chunks if c.num_rows]
+    if not tables:
+        return None
+    g = pa.concat_tables(tables).combine_chunks()
+    return _part_series(g, tiers, gapfill, dedup)
+
+
+def _build_write_part(
+    tiers, gapfill, dedup, out_dir, write_blocks, *chunks
+):
+    """Fused stage-2 task: kernel -> explode -> Gorilla encode -> atomic
+    per-partition Parquet writes -> small stats table.
+
+    Fusing write+encode into the build task removes three whole-dataset
+    passes (explode, encoder actor pool spin-up, manifest count scan) and
+    makes each partition's output a single atomically-renamed file — the
+    per-asset resume granularity of the reference
+    (``R/api_regularize.R:134-145``)."""
+    import os
+
+    from sits_ray.stages.compressor import GorillaEncode
+    from sits_ray.stages.regularize import explode_table
+
+    tables = [c for c in chunks if c.num_rows]
+    if not tables:
+        return None
+    g = pa.concat_tables(tables).combine_chunks()
+    nested = _part_series(g, tiers, gapfill, dedup)
+    part_id = int(nested["part_id"][0].as_py())
+    enc = GorillaEncode() if write_blocks else None
+    stats = {"tier": [], "part_id": [], "n_series": [], "n_rows": []}
+    for tier in tiers:
+        sub = nested.filter(pa.compute.equal(nested["tier"], tier))
+        long_tbl = explode_table(sub)
+        d = os.path.join(out_dir, "long", f"tier={tier}", f"part_id={part_id}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "part-0.parquet.tmp")
+        pq.write_table(long_tbl.drop_columns(["tier", "part_id"]), tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        if enc is not None:
+            bd = os.path.join(out_dir, "blocks", f"tier={tier}", f"part_id={part_id}")
+            os.makedirs(bd, exist_ok=True)
+            btmp = os.path.join(bd, "part-0.parquet.tmp")
+            pq.write_table(enc(sub), btmp)
+            os.replace(btmp, os.path.join(bd, "part-0.parquet"))
+        stats["tier"].append(tier)
+        stats["part_id"].append(part_id)
+        stats["n_series"].append(sub.num_rows)
+        stats["n_rows"].append(long_tbl.num_rows)
+    return pa.table(stats)
+
+
+def rollup_exchange_fused(
+    paths: list[str],
+    out_dir: str,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    gapfill: bool = True,
+    dedup: bool = False,
+    n_parts: int = 64,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    tool_col: str | None = "tool",
+    columns: list[str] | None = None,
+    write_blocks: bool = True,
+    decide_parts=None,
+):
+    """Fused exchange: stage 1 split, stage 2 build+encode+write per
+    partition. Returns ``(stats_rows, input_rows_by_part)`` where
+    stats_rows is a list of dicts (tier, part_id, n_series, n_rows)."""
+    import ray as _ray
+
+    if columns is None:
+        cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
+    else:
+        cols = columns
+    split = _ray.remote(num_returns=n_parts + 1)(_split_one)
+    build = _ray.remote(_build_write_part)
+
+    refmat = [
+        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col)
+        for p in paths
+    ]
+    counts = np.sum(_ray.get([r[n_parts] for r in refmat]), axis=0)
+    input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
+
+    only_parts = None
+    if decide_parts is not None:
+        only_parts = decide_parts(input_rows_by_part)
+    parts = sorted(
+        p for p in input_rows_by_part if only_parts is None or p in only_parts
+    )
+    stat_refs = [
+        build.remote(
+            tiers, gapfill, dedup, out_dir, write_blocks,
+            *[refmat[f][p] for f in range(len(paths))],
+        )
+        for p in parts
+    ]
+    stats_rows: list[dict] = []
+    for t in _ray.get(stat_refs):
+        if t is not None:
+            stats_rows.extend(t.to_pylist())
+    return stats_rows, input_rows_by_part
+
+
+def rollup_exchange(
+    paths: list[str],
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    gapfill: bool = True,
+    dedup: bool = False,
+    n_parts: int = 64,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    tool_col: str | None = "tool",
+    columns: list[str] | None = None,
+    only_parts: set[int] | None = None,
+    decide_parts=None,
+):
+    """Two-stage exchange rollup.
+
+    Returns ``(nested_dataset, input_rows_by_part)`` where the counts dict
+    is the per-partition input fingerprint (computed as a by-product of
+    stage 1 — no separate fingerprint pass over the input).
+    ``only_parts`` restricts stage 2 to the given partitions (resume);
+    ``decide_parts(input_rows_by_part) -> set[int]`` is called between the
+    stages for the same purpose when the fingerprint must inform the
+    decision (manifest diff)."""
+    if columns is None:
+        cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
+    else:
+        cols = columns
+    split = ray.remote(num_returns=n_parts + 1)(_split_one)
+    build = ray.remote(_build_part)
+
+    refmat = [
+        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col)
+        for p in paths
+    ]
+    count_refs = [r[n_parts] for r in refmat]
+    counts = np.sum(ray.get(count_refs), axis=0)
+    input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
+
+    if decide_parts is not None:
+        only_parts = decide_parts(input_rows_by_part)
+    parts = sorted(
+        p for p in input_rows_by_part if only_parts is None or p in only_parts
+    )
+    # every scheduled part has input rows (parts ⊆ input_rows_by_part), so
+    # no build returns an empty/None table
+    nested_refs = [
+        build.remote(tiers, gapfill, dedup, *[refmat[f][p] for f in range(len(paths))])
+        for p in parts
+    ]
+    import ray.data as rd
+
+    nested = rd.from_arrow_refs(nested_refs)
+    return nested, input_rows_by_part

@@ -11,23 +11,32 @@ linearly gap-filled (the analog of the reference's placeholder assets,
 Ray Data shape (SURVEY.md §3.1): ``read_parquet`` ->
 ``map_batches(prepare_turns)`` (projection + vectorized derivations,
 *before* the shuffle so heavy ``text`` never moves) ->
-``groupby(conv_id).map_groups(series_fn, batch_format="pyarrow")`` — one
-nested row per (conv, tier) holding the regular series as Arrow list
-columns (the sits nested-tibble analog, ``R/api_tibble.R:20-32``) ->
-either ``nested_to_long`` (explode, no shuffle) for relational consumers
-or the Gorilla actor-pool encoder (:mod:`sits_ray.stages.compressor`).
+``groupby(part_id).map_groups(_part_series)`` — ONE call per hash
+partition, fully vectorized across every conversation inside it (numpy
+segment reductions; no per-conversation Python) -> one nested row per
+(conv, tier) holding the regular series as Arrow list columns (the sits
+nested-tibble analog, ``R/api_tibble.R:20-32``) -> either
+``nested_to_long`` (explode, no shuffle) or the Gorilla actor-pool
+encoder (:mod:`sits_ray.stages.compressor`).
 
-Ordering invariant: within a group, rows are stably sorted by
-``(ts, order_col)`` before any kernel (SURVEY.md §2.11). Latency of turn i
-is ``ts_i - ts_{i-1}`` in seconds; the first turn has no latency (NULL),
-matching SQL ``lag`` semantics so the DuckDB oracle can replicate it.
+Pinned cross-engine contracts (verified bit-exact vs DuckDB in
+tools/check_correctness.py):
 
-Scale notes (100 TB design): the per-conv group carries only the pruned
-columns (conv_id, ts, order, is_tool[, value]); a 10^6-turn
-mega-conversation group is ~32 MB, and its *output* is bounded by
-time-range/width regardless of turn count. For conversations beyond that,
-``salt_turns`` splits groups into contiguous turn ranges with a one-row
-overlap so latency stays exact (see ``rollup_tiers``).
+* ordering: rows sorted stably by ``(conv, ts, order_col)`` before any
+  kernel (SURVEY.md §2.11); latency of turn i = seconds since turn i-1,
+  first turn NULL (== SQL ``lag`` semantics);
+* latency seconds = ``days*86400 + rem/1e6`` of the microsecond delta
+  (== DuckDB ``epoch(interval)`` day-split);
+* bucket sums are IEEE-sequential in time order (== SQL aggregation over
+  window-ordered rows); deterministic across parallelism levels;
+* p95 is nearest-rank: sorted[ceil(.95*n)-1] (== ``quantile_disc``);
+* gap-fill: leading<-first valid, trailing<-last valid, interior
+  ``first + i*(next-first)/gaps`` (reference ``src/linear_interp.cpp:25-73``).
+
+Scale notes (100 TB design): the shuffle key is the hash partition, so
+group count == n_parts regardless of conversation count; a
+mega-conversation is bounded by its partition (1/n_parts of the data),
+and its *output* is bounded by time-range/width regardless of turn count.
 """
 
 from __future__ import annotations
@@ -37,8 +46,6 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from sits_ray.kernels.gapfill import linear_interp
 
 TIER_WIDTH_US = {
     "1m": 60_000_000,
@@ -58,6 +65,15 @@ def part_of(conv_id, n_parts: int) -> int:
     """Stable partition id of a conversation (crc32 hash-partitioning)."""
     key = conv_id if isinstance(conv_id, str) else str(conv_id)
     return zlib.crc32(key.encode()) % n_parts
+
+
+def delta_us_to_seconds(d_us: np.ndarray) -> np.ndarray:
+    """Microsecond deltas -> seconds as ``days*86400 + rem/1e6`` — the pinned
+    latency definition (matches SQL ``epoch(ts - lag(ts))``, which splits
+    timestamp differences into days + microseconds before converting)."""
+    d = np.asarray(d_us, dtype=np.int64)
+    days, rem = np.divmod(d, 86_400_000_000)
+    return days * 86400.0 + rem / 1e6
 
 
 def prepare_turns(
@@ -81,149 +97,243 @@ def prepare_turns(
         cols["is_tool"] = pc.and_(pc.is_valid(t), pc.not_equal(t, ""))
     else:
         cols["is_tool"] = pa.array(np.zeros(batch.num_rows, dtype=bool))
-    conv = batch[key].to_pylist()
-    cols["part_id"] = pa.array(
-        np.array([part_of(c, n_parts) for c in conv], dtype=np.int32)
+    # crc32 only once per distinct conversation in the batch, then fan out
+    # through the dictionary indices (typical batches repeat each conv ~turns
+    # times, so this is ~2 orders of magnitude fewer Python hash calls)
+    d = pc.dictionary_encode(
+        batch[key].combine_chunks()
+        if isinstance(batch[key], pa.ChunkedArray)
+        else batch[key]
     )
+    pid_uniq = np.array(
+        [part_of(c, n_parts) for c in d.dictionary.to_pylist()], dtype=np.int32
+    )
+    cols["part_id"] = pa.array(pid_uniq[np.asarray(d.indices)])
     return pa.table(cols)
 
 
-def delta_us_to_seconds(d_us: np.ndarray) -> np.ndarray:
-    """Microsecond deltas -> seconds as ``days*86400 + rem/1e6`` — the pinned
-    latency definition (matches SQL ``epoch(ts - lag(ts))``, which splits
-    timestamp differences into days + microseconds before converting)."""
-    d = np.asarray(d_us, dtype=np.int64)
-    days, rem = np.divmod(d, 86_400_000_000)
-    return days * 86400.0 + rem / 1e6
-
-
-def _segment_starts(sorted_vals: np.ndarray) -> np.ndarray:
-    if sorted_vals.size == 0:
+def _seg_starts(*keys: np.ndarray) -> np.ndarray:
+    """Start index of each run in already-sorted parallel key arrays."""
+    n = keys[0].size
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    return np.flatnonzero(np.r_[True, sorted_vals[1:] != sorted_vals[:-1]])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.flatnonzero(change)
 
 
-def _conv_series(
+def _seq_segment_sums(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """IEEE-sequential per-segment sums (the pinned summation contract)."""
+    lst = vals.tolist()
+    return np.fromiter(
+        (sum(lst[a:b], 0.0) for a, b in zip(starts, ends)),
+        dtype=np.float64,
+        count=starts.size,
+    )
+
+
+def _ragged_linear_interp(
+    v: np.ndarray, series_start: np.ndarray, series_end_excl: np.ndarray
+) -> np.ndarray:
+    """linear_interp (src/linear_interp.cpp rules) over concatenated
+    variable-length series. ``series_start`` maps each element to its
+    series' first index, ``series_end_excl`` to one past its last."""
+    n = v.size
+    out = v.copy()
+    if n == 0:
+        return out
+    isnan = np.isnan(v)
+    if not isnan.any():
+        return out
+    idx = np.arange(n, dtype=np.int64)
+    prev = np.maximum.accumulate(np.where(isnan, -1, idx))
+    nxt_r = np.minimum.accumulate(np.where(isnan, n, idx)[::-1])[::-1]
+    # a prev/next pointer outside the series boundary means "none"
+    has_prev = prev >= series_start
+    has_next = nxt_r < series_end_excl
+    pv = np.where(has_prev, v[np.clip(prev, 0, n - 1)], np.nan)
+    nv = np.where(has_next, v[np.clip(nxt_r, 0, n - 1)], np.nan)
+    interior = isnan & has_prev & has_next
+    gaps = (nxt_r - prev).astype(np.float64)
+    i_off = (idx - prev).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        interp = pv + (i_off * (nv - pv) / gaps)
+    out[interior] = interp[interior]
+    lead = isnan & ~has_prev & has_next
+    out[lead] = nv[lead]
+    trail = isnan & has_prev & ~has_next
+    out[trail] = pv[trail]
+    return out
+
+
+def _list_array(flat: np.ndarray, offsets: np.ndarray, typ) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat, typ)
+    )
+
+
+def _part_series(
     g: pa.Table,
     tiers: tuple[str, ...],
     gapfill: bool,
     dedup: bool,
 ) -> pa.Table:
-    """Per-group kernel: one conversation -> one nested row per tier."""
-    conv_id = g["conv_id"][0].as_py()
+    """Whole-partition kernel: every conversation of one hash partition,
+    vectorized end-to-end (no per-conversation Python)."""
+    part_id = int(g["part_id"][0].as_py()) if g.num_rows else 0
+    conv_dict = pc.dictionary_encode(g["conv_id"].combine_chunks())
+    conv_codes = np.asarray(conv_dict.indices)
+    conv_values = conv_dict.dictionary  # unique conv ids, arbitrary order
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     order = g["order"].to_numpy()
     is_tool = g["is_tool"].to_numpy(zero_copy_only=False)
-    part_id = int(g["part_id"][0].as_py()) if "part_id" in g.column_names else 0
 
-    sel = np.lexsort((order, ts))
-    ts, order, is_tool = ts[sel], order[sel], is_tool[sel]
+    sel = np.lexsort((order, ts, conv_codes))
+    conv_codes, ts, order, is_tool = (
+        conv_codes[sel], ts[sel], order[sel], is_tool[sel].astype(np.int64)
+    )
     if dedup:
-        # exact dedup of replayed turns: first occurrence per order value
+        # exact dedup of replayed turns: first occurrence per (conv, order)
         # (reference groupby-first dedup, R/api_data.R:215-223)
-        keep = np.r_[True, order[1:] != order[:-1]]
-        ts, order, is_tool = ts[keep], order[keep], is_tool[keep]
+        keep = np.r_[
+            True, (conv_codes[1:] != conv_codes[:-1]) | (order[1:] != order[:-1])
+        ]
+        conv_codes, ts, order, is_tool = (
+            conv_codes[keep], ts[keep], order[keep], is_tool[keep]
+        )
 
-    lat = np.empty(ts.size, dtype=np.float64)
-    if ts.size:
+    n = ts.size
+    conv_start_idx = _seg_starts(conv_codes)
+    lat = np.empty(n, dtype=np.float64)
+    if n:
         lat[0] = np.nan
-        lat[1:] = delta_us_to_seconds(np.diff(ts))
+        lat[1:] = delta_us_to_seconds(ts[1:] - ts[:-1])
+        lat[conv_start_idx] = np.nan  # first turn of each conv has no latency
     lat_valid = ~np.isnan(lat)
     lat0 = np.where(lat_valid, lat, 0.0)
 
-    out_rows: dict[str, list] = {
-        "conv_id": [], "tier": [], "part_id": [], "n_buckets": [],
-        "bucket_ts": [], "filled": [],
-        **{m: [] for m in ALL_METRICS},
-    }
+    out_chunks: list[pa.Table] = []
     for tier in tiers:
         w = TIER_WIDTH_US[tier]
-        b = (ts // w) * w  # nondecreasing since ts sorted
-        starts = _segment_starts(b)
-        ends = np.r_[starts[1:], b.size]
-        uniq = b[starts]
+        b = (ts // w) * w  # nondecreasing within each conv
+        starts = _seg_starts(conv_codes, b)
+        ends = np.r_[starts[1:], n]
+        seg_conv = conv_codes[starts]
+        uniq_b = b[starts]
         counts = (ends - starts).astype(np.int64)
-        tools = np.add.reduceat(is_tool.astype(np.int64), starts) if starts.size else np.empty(0, np.int64)
-        n_lat = np.add.reduceat(lat_valid.astype(np.int64), starts) if starts.size else np.empty(0, np.int64)
-        # pinned summation contract: IEEE sequential sum in time order
-        # (== SQL aggregate over window-ordered rows; deterministic across
-        # parallelism levels). Builtin sum is left-to-right float adds.
-        lat_list = lat0.tolist()
-        s_lat = np.fromiter(
-            (sum(lat_list[a:b], 0.0) for a, b in zip(starts, ends)),
-            dtype=np.float64,
-            count=starts.size,
-        )
+        tools = np.add.reduceat(is_tool, starts) if n else np.empty(0, np.int64)
+        n_lat = np.add.reduceat(lat_valid.astype(np.int64), starts) if n else np.empty(0, np.int64)
+        s_lat = _seq_segment_sums(lat0, starts, ends)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean_lat = np.where(n_lat > 0, s_lat / n_lat, np.nan)
-        # min/max/p95 over valid latencies: sort (bucket, lat) once;
-        # NaNs sort to the end of each bucket segment under lexsort
-        osel = np.lexsort((lat, b))
+        # min/max/p95 via one sort of (segment, lat); NaNs sort last per segment
+        seg_id = np.repeat(np.arange(starts.size), ends - starts)
+        osel = np.lexsort((lat, seg_id))
         lat_sorted = lat[osel]
         mn = np.where(n_lat > 0, lat_sorted[starts], np.nan)
-        k95 = np.ceil(0.95 * n_lat).astype(np.int64) - 1
-        k95 = np.clip(k95, 0, None)
-        mx_idx = starts + np.maximum(n_lat - 1, 0)
-        mx = np.where(n_lat > 0, lat_sorted[np.clip(mx_idx, 0, max(b.size - 1, 0))], np.nan)
-        p95 = np.where(n_lat > 0, lat_sorted[np.clip(starts + k95, 0, max(b.size - 1, 0))], np.nan)
+        hi = np.clip(starts + np.maximum(n_lat - 1, 0), 0, max(n - 1, 0))
+        mx = np.where(n_lat > 0, lat_sorted[hi], np.nan)
+        k95 = np.clip(np.ceil(0.95 * n_lat).astype(np.int64) - 1, 0, None)
+        p95 = np.where(
+            n_lat > 0, lat_sorted[np.clip(starts + k95, 0, max(n - 1, 0))], np.nan
+        )
 
-        if gapfill and uniq.size:
-            grid = np.arange(uniq[0], uniq[-1] + w, w, dtype=np.int64)
-            pos = ((uniq - grid[0]) // w).astype(np.int64)
-            filled = np.ones(grid.size, dtype=bool)
+        # per-conv series boundaries in segment space
+        conv_seg_starts = _seg_starts(seg_conv)
+        conv_seg_ends = np.r_[conv_seg_starts[1:], starts.size]
+        series_conv = seg_conv[conv_seg_starts]
+
+        if gapfill and starts.size:
+            first_b = uniq_b[conv_seg_starts]
+            last_b = uniq_b[conv_seg_ends - 1]
+            glen = ((last_b - first_b) // w + 1).astype(np.int64)
+            goff = np.concatenate([[0], np.cumsum(glen)])
+            total = int(goff[-1])
+            rep = np.repeat(np.arange(series_conv.size), glen)
+            # full regular grid per conv (the valid-timeline rule applied
+            # per series: start=min bucket, end=max bucket, step=w)
+            grid = np.repeat(first_b, glen) + (
+                np.arange(total, dtype=np.int64) - np.repeat(goff[:-1], glen)
+            ) * w
+            # scatter observed segments into grid positions
+            conv_goff = goff[:-1]  # grid offset per conv index (dense)
+            pos = (
+                np.repeat(conv_goff, conv_seg_ends - conv_seg_starts)
+                + (uniq_b - np.repeat(first_b, conv_seg_ends - conv_seg_starts)) // w
+            )
+            filled = np.ones(total, dtype=bool)
             filled[pos] = False
 
-            def scatter(vals, fill=0):
-                out = np.full(grid.size, fill, dtype=np.float64)
+            def scatter(vals, fill):
+                out = np.full(total, fill, dtype=np.float64)
                 out[pos] = vals
                 return out
 
-            cont = np.vstack([
-                scatter(mean_lat, np.nan), scatter(p95, np.nan),
-                scatter(mn, np.nan), scatter(mx, np.nan),
-            ])
-            cont = linear_interp(cont)
-            row = {
-                "bucket_ts": grid,
-                "turn_count": scatter(counts).astype(np.int64),
-                "tool_calls": scatter(tools).astype(np.int64),
-                "sum_latency": scatter(s_lat),
-                "mean_latency": cont[0], "p95_latency": cont[1],
-                "min_latency": cont[2], "max_latency": cont[3],
-                "filled": filled,
-            }
+            g_counts = scatter(counts, 0).astype(np.int64)
+            g_tools = scatter(tools, 0).astype(np.int64)
+            g_sum = scatter(s_lat, 0.0)
+            srs_start = np.repeat(conv_goff, glen)
+            srs_end = np.repeat(goff[1:], glen)
+            g_cont = {}
+            for name, vals in (
+                ("mean_latency", mean_lat), ("p95_latency", p95),
+                ("min_latency", mn), ("max_latency", mx),
+            ):
+                g_cont[name] = _ragged_linear_interp(
+                    scatter(vals, np.nan), srs_start, srs_end
+                )
+            row_off = goff
+            tier_tbl = _nested_table(
+                conv_values, series_conv, tier, part_id, grid, row_off,
+                g_counts, g_tools, g_sum, g_cont, filled,
+            )
         else:
-            row = {
-                "bucket_ts": uniq, "turn_count": counts, "tool_calls": tools,
-                "sum_latency": s_lat, "mean_latency": mean_lat,
-                "p95_latency": p95, "min_latency": mn, "max_latency": mx,
-                "filled": np.zeros(uniq.size, dtype=bool),
-            }
-        out_rows["conv_id"].append(conv_id)
-        out_rows["tier"].append(tier)
-        out_rows["part_id"].append(part_id)
-        out_rows["n_buckets"].append(len(row["bucket_ts"]))
-        for k in ("bucket_ts", "filled", *ALL_METRICS):
-            out_rows[k].append(row[k])
+            seg_off = np.concatenate(
+                [conv_seg_starts, [starts.size]]
+            ).astype(np.int64)
+            tier_tbl = _nested_table(
+                conv_values, series_conv, tier, part_id, uniq_b, seg_off,
+                counts, tools, s_lat,
+                {
+                    "mean_latency": mean_lat, "p95_latency": p95,
+                    "min_latency": mn, "max_latency": mx,
+                },
+                np.zeros(starts.size, dtype=bool),
+            )
+        out_chunks.append(tier_tbl)
+    return pa.concat_tables(out_chunks) if out_chunks else _nested_table(
+        conv_values, np.empty(0, np.int64), tiers[0], part_id,
+        np.empty(0, np.int64), np.zeros(1, np.int64),
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0),
+        {m: np.empty(0) for m in CONT_METRICS}, np.empty(0, bool),
+    )
 
+
+def _nested_table(
+    conv_values, series_conv, tier, part_id, flat_bucket, offsets,
+    counts, tools, sums, cont, filled,
+) -> pa.Table:
+    n_series = series_conv.size
+    offs = np.asarray(offsets, dtype=np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    conv_col = conv_values.take(pa.array(series_conv, pa.int64()))
     return pa.table(
         {
-            "conv_id": pa.array(out_rows["conv_id"], g["conv_id"].type),
-            "tier": pa.array(out_rows["tier"], pa.string()),
-            "part_id": pa.array(out_rows["part_id"], pa.int32()),
-            "n_buckets": pa.array(out_rows["n_buckets"], pa.int64()),
-            "bucket_ts": pa.array(
-                [a.tolist() for a in out_rows["bucket_ts"]],
-                pa.list_(pa.timestamp("us")),
-            ),
-            "turn_count": pa.array([a.tolist() for a in out_rows["turn_count"]], pa.list_(pa.int64())),
-            "tool_calls": pa.array([a.tolist() for a in out_rows["tool_calls"]], pa.list_(pa.int64())),
-            "sum_latency": pa.array([a.tolist() for a in out_rows["sum_latency"]], pa.list_(pa.float64())),
-            "mean_latency": pa.array([a.tolist() for a in out_rows["mean_latency"]], pa.list_(pa.float64())),
-            "p95_latency": pa.array([a.tolist() for a in out_rows["p95_latency"]], pa.list_(pa.float64())),
-            "min_latency": pa.array([a.tolist() for a in out_rows["min_latency"]], pa.list_(pa.float64())),
-            "max_latency": pa.array([a.tolist() for a in out_rows["max_latency"]], pa.list_(pa.float64())),
-            "filled": pa.array([a.tolist() for a in out_rows["filled"]], pa.list_(pa.bool_())),
+            "conv_id": conv_col,
+            "tier": pa.array([tier] * n_series, pa.string()),
+            "part_id": pa.array(np.full(n_series, part_id, dtype=np.int32)),
+            "n_buckets": pa.array(lens, pa.int64()),
+            "bucket_ts": _list_array(flat_bucket, offs, pa.timestamp("us")),
+            "turn_count": _list_array(counts, offs, pa.int64()),
+            "tool_calls": _list_array(tools, offs, pa.int64()),
+            "sum_latency": _list_array(sums, offs, pa.float64()),
+            "mean_latency": _list_array(cont["mean_latency"], offs, pa.float64()),
+            "p95_latency": _list_array(cont["p95_latency"], offs, pa.float64()),
+            "min_latency": _list_array(cont["min_latency"], offs, pa.float64()),
+            "max_latency": _list_array(cont["max_latency"], offs, pa.float64()),
+            "filled": _list_array(filled, offs, pa.bool_()),
         }
     )
 
@@ -234,34 +344,35 @@ def rollup_nested(
     gapfill: bool = True,
     dedup: bool = False,
 ):
-    """``groupby(conv_id).map_groups`` over prepared turns -> nested tier
-    series (THE shuffle, SURVEY.md §7.4). All tiers are computed in one
-    pass over each group, so raw turns shuffle exactly once."""
-    return prepared.groupby("conv_id").map_groups(
-        lambda g: _conv_series(g, tiers, gapfill, dedup),
+    """``groupby(part_id).map_groups`` over prepared turns -> nested tier
+    series (THE shuffle, SURVEY.md §7.4). One vectorized call per hash
+    partition; all tiers computed in one pass so raw turns shuffle once."""
+    return prepared.groupby("part_id").map_groups(
+        lambda g: _part_series(g, tiers, gapfill, dedup),
         batch_format="pyarrow",
     )
+
+
+def explode_table(batch: pa.Table) -> pa.Table:
+    """Nested series rows -> long tier rows (pure Arrow, no shuffle)."""
+    lens = pc.list_value_length(batch["bucket_ts"]).to_numpy()
+    rep = np.repeat(np.arange(batch.num_rows), lens)
+    cols = {
+        "conv_id": batch["conv_id"].take(pa.array(rep)),
+        "tier": batch["tier"].take(pa.array(rep)),
+        "part_id": batch["part_id"].take(pa.array(rep)),
+        "bucket_ts": pc.list_flatten(batch["bucket_ts"]),
+    }
+    for m in (*ALL_METRICS, "filled"):
+        cols[m] = pc.list_flatten(batch[m])
+    return pa.table(cols)
 
 
 def nested_to_long(nested):
     """Explode nested series rows into the long tier table
     (conv_id, tier, bucket_ts, metrics..., filled) — a stateless
     ``map_batches``; no shuffle."""
-
-    def explode(batch: pa.Table) -> pa.Table:
-        lens = pc.list_value_length(batch["bucket_ts"]).to_numpy()
-        rep = np.repeat(np.arange(batch.num_rows), lens)
-        cols = {
-            "conv_id": batch["conv_id"].take(pa.array(rep)),
-            "tier": batch["tier"].take(pa.array(rep)),
-            "part_id": batch["part_id"].take(pa.array(rep)),
-            "bucket_ts": pc.list_flatten(batch["bucket_ts"]),
-        }
-        for m in (*ALL_METRICS, "filled"):
-            cols[m] = pc.list_flatten(batch[m])
-        return pa.table(cols)
-
-    return nested.map_batches(explode, batch_format="pyarrow")
+    return nested.map_batches(explode_table, batch_format="pyarrow")
 
 
 def rollup_tiers(
@@ -275,7 +386,7 @@ def rollup_tiers(
     tool_col: str | None = "tool",
     n_parts: int = 32,
 ):
-    """Full rollup: prune/derive -> one conv_id shuffle -> nested tier series.
+    """Full rollup: prune/derive -> one part_id shuffle -> nested tier series.
 
     Returns the nested Dataset; use :func:`nested_to_long` for the long
     form and :class:`sits_ray.stages.compressor.GorillaEncode` for the

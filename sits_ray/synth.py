@@ -41,6 +41,7 @@ def generate_transcripts(
     seed: int = 42,
     mega_conv: bool = True,
     dup_turns: int = 0,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """Deterministic transcript table.
 
@@ -61,7 +62,9 @@ def generate_transcripts(
     total = int(n_turns.sum())
 
     conv_idx = np.repeat(np.arange(n_convs), n_turns)
-    conv_id = np.char.add("conv", np.char.zfill(conv_idx.astype(str), 8))
+    conv_id = np.char.add(
+        "conv", np.char.zfill((conv_idx + conv_offset).astype(str), 8)
+    )
     offsets = np.concatenate([[0], np.cumsum(n_turns)])
     turn_idx = (np.arange(total) - offsets[conv_idx]).astype(np.int32)
 
@@ -91,13 +94,34 @@ def generate_transcripts(
     # segment-local cumulative gap sum (first gap of each conv is 0)
     ts = conv_start[conv_idx] + (csum - np.repeat(csum[offsets[:-1]], n_turns))
 
-    # text: seeded pseudo-text, ~lognormal length (mean ~200 chars)
-    n_words = np.maximum(1, rng.lognormal(np.log(30.0), 0.5, size=total).astype(np.int64))
-    word_ids = rng.integers(0, len(vocab), size=int(n_words.sum()))
-    words = vocab[word_ids]
-    w_off = np.concatenate([[0], np.cumsum(n_words)])
-    text = np.array(
-        [" ".join(words[w_off[i] : w_off[i + 1]]) for i in range(total)], dtype=object
+    # text: seeded pseudo-text, ~lognormal length (mean ~200 chars), built
+    # as a vectorized gather of random slices from a word-pool buffer and
+    # assembled directly into an Arrow StringArray (offsets + one value
+    # buffer) — no per-row Python joins, so 10^7-turn bench inputs
+    # generate in seconds
+    pool = (" ".join(_vocab(np.random.default_rng(99)).tolist()) + " ") * 4
+    pool_arr = np.frombuffer(pool.encode("ascii"), dtype=np.uint8)
+    text_len = np.clip(
+        rng.lognormal(np.log(190.0), 0.5, size=total), 8, 1600
+    ).astype(np.int64)
+    starts_pool = rng.integers(0, pool_arr.size - 1601, size=total)
+    t_off = np.concatenate([[0], np.cumsum(text_len)])
+    # assemble the value buffer in bounded chunks (fresh-page faults are
+    # expensive in this sandbox; ~40 MB working set per chunk)
+    bufs = []
+    CH = 200_000
+    for a in range(0, total, CH):
+        b = min(a + CH, total)
+        lens_c = text_len[a:b]
+        off_c = np.concatenate([[0], np.cumsum(lens_c)])
+        flat = np.repeat(starts_pool[a:b], lens_c) + (
+            np.arange(int(off_c[-1])) - np.repeat(off_c[:-1], lens_c)
+        )
+        bufs.append(pool_arr[flat].tobytes())
+    text_arr = pa.StringArray.from_buffers(
+        length=total,
+        value_offsets=pa.py_buffer(t_off.astype(np.int32).tobytes()),
+        data=pa.py_buffer(b"".join(bufs)),
     )
 
     tbl = pa.table(
@@ -105,7 +129,7 @@ def generate_transcripts(
             "conv_id": pa.array(conv_id, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
+            "text": text_arr,
             "tool": pa.array(tool, pa.string()),
             "ts": pa.array(ts, pa.timestamp("us")),
         }
@@ -114,6 +138,58 @@ def generate_transcripts(
         take = rng.integers(0, total, size=dup_turns)
         tbl = pa.concat_tables([tbl, tbl.take(pa.array(take))])
     return tbl
+
+
+def write_transcripts_scaled(
+    out_dir: str,
+    n_convs: int,
+    mean_turns: int = 40,
+    seed: int = 42,
+    files: int = 32,
+) -> str:
+    """Bench-scale writer: convs split across ``files`` Parquet parts, each
+    generated independently (chunked — bounded memory at 10^7+ turns).
+    Deterministic per (n_convs, mean_turns, seed, files); idempotent via a
+    _SUCCESS marker. The mega-conversation lives in part 0 only."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    tag = f"scaled:{n_convs}:{mean_turns}:{seed}:{files}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == tag:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_convs + files - 1) // files
+    jobs = []
+    off = 0
+    for i in range(files):
+        n = min(per, n_convs - off)
+        if n <= 0:
+            break
+        jobs.append((i, n, off))
+        off += n
+
+    def _gen_one(i: int, n: int, off: int) -> None:
+        tbl = generate_transcripts(
+            n_convs=n, mean_turns=mean_turns, seed=seed + i,
+            mega_conv=(i == 0), conv_offset=off,
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{i:04d}.parquet"))
+
+    try:
+        import ray
+
+        parallel = ray.is_initialized() and len(jobs) > 1
+    except ImportError:
+        parallel = False
+    if parallel:
+        gen = ray.remote(_gen_one)
+        ray.get([gen.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _gen_one(*j)
+    with open(marker, "w") as fh:
+        fh.write(tag)
+    return out_dir
 
 
 def write_transcripts(

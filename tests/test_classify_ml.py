@@ -1,0 +1,96 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels import ml
+from sits_ray.kernels.dtw import dtw_distance, dtw_distance_ref
+from sits_ray.stages.classify import SeriesScorer, classify, make_linear_model
+
+
+def test_softmax_rows_sum_to_one():
+    x = np.random.default_rng(1).normal(size=(10, 5)) * 10
+    p = ml.softmax(x)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, rtol=1e-12)
+    assert (p > 0).all()
+
+
+def test_label_max_prob_nan_rules():
+    p = np.array([[0.2, 0.8], [np.nan, np.nan], [0.0, 0.0]])
+    got = ml.label_max_prob(p)
+    assert got[0] == 2.0
+    assert np.isnan(got[1]) and np.isnan(got[2])
+
+
+def test_uncertainty_bounds():
+    p = ml.softmax(np.random.default_rng(2).normal(size=(20, 4)))
+    ent = ml.entropy_probs(p)
+    assert ((ent >= 0) & (ent <= 1 + 1e-12)).all()  # normalized by log(k)
+    marg = ml.margin_probs(p)
+    assert ((marg >= 0) & (marg <= 1)).all()
+    lc = ml.least_probs(p)
+    assert ((lc >= 0) & (lc <= 1)).all()
+    uniform = np.full((1, 4), 0.25)
+    np.testing.assert_allclose(ml.entropy_probs(uniform), [1.0])
+
+
+def test_combine_average():
+    a = np.array([[0.2, 0.8]]); b = np.array([[0.6, 0.4]])
+    np.testing.assert_allclose(ml.combine_average([a, b]), [[0.4, 0.6]])
+    np.testing.assert_allclose(
+        ml.combine_average([a, b], weights=[3, 1]), [[0.3, 0.7]]
+    )
+
+
+def test_scorer_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8))
+    model = make_linear_model(8, 3, seed=13)
+    df = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(vecs)})
+    out = (
+        classify(rd.from_pandas(df), model, concurrency=1, batch_size=16)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    probs = ml.softmax(vecs @ model["W"] + model["b"])
+    np.testing.assert_allclose(out["prob_label0"].to_numpy(), probs[:, 0], rtol=1e-12)
+    exp_label = [model["labels"][i] for i in probs.argmax(axis=1)]
+    assert list(out["pred_label"]) == exp_label
+    np.testing.assert_allclose(
+        out["entropy"].to_numpy(), ml.entropy_probs(probs), rtol=1e-12
+    )
+
+
+def test_dtw_matches_reference():
+    rng = np.random.default_rng(4)
+    for n, m in [(1, 1), (5, 7), (23, 23), (12, 3)]:
+        a, b = rng.normal(size=n), rng.normal(size=m)
+        assert dtw_distance(a, b) == pytest.approx(dtw_distance_ref(a, b), rel=1e-12)
+    # identity: distance to itself is 0
+    a = rng.normal(size=15)
+    assert dtw_distance(a, a) == 0.0
+
+
+def test_multimodal_plumbing(ray_session):
+    import pyarrow as pa
+
+    from sits_ray.stages.multimodal import (
+        decode_stub,
+        extract_features,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(n=32)
+    out = extract_features(rd.from_arrow(tbl), batch_size=8, concurrency=1).to_pandas()
+    assert len(out) == 32
+    assert out["feature"].map(len).eq(64).all()
+    # deterministic across runs
+    out2 = extract_features(rd.from_arrow(tbl), batch_size=8, concurrency=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image/png")

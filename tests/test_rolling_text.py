@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from sits_ray.kernels import rolling as R
+from sits_ray.kernels import text as T
+
+
+def _brute(m, w, fn, edge="mirror"):
+    leg = w // 2
+    m = np.atleast_2d(m)
+    out = np.empty_like(m, dtype=np.float64)
+    for i in range(m.shape[0]):
+        row = m[i]
+        if edge == "mirror":
+            pad = np.pad(row, leg, mode="symmetric")
+        else:
+            pad = np.pad(row, leg, mode="constant", constant_values=np.nan)
+        for j in range(row.size):
+            out[i, j] = fn(pad[j : j + w])
+    return out
+
+
+@pytest.fixture(scope="module")
+def mtx():
+    return np.random.default_rng(11).normal(size=(4, 23))
+
+
+@pytest.mark.parametrize(
+    "name,npfn",
+    [
+        ("w_mean", np.nanmean),
+        ("w_median", np.nanmedian),
+        ("w_min", np.nanmin),
+        ("w_max", np.nanmax),
+    ],
+)
+def test_rolling_vs_brute(mtx, name, npfn):
+    for w in (3, 5, 7):
+        got = R.ROLLING_KERNELS[name](mtx, w)
+        exp = _brute(mtx, w, npfn)
+        np.testing.assert_allclose(got, exp)
+
+
+def test_rolling_sd_var(mtx):
+    got = R.w_sd(mtx, 5)
+    exp = _brute(mtx, 5, lambda a: np.std(a[~np.isnan(a)], ddof=1))
+    np.testing.assert_allclose(got, exp)
+    np.testing.assert_allclose(R.w_var(mtx, 5), got**2)
+
+
+def test_rolling_modal():
+    m = np.array([[1.0, 1.0, 2.0, 2.0, 2.0, 3.0]])
+    got = R.w_modal(m, 3)
+    # symmetric pad: [1,|1,1,2,2,2,3|,3]; windows -> modes
+    np.testing.assert_allclose(got[0], [1, 1, 2, 2, 2, 3])
+    m2 = np.array([[1.0, np.nan, 2.0]])
+    assert np.isnan(R.w_modal(m2, 3)).all()  # NaN in window -> NaN
+
+
+def test_rolling_clip_edges(mtx):
+    got = R.w_mean(mtx, 5, edge="clip")
+    exp = _brute(mtx, 5, np.nanmean, edge="clip")
+    np.testing.assert_allclose(got, exp)
+
+
+def test_mirror_matches_reference_locus():
+    # reference locus_mirror (src/kernel.cpp:8-20): prefix [a1,a0], suffix
+    # [a_{n-1}, a_{n-2}] for leg=2 == numpy 'symmetric'
+    row = np.arange(5, dtype=np.float64)
+    got = R.w_mean(row[None, :], 5)[0]
+    pad = np.array([1, 0, 0, 1, 2, 3, 4, 4, 3], dtype=np.float64)
+    exp = [pad[i : i + 5].mean() for i in range(5)]
+    np.testing.assert_allclose(got, exp)
+
+
+def test_token_counts():
+    assert T.token_count("hello  world\n foo") == 3
+    assert T.token_count("") == 0
+    assert T.bpeish_token_count("ab12-cd") == 4  # ab,12,-,cd
+
+
+def test_quality_features():
+    f = T.quality_features("The cat and the dog. And the bird!")
+    assert f["n_chars"] == 34
+    assert 0 < f["punct_ratio"] < 0.2
+    assert f["stopword_ratio"] > 0.3
+    z = T.quality_features("")
+    assert z["n_tokens"] == 0 and z["stopword_ratio"] == 0
+
+
+def test_detect_lang():
+    assert T.detect_lang("the cat and the dog is in a house for it") == "en"
+    assert T.detect_lang("der hund und die katze ist nicht ein vogel") == "de"
+    assert T.detect_lang("el perro y la casa es un gato que por") == "es"
+    assert T.detect_lang("一二三四五六七八九十一二三") == "zh"
+    assert T.detect_lang("zzz qqq xxx") == "und"
+
+
+def test_rolling_fingerprint_stable():
+    a = T.rolling_fingerprint("hello world")
+    assert a == T.rolling_fingerprint("hello world")
+    assert a != T.rolling_fingerprint("hello worlds")
