@@ -1,0 +1,249 @@
+"""Batch-vectorized Gorilla encoders.
+
+Encodes MANY series per call with numpy — no per-value Python. Two
+deliberate deviations from the scalar encoder in
+:mod:`sits_ray.kernels.compress` (bitstream-compatible with its decoders,
+pinned by round-trip tests):
+
+* values: the previous-window reuse branch is never taken (every nonzero
+  XOR emits the '11' + 6-bit lead + 6-bit len + meaningful-bits form).
+  Reuse requires sequential state; dropping it makes the encoder fully
+  data-parallel at a small ratio cost (~12 extra bits per value when the
+  window would have been stable).
+* the output bytes therefore differ from the scalar encoder's, but decode
+  to identical data (tests assert round-trip equality, not byte equality).
+
+Implementation: per batch, compute every value's (hi-code, hi-bits,
+lo-code, lo-bits) vectorized, lay all series into ONE zero-initialized
+bit array (each series starts at a byte boundary: [u64 count][u64 first]
+[codes...][pad]), scatter the code bits with <=78 vectorized passes (one
+per bit position, masked), then ``np.packbits`` once and slice per-series
+byte ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U1 = np.uint64(1)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length for uint64 via float exponent + rounding fix."""
+    f = x.astype(np.float64)
+    # frexp: f = m * 2**e with 0.5 <= m < 1  ->  e == bit_length normally
+    _, e = np.frexp(f)
+    e = e.astype(np.int64)
+    # float rounding may push x up across a power of two: correct down
+    over = np.zeros_like(e, dtype=bool)
+    nz = x != 0
+    em1 = np.clip(e - 1, 0, 63).astype(np.uint64)
+    over[nz] = (x[nz] >> em1[nz]) == 0
+    e[over] -= 1
+    e[~nz] = 0
+    # values near 2**64 round up to 2**64 in float (e=65) but bl is 64
+    return np.minimum(e, 64)
+
+
+def _ctz_u64(x: np.ndarray) -> np.ndarray:
+    """Trailing zeros of nonzero uint64 (exact: isolated low bit is a
+    power of two, float-representable)."""
+    iso = x & (~x + _U1)
+    return _bit_length_u64(iso) - 1
+
+
+_M64np = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _or_field(words: np.ndarray, pos: np.ndarray, F: np.ndarray, klen: np.ndarray) -> None:
+    """OR a <=64-bit field ``F`` of ``klen`` bits at absolute bit position
+    ``pos`` into a big-endian uint64 word array: each field touches at most
+    two words -> two ``bitwise_or.at`` passes, no per-bit loops."""
+    live = klen > 0
+    if not live.all():
+        pos, F, klen = pos[live], F[live], klen[live]
+    if pos.size == 0:
+        return
+    w = pos >> 6
+    o = (pos & 63).astype(np.int64)
+    end = o + klen
+    spill = np.maximum(end - 64, 0).astype(np.uint64)
+    no_spill_shift = np.maximum(64 - end, 0).astype(np.uint64)
+    contrib1 = np.where(spill > 0, F >> spill, F << no_spill_shift)
+    np.bitwise_or.at(words, w, contrib1)
+    s = spill > 0
+    if s.any():
+        contrib2 = (F[s] << (np.uint64(64) - spill[s])) & _M64np
+        np.bitwise_or.at(words, w[s] + 1, contrib2)
+
+
+def _scatter_codes(
+    words: np.ndarray,
+    pos: np.ndarray,
+    hi: np.ndarray,
+    hi_len: np.ndarray,
+    lo: np.ndarray,
+    lo_len: np.ndarray,
+) -> None:
+    """Write variable-length (hi,lo) codes MSB-first at ``pos``: hi then lo.
+    Zero-valued single-bit codes need no write (words start zeroed)."""
+    nz = hi != 0
+    _or_field(words, pos[nz], hi[nz], hi_len[nz].astype(np.uint64))
+    _or_field(words, pos + hi_len, lo, lo_len.astype(np.uint64))
+
+
+def _assemble(
+    offsets: np.ndarray,
+    coded_series: np.ndarray,   # series index per coded element
+    nbits: np.ndarray,          # total code length per coded element
+    hi: np.ndarray, hi_len: np.ndarray,
+    lo: np.ndarray, lo_len: np.ndarray,
+    counts: np.ndarray,         # per-series element count (header)
+    firsts: np.ndarray,         # per-series first raw 64-bit value (header)
+) -> list[bytes]:
+    n_series = counts.size
+    bit_sum = np.zeros(n_series, dtype=np.int64)
+    np.add.at(bit_sum, coded_series, nbits)
+    byte_len = 16 + (bit_sum + 7) // 8
+    empty = counts == 0
+    byte_len[empty] = 8  # only the count header
+    start_byte = np.concatenate([[0], np.cumsum(byte_len)])
+    total_bytes = int(start_byte[-1])
+
+    n_words = (total_bytes + 7) // 8
+    words = np.zeros(n_words, dtype=np.uint64)
+    if coded_series.size:
+        # absolute bit position of each code: series payload start + running
+        # sum of earlier codes in the same series
+        within = np.cumsum(nbits) - nbits
+        series_first_within = np.zeros(n_series, dtype=np.int64)
+        first_idx = np.flatnonzero(
+            np.r_[True, coded_series[1:] != coded_series[:-1]]
+        )
+        series_first_within[coded_series[first_idx]] = within[first_idx]
+        rel = within - series_first_within[coded_series]
+        pos = (start_byte[coded_series] + 16) * 8 + rel
+        _scatter_codes(words, pos, hi, hi_len, lo, lo_len)
+
+    out = np.frombuffer(words.byteswap().tobytes(), dtype=np.uint8)[:total_bytes].copy()
+    # headers: big-endian u64 count (+ u64 first value when nonempty)
+    sh = np.arange(56, -8, -8, dtype=np.uint64)
+    hdr_pos = start_byte[:-1][:, None] + np.arange(8)[None, :]
+    out[hdr_pos] = ((counts.astype(np.uint64)[:, None] >> sh[None, :]) & np.uint64(0xFF)).astype(np.uint8)
+    ne = ~empty
+    if ne.any():
+        vpos = start_byte[:-1][ne][:, None] + 8 + np.arange(8)[None, :]
+        out[vpos] = ((firsts[ne][:, None] >> sh[None, :]) & np.uint64(0xFF)).astype(np.uint8)
+
+    buf = out.tobytes()
+    return [
+        buf[start_byte[i] : start_byte[i + 1]] for i in range(n_series)
+    ]
+
+
+def encode_values_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Gorilla-XOR encode many float64 series. ``flat`` is the concatenated
+    values; ``offsets`` (len n_series+1) delimits series."""
+    flat = np.ascontiguousarray(flat, dtype=np.float64)
+    bits64 = flat.view(np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_series = offsets.size - 1
+    counts = offsets[1:] - offsets[:-1]
+    firsts = np.zeros(n_series, dtype=np.uint64)
+    nz_series = counts > 0
+    firsts[nz_series] = bits64[offsets[:-1][nz_series]]
+
+    n = flat.size
+    if n:
+        x = np.empty(n, dtype=np.uint64)
+        x[0] = 0
+        x[1:] = bits64[1:] ^ bits64[:-1]
+        is_first = np.zeros(n, dtype=bool)
+        is_first[offsets[:-1][nz_series]] = True
+        coded_mask = ~is_first
+    else:
+        x = np.empty(0, dtype=np.uint64)
+        coded_mask = np.empty(0, dtype=bool)
+
+    series_of = np.repeat(np.arange(n_series), counts)
+    cs = series_of[coded_mask]
+    xc = x[coded_mask]
+
+    nonzero = xc != 0
+    bl = _bit_length_u64(xc)
+    ctz = np.where(nonzero, _ctz_u64(np.where(nonzero, xc, _U1)), 0)
+    lead = np.where(nonzero, 64 - bl, 0).astype(np.int64)
+    lead = np.minimum(lead, 63)
+    mlen = np.where(nonzero, 64 - lead - ctz, 0).astype(np.int64)
+
+    nbits = np.where(nonzero, 14 + mlen, 1).astype(np.int64)
+    hi = np.where(
+        nonzero,
+        (np.uint64(0b11) << np.uint64(12))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | np.maximum(mlen - 1, 0).astype(np.uint64),
+        np.uint64(0),
+    )
+    hi_len = np.where(nonzero, 14, 1).astype(np.int64)
+    lo = np.where(nonzero, xc >> ctz.astype(np.uint64), np.uint64(0))
+    lo_len = np.where(nonzero, mlen, 0).astype(np.int64)
+
+    return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)
+
+
+_DOD_BOUNDS = np.array([0, 64, 256, 2048], dtype=np.int64)
+
+
+def encode_timestamps_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Delta-of-delta encode many int64-microsecond series (same class
+    table as the scalar encoder; first delta coded like a dod)."""
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_series = offsets.size - 1
+    counts = offsets[1:] - offsets[:-1]
+    firsts = np.zeros(n_series, dtype=np.uint64)
+    nzs = counts > 0
+    starts = offsets[:-1][nzs]
+    if starts.size:
+        firsts[nzs] = flat[starts].view(np.uint64)
+
+    n = flat.size
+    d = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        d[1:] = flat[1:] - flat[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    if n > 2:
+        dod[2:] = d[2:] - d[1:-1]
+    if n > 1:
+        dod[1] = d[1]
+    # per-series resets: position s (raw header) is masked out below; the
+    # second element (s+1) carries delta0 rather than a cross-series dod;
+    # positions >= s+2 already use purely in-series deltas
+    s1 = starts[counts[nzs] >= 2] + 1
+    dod[s1] = flat[s1] - flat[s1 - 1]
+
+    is_first = np.zeros(n, dtype=bool)
+    is_first[starts] = True
+    coded_mask = ~is_first
+    series_of = np.repeat(np.arange(n_series), counts)
+    cs = series_of[coded_mask]
+    dc = dod[coded_mask]
+
+    zero = dc == 0
+    c1 = ~zero & (dc >= -63) & (dc <= 64)
+    c2 = ~zero & ~c1 & (dc >= -255) & (dc <= 256)
+    c3 = ~zero & ~c1 & ~c2 & (dc >= -2047) & (dc <= 2048)
+    c4 = ~zero & ~c1 & ~c2 & ~c3
+
+    hi_len = np.select([zero, c1, c2, c3, c4], [1, 2, 3, 4, 4]).astype(np.int64)
+    hi = np.select(
+        [zero, c1, c2, c3, c4], [0, 0b10, 0b110, 0b1110, 0b1111]
+    ).astype(np.uint64)
+    lo_len = np.select([zero, c1, c2, c3, c4], [0, 7, 9, 12, 64]).astype(np.int64)
+    biased = np.select(
+        [c1, c2, c3], [dc + 63, dc + 255, dc + 2047], default=0
+    ).astype(np.int64)
+    lo = np.where(c4, dc.view(np.uint64), biased.astype(np.uint64))
+    nbits = hi_len + lo_len
+
+    return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)

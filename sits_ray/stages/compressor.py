@@ -17,12 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from sits_ray.kernels.compress import (
-    decode_timestamps,
-    decode_values,
-    encode_timestamps,
-    encode_values,
-)
+from sits_ray.kernels.compress import decode_timestamps, decode_values
 from sits_ray.stages.regularize import ALL_METRICS
 
 
@@ -38,25 +33,26 @@ class GorillaEncode:
         self.metrics = metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ts_blocks, filled_blocks = [], []
-        val_blocks: dict[str, list[bytes]] = {m: [] for m in self.metrics}
+        from sits_ray.kernels.compress_batch import (
+            encode_timestamps_batch,
+            encode_values_batch,
+        )
 
         def flat(col):
             arr = batch[col].combine_chunks()
-            offs = arr.offsets.to_numpy()
-            return arr.flatten().to_numpy(zero_copy_only=False), offs
+            offs = arr.offsets.to_numpy().astype(np.int64)
+            return arr.flatten().to_numpy(zero_copy_only=False), offs - offs[0]
 
         ts_flat, offs = flat("bucket_ts")
         ts_flat = ts_flat.astype("datetime64[us]").astype(np.int64)
-        filled_flat = flat("filled")[0].astype(np.float64)
-        m_flats = {m: flat(m)[0].astype(np.float64) for m in self.metrics}
-        for i in range(n):
-            a, b = offs[i], offs[i + 1]
-            ts_blocks.append(encode_timestamps(ts_flat[a:b]))
-            filled_blocks.append(encode_values(filled_flat[a:b]))
-            for m in self.metrics:
-                val_blocks[m].append(encode_values(m_flats[m][a:b]))
+        ts_blocks = encode_timestamps_batch(ts_flat, offs)
+        filled_blocks = encode_values_batch(
+            flat("filled")[0].astype(np.float64), offs
+        )
+        val_blocks = {
+            m: encode_values_batch(flat(m)[0].astype(np.float64), offs)
+            for m in self.metrics
+        }
         cols = {
             "conv_id": batch["conv_id"],
             "tier": batch["tier"],

@@ -125,13 +125,26 @@ def _seg_starts(*keys: np.ndarray) -> np.ndarray:
 
 
 def _seq_segment_sums(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """IEEE-sequential per-segment sums (the pinned summation contract)."""
-    lst = vals.tolist()
-    return np.fromiter(
-        (sum(lst[a:b], 0.0) for a, b in zip(starts, ends)),
-        dtype=np.float64,
-        count=starts.size,
-    )
+    """IEEE-sequential per-segment sums (the pinned summation contract).
+
+    Vectorized across segments of equal length: k-1 elementwise adds give
+    every segment the exact left-to-right addition order, bit-identical to
+    a scalar loop. Rare long segments (>64) fall back to Python sum."""
+    lens = (ends - starts).astype(np.int64)
+    out = np.zeros(starts.size, dtype=np.float64)
+    small = lens <= 64
+    for k in np.unique(lens[small]):
+        if k == 0:
+            continue
+        m = lens == k
+        idx = starts[m]
+        s = vals[idx].copy()
+        for j in range(1, int(k)):
+            s += vals[idx + j]
+        out[m] = s
+    for i in np.flatnonzero(~small):
+        out[i] = sum(vals[starts[i] : ends[i]].tolist(), 0.0)
+    return out
 
 
 def _ragged_linear_interp(
