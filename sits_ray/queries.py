@@ -556,6 +556,268 @@ def knn_cosine_top10(sf_dir):
     return out.select_columns(["vec_id"])
 
 
+# --- sessionization (stream-shaped windowing; detect_change gap analog) ----
+@q(
+    "sessionize_30m",
+    """
+with marked as (
+  select user_id, ts, event_id,
+         case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+                   > interval '30 minutes' or
+                   lag(ts) over (partition by user_id order by ts, event_id) is null
+              then 1 else 0 end as new_session
+  from events),
+sessions as (
+  select user_id, ts,
+         cast(sum(new_session) over (partition by user_id order by ts, event_id
+                                rows between unbounded preceding and current row) as bigint) as session_id
+  from marked)
+select user_id as conv_id, session_id, count(*) as n_events,
+       min(ts) as session_start, max(ts) as session_end
+from sessions group by 1, 2
+""",
+)
+def sessionize_30m(sf_dir):
+    """Session windows: a >30min silence starts a new session (ordered
+    per-conv state inside map_groups; ray_guide 'Streaming-shaped')."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    GAP = 30 * 60 * 1_000_000
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = g["event_id"].to_numpy()
+        sel = np.lexsort((order, ts))
+        ts = ts[sel]
+        new = np.r_[True, np.diff(ts) > GAP]
+        sid = np.cumsum(new)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], ts.size]
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    np.full(starts.size, g["user_id"][0].as_py()), pa.int64()
+                ),
+                "session_id": pa.array(sid[starts].astype(np.int64)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+                "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+
+
+# --- §2.6 sits_reclassify: rule-based relabel (CASE-WHEN over two bands) ---
+@q(
+    "reclassify_events",
+    """
+select event_id,
+       case
+         when event_type = 'error' and value > 90 then 'critical'
+         when event_type = 'error' then 'warning'
+         when value > 95 then 'outlier'
+         else 'normal'
+       end as new_class
+from events
+""",
+)
+def reclassify_events(sf_dir):
+    """sits_reclassify analog (R/sits_reclassify.R:121-216): np.select
+    rule cascade over existing class + value bands."""
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist())
+        v = t["value"].to_numpy()
+        new = np.select(
+            [(et == "error") & (v > 90), et == "error", v > 95],
+            ["critical", "warning", "outlier"],
+            default="normal",
+        )
+        return pa.table({"event_id": t["event_id"], "new_class": pa.array(new)})
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+# --- §2.8 train/validation split (.tibble_samples_split analog) ------------
+@q(
+    "train_val_split",
+    """
+select label,
+       count(*) filter (where vec_id % 5 < 4) as n_train,
+       count(*) filter (where vec_id % 5 = 4) as n_val
+from embeddings group by 1
+""",
+)
+def train_val_split(sf_dir):
+    """Deterministic per-label 80/20 split flags (R/api_tibble.R:278-291)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+
+    def split(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        train = (vid % 5 < 4).astype(np.int64)
+        return pa.table(
+            {"label": t["label"], "train": pa.array(train), "val": pa.array(1 - train)}
+        )
+
+    return (
+        ds.map_batches(split, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("train", alias_name="n_train"), Sum("val", alias_name="n_val"))
+    )
+
+
+# --- §2.5 sits_patterns: per-label prototype series ------------------------
+@q(
+    "label_patterns",
+    """
+select label, cast(vec_id % 16 as bigint) as t, avg(value_at) as proto
+from (
+  select label, vec_id, unnest(embedding)::double as value_at,
+         generate_subscripts(embedding, 1) as dim
+  from embeddings) u
+where dim = 1 + (vec_id % 16)
+group by 1, 2
+""",
+)
+def label_patterns(sf_dir):
+    """sits_patterns analog (R/sits_patterns.R): per-label prototype value
+    at a (deterministic) time step — groupby(label).mean shape."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        dim = (vid % 16).astype(np.int64)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        val = m[np.arange(m.shape[0]), dim]
+        return pa.table(
+            {"label": t["label"], "t": pa.array(dim), "value_at": pa.array(val)}
+        )
+
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby(["label", "t"])
+        .aggregate(Mean("value_at", alias_name="proto"))
+    )
+
+
+# --- §2.8 uncertainty sampling: top-k by entropy ---------------------------
+@q("uncertainty_sampling_topk")
+def uncertainty_sampling_topk(sf_dir):
+    """Active-learning pick: score embeddings with the broadcast model,
+    take the k most uncertain (highest entropy) — sort desc + limit
+    (R/sits_uncertainty.R:254). Rows-only check (model is engine-side)."""
+    from sits_ray.stages.classify import classify, make_linear_model
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = make_linear_model(n_features=64, n_labels=4, seed=13)
+    scored = classify(ds, model, concurrency=(1, 2))
+    out = scored.sort(["entropy", "vec_id"], descending=[True, False]).limit(20)
+    return out.select_columns(["vec_id", "entropy", "pred_label"])
+
+
+# --- §2.7 ensemble: sits_combine_predictions -------------------------------
+@q("combine_predictions")
+def combine_predictions(sf_dir):
+    """Uncertainty-weighted average of two model scorings
+    (R/sits_combine_predictions.R:82-182). Rows-only check; kernel parity
+    in tests/test_classify_ml.py."""
+    from sits_ray.kernels.ml import combine_average, entropy_probs, softmax
+    from sits_ray.stages.classify import make_linear_model
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m1 = make_linear_model(64, 4, seed=13)
+    m2 = make_linear_model(64, 4, seed=17)
+    refs = [ray.put((mm["W"], mm["b"])) for mm in (m1, m2)]
+
+    def score_both(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        stack = []
+        for r in refs:
+            W, bias = ray.get(r)
+            stack.append(softmax(vecs @ W + bias))
+        comb = combine_average(stack)
+        ent = entropy_probs(comb)
+        cols = {"vec_id": b["vec_id"], "entropy": pa.array(ent)}
+        for j in range(comb.shape[1]):
+            cols[f"prob_label{j}"] = pa.array(comb[:, j])
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(score_both, batch_format="pyarrow")
+
+
+# --- §2.7 Bayesian temporal smoothing + bayts change chain -----------------
+@q("bayes_smooth_daily")
+def bayes_smooth_daily(sf_dir):
+    """1-D Bayesian shrinkage of per-conv daily mean-latency series
+    (sits_smooth analog, src/smooth_bayes.cpp). Rows-only check."""
+    from sits_ray.kernels.bayes import bayes_smooth
+
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        v = g["mean_latency"].to_numpy(dtype=np.float64)
+        g["smoothed"] = (
+            bayes_smooth(v[None, :], window=5, smoothness=np.nanvar(v) + 1e-9)[0]
+            if v.size >= 5
+            else v
+        )
+        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
+
+    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+@q("bayts_change_detection")
+def bayts_change_detection(sf_dir):
+    """Sequential Bayesian change detection along each conv's daily series
+    (bayts analog, src/bayts_fns.cpp: state carried along time inside the
+    group). Rows-only check."""
+    from sits_ray.kernels.bayes import bayts_change
+
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        v = g["mean_latency"].to_numpy(dtype=np.float64)
+        med = np.nanmedian(v) if np.isfinite(v).any() else 0.0
+        scale = np.nanstd(v) + 1e-9
+        p_obs = 1.0 / (1.0 + np.exp(-(v - med) / scale))
+        post, flagged = bayts_change(np.nan_to_num(p_obs, nan=0.5))
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_days": [len(g)],
+                "change_at": [int(flagged)],
+                "max_posterior": [float(post.max()) if post.size else 0.0],
+            }
+        )
+
+    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+# --- similarity: IVF approximate ANN (scale path) --------------------------
+@q("ivf_ann_topk")
+def ivf_ann_topk(sf_dir):
+    """IVF-flat approximate cosine top-10 for 3 query vectors (bucketed
+    coarse quantizer; see stages/similarity.py). Rows-only check; recall
+    vs brute force pinned in tests/test_similarity.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_vecs = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q_vecs, k=10, nlist=8, nprobe=3)
+
+
 # --- smoothing over regular series (engine-only: no SQL equivalent) --------
 # --- §2.7 label argmax (sits_label_classification) -------------------------
 @q(
@@ -826,6 +1088,56 @@ def rolling_mean_1h(sf_dir):
         return g[["conv_id", "bucket_ts", "mean_latency", "w_mean3"]]
 
     return long.groupby("conv_id").map_groups(roll, batch_format="pandas")
+
+
+@q("cascade_1m_to_1h")
+def cascade_1m_to_1h(sf_dir):
+    """Continuous-aggregate tier cascade (SURVEY.md §7.7): re-aggregate the
+    1m tier into 1h without touching raw (stages/cascade.py; exactness per
+    metric documented there). Rows-only check; exactness vs the direct 1h
+    rollup pinned in tests/test_cascade_store.py."""
+    from sits_ray.stages.cascade import cascade_tier
+
+    ds = _events_as_transcripts(sf_dir)
+    nested = rollup_tiers(
+        ds, tiers=("1m",), gapfill=True,
+        key="user_id", ts_col="ts", order_col="event_id", tool_col="tool",
+    )
+    long_1m = nested_to_long(nested)
+    return cascade_tier(long_1m, "1h").select_columns(
+        ["conv_id", "bucket_ts", "turn_count", "mean_latency", "filled"]
+    )
+
+
+@q("text_integrity")
+def text_integrity(sf_dir):
+    """Per-turn text-equality invariant (north rule): repartition a
+    deterministic transcript table into the hash-partitioned store and
+    prove byte-identical text under stable (conv_id, turn_idx) ordering
+    via distributed order-insensitive digests. Rows-only check (the
+    'equal' flag is the assertion; also pinned in tests)."""
+    import pandas as pd
+
+    from sits_ray.pipelines.partition_store import (
+        partition_transcripts,
+        verify_text_integrity,
+    )
+    from sits_ray.synth import write_transcripts
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.01
+    n_convs = max(20, int(sf * 10_000))
+    in_dir = write_transcripts(
+        f"/tmp/sits_ray_textint/in_{n_convs}", n_convs=n_convs, mean_turns=20,
+        seed=42, files=4,
+    )
+    store = f"/tmp/sits_ray_textint/store_{n_convs}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    partition_transcripts(in_dir, store, n_parts=8)
+    res = verify_text_integrity(in_dir, store)
+    assert res["equal"], f"text integrity violated: {res}"
+    return pd.DataFrame([res])
 
 
 @q("compress_roundtrip")

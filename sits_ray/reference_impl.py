@@ -63,14 +63,13 @@ def rollup_reference(
                 turn_count=("bucket", "size"),
                 tool_calls=("is_tool", "sum"),
                 sum_latency=("lat", _seq_sum),
-                n_lat=("lat", "count"),
+                n_latency=("lat", "count"),
                 min_latency=("lat", "min"),
                 max_latency=("lat", "max"),
             )
             agg["mean_latency"] = np.where(
-                agg["n_lat"] > 0, agg["sum_latency"] / agg["n_lat"], np.nan
+                agg["n_latency"] > 0, agg["sum_latency"] / agg["n_latency"], np.nan
             )
-            agg = agg.drop(columns=["n_lat"])
             agg["p95_latency"] = gg.groupby("bucket")["lat"].apply(
                 lambda s: nearest_rank(s.dropna().to_numpy(), 0.95)
                 if s.notna().any()
@@ -83,6 +82,7 @@ def rollup_reference(
                 filled = agg["turn_count"].isna()
                 agg["turn_count"] = agg["turn_count"].fillna(0).astype("int64")
                 agg["tool_calls"] = agg["tool_calls"].fillna(0).astype("int64")
+                agg["n_latency"] = agg["n_latency"].fillna(0).astype("int64")
                 agg["sum_latency"] = agg["sum_latency"].fillna(0.0)
                 for c in ("mean_latency", "p95_latency", "min_latency", "max_latency"):
                     agg[c] = na_linear_vector_interp(agg[c].to_numpy(dtype=np.float64))
@@ -91,6 +91,7 @@ def rollup_reference(
                 agg["filled"] = False
                 agg["turn_count"] = agg["turn_count"].astype("int64")
                 agg["tool_calls"] = agg["tool_calls"].astype("int64")
+                agg["n_latency"] = agg["n_latency"].astype("int64")
             agg = agg.reset_index().rename(columns={"index": "bucket", "bucket": "bucket"})
             agg.insert(0, "conv_id", conv)
             agg.insert(1, "tier", tier)
@@ -100,7 +101,7 @@ def rollup_reference(
     res["bucket_ts"] = res.pop("bucket").astype("datetime64[us]")
     cols = [
         "conv_id", "tier", "part_id", "bucket_ts",
-        "turn_count", "tool_calls", "sum_latency", "mean_latency",
-        "p95_latency", "min_latency", "max_latency", "filled",
+        "turn_count", "tool_calls", "n_latency", "sum_latency",
+        "mean_latency", "p95_latency", "min_latency", "max_latency", "filled",
     ]
     return res[cols]

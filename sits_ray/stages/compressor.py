@@ -98,7 +98,7 @@ class GorillaDecode:
             "bucket_ts": lst(ts_flat, pa.timestamp("us")),
         }
         for m in self.metrics:
-            if m in ("turn_count", "tool_calls"):
+            if m in ("turn_count", "tool_calls", "n_latency"):
                 cols[m] = lst(v_flats[m].astype(np.int64), pa.int64())
             else:
                 cols[m] = lst(v_flats[m], pa.float64())

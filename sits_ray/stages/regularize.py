@@ -55,7 +55,7 @@ TIER_WIDTH_US = {
 
 #: metrics carried per tier bucket. count-like are zero on gap-filled rows;
 #: continuous are linearly interpolated (reference impute semantics).
-COUNT_METRICS = ("turn_count", "tool_calls")
+COUNT_METRICS = ("turn_count", "tool_calls", "n_latency")
 SUM_METRICS = ("sum_latency",)
 CONT_METRICS = ("mean_latency", "p95_latency", "min_latency", "max_latency")
 ALL_METRICS = COUNT_METRICS + SUM_METRICS + CONT_METRICS
@@ -286,6 +286,7 @@ def _part_series(
 
             g_counts = scatter(counts, 0).astype(np.int64)
             g_tools = scatter(tools, 0).astype(np.int64)
+            g_nlat = scatter(n_lat, 0).astype(np.int64)
             g_sum = scatter(s_lat, 0.0)
             srs_start = np.repeat(conv_goff, glen)
             srs_end = np.repeat(goff[1:], glen)
@@ -300,7 +301,7 @@ def _part_series(
             row_off = goff
             tier_tbl = _nested_table(
                 conv_values, series_conv, tier, part_id, grid, row_off,
-                g_counts, g_tools, g_sum, g_cont, filled,
+                g_counts, g_tools, g_nlat, g_sum, g_cont, filled,
             )
         else:
             seg_off = np.concatenate(
@@ -308,7 +309,7 @@ def _part_series(
             ).astype(np.int64)
             tier_tbl = _nested_table(
                 conv_values, series_conv, tier, part_id, uniq_b, seg_off,
-                counts, tools, s_lat,
+                counts, tools, n_lat, s_lat,
                 {
                     "mean_latency": mean_lat, "p95_latency": p95,
                     "min_latency": mn, "max_latency": mx,
@@ -319,14 +320,14 @@ def _part_series(
     return pa.concat_tables(out_chunks) if out_chunks else _nested_table(
         conv_values, np.empty(0, np.int64), tiers[0], part_id,
         np.empty(0, np.int64), np.zeros(1, np.int64),
-        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0),
-        {m: np.empty(0) for m in CONT_METRICS}, np.empty(0, bool),
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0), {m: np.empty(0) for m in CONT_METRICS}, np.empty(0, bool),
     )
 
 
 def _nested_table(
     conv_values, series_conv, tier, part_id, flat_bucket, offsets,
-    counts, tools, sums, cont, filled,
+    counts, tools, n_lats, sums, cont, filled,
 ) -> pa.Table:
     n_series = series_conv.size
     offs = np.asarray(offsets, dtype=np.int64)
@@ -341,6 +342,7 @@ def _nested_table(
             "bucket_ts": _list_array(flat_bucket, offs, pa.timestamp("us")),
             "turn_count": _list_array(counts, offs, pa.int64()),
             "tool_calls": _list_array(tools, offs, pa.int64()),
+            "n_latency": _list_array(n_lats, offs, pa.int64()),
             "sum_latency": _list_array(sums, offs, pa.float64()),
             "mean_latency": _list_array(cont["mean_latency"], offs, pa.float64()),
             "p95_latency": _list_array(cont["p95_latency"], offs, pa.float64()),

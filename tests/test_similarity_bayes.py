@@ -1,0 +1,81 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels.bayes import align_dates_circular, bayes_smooth, bayts_change
+from sits_ray.stages.similarity import IVFIndex, brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def vec_df():
+    rng = np.random.default_rng(5)
+    # 8 well-separated clusters
+    centers = rng.normal(0, 1, size=(8, 32)) * 4
+    vecs = np.vstack([c + rng.normal(0, 0.3, size=(40, 32)) for c in centers])
+    return pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": list(vecs)}
+    ), vecs
+
+
+def test_brute_force_exact(ray_session, vec_df):
+    df, vecs = vec_df
+    q = vecs[:2]
+    got = brute_force_topk(rd.from_pandas(df), q, k=5)
+    # oracle: full cosine
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for j in range(2):
+        exp = set(np.argsort(-sims[:, j])[:5].tolist())
+        sub = got[got.query_id == j]
+        assert len(sub) == 5
+        assert set(sub.vec_id) == exp
+
+
+def test_ivf_recall_vs_brute(ray_session, vec_df):
+    df, vecs = vec_df
+    q = vecs[5:8]
+    exact = brute_force_topk(rd.from_pandas(df), q, k=10)
+    approx = ivf_topk(rd.from_pandas(df), q, k=10, nlist=8, nprobe=3)
+    recalls = []
+    for j in range(3):
+        e = set(exact[exact.query_id == j].vec_id)
+        a = set(approx[approx.query_id == j].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # clustered data, 3/8 probes
+
+
+def test_ivf_deterministic(vec_df):
+    _, vecs = vec_df
+    a = IVFIndex(nlist=4).fit(vecs).centroids
+    b = IVFIndex(nlist=4).fit(vecs).centroids
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bayes_smooth_shrinks_noise():
+    rng = np.random.default_rng(6)
+    clean = np.linspace(0, 1, 60)
+    noisy = clean + rng.normal(0, 0.2, 60)
+    sm = bayes_smooth(noisy[None, :], window=9, smoothness=0.04)[0]
+    assert np.mean((sm - clean) ** 2) < np.mean((noisy - clean) ** 2)
+    assert sm.shape == clean.shape
+
+
+def test_bayts_flags_sustained_change():
+    p = np.r_[np.full(10, 0.2), np.full(10, 0.95)]
+    post, flagged = bayts_change(p, chi=0.9, consecutive=3)
+    assert 10 <= flagged <= 13
+    # transient spike does not confirm
+    p2 = np.r_[np.full(10, 0.2), [0.95], np.full(10, 0.2)]
+    _, f2 = bayts_change(p2, chi=0.9, consecutive=3)
+    assert f2 == -1
+    assert ((post > 0) & (post < 1)).all()
+
+
+def test_align_dates_circular():
+    v = np.arange(6)
+    np.testing.assert_array_equal(align_dates_circular(v, 2), [2, 3, 4, 5, 0, 1])
+    np.testing.assert_array_equal(align_dates_circular(v, -1), [5, 0, 1, 2, 3, 4])
+    assert align_dates_circular(np.array([]), 3).size == 0
