@@ -46,6 +46,8 @@ def run_flagship(
     write_blocks: bool = True,
     gapfill: bool = True,
     dedup: bool = False,
+    salt_turn_threshold: int | None = None,
+    salt_window_us: int = 7 * 86_400_000_000,
 ) -> dict:
     """Run (or resume) the full rollup. Returns summary metrics."""
     os.makedirs(out_dir, exist_ok=True)
@@ -85,6 +87,8 @@ def run_flagship(
         columns=TRANSCRIPT_COLUMNS,
         write_blocks=write_blocks,
         decide_parts=decide,
+        salt_turn_threshold=salt_turn_threshold,
+        salt_window_us=salt_window_us,
     )
     phases["exchange_fused"] = round(time.perf_counter() - t0, 2)
 

@@ -43,12 +43,18 @@ def _split_one(
     ts_col: str,
     order_col: str,
     tool_col: str | None,
+    salt_turn_threshold: int | None = None,
+    salt_window_us: int = 7 * 86_400_000_000,
 ):
     tbl = pq.read_table(path, columns=columns)
     prep = prepare_turns(
         tbl, key=key, ts_col=ts_col, order_col=order_col,
         tool_col=tool_col, n_parts=n_parts,
     )
+    if salt_turn_threshold:
+        prep = _salt_heavy_convs(
+            prep, n_parts, salt_turn_threshold, salt_window_us
+        )
     pid = prep["part_id"].to_numpy()
     order = np.argsort(pid, kind="stable")
     sorted_tbl = prep.take(pa.array(order))
@@ -58,6 +64,94 @@ def _split_one(
         sorted_tbl.slice(int(offsets[p]), int(counts[p])) for p in range(n_parts)
     ]
     return (*chunks, counts)
+
+
+def _salt_heavy_convs(
+    prep: pa.Table, n_parts: int, threshold: int, window_us: int
+) -> pa.Table:
+    """Salted repartitioning of mega-conversations (SURVEY.md §7.8 /
+    north rule): conversations with >= ``threshold`` turns in this file are
+    split into TIME windows (``window_us`` must be a multiple of the
+    coarsest tier width so no tier bucket ever spans two salt groups —
+    aggregates, p95 included, stay exact per bucket). Each window routes to
+    ``crc32(conv#salt) % n_parts``.
+
+    Exact latency across the window boundary: the last turn before each
+    window start is DUPLICATED into the next window as a ``donor`` row —
+    it contributes only its timestamp as the predecessor (the kernel
+    weights it out of every aggregate).
+
+    Assumption (documented): a conversation's turns are contained in one
+    input file (true for conversation-sharded logs and the synth
+    generator); convs spanning files simply stay unsalted here.
+    """
+    import zlib
+
+    n = prep.num_rows
+    conv_arr = prep["conv_id"].combine_chunks()
+    d = pa.compute.dictionary_encode(conv_arr)
+    codes = np.asarray(d.indices)
+    counts = np.bincount(codes, minlength=len(d.dictionary))
+    heavy_codes = np.flatnonzero(counts >= threshold)
+    salt = np.zeros(n, dtype=np.int64)
+    donor = np.zeros(n, dtype=bool)
+    if heavy_codes.size == 0:
+        return prep.append_column("salt", pa.array(salt)).append_column(
+            "donor", pa.array(donor)
+        )
+    ts = prep["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    order = prep["order"].to_numpy()
+    is_heavy = np.isin(codes, heavy_codes)
+    salt[is_heavy] = ts[is_heavy] // window_us
+
+    # donors: within each heavy conv (time order), rows whose successor is
+    # in a later window get duplicated into the successor's window
+    hidx = np.flatnonzero(is_heavy)
+    hsel = hidx[np.lexsort((order[hidx], ts[hidx], codes[hidx]))]
+    hc, ht, hs = codes[hsel], ts[hsel], salt[hsel]
+    succ_same_conv = np.r_[hc[1:] == hc[:-1], False]
+    succ_new_window = np.r_[hs[1:] != hs[:-1], False]
+    donor_src = hsel[succ_same_conv & succ_new_window]
+    donor_salt = salt[np.roll(hsel, -1)[np.flatnonzero(succ_same_conv & succ_new_window)]] \
+        if donor_src.size else np.empty(0, np.int64)
+
+    # recompute part ids for salted rows
+    uniq_names = d.dictionary.to_pylist()
+    pid = prep["part_id"].to_numpy().copy()
+
+    def salted_pid(code_arr, salt_arr):
+        out = np.empty(code_arr.size, dtype=np.int32)
+        for i, (c, s) in enumerate(zip(code_arr, salt_arr)):
+            out[i] = zlib.crc32(f"{uniq_names[c]}#{s}".encode()) % n_parts
+        return out
+
+    # per-(conv,salt) unique pairs only, then fan out
+    pairs = codes[is_heavy].astype(np.int64) * (1 << 32) + (
+        salt[is_heavy] & 0xFFFFFFFF
+    )
+    uniq_pairs, inv = np.unique(pairs, return_inverse=True)
+    up_code = (uniq_pairs >> 32).astype(np.int64)
+    up_salt = (uniq_pairs & 0xFFFFFFFF).astype(np.int64)
+    up_pid = salted_pid(up_code, up_salt)
+    pid[is_heavy] = up_pid[inv]
+
+    base = prep.drop_columns(["part_id"]).append_column(
+        "part_id", pa.array(pid, pa.int32())
+    )
+    base = base.append_column("salt", pa.array(salt)).append_column(
+        "donor", pa.array(donor)
+    )
+    if donor_src.size == 0:
+        return base
+    dup = base.take(pa.array(donor_src))
+    dup_pid = salted_pid(codes[donor_src], donor_salt)
+    dup = (
+        dup.drop_columns(["part_id", "salt", "donor"])
+        .append_column("part_id", pa.array(dup_pid, pa.int32()))
+        .append_column("salt", pa.array(donor_salt))
+        .append_column("donor", pa.array(np.ones(donor_src.size, dtype=bool)))
+    )
+    return pa.concat_tables([base, dup]).combine_chunks()
 
 
 def _build_part(tiers, gapfill, dedup, *chunks):
@@ -127,6 +221,8 @@ def rollup_exchange_fused(
     columns: list[str] | None = None,
     write_blocks: bool = True,
     decide_parts=None,
+    salt_turn_threshold: int | None = None,
+    salt_window_us: int = 7 * 86_400_000_000,
 ):
     """Fused exchange: stage 1 split, stage 2 build+encode+write per
     partition. Returns ``(stats_rows, input_rows_by_part)`` where
@@ -141,7 +237,8 @@ def rollup_exchange_fused(
     build = _ray.remote(_build_write_part)
 
     refmat = [
-        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col)
+        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
+                     salt_turn_threshold, salt_window_us)
         for p in paths
     ]
     counts = np.sum(_ray.get([r[n_parts] for r in refmat]), axis=0)
@@ -180,6 +277,8 @@ def rollup_exchange(
     columns: list[str] | None = None,
     only_parts: set[int] | None = None,
     decide_parts=None,
+    salt_turn_threshold: int | None = None,
+    salt_window_us: int = 7 * 86_400_000_000,
 ):
     """Two-stage exchange rollup.
 
@@ -198,7 +297,8 @@ def rollup_exchange(
     build = ray.remote(_build_part)
 
     refmat = [
-        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col)
+        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
+                     salt_turn_threshold, salt_window_us)
         for p in paths
     ]
     count_refs = [r[n_parts] for r in refmat]

@@ -202,41 +202,66 @@ def _part_series(
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     order = g["order"].to_numpy()
     is_tool = g["is_tool"].to_numpy(zero_copy_only=False)
+    nrows = g.num_rows
+    # salted repartitioning support (stages/exchange._salt_heavy_convs):
+    # a mega-conversation arrives as (conv, salt) time-window groups; donor
+    # rows carry only the predecessor timestamp across the boundary and are
+    # weighted out of every aggregate.
+    salt = (
+        g["salt"].to_numpy() if "salt" in g.column_names
+        else np.zeros(nrows, dtype=np.int64)
+    )
+    live = (
+        ~g["donor"].to_numpy(zero_copy_only=False) if "donor" in g.column_names
+        else np.ones(nrows, dtype=bool)
+    )
 
-    sel = np.lexsort((order, ts, conv_codes))
-    conv_codes, ts, order, is_tool = (
-        conv_codes[sel], ts[sel], order[sel], is_tool[sel].astype(np.int64)
+    sel = np.lexsort((order, ts, salt, conv_codes))
+    conv_codes, ts, order, is_tool, salt, live = (
+        conv_codes[sel], ts[sel], order[sel], is_tool[sel].astype(np.int64),
+        salt[sel], live[sel],
     )
     if dedup:
-        # exact dedup of replayed turns: first occurrence per (conv, order)
-        # (reference groupby-first dedup, R/api_data.R:215-223)
+        # exact dedup of replayed turns: first occurrence per (conv, salt,
+        # order) (reference groupby-first dedup, R/api_data.R:215-223)
         keep = np.r_[
-            True, (conv_codes[1:] != conv_codes[:-1]) | (order[1:] != order[:-1])
+            True,
+            (conv_codes[1:] != conv_codes[:-1])
+            | (salt[1:] != salt[:-1])
+            | (order[1:] != order[:-1]),
         ]
-        conv_codes, ts, order, is_tool = (
-            conv_codes[keep], ts[keep], order[keep], is_tool[keep]
+        conv_codes, ts, order, is_tool, salt, live = (
+            conv_codes[keep], ts[keep], order[keep], is_tool[keep],
+            salt[keep], live[keep],
         )
 
     n = ts.size
-    conv_start_idx = _seg_starts(conv_codes)
+    # group = (conv, salt) run; unsalted data degenerates to group == conv
+    grp_starts = _seg_starts(conv_codes, salt)
+    gcode = np.zeros(n, dtype=np.int64)
+    if n:
+        gcode[grp_starts] = 1
+        gcode = np.cumsum(gcode) - 1
+    g2conv = conv_codes[grp_starts] if n else np.empty(0, np.int64)
     lat = np.empty(n, dtype=np.float64)
     if n:
         lat[0] = np.nan
         lat[1:] = delta_us_to_seconds(ts[1:] - ts[:-1])
-        lat[conv_start_idx] = np.nan  # first turn of each conv has no latency
+        lat[grp_starts] = np.nan  # first row of each group has no latency
     lat_valid = ~np.isnan(lat)
     lat0 = np.where(lat_valid, lat, 0.0)
+    live_i = live.astype(np.int64)
 
     out_chunks: list[pa.Table] = []
     for tier in tiers:
         w = TIER_WIDTH_US[tier]
-        b = (ts // w) * w  # nondecreasing within each conv
-        starts = _seg_starts(conv_codes, b)
+        b = (ts // w) * w  # nondecreasing within each group
+        starts = _seg_starts(gcode, b)
         ends = np.r_[starts[1:], n]
-        seg_conv = conv_codes[starts]
+        seg_conv = gcode[starts]
         uniq_b = b[starts]
-        counts = (ends - starts).astype(np.int64)
-        tools = np.add.reduceat(is_tool, starts) if n else np.empty(0, np.int64)
+        counts = np.add.reduceat(live_i, starts) if n else np.empty(0, np.int64)
+        tools = np.add.reduceat(is_tool * live_i, starts) if n else np.empty(0, np.int64)
         n_lat = np.add.reduceat(lat_valid.astype(np.int64), starts) if n else np.empty(0, np.int64)
         s_lat = _seq_segment_sums(lat0, starts, ends)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -253,7 +278,20 @@ def _part_series(
             n_lat > 0, lat_sorted[np.clip(starts + k95, 0, max(n - 1, 0))], np.nan
         )
 
-        # per-conv series boundaries in segment space
+        # donor-only buckets (a donor alone in the previous window's last
+        # bucket) are artifacts of the salt boundary, not observations
+        keep_seg = (counts > 0) | (n_lat > 0)
+        if not keep_seg.all():
+            starts, ends = starts[keep_seg], ends[keep_seg]
+            seg_conv, uniq_b = seg_conv[keep_seg], uniq_b[keep_seg]
+            counts, tools, n_lat, s_lat = (
+                counts[keep_seg], tools[keep_seg], n_lat[keep_seg], s_lat[keep_seg]
+            )
+            mean_lat, mn, mx, p95 = (
+                mean_lat[keep_seg], mn[keep_seg], mx[keep_seg], p95[keep_seg]
+            )
+
+        # per-group series boundaries in segment space
         conv_seg_starts = _seg_starts(seg_conv)
         conv_seg_ends = np.r_[conv_seg_starts[1:], starts.size]
         series_conv = seg_conv[conv_seg_starts]
@@ -300,7 +338,7 @@ def _part_series(
                 )
             row_off = goff
             tier_tbl = _nested_table(
-                conv_values, series_conv, tier, part_id, grid, row_off,
+                conv_values, g2conv[series_conv], tier, part_id, grid, row_off,
                 g_counts, g_tools, g_nlat, g_sum, g_cont, filled,
             )
         else:
@@ -308,7 +346,7 @@ def _part_series(
                 [conv_seg_starts, [starts.size]]
             ).astype(np.int64)
             tier_tbl = _nested_table(
-                conv_values, series_conv, tier, part_id, uniq_b, seg_off,
+                conv_values, g2conv[series_conv], tier, part_id, uniq_b, seg_off,
                 counts, tools, n_lat, s_lat,
                 {
                     "mean_latency": mean_lat, "p95_latency": p95,
