@@ -1,0 +1,71 @@
+"""Non-negative least squares endmember unmixing — the ``sits_mixture_model``
+analog (reference ``R/sits_mixture_model.R:106-270``; batched solver
+``src/nnls_solver.cpp:46-124``, 50k rows per batch).
+
+:func:`nnls` is the classic Lawson-Hanson active-set algorithm (Lawson &
+Hanson 1974, "Solving Least Squares Problems", ch. 23) in pure numpy.
+:func:`unmix` applies it row-wise to a (rows x bands) matrix against a
+broadcast (endmembers x bands) matrix, optionally returning the residual
+RMSE band like the reference's ``rmse_band`` option.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nnls(A: np.ndarray, b: np.ndarray, max_iter: int | None = None, tol: float = 1e-11):
+    """Solve min ||Ax - b|| s.t. x >= 0. Returns (x, rnorm)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    m, n = A.shape
+    if max_iter is None:
+        max_iter = 3 * n
+    x = np.zeros(n)
+    P = np.zeros(n, dtype=bool)  # passive (free) set
+    w = A.T @ (b - A @ x)
+    it = 0
+    while (~P).any() and (w[~P] > tol).any():
+        j = int(np.argmax(np.where(~P, w, -np.inf)))
+        P[j] = True
+        while True:
+            it += 1
+            if it > max_iter:
+                break
+            Ap = A[:, P]
+            s_p, *_ = np.linalg.lstsq(Ap, b, rcond=None)
+            if (s_p > tol).all():
+                x = np.zeros(n)
+                x[P] = s_p
+                break
+            # shrink the step to stay feasible; move blockers to active set
+            xp = x[P]
+            neg = s_p <= tol
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratios = np.where(neg, xp / (xp - s_p), np.inf)
+            alpha = np.min(ratios)
+            x[P] = xp + alpha * (s_p - xp)
+            P[np.asarray(P).nonzero()[0][x[P] <= tol]] = False
+            x[~P] = 0.0
+        if it > max_iter:
+            break
+        w = A.T @ (b - A @ x)
+    return x, float(np.linalg.norm(A @ x - b))
+
+
+def unmix(values: np.ndarray, endmembers: np.ndarray, rmse_band: bool = True):
+    """Row-wise NNLS unmixing: values (rows x bands), endmembers
+    (k x bands). Returns (fractions rows x k, rmse rows) — the reference
+    scales fractions implicitly by the model; we return raw NNLS solutions.
+    """
+    v = np.atleast_2d(np.asarray(values, dtype=np.float64))
+    E = np.asarray(endmembers, dtype=np.float64)
+    A = E.T  # (bands x k)
+    fracs = np.empty((v.shape[0], E.shape[0]))
+    rmse = np.empty(v.shape[0])
+    nb = v.shape[1]
+    for i in range(v.shape[0]):
+        x, rn = nnls(A, v[i])
+        fracs[i] = x
+        rmse[i] = rn / np.sqrt(nb)
+    return (fracs, rmse) if rmse_band else (fracs, None)

@@ -1090,6 +1090,32 @@ def rolling_mean_1h(sf_dir):
     return long.groupby("conv_id").map_groups(roll, batch_format="pandas")
 
 
+@q("mixture_model_unmix")
+def mixture_model_unmix(sf_dir):
+    """NNLS endmember unmixing of embedding vectors against a broadcast
+    deterministic endmember matrix (sits_mixture_model analog,
+    src/nnls_solver.cpp batched solver). Rows-only check; KKT optimality
+    pinned in tests/test_nnls.py."""
+    from sits_ray.kernels.nnls import unmix
+
+    rng = np.random.default_rng(21)
+    E = rng.random((4, 64))
+    e_ref = ray.put(E)
+
+    def batch_unmix(t: pa.Table) -> pa.Table:
+        em = ray.get(e_ref)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fr, rmse = unmix(m, em)
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(fr.shape[1]):
+            cols[f"frac_{j}"] = pa.array(fr[:, j])
+        cols["rmse"] = pa.array(rmse)
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(batch_unmix, batch_format="pyarrow", batch_size=256)
+
+
 @q("cascade_1m_to_1h")
 def cascade_1m_to_1h(sf_dir):
     """Continuous-aggregate tier cascade (SURVEY.md §7.7): re-aggregate the
