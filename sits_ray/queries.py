@@ -63,8 +63,8 @@ def _events_as_transcripts(sf_dir: str):
 
 
 _ROLLUP_COLS = [
-    "conv_id", "bucket_ts", "turn_count", "tool_calls", "sum_latency",
-    "mean_latency", "p95_latency", "min_latency", "max_latency",
+    "conv_id", "bucket_ts", "turn_count", "tool_calls", "n_latency",
+    "sum_latency", "mean_latency", "p95_latency", "min_latency", "max_latency",
 ]
 
 
@@ -94,6 +94,7 @@ select user_id as conv_id,
        date_trunc('{trunc}', ts) as bucket_ts,
        count(*) as turn_count,
        count(*) filter (where event_type = 'click') as tool_calls,
+       count(lat) as n_latency,
        coalesce(sum(lat), 0.0) as sum_latency,
        avg(lat) as mean_latency,
        quantile_disc(lat, 0.95) as p95_latency,
