@@ -557,6 +557,71 @@ def knn_cosine_top10(sf_dir):
     return out.select_columns(["vec_id"])
 
 
+# --- §1.1 predictor matrix: long -> wide pivot per series ------------------
+@q(
+    "predictor_matrix_4w",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+slotted as (
+  select user_id,
+         cast(floor((epoch(ts) - (select epoch(min(ts)) from events))
+              / ((select epoch(max(ts)) - epoch(min(ts)) + 1 from events) / 4.0)) as bigint) as slot,
+         lat
+  from lagged),
+clamped as (select user_id, least(slot, 3) as slot, lat from slotted)
+select user_id as conv_id,
+       avg(lat) filter (where slot = 0) as lat_t0,
+       avg(lat) filter (where slot = 1) as lat_t1,
+       avg(lat) filter (where slot = 2) as lat_t2,
+       avg(lat) filter (where slot = 3) as lat_t3,
+       count(*) as n
+from clamped group by 1
+""",
+)
+def predictor_matrix_4w(sf_dir):
+    """The sits predictor-matrix pivot (.predictors.sits,
+    R/api_predictors.R:17-45): long per-series observations -> one row per
+    series, one column per time slot (4 global quarters here). Means are
+    sum/count with sequential sums, matching SQL avg() exactly."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ts_all = meta["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    # slot grid must match the SQL exactly: epoch() seconds as float
+    lo = (ts_all.min() // 86_400_000_000) * 86400.0 + (ts_all.min() % 86_400_000_000) / 1e6
+    hi = (ts_all.max() // 86_400_000_000) * 86400.0 + (ts_all.max() % 86_400_000_000) / 1e6
+    span = hi - lo + 1.0
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        from sits_ray.stages.regularize import delta_us_to_seconds
+
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = g["event_id"].to_numpy()
+        sel = np.lexsort((order, ts))
+        ts = ts[sel]
+        lat = np.full(ts.size, np.nan)
+        if ts.size > 1:
+            lat[1:] = delta_us_to_seconds(np.diff(ts))
+        ep = (ts // 86_400_000_000) * 86400.0 + (ts % 86_400_000_000) / 1e6
+        slot = np.minimum(np.floor((ep - lo) / (span / 4.0)).astype(np.int64), 3)
+        cols = {"conv_id": pa.array([g["user_id"][0].as_py()], pa.int64())}
+        for s in range(4):
+            v = lat[(slot == s) & ~np.isnan(lat)]
+            cols[f"lat_t{s}"] = pa.array(
+                [float(sum(v.tolist(), 0.0)) / v.size if v.size else None],
+                pa.float64(),
+            )
+        cols["n"] = pa.array([ts.size], pa.int64())
+        return pa.table(cols)
+
+    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+
+
 # --- sessionization (stream-shaped windowing; detect_change gap analog) ----
 @q(
     "sessionize_30m",
@@ -1089,6 +1154,35 @@ def rolling_mean_1h(sf_dir):
         return g[["conv_id", "bucket_ts", "mean_latency", "w_mean3"]]
 
     return long.groupby("conv_id").map_groups(roll, batch_format="pandas")
+
+
+@q("texture_daily")
+def texture_daily(sf_dir):
+    """GLCM texture features of each conv's daily mean-latency series
+    (sits_texture analog, src/glcm_fns.cpp; 1-D lag-1 co-occurrence).
+    Rows-only check; feature properties pinned in tests/test_texture_som.py."""
+    from sits_ray.kernels.texture import FEATURES, series_texture
+
+    long = _rollup_events(sf_dir, "1d", gapfill=True)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts")
+        f = series_texture(g["mean_latency"].to_numpy(dtype=np.float64), levels=8)
+        row = {"conv_id": [g["conv_id"].iloc[0]], "n_days": [len(g)]}
+        row.update({k: [f[k]] for k in FEATURES})
+        return pd.DataFrame(row)
+
+    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+@q("som_embeddings")
+def som_embeddings(sf_dir):
+    """Kohonen SOM sample map (sits_som_map analog): 4x4 codebook trained
+    on a sample, BMU + quantization error per vector. Rows-only check."""
+    from sits_ray.stages.som import som_map
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return som_map(ds, xdim=4, ydim=4, sample_rows=512, epochs=5)
 
 
 @q("mixture_model_unmix")

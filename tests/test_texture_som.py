@@ -1,0 +1,65 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels.texture import FEATURES, glcm_features, quantize, series_texture
+from sits_ray.stages.som import SOM, som_map
+
+
+def test_quantize():
+    v = np.array([0.0, 0.5, 1.0, np.nan])
+    q = quantize(v, levels=4)
+    assert q[0] == 0 and q[2] == 3 and q[3] == -1
+    assert (quantize(np.full(5, 7.0), 4) == 0).all()
+    assert (quantize(np.full(3, np.nan), 4) == -1).all()
+
+
+def test_glcm_constant_series():
+    f = series_texture(np.full(20, 5.0))
+    # constant -> single cell at (0,0): no contrast, full homogeneity/ASM
+    assert f["contrast"] == 0.0
+    assert f["homogeneity"] == pytest.approx(1.0)
+    assert f["asm"] == pytest.approx(1.0)
+
+
+def test_glcm_alternating_vs_smooth():
+    smooth = np.linspace(0, 1, 64)
+    rough = np.tile([0.0, 1.0], 32)
+    fs = series_texture(smooth, levels=8)
+    fr = series_texture(rough, levels=8)
+    assert fr["contrast"] > fs["contrast"]
+    assert fs["homogeneity"] > fr["homogeneity"]
+
+
+def test_glcm_probability_matrix_properties():
+    rng = np.random.default_rng(3)
+    f = glcm_features(quantize(rng.random(100), 8), 8)
+    for k in FEATURES:
+        assert np.isfinite(f[k])
+    assert 0 <= f["asm"] <= 1
+    assert -1.0001 <= f["correlation"] <= 1.0001
+
+
+def test_som_clusters_separate_data():
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 0.1, size=(60, 8))
+    b = rng.normal(5, 0.1, size=(60, 8))
+    som = SOM(2, 2).fit(np.vstack([a, b]), epochs=10)
+    ba, bb = som.bmu(a), som.bmu(b)
+    # the two clusters map to disjoint BMUs
+    assert set(ba) & set(bb) == set()
+    # deterministic
+    som2 = SOM(2, 2).fit(np.vstack([a, b]), epochs=10)
+    np.testing.assert_array_equal(som.codebook, som2.codebook)
+
+
+def test_som_map_dataset(ray_session):
+    rng = np.random.default_rng(5)
+    vecs = np.vstack([rng.normal(0, 0.2, (40, 6)), rng.normal(3, 0.2, (40, 6))])
+    df = pd.DataFrame({"vec_id": np.arange(80), "embedding": list(vecs)})
+    out = som_map(rd.from_pandas(df), xdim=2, ydim=2, sample_rows=80, epochs=5).to_pandas()
+    assert len(out) == 80
+    assert out["bmu"].between(0, 3).all()
+    assert (out["quant_err"] >= 0).all()
