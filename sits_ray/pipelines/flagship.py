@@ -126,3 +126,32 @@ def run_flagship(
 def read_tier(out_dir: str, tier: str):
     """Read one tier's long table back (partition-pruned at the read)."""
     return rd.read_parquet(os.path.join(out_dir, "long", f"tier={tier}"))
+
+
+def read_tier_blocks(out_dir: str, tier: str, concurrency=(1, 4)):
+    """Decode-on-read: the compressed Gorilla block store -> long tier rows
+    (bit-exact with ``read_tier``; the `long/` copy exists for engines that
+    can't decode blocks — at scale you keep only `blocks/` plus coarse
+    long tiers)."""
+    from sits_ray.stages.compressor import decompress
+    from sits_ray.stages.regularize import nested_to_long
+
+    blocks = rd.read_parquet(os.path.join(out_dir, "blocks", f"tier={tier}"))
+
+    def fix_types(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # hive partition columns come back as dictionary/string
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name == "tier":
+                col = pc.cast(col, pa.string())
+            elif name == "part_id":
+                col = pc.cast(col, pa.int32())
+            cols[name] = col
+        return pa.table(cols)
+
+    blocks = blocks.map_batches(fix_types, batch_format="pyarrow")
+    return nested_to_long(decompress(blocks, concurrency=concurrency))
