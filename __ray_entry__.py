@@ -25,13 +25,14 @@ if _REPO not in sys.path:
 
 def entry() -> Any:
     """Flagship pipeline on a synthetic sf0.001-scale transcript table."""
+    from sits_ray import SCHEMA_VERSION
     from sits_ray.pipelines.flagship import read_tier, run_flagship
     from sits_ray.synth import write_transcripts
 
     in_dir = write_transcripts(
         "/tmp/sits_ray_entry/transcripts", n_convs=100, mean_turns=30, seed=42, files=4
     )
-    out_dir = "/tmp/sits_ray_entry/tiers"
+    out_dir = f"/tmp/sits_ray_entry/tiers_v{SCHEMA_VERSION}"
     run_flagship(in_dir, out_dir, tiers=("1m", "1h", "1d"), n_parts=8)
     return read_tier(out_dir, "1m")
 

@@ -20,6 +20,10 @@ from sits_ray import timeline  # noqa: F401
 
 __version__ = "0.1.0"
 
+#: bump when the tier schema changes — resumable output directories embed
+#: this so a resume never mixes schema generations
+SCHEMA_VERSION = 2
+
 TRANSCRIPT_SCHEMA = {
     "conv_id": "string",
     "turn_idx": "int32",
