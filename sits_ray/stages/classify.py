@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray
 
+from sits_ray.arrowutil import list_matrix
+
 from sits_ray.kernels.ml import entropy_probs, label_max_prob, margin_probs, softmax
 
 
@@ -44,7 +46,7 @@ class SeriesScorer:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        m = list_matrix(batch[self.vec_col])
         logits = m @ self.model["W"] + self.model["b"]
         probs = softmax(logits)
         label_idx = label_max_prob(probs)  # 1-based, NaN-aware

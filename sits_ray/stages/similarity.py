@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from sits_ray.arrowutil import list_matrix
 import ray.data as rd
 
 
@@ -35,7 +37,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
 
     def score(t: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        m = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(list_matrix(t[vec_col]))
         sims = m @ qm.T  # (batch, nq)
         ids = t[id_col].to_numpy()
         # partial top-k per query within the batch
@@ -110,7 +112,7 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16,
         ix = ray.get(idx_ref)
         qm = ray.get(q_ref)
         psets = ray.get(probe_ref)
-        m = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        m = _normalize(list_matrix(t[vec_col]))
         ids = t[id_col].to_numpy()
         buckets = ix.assign(m)
         out_q, out_id, out_sim = [], [], []

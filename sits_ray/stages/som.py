@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray
 
+from sits_ray.arrowutil import list_matrix
+
 
 class SOM:
     def __init__(self, xdim: int = 4, ydim: int = 4, seed: int = 31):
@@ -66,7 +68,7 @@ def som_map(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     def assign(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = list_matrix(t[vec_col])
         b = s.bmu(m)
         qe = np.sqrt(((m - s.codebook[b]) ** 2).sum(axis=1))
         return pa.table(
