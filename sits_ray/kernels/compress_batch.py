@@ -247,3 +247,119 @@ def encode_timestamps_batch(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
     nbits = hi_len + lo_len
 
     return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)
+
+
+# --- batch decoders ---------------------------------------------------------
+# Decode MANY series per call: all series advance in lockstep, one code per
+# step, with every bit-field extraction vectorized across the still-active
+# series (the decode twin of the batch encoders above; VERDICT r1 #7).
+# Accepts BOTH encoder dialects: the scalar encoder's previous-window reuse
+# ('10' control) and the batch encoder's always-explicit ('11') form.
+
+def _concat_blocks(blocks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(blocks) + b"\x00" * 16, dtype=np.uint8)
+    return buf, starts
+
+
+def _read64(buf: np.ndarray, bitpos: np.ndarray) -> np.ndarray:
+    """Big-endian 64-bit window starting at each absolute bit position."""
+    byte_i = bitpos >> 3
+    o = (bitpos & 7).astype(np.uint64)
+    idx = byte_i[:, None] + np.arange(9)
+    b = buf[idx].astype(np.uint64)
+    w = np.zeros(bitpos.size, np.uint64)
+    for j in range(8):
+        w = (w << np.uint64(8)) | b[:, j]
+    return (w << o) | (b[:, 8] >> (np.uint64(8) - o))
+
+
+def decode_values_batch(blocks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_values_batch` (and of the scalar
+    ``encode_values``): list of value blocks -> (flat float64, offsets)."""
+    buf, bstarts = _concat_blocks(blocks)
+    k = len(blocks)
+    if k == 0:
+        return np.empty(0, np.float64), np.zeros(1, np.int64)
+    heads = bstarts[:-1]
+    counts = _read64(buf, heads * 8).astype(np.int64)
+    out_offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = np.empty(int(out_offs[-1]), np.uint64)
+    nz = counts > 0
+    prev = np.zeros(k, np.uint64)
+    prev[nz] = _read64(buf, (heads[nz] + 8) * 8)
+    flat[out_offs[:-1][nz]] = prev[nz]
+    pos = (heads + 16) * 8
+    lead = np.zeros(k, np.uint64)
+    mlen = np.zeros(k, np.uint64)
+    done = np.ones(k, np.int64)
+    active = np.flatnonzero(counts > done)
+    while active.size:
+        a = active
+        w = _read64(buf, pos[a])
+        nzv = (w >> np.uint64(63)) != 0
+        adv = np.ones(a.size, np.int64)
+        idx = np.flatnonzero(nzv)
+        if idx.size:
+            an, wn = a[idx], w[idx]
+            is11 = ((wn >> np.uint64(62)) & np.uint64(1)) != 0
+            lead[an[is11]] = (wn[is11] >> np.uint64(56)) & np.uint64(0x3F)
+            mlen[an[is11]] = ((wn[is11] >> np.uint64(50)) & np.uint64(0x3F)) + np.uint64(1)
+            hdr = np.where(is11, 14, 2).astype(np.int64)
+            ml = mlen[an]  # >= 1 for any valid stream
+            w2 = _read64(buf, pos[an] + hdr)
+            m_bits = w2 >> (np.uint64(64) - ml)
+            prev[an] ^= m_bits << (np.uint64(64) - lead[an] - ml)
+            adv[idx] = hdr + ml.astype(np.int64)
+        flat[out_offs[a] + done[a]] = prev[a]
+        pos[a] += adv
+        done[a] += 1
+        active = a[counts[a] > done[a]]
+    return flat.view(np.float64), out_offs
+
+
+def decode_timestamps_batch(blocks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_timestamps_batch` (and of the scalar
+    ``encode_timestamps``): list of ts blocks -> (flat int64 us, offsets)."""
+    buf, bstarts = _concat_blocks(blocks)
+    k = len(blocks)
+    if k == 0:
+        return np.empty(0, np.int64), np.zeros(1, np.int64)
+    heads = bstarts[:-1]
+    counts = _read64(buf, heads * 8).astype(np.int64)
+    out_offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = np.empty(int(out_offs[-1]), np.int64)
+    nz = counts > 0
+    prev = np.zeros(k, np.int64)
+    prev[nz] = _read64(buf, (heads[nz] + 8) * 8).view(np.int64)
+    flat[out_offs[:-1][nz]] = prev[nz]
+    pos = (heads + 16) * 8
+    delta = np.zeros(k, np.int64)
+    done = np.ones(k, np.int64)
+    active = np.flatnonzero(counts > done)
+    while active.size:
+        a = active
+        w = _read64(buf, pos[a])
+        b = [((w >> np.uint64(63 - i)) & np.uint64(1)).astype(np.int64) for i in range(4)]
+        cls = np.select(
+            [b[0] == 0, b[1] == 0, b[2] == 0, b[3] == 0], [0, 1, 2, 3], 4
+        )
+        v1 = ((w >> np.uint64(55)) & np.uint64(0x7F)).astype(np.int64) - 63
+        v2 = ((w >> np.uint64(52)) & np.uint64(0x1FF)).astype(np.int64) - 255
+        v3 = ((w >> np.uint64(48)) & np.uint64(0xFFF)).astype(np.int64) - 2047
+        dod = np.select([cls == 1, cls == 2, cls == 3], [v1, v2, v3], 0)
+        c4 = np.flatnonzero(cls == 4)
+        if c4.size:
+            dod[c4] = _read64(buf, pos[a[c4]] + 4).view(np.int64)
+        adv = np.select(
+            [cls == 0, cls == 1, cls == 2, cls == 3], [1, 9, 12, 16], 68
+        ).astype(np.int64)
+        first = done[a] == 1  # second element carries delta0, not a dod
+        delta[a] = np.where(first, dod, delta[a] + dod)
+        prev[a] += delta[a]
+        flat[out_offs[a] + done[a]] = prev[a]
+        pos[a] += adv
+        done[a] += 1
+        active = a[counts[a] > done[a]]
+    return flat, out_offs

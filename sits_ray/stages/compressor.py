@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from sits_ray.kernels.compress import decode_timestamps, decode_values
+
 from sits_ray.stages.regularize import ALL_METRICS
 
 
@@ -67,25 +67,36 @@ class GorillaEncode:
 
 
 class GorillaDecode:
-    """Compressed block rows -> nested tier series rows (bit-exact inverse)."""
+    """Compressed block rows -> nested tier series rows (bit-exact inverse).
+
+    Decoding is batch-vectorized across all series of the batch
+    (:func:`sits_ray.kernels.compress_batch.decode_values_batch`): lockstep
+    one-code-per-step with vectorized bit extraction, no per-value Python.
+    Both encoder dialects (scalar with window reuse, batch without) decode
+    identically — pinned by tests/test_compress_batch.py round-trips.
+    """
 
     def __init__(self, metrics: tuple[str, ...] = ALL_METRICS):
         self.metrics = metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        from sits_ray.kernels.compress_batch import (
+            decode_timestamps_batch,
+            decode_values_batch,
+        )
+
         lens = batch["n_points"].to_numpy()
         offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-        total = int(offs[-1])
-        ts_flat = np.empty(total, dtype=np.int64)
-        filled_flat = np.empty(total, dtype=np.float64)
-        v_flats = {m: np.empty(total, dtype=np.float64) for m in self.metrics}
-        for i in range(n):
-            a, b = offs[i], offs[i + 1]
-            ts_flat[a:b] = decode_timestamps(batch["ts_block"][i].as_py())
-            filled_flat[a:b] = decode_values(batch["filled_block"][i].as_py())
-            for m in self.metrics:
-                v_flats[m][a:b] = decode_values(batch[f"val_{m}"][i].as_py())
+
+        def blocks(col):
+            arr = batch[col].combine_chunks()
+            return [arr[i].as_py() for i in range(len(arr))]
+
+        ts_flat, _ = decode_timestamps_batch(blocks("ts_block"))
+        filled_flat, _ = decode_values_batch(blocks("filled_block"))
+        v_flats = {
+            m: decode_values_batch(blocks(f"val_{m}"))[0] for m in self.metrics
+        }
 
         def lst(flat, typ):
             return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat, typ))

@@ -105,3 +105,75 @@ def test_bit_length_exactness_near_powers_of_two():
     got = _bit_length_u64(x)
     exp = np.array([int(v).bit_length() for v in vals])
     np.testing.assert_array_equal(got, exp)
+
+
+# --- batch decoders: both encoder dialects ---------------------------------
+def _ragged_fixture():
+    rng = np.random.default_rng(7)
+    ts_series = [
+        np.array([], np.int64),
+        np.array([1_700_000_000_000_000], np.int64),
+        np.cumsum(rng.integers(1, 10**7, 64)).astype(np.int64) + 1_700_000_000_000_000,
+        np.array([0, 86_400_000_000, 86_400_000_001, 10**15], np.int64),
+    ]
+    v_series = [
+        np.array([], np.float64),
+        np.array([3.14]),
+        rng.normal(size=64),
+        np.array([1.0, 1.0, np.nan, -0.0, 0.0, 2.0**-1040, 1e300]),
+    ]
+    return ts_series, v_series
+
+
+def test_batch_decode_scalar_dialect():
+    from sits_ray.kernels.compress import encode_timestamps, encode_values
+    from sits_ray.kernels.compress_batch import (
+        decode_timestamps_batch,
+        decode_values_batch,
+    )
+
+    ts_series, v_series = _ragged_fixture()
+    ft, ot = decode_timestamps_batch([encode_timestamps(s) for s in ts_series])
+    fv, ov = decode_values_batch([encode_values(s) for s in v_series])
+    for i, s in enumerate(ts_series):
+        assert np.array_equal(ft[ot[i]:ot[i + 1]], s)
+    for i, s in enumerate(v_series):
+        assert np.array_equal(
+            fv[ov[i]:ov[i + 1]].view(np.uint64), s.view(np.uint64)
+        )
+
+
+def test_batch_decode_batch_dialect():
+    from sits_ray.kernels.compress_batch import (
+        decode_timestamps_batch,
+        decode_values_batch,
+        encode_timestamps_batch,
+        encode_values_batch,
+    )
+
+    ts_series, v_series = _ragged_fixture()
+    tf = np.concatenate(ts_series).astype(np.int64)
+    to = np.concatenate([[0], np.cumsum([len(s) for s in ts_series])])
+    vf = np.concatenate(v_series).astype(np.float64)
+    vo = np.concatenate([[0], np.cumsum([len(s) for s in v_series])])
+    ft, _ = decode_timestamps_batch(encode_timestamps_batch(tf, to))
+    fv, _ = decode_values_batch(encode_values_batch(vf, vo))
+    assert np.array_equal(ft, tf)
+    assert np.array_equal(fv.view(np.uint64), vf.view(np.uint64))
+
+
+def test_batch_decode_matches_scalar_random():
+    from sits_ray.kernels.compress import decode_values, encode_values
+    from sits_ray.kernels.compress_batch import decode_values_batch
+
+    rng = np.random.default_rng(11)
+    series = [
+        np.round(rng.normal(10, 2, int(rng.integers(1, 80))), 3) for _ in range(50)
+    ]
+    blocks = [encode_values(s) for s in series]
+    flat, offs = decode_values_batch(blocks)
+    for i, b in enumerate(blocks):
+        assert np.array_equal(
+            flat[offs[i]:offs[i + 1]].view(np.uint64),
+            decode_values(b).view(np.uint64),
+        )
