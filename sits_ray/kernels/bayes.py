@@ -86,3 +86,32 @@ def align_dates_circular(values: np.ndarray, shift: int) -> np.ndarray:
     if v.size == 0:
         return v.copy()
     return np.roll(v, -int(shift) % v.size)
+
+
+def bayts_change_matrix(
+    p_change_obs: np.ndarray,
+    prior: float = 0.5,
+    chi: float = 0.9,
+    consecutive: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-across-series twin of :func:`bayts_change`: one time loop,
+    elementwise updates over all k series of a (k x T) matrix at once
+    (identical float sequence per series; pinned vs the scalar twin in
+    tests/test_similarity_bayes.py)."""
+    p = np.atleast_2d(np.asarray(p_change_obs, dtype=np.float64))
+    k, T = p.shape
+    post = np.empty_like(p)
+    prev = np.full(k, float(prior))
+    run = np.zeros(k, dtype=np.int64)
+    flagged = np.full(k, -1, dtype=np.int64)
+    for t in range(T):
+        pt = p[:, t]
+        num = pt * prev
+        den = num + (1.0 - pt) * (1.0 - prev)
+        cur = np.where(den > 0, num / np.where(den > 0, den, 1.0), prev)
+        post[:, t] = cur
+        run = np.where(cur >= chi, run + 1, 0)
+        newly = (run >= consecutive) & (flagged < 0)
+        flagged[newly] = t - consecutive + 1
+        prev = np.minimum(np.maximum(cur, 0.1), 0.9)
+    return post, flagged

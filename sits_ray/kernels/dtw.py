@@ -57,3 +57,29 @@ def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
         prev, cur = cur, prev
         prev[0] = np.inf if i + 1 > 0 else 0.0
     return float(prev[m])
+
+
+def dtw_many(M: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    """DTW distance of EVERY row of a (k x L) matrix to one 1-D pattern,
+    vectorized across rows (same symmetric-2 recursion and float order as
+    :func:`dtw_distance`; parity pinned in tests/test_classify_ml.py)."""
+    M = np.atleast_2d(np.asarray(M, dtype=np.float64))
+    pat = np.asarray(pattern, dtype=np.float64).ravel()
+    k, L = M.shape
+    m = pat.size
+    if L == 0 or m == 0:
+        return np.full(k, np.inf)
+    prev = np.full((k, m + 1), np.inf)
+    prev[:, 0] = 0.0
+    cur = np.empty((k, m + 1))
+    for i in range(L):
+        d = np.abs(pat[None, :] - M[:, i:i + 1])
+        cur[:, 0] = np.inf
+        run = np.full(k, np.inf)
+        for j in range(1, m + 1):
+            best = np.minimum(np.minimum(prev[:, j - 1], prev[:, j]), run)
+            run = d[:, j - 1] + best
+            cur[:, j] = run
+        prev, cur = cur, prev
+        prev[:, 0] = np.inf if i + 1 > 0 else 0.0
+    return prev[:, m]

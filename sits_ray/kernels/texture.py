@@ -70,3 +70,72 @@ def glcm_features(q: np.ndarray, levels: int = 16) -> dict[str, float]:
 def series_texture(values: np.ndarray, levels: int = 16) -> dict[str, float]:
     """Quantize + GLCM features for one series."""
     return glcm_features(quantize(values, levels), levels)
+
+
+def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
+    """Vectorized-across-series GLCM features: quantize each row of a
+    (k x L) matrix, build all k lag-1 co-occurrence matrices with one
+    bincount, derive the 9 Haralick features per row (same math as
+    :func:`glcm_features`; parity pinned in tests/test_texture_som.py)."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    k, L = m.shape
+    if k == 0:
+        return {f: np.empty(0) for f in FEATURES}
+    valid = ~np.isnan(m)
+    any_valid = valid.any(axis=1)
+    with np.errstate(all="ignore"):
+        lo = np.nanmin(np.where(valid, m, np.inf), axis=1)
+        hi = np.nanmax(np.where(valid, m, -np.inf), axis=1)
+    rng = hi - lo
+    q = np.full((k, L), -1, dtype=np.int64)
+    flat_rng = np.where(rng > 0, rng, 1.0)
+    qv = np.floor((m - lo[:, None]) / flat_rng[:, None] * levels)
+    qv = np.clip(qv, 0, levels - 1)
+    const = any_valid & (rng == 0)
+    q[valid] = qv[valid].astype(np.int64)
+    if const.any():
+        cm = const[:, None] & valid
+        q[cm] = 0
+
+    if L < 2:
+        nanv = np.full(k, np.nan)
+        return {f: nanv.copy() for f in FEATURES}
+    a, b = q[:, :-1], q[:, 1:]
+    ok = (a >= 0) & (b >= 0)
+    rows = np.repeat(np.arange(k), L - 1).reshape(k, L - 1)
+    base = rows[ok] * (levels * levels)
+    ij = base + a[ok] * levels + b[ok]
+    ji = base + b[ok] * levels + a[ok]
+    P = np.bincount(
+        np.concatenate([ij, ji]), minlength=k * levels * levels
+    ).astype(np.float64).reshape(k, levels, levels)
+    tot = P.sum(axis=(1, 2))
+    has = tot > 0
+    P[has] /= tot[has, None, None]
+    i = np.arange(levels, dtype=np.float64)
+    ii, jj = np.meshgrid(i, i, indexing="ij")
+    d = ii - jj
+    mu = (ii[None] * P).sum(axis=(1, 2))
+    var = ((ii[None] - mu[:, None, None]) ** 2 * P).sum(axis=(1, 2))
+    asm = (P**2).sum(axis=(1, 2))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.where(
+            var > 0,
+            ((ii[None] - mu[:, None, None]) * (jj[None] - mu[:, None, None]) * P
+             ).sum(axis=(1, 2)) / var,
+            np.nan,
+        )
+    out = {
+        "contrast": ((d**2)[None] * P).sum(axis=(1, 2)),
+        "dissimilarity": (np.abs(d)[None] * P).sum(axis=(1, 2)),
+        "homogeneity": ((P / (1.0 + d**2)[None])).sum(axis=(1, 2)),
+        "asm": asm,
+        "energy": np.sqrt(asm),
+        "glcm_mean": mu,
+        "glcm_var": var,
+        "glcm_std": np.sqrt(var),
+        "correlation": corr,
+    }
+    for f in FEATURES:
+        out[f] = np.where(has, out[f], np.nan)
+    return out

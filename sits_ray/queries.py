@@ -69,13 +69,19 @@ _ROLLUP_COLS = [
 ]
 
 
-def _rollup_events(sf_dir: str, tier: str, gapfill: bool):
+def _nested_tier(sf_dir: str, tier: str, gapfill: bool = True):
+    """Nested tier form (one row per conv with list-column series): produced
+    by the SINGLE groupby(part_id) shuffle — the input of every vectorized
+    per-series operator below (stages/series_ops.py)."""
     ds = _events_as_transcripts(sf_dir)
-    nested = rollup_tiers(
+    return rollup_tiers(
         ds, tiers=(tier,), gapfill=gapfill,
         key="user_id", ts_col="ts", order_col="event_id", tool_col="tool",
     )
-    long = nested_to_long(nested)
+
+
+def _rollup_events(sf_dir: str, tier: str, gapfill: bool):
+    long = nested_to_long(_nested_tier(sf_dir, tier, gapfill))
     if gapfill:
         return long.select_columns(
             ["conv_id", "bucket_ts", "turn_count", "mean_latency", "filled"]
@@ -223,27 +229,17 @@ from d group by 1
 """,
 )
 def reduce_value_stats(sf_dir):
+    """sits_reduce t_* analog — partition-vectorized: ONE part_id shuffle,
+    per-conv stats via segment reductions (stages/eventops.py), no
+    per-conversation Python (kernel math pinned vs kernels/reduce.py in
+    tests/test_reduce.py)."""
+    from sits_ray.stages.eventops import map_conv_partitions, reduce_stats_kernel
+
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
-
-    def per_group(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        order = g["event_id"].to_numpy()
-        v = g["value"].to_numpy()[np.lexsort((order, ts))]
-        m = v[None, :]
-        return pa.table(
-            {
-                "conv_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "t_max": kred.t_max(m),
-                "t_min": kred.t_min(m),
-                "t_median": kred.t_median(m),
-                "t_amplitude": kred.t_amplitude(m),
-                "t_p95": kred.t_p95(m),
-                "t_fslope": kred.t_fslope(m) if v.size > 1 else pa.array([None], pa.float64()),
-                "n": pa.array([v.size], pa.int64()),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+    return map_conv_partitions(
+        ds, reduce_stats_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
 
 
 # --- §2.3 sits_apply expression (band math) --------------------------------
@@ -600,40 +596,22 @@ def predictor_matrix_4w(sf_dir):
     R/api_predictors.R:17-45): long per-series observations -> one row per
     series, one column per time slot (4 global quarters here). Means are
     sum/count with sequential sums, matching SQL avg() exactly."""
-    import pyarrow.parquet as pq
-
-    meta = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
-    ts_all = meta["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    # slot grid must match the SQL exactly: epoch() seconds as float
-    lo = (ts_all.min() // 86_400_000_000) * 86400.0 + (ts_all.min() % 86_400_000_000) / 1e6
-    hi = (ts_all.max() // 86_400_000_000) * 86400.0 + (ts_all.max() % 86_400_000_000) / 1e6
-    span = hi - lo + 1.0
+    from sits_ray.stages.eventops import map_conv_partitions, predictor_matrix_kernel
 
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
-
-    def per_group(g: pa.Table) -> pa.Table:
-        from sits_ray.stages.regularize import delta_us_to_seconds
-
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        order = g["event_id"].to_numpy()
-        sel = np.lexsort((order, ts))
-        ts = ts[sel]
-        lat = np.full(ts.size, np.nan)
-        if ts.size > 1:
-            lat[1:] = delta_us_to_seconds(np.diff(ts))
-        ep = (ts // 86_400_000_000) * 86400.0 + (ts % 86_400_000_000) / 1e6
-        slot = np.minimum(np.floor((ep - lo) / (span / 4.0)).astype(np.int64), 3)
-        cols = {"conv_id": pa.array([g["user_id"][0].as_py()], pa.int64())}
-        for s in range(4):
-            v = lat[(slot == s) & ~np.isnan(lat)]
-            cols[f"lat_t{s}"] = pa.array(
-                [float(sum(v.tolist(), 0.0)) / v.size if v.size else None],
-                pa.float64(),
-            )
-        cols["n"] = pa.array([ts.size], pa.int64())
-        return pa.table(cols)
-
-    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+    # global slot bounds via a distributed min/max (no driver column scan);
+    # epoch() seconds as float with the pinned day-split rule
+    mm = _events(sf_dir, columns=["ts"]).aggregate(Min("ts"), Max("ts"))
+    mn = np.datetime64(mm["min(ts)"], "us").astype(np.int64)
+    mx = np.datetime64(mm["max(ts)"], "us").astype(np.int64)
+    lo = (mn // 86_400_000_000) * 86400.0 + (mn % 86_400_000_000) / 1e6
+    hi = (mx // 86_400_000_000) * 86400.0 + (mx % 86_400_000_000) / 1e6
+    span = hi - lo + 1.0
+    return map_conv_partitions(
+        ds,
+        lambda g: predictor_matrix_kernel(g, lo, span, n_slots=4),
+        key="user_id", order_col="event_id",
+    )
 
 
 # --- sessionization (stream-shaped windowing; detect_change gap analog) ----
@@ -658,33 +636,16 @@ from sessions group by 1, 2
 """,
 )
 def sessionize_30m(sf_dir):
-    """Session windows: a >30min silence starts a new session (ordered
-    per-conv state inside map_groups; ray_guide 'Streaming-shaped')."""
+    """Session windows: a >30min silence starts a new session. Partition-
+    vectorized (stages/eventops.py): boundary flags + segment ranks across
+    every conversation of a hash partition at once."""
+    from sits_ray.stages.eventops import map_conv_partitions, sessionize_kernel
+
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
     GAP = 30 * 60 * 1_000_000
-
-    def per_group(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        order = g["event_id"].to_numpy()
-        sel = np.lexsort((order, ts))
-        ts = ts[sel]
-        new = np.r_[True, np.diff(ts) > GAP]
-        sid = np.cumsum(new)
-        starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], ts.size]
-        return pa.table(
-            {
-                "conv_id": pa.array(
-                    np.full(starts.size, g["user_id"][0].as_py()), pa.int64()
-                ),
-                "session_id": pa.array(sid[starts].astype(np.int64)),
-                "n_events": pa.array((ends - starts).astype(np.int64)),
-                "session_start": pa.array(ts[starts].astype("datetime64[us]")),
-                "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+    return map_conv_partitions(
+        ds, lambda g: sessionize_kernel(g, GAP), key="user_id", order_col="event_id"
+    )
 
 
 # --- §2.6 sits_reclassify: rule-based relabel (CASE-WHEN over two bands) ---
@@ -836,50 +797,53 @@ def combine_predictions(sf_dir):
 @q("bayes_smooth_daily")
 def bayes_smooth_daily(sf_dir):
     """1-D Bayesian shrinkage of per-conv daily mean-latency series
-    (sits_smooth analog, src/smooth_bayes.cpp). Rows-only check."""
+    (sits_smooth analog, src/smooth_bayes.cpp; per-series smoothness =
+    nanvar). Vectorized nested-form map. Rows-only check."""
     from sits_ray.kernels.bayes import bayes_smooth
+    from sits_ray.stages.series_ops import smooth_to_long
 
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
+    def fn(m: np.ndarray) -> np.ndarray:
+        with np.errstate(all="ignore"):
+            s = np.nanvar(m, axis=1, keepdims=True) + 1e-9
+        return bayes_smooth(m, window=5, smoothness=s)
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        v = g["mean_latency"].to_numpy(dtype=np.float64)
-        g["smoothed"] = (
-            bayes_smooth(v[None, :], window=5, smoothness=np.nanvar(v) + 1e-9)[0]
-            if v.size >= 5
-            else v
-        )
-        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
-
-    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"smoothed": (fn, 5)}), batch_format="pyarrow"
+    )
 
 
 @q("bayts_change_detection")
 def bayts_change_detection(sf_dir):
     """Sequential Bayesian change detection along each conv's daily series
-    (bayts analog, src/bayts_fns.cpp: state carried along time inside the
-    group). Rows-only check."""
-    from sits_ray.kernels.bayes import bayts_change
+    (bayts analog, src/bayts_fns.cpp). Vectorized across series: one time
+    loop over the whole batch matrix (kernels/bayes.bayts_change_matrix,
+    parity vs the scalar chain pinned in tests). Rows-only check."""
+    from sits_ray.kernels.bayes import bayts_change_matrix
+    from sits_ray.stages.series_ops import series_features
 
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
+    def fn(m: np.ndarray) -> dict:
+        k, T = m.shape
+        with np.errstate(all="ignore"):
+            allnan = ~np.isfinite(m).any(axis=1)
+            med = np.where(
+                allnan, 0.0, np.nanmedian(np.where(allnan[:, None], 0.0, m), axis=1)
+            )
+            scale = np.nanstd(m, axis=1) + 1e-9
+            p_obs = 1.0 / (1.0 + np.exp(-(m - med[:, None]) / scale[:, None]))
+        post, flagged = bayts_change_matrix(np.nan_to_num(p_obs, nan=0.5))
+        return {
+            "change_at": flagged.astype(np.int64),
+            "max_posterior": post.max(axis=1) if T else np.zeros(k),
+        }
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        v = g["mean_latency"].to_numpy(dtype=np.float64)
-        med = np.nanmedian(v) if np.isfinite(v).any() else 0.0
-        scale = np.nanstd(v) + 1e-9
-        p_obs = 1.0 / (1.0 + np.exp(-(v - med) / scale))
-        post, flagged = bayts_change(np.nan_to_num(p_obs, nan=0.5))
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_days": [len(g)],
-                "change_at": [int(flagged)],
-                "max_posterior": [float(post.max()) if post.size else 0.0],
-            }
-        )
-
-    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: series_features(
+            b, fn, extra_builders={"n_days": lambda lens: lens.astype(np.int64)}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --- similarity: IVF approximate ANN (scale path) --------------------------
@@ -996,29 +960,15 @@ group by 1, 2
 )
 def window_7d_count(sf_dir):
     """Sliding 7-day windows stepped daily (.period_windows,
-    R/api_period.R:57-86): per conv, events per window via searchsorted."""
-    ds = _events(sf_dir, columns=["user_id", "ts"])
-    DAY = 86_400_000_000
+    R/api_period.R:57-86). Partition-vectorized: per-conv daily bucket
+    counts + ragged prefix sums (stages/eventops.py) — window count is a
+    7-wide prefix-sum difference, no per-conv searchsorted."""
+    from sits_ray.stages.eventops import map_conv_partitions, window_count_kernel
 
-    def per_group(g: pa.Table) -> pa.Table:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        lo = (ts[0] // DAY) * DAY
-        hi = (ts[-1] // DAY) * DAY
-        starts = np.arange(lo, hi + DAY, DAY, dtype=np.int64)
-        n = np.searchsorted(ts, starts + 7 * DAY, side="left") - np.searchsorted(
-            ts, starts, side="left"
-        )
-        return pa.table(
-            {
-                "conv_id": pa.array(
-                    np.full(starts.size, g["user_id"][0].as_py()), pa.int64()
-                ),
-                "window_start": pa.array(starts.astype("datetime64[us]")),
-                "n_events": pa.array(n.astype(np.int64)),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_group, batch_format="pyarrow")
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    return map_conv_partitions(
+        ds, lambda g: window_count_kernel(g, 7), key="user_id", order_col="event_id"
+    )
 
 
 # --- §2.5 stateful scorer (sits_classify analog, actor pool) ---------------
@@ -1039,27 +989,24 @@ def classify_embeddings(sf_dir):
 def dtw_to_mean_pattern(sf_dir):
     """DTW distance (symmetric-2, src/dtw.cpp:71-105) of each conv's daily
     mean-latency series to the global mean pattern (sits_dtw shape:
-    patterns broadcast, per-series distance). Rows-only driver check."""
+    pattern broadcast, per-series distance). The pattern is a DISTRIBUTED
+    groupby(bucket_ts) mean (tiny result — one row per day), and the
+    per-series DTW runs vectorized across every conv of a nested batch
+    (kernels/dtw.dtw_many). Rows-only driver check."""
     import ray as _ray
 
-    from sits_ray.kernels.dtw import dtw_distance
+    from sits_ray.kernels.dtw import dtw_many
+    from sits_ray.stages.series_ops import mean_pattern, series_features
 
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
-    pdf = long.to_pandas()
-    pattern = (
-        pdf.groupby("bucket_ts")["mean_latency"].mean().sort_index().to_numpy()
+    nested = _nested_tier(sf_dir, "1d").materialize()
+    pref = _ray.put(mean_pattern(nested, max_len=32))
+
+    def fn(m: np.ndarray) -> dict:
+        return {"dtw_dist": dtw_many(m, _ray.get(pref))}
+
+    return nested.map_batches(
+        lambda b: series_features(b, fn, drop_nan=True), batch_format="pyarrow"
     )
-    pref = _ray.put(pattern[~np.isnan(pattern)][:32])
-
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        pat = _ray.get(pref)
-        v = g.sort_values("bucket_ts")["mean_latency"].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
-        return pd.DataFrame(
-            {"conv_id": [g["conv_id"].iloc[0]], "dtw_dist": [dtw_distance(v, pat)]}
-        )
-
-    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
 
 
 # --- text: language ID + quality scoring (engine-only heuristics) ----------
@@ -1127,66 +1074,65 @@ def doc_fingerprints(sf_dir):
 @q("whittaker_daily")
 def whittaker_daily(sf_dir):
     """Whittaker-smoothed per-conv daily mean-latency series
-    (sits_whittaker, src/smooth_whit.cpp). Rows-only driver check; numeric
-    parity is pinned by tests/test_smooth.py against the dense solver."""
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
+    (sits_whittaker, src/smooth_whit.cpp). Vectorized: stateless map over
+    NESTED rows, matrix kernel across every conv of the batch, no second
+    shuffle (stages/series_ops.py). Rows-only driver check; numeric parity
+    pinned by tests/test_smooth.py + tests/test_series_ops.py."""
+    from sits_ray.stages.series_ops import smooth_to_long
 
-    def smooth_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        v = g["mean_latency"].to_numpy(dtype=np.float64)
-        g["smoothed"] = whittaker(v[None, :], 0.5)[0] if v.size >= 4 else v
-        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
-
-    return long.groupby("conv_id").map_groups(smooth_group, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"smoothed": (lambda m: whittaker(m, 0.5), 4)}),
+        batch_format="pyarrow",
+    )
 
 
 @q("sgolay_daily")
 def sgolay_daily(sf_dir):
     """Savitzky-Golay (order 3, length 5) smoothing of per-conv daily series
-    (sits_sgolay, R/api_signal.R:49-79). Rows-only driver check."""
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
+    (sits_sgolay, R/api_signal.R:49-79). Vectorized nested-form map."""
+    from sits_ray.stages.series_ops import smooth_to_long
 
-    def smooth_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        v = g["mean_latency"].to_numpy(dtype=np.float64)
-        g["smoothed"] = sgolay(v[None, :])[0] if v.size >= 5 else v
-        return g[["conv_id", "bucket_ts", "mean_latency", "smoothed"]]
-
-    return long.groupby("conv_id").map_groups(smooth_group, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"smoothed": (sgolay, 5)}),
+        batch_format="pyarrow",
+    )
 
 
 @q("rolling_mean_1h")
 def rolling_mean_1h(sf_dir):
     """w_mean rolling kernel (src/kernel.cpp analog) over hourly series;
-    clip edges. Rows-only driver check."""
-    long = _rollup_events(sf_dir, "1h", gapfill=True)
+    clip edges. Vectorized nested-form map."""
+    from sits_ray.stages.series_ops import smooth_to_long
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        v = g["mean_latency"].to_numpy(dtype=np.float64)
-        g["w_mean3"] = w_mean(v[None, :], 3, edge="clip")[0] if v.size else v
-        return g[["conv_id", "bucket_ts", "mean_latency", "w_mean3"]]
-
-    return long.groupby("conv_id").map_groups(roll, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1h")
+    return nested.map_batches(
+        lambda b: smooth_to_long(
+            b, {"w_mean3": (lambda m: w_mean(m, 3, edge="clip"), 1)}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 @q("texture_daily")
 def texture_daily(sf_dir):
     """GLCM texture features of each conv's daily mean-latency series
     (sits_texture analog, src/glcm_fns.cpp; 1-D lag-1 co-occurrence).
-    Rows-only check; feature properties pinned in tests/test_texture_som.py."""
-    from sits_ray.kernels.texture import FEATURES, series_texture
+    Vectorized: one bincount builds every conv's co-occurrence matrix
+    (kernels/texture.texture_matrix). Rows-only check; parity vs the
+    scalar twin pinned in tests/test_texture_som.py."""
+    from sits_ray.kernels.texture import texture_matrix
+    from sits_ray.stages.series_ops import series_features
 
-    long = _rollup_events(sf_dir, "1d", gapfill=True)
-
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        f = series_texture(g["mean_latency"].to_numpy(dtype=np.float64), levels=8)
-        row = {"conv_id": [g["conv_id"].iloc[0]], "n_days": [len(g)]}
-        row.update({k: [f[k]] for k in FEATURES})
-        return pd.DataFrame(row)
-
-    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: series_features(
+            b, lambda m: texture_matrix(m, levels=8),
+            extra_builders={"n_days": lambda lens: lens.astype(np.int64)},
+        ),
+        batch_format="pyarrow",
+    )
 
 
 @q("som_embeddings")
@@ -1278,31 +1224,45 @@ def text_integrity(sf_dir):
 @q("compress_roundtrip")
 def compress_roundtrip(sf_dir):
     """Gorilla tier blocks: per (conv, tier) compressed sizes + verified
-    bit-exact round-trip flag. Rows-only driver check."""
-    from sits_ray.kernels.compress import decode_block, encode_block
+    bit-exact round-trip flag. Batch-vectorized encode AND decode over the
+    nested form (kernels/compress_batch) — no per-conversation Python,
+    no second shuffle. Rows-only driver check."""
+    from sits_ray.arrowutil import ragged
+    from sits_ray.kernels.compress_batch import (
+        decode_timestamps_batch,
+        decode_values_batch,
+        encode_timestamps_batch,
+        encode_values_batch,
+    )
 
-    long = _rollup_events(sf_dir, "1h", gapfill=True)
+    nested = _nested_tier(sf_dir, "1h")
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_ts")
-        ts = g["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = {"mean_latency": g["mean_latency"].to_numpy(dtype=np.float64)}
-        blocks = encode_block(ts, vals)
-        ts2, vals2 = decode_block(blocks)
-        ok = bool(
-            np.array_equal(ts, ts2)
-            and np.array_equal(
-                vals["mean_latency"].view(np.uint64), vals2["mean_latency"].view(np.uint64)
-            )
+    def per_batch(b: pa.Table) -> pa.Table:
+        flat_v, lens, offs = ragged(b["mean_latency"])
+        flat_v = np.ascontiguousarray(flat_v, dtype=np.float64)
+        ts = (
+            pc.list_flatten(b["bucket_ts"]).to_numpy()
+            .astype("datetime64[us]").astype(np.int64)
         )
-        return pd.DataFrame(
+        ts_blocks = encode_timestamps_batch(ts, offs)
+        val_blocks = encode_values_batch(flat_v, offs)
+        ts2, _ = decode_timestamps_batch(ts_blocks)
+        v2, _ = decode_values_batch(val_blocks)
+        eq = (ts2 == ts) & (flat_v.view(np.uint64) == v2.view(np.uint64))
+        cse = np.concatenate([[0], np.cumsum(eq)])
+        ok = (cse[offs[1:]] - cse[offs[:-1]]) == lens
+        comp = np.fromiter(
+            (len(a) + len(v) for a, v in zip(ts_blocks, val_blocks)),
+            dtype=np.int64, count=len(ts_blocks),
+        )
+        return pa.table(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_points": [len(g)],
-                "raw_bytes": [int(ts.nbytes + vals["mean_latency"].nbytes)],
-                "compressed_bytes": [sum(len(b) for b in blocks.values())],
-                "roundtrip_ok": [ok],
+                "conv_id": b["conv_id"],
+                "n_points": pa.array(lens.astype(np.int64)),
+                "raw_bytes": pa.array((lens * 16).astype(np.int64)),
+                "compressed_bytes": pa.array(comp),
+                "roundtrip_ok": pa.array(ok),
             }
         )
 
-    return long.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return nested.map_batches(per_batch, batch_format="pyarrow")

@@ -1,0 +1,214 @@
+"""Parity of the partition/nested vectorized per-series operators
+(stages/series_ops.py, stages/eventops.py, matrix kernels) against
+per-series brute force — the oracle the round-1 per-conv map_groups code
+embodied."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels.bayes import bayts_change, bayts_change_matrix
+from sits_ray.kernels.dtw import dtw_distance, dtw_many
+from sits_ray.kernels.smooth import sgolay, whittaker
+from sits_ray.kernels.texture import FEATURES, series_texture, texture_matrix
+from sits_ray.stages.series_ops import mean_pattern, series_features, smooth_to_long
+
+
+def _nested_fixture():
+    """Hand-built nested batch: 5 convs, ragged lengths incl. NaNs."""
+    rng = np.random.default_rng(5)
+    series = [
+        rng.normal(10, 2, 12),
+        rng.normal(5, 1, 12),
+        rng.normal(0, 1, 3),
+        np.array([1.0, np.nan, 3.0, np.nan, 5.0, 6.0, 7.0]),
+        np.array([np.nan, np.nan]),
+    ]
+    base = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(1, "D")
+    bucket = [base + day * np.arange(len(s)) for s in series]
+    return pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(series))]),
+            "bucket_ts": pa.array(
+                [list(b.astype("datetime64[us]")) for b in bucket],
+                pa.list_(pa.timestamp("us")),
+            ),
+            "mean_latency": pa.array([list(s) for s in series], pa.list_(pa.float64())),
+        }
+    ), series
+
+
+def test_smooth_to_long_matches_per_series():
+    batch, series = _nested_fixture()
+    out = smooth_to_long(
+        batch,
+        {"wh": (lambda m: whittaker(m, 0.5), 4), "sg": (sgolay, 5)},
+    ).to_pandas()
+    assert len(out) == sum(len(s) for s in series)
+    for i, s in enumerate(series):
+        sub = out[out["conv_id"] == f"c{i}"].sort_values("bucket_ts")
+        exp_wh = whittaker(s[None, :], 0.5)[0] if s.size >= 4 else s
+        exp_sg = sgolay(s[None, :])[0] if s.size >= 5 else s
+        np.testing.assert_array_equal(sub["wh"].to_numpy(), exp_wh)
+        # sgolay is matmul-based: stacking changes the BLAS path by <=1 ulp
+        np.testing.assert_allclose(sub["sg"].to_numpy(), exp_sg, rtol=1e-12)
+        np.testing.assert_array_equal(sub["mean_latency"].to_numpy(), s)
+
+
+def test_series_features_texture_parity():
+    batch, series = _nested_fixture()
+    out = series_features(
+        batch,
+        lambda m: texture_matrix(m, levels=8),
+        extra_builders={"n_days": lambda lens: lens.astype(np.int64)},
+    ).to_pandas()
+    for i, s in enumerate(series):
+        row = out[out["conv_id"] == f"c{i}"].iloc[0]
+        exp = series_texture(s, levels=8)
+        assert row["n_days"] == len(s)
+        for f in FEATURES:
+            a, b = row[f], exp[f]
+            assert (np.isnan(a) and np.isnan(b)) or abs(a - b) < 1e-12, (i, f)
+
+
+def test_series_features_dtw_dropnan_parity():
+    batch, series = _nested_fixture()
+    pat = np.array([1.0, 4.0, 2.0, 8.0])
+    out = series_features(
+        batch, lambda m: {"dtw_dist": dtw_many(m, pat)}, drop_nan=True
+    ).to_pandas()
+    for i, s in enumerate(series):
+        v = s[~np.isnan(s)]
+        exp = dtw_distance(v, pat) if v.size else float("inf")
+        got = out[out["conv_id"] == f"c{i}"]["dtw_dist"].iloc[0]
+        assert got == exp, (i, got, exp)
+
+
+def test_bayts_matrix_vs_scalar_chain():
+    rng = np.random.default_rng(9)
+    P = rng.random((17, 23))
+    post_m, fl_m = bayts_change_matrix(P)
+    for i in range(P.shape[0]):
+        post_s, fl_s = bayts_change(P[i])
+        np.testing.assert_array_equal(post_m[i], post_s)
+        assert fl_m[i] == fl_s
+
+
+def test_mean_pattern_distributed(ray_session):
+    batch, series = _nested_fixture()
+    ds = rd.from_arrow(batch)
+    pat = mean_pattern(ds, max_len=32)
+    # brute-force: NaN-skipping mean per bucket over the exploded rows
+    rows = []
+    for i, s in enumerate(series):
+        for j, v in enumerate(s):
+            rows.append((j, v))
+    df = pd.DataFrame(rows, columns=["t", "v"])
+    exp = df.groupby("t")["v"].mean().sort_index().to_numpy()
+    exp = exp[~np.isnan(exp)][:32]
+    np.testing.assert_allclose(pat, exp, rtol=1e-12)
+
+
+@pytest.mark.parametrize("kernel_name", ["reduce", "session", "window", "predictor"])
+def test_eventops_kernels_vs_bruteforce(kernel_name):
+    rng = np.random.default_rng(11)
+    n = 400
+    conv = rng.integers(0, 12, n)
+    ts = (
+        np.datetime64("2024-03-01", "us")
+        + np.timedelta64(1, "s") * rng.integers(0, 90 * 86400, n)
+    ).astype("datetime64[us]")
+    order = np.arange(n)
+    value = np.round(rng.normal(50, 10, n), 3)
+    g = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.int64()),
+            "ts": pa.array(ts),
+            "order": pa.array(order, pa.int64()),
+            "value": pa.array(value),
+        }
+    )
+    tsi = ts.astype(np.int64)
+    DAY = 86_400_000_000
+
+    if kernel_name == "reduce":
+        from sits_ray.stages.eventops import reduce_stats_kernel
+
+        out = reduce_stats_kernel(g).to_pandas().set_index("conv_id")
+        for c in np.unique(conv):
+            sel = np.lexsort((order[conv == c], tsi[conv == c]))
+            v = value[conv == c][sel]
+            row = out.loc[c]
+            assert row["t_max"] == v.max() and row["t_min"] == v.min()
+            assert row["t_median"] == np.median(v)
+            k = max(0, min(int(np.ceil(0.95 * v.size)) - 1, v.size - 1))
+            assert row["t_p95"] == np.sort(v)[k]
+            if v.size > 1:
+                assert row["t_fslope"] == np.max(np.abs(np.diff(v)))
+            else:
+                assert np.isnan(row["t_fslope"])
+            assert row["n"] == v.size
+    elif kernel_name == "session":
+        from sits_ray.stages.eventops import sessionize_kernel
+
+        GAP = 3 * 3600 * 1_000_000
+        out = sessionize_kernel(g, GAP).to_pandas()
+        for c in np.unique(conv):
+            sel = np.lexsort((order[conv == c], tsi[conv == c]))
+            t = tsi[conv == c][sel]
+            new = np.r_[True, np.diff(t) > GAP]
+            sid = np.cumsum(new)
+            st = np.flatnonzero(new)
+            en = np.r_[st[1:], t.size]
+            sub = out[out["conv_id"] == c].sort_values("session_id")
+            np.testing.assert_array_equal(sub["session_id"].to_numpy(), sid[st])
+            np.testing.assert_array_equal(sub["n_events"].to_numpy(), en - st)
+            np.testing.assert_array_equal(
+                sub["session_start"].astype("datetime64[us]").astype(np.int64),
+                t[st],
+            )
+            np.testing.assert_array_equal(
+                sub["session_end"].astype("datetime64[us]").astype(np.int64),
+                t[en - 1],
+            )
+    elif kernel_name == "window":
+        from sits_ray.stages.eventops import window_count_kernel
+
+        out = window_count_kernel(g, 7).to_pandas()
+        for c in np.unique(conv):
+            t = np.sort(tsi[conv == c])
+            lo, hi = (t[0] // DAY) * DAY, (t[-1] // DAY) * DAY
+            starts = np.arange(lo, hi + DAY, DAY)
+            exp = np.searchsorted(t, starts + 7 * DAY) - np.searchsorted(t, starts)
+            sub = out[out["conv_id"] == c].sort_values("window_start")
+            np.testing.assert_array_equal(sub["n_events"].to_numpy(), exp)
+            np.testing.assert_array_equal(
+                sub["window_start"].astype("datetime64[us]").astype(np.int64),
+                starts,
+            )
+    else:
+        from sits_ray.stages.eventops import predictor_matrix_kernel
+        from sits_ray.stages.regularize import delta_us_to_seconds
+
+        lo = (tsi.min() // DAY) * 86400.0 + (tsi.min() % DAY) / 1e6
+        hi = (tsi.max() // DAY) * 86400.0 + (tsi.max() % DAY) / 1e6
+        span = hi - lo + 1.0
+        out = predictor_matrix_kernel(g, lo, span).to_pandas().set_index("conv_id")
+        for c in np.unique(conv):
+            sel = np.lexsort((order[conv == c], tsi[conv == c]))
+            t = tsi[conv == c][sel]
+            lat = np.full(t.size, np.nan)
+            if t.size > 1:
+                lat[1:] = delta_us_to_seconds(np.diff(t))
+            ep = (t // DAY) * 86400.0 + (t % DAY) / 1e6
+            slot = np.minimum(np.floor((ep - lo) / (span / 4.0)).astype(int), 3)
+            for s in range(4):
+                v = lat[(slot == s) & ~np.isnan(lat)]
+                exp = float(sum(v.tolist(), 0.0)) / v.size if v.size else np.nan
+                got = out.loc[c][f"lat_t{s}"]
+                assert (np.isnan(got) and np.isnan(exp)) or got == exp
+            assert out.loc[c]["n"] == t.size
