@@ -849,9 +849,11 @@ def bayts_change_detection(sf_dir):
 # --- similarity: IVF approximate ANN (scale path) --------------------------
 @q("ivf_ann_topk")
 def ivf_ann_topk(sf_dir):
-    """IVF-flat approximate cosine top-10 for 3 query vectors (bucketed
-    coarse quantizer; see stages/similarity.py). Rows-only check; recall
-    vs brute force pinned in tests/test_similarity.py."""
+    """IVF-flat approximate cosine top-10 for 3 query vectors against a
+    MATERIALIZED bucket-partitioned index (built once per sf dir under
+    /tmp, probes prune at the read — stages/similarity.ivf_build/query).
+    Rows-only check; recall vs brute force pinned in tests."""
+    import hashlib as _hl
     import pyarrow.parquet as pq
 
     from sits_ray.stages.similarity import ivf_topk
@@ -859,7 +861,11 @@ def ivf_ann_topk(sf_dir):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_vecs = list_matrix(t["embedding"])[:3]
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q_vecs, k=10, nlist=8, nprobe=3)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return ivf_topk(
+        ds, q_vecs, k=10, nlist=8, nprobe=3,
+        index_dir=f"/tmp/sits_ray_ivf/{tag}_n8",
+    )
 
 
 # --- smoothing over regular series (engine-only: no SQL equivalent) --------

@@ -79,3 +79,26 @@ def test_align_dates_circular():
     np.testing.assert_array_equal(align_dates_circular(v, 2), [2, 3, 4, 5, 0, 1])
     np.testing.assert_array_equal(align_dates_circular(v, -1), [5, 0, 1, 2, 3, 4])
     assert align_dates_circular(np.array([]), 3).size == 0
+
+
+def test_ivf_probe_prunes_read(ray_session, vec_df, tmp_path):
+    """The materialized index reads ONLY the probed bucket partitions."""
+    import os
+
+    from sits_ray.stages.similarity import ivf_build, ivf_probe_paths, ivf_query
+
+    df, vecs = vec_df
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(rd.from_pandas(df), idx_dir, nlist=8, sample_rows=256)
+    # every bucket dir exists on disk
+    built = {d for d in os.listdir(os.path.join(idx_dir, "vectors")) if d.startswith("bucket=")}
+    assert len(built) >= 4
+    q = vecs[:2]
+    _, probes, buckets, paths = ivf_probe_paths(idx_dir, q, nprobe=2)
+    assert len(buckets) <= 2 * 2  # at most nprobe buckets per query
+    assert len(paths) < len(built)  # strictly fewer partitions than exist
+    for p in paths:
+        assert os.path.basename(os.path.dirname(p)) in built
+    out = ivf_query(idx_dir, q, k=5, nprobe=2)
+    assert set(out["query_id"]) == {0, 1}
+    assert len(out) == 10
