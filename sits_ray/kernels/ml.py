@@ -67,3 +67,45 @@ def combine_average(prob_stack: list[np.ndarray], weights: list[float] | None = 
     w = np.asarray(weights, dtype=np.float64)
     w = w / w.sum()
     return np.tensordot(w, stack, axes=1)
+
+
+def confusion_matrix(y_true: np.ndarray, y_pred: np.ndarray, k: int) -> np.ndarray:
+    """(k x k) counts, rows = predicted (map), cols = reference
+    (the reference's caret-style table, ``R/sits_accuracy.R``)."""
+    y_true = np.asarray(y_true, dtype=np.int64)
+    y_pred = np.asarray(y_pred, dtype=np.int64)
+    return np.bincount(y_pred * k + y_true, minlength=k * k).reshape(k, k).astype(np.float64)
+
+
+def accuracy_metrics(cm: np.ndarray, area_weights: np.ndarray | None = None) -> dict:
+    """Overall accuracy, Cohen's kappa, per-class producer/user accuracy;
+    optionally area-weighted (Olofsson et al. 2013, the reference's
+    ``sits_accuracy_area``, ``R/sits_accuracy.R:1-500``): with mapped-area
+    proportions ``W_i`` per predicted class, cell proportions are
+    ``p_ij = W_i * n_ij / n_i.`` and all metrics come from ``p``."""
+    cm = np.asarray(cm, dtype=np.float64)
+    k = cm.shape[0]
+    total = cm.sum()
+    if area_weights is not None:
+        w = np.asarray(area_weights, dtype=np.float64)
+        w = w / w.sum()
+        row = cm.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = np.where(row[:, None] > 0, w[:, None] * cm / row[:, None], 0.0)
+    else:
+        p = cm / total if total else cm
+    diag = np.diag(p)
+    rows = p.sum(axis=1)  # predicted (user's side)
+    cols = p.sum(axis=0)  # reference (producer's side)
+    overall = float(diag.sum())
+    pe = float((rows * cols).sum())
+    kappa = (overall - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ua = np.where(rows > 0, diag / rows, np.nan)
+        pa = np.where(cols > 0, diag / cols, np.nan)
+    return {
+        "overall": overall,
+        "kappa": float(kappa),
+        "producer_acc": pa,
+        "user_acc": ua,
+    }

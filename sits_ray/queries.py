@@ -990,6 +990,108 @@ def classify_embeddings(sf_dir):
     return classify(ds, model, concurrency=(1, 2))
 
 
+# --- §2.5 sits_train + factories: REAL trained models ----------------------
+def _train_model(sf_dir: str, method):
+    """Train on the deterministic 80% split (vec_id%5<4) of the labeled
+    embeddings — the training sample is the SMALL side (the reference
+    trains on a samples tibble, classifies cubes; R/sits_train.R:74)."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.train import train
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    vid = t["vec_id"].to_numpy()
+    tr = t.filter(pa.array(vid % 5 < 4))
+    X = list_matrix(tr["embedding"])
+    return train(X, np.asarray(tr["label"].to_pylist()), method)
+
+
+def _classify_trained(sf_dir: str, method):
+    from sits_ray.stages.classify import classify
+
+    model = _train_model(sf_dir, method)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    scored = classify(
+        ds.select_columns(["vec_id", "embedding"]), model, concurrency=(1, 2)
+    )
+    truth = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    joined = scored.select_columns(["vec_id", "pred_label", "entropy"]).join(
+        truth, join_type="inner", num_partitions=4, on=("vec_id",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "pred_label": t["pred_label"],
+                "label": t["label"],
+                "entropy": t["entropy"],
+                "is_val": pa.array(vid % 5 == 4),
+                "correct": pc.equal(t["pred_label"], t["label"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@q("train_then_classify")
+def train_then_classify(sf_dir):
+    """sits_train + sits_classify end-to-end with a REAL model: numpy
+    multinomial logistic regression (stages/train.sits_mlr; reference
+    R/sits_machine_learning.R:562-650) trained on the 80% split, scored
+    distributed via the broadcast actor pool. Rows-only driver check;
+    learning behavior pinned in tests/test_train.py."""
+    from sits_ray.stages.train import sits_mlr
+
+    return _classify_trained(sf_dir, sits_mlr())
+
+
+@q("train_then_classify_rfor")
+def train_then_classify_rfor(sf_dir):
+    """Same pipeline with the random-forest-lite factory
+    (stages/train.sits_rfor_lite; reference sits_rfor,
+    R/sits_machine_learning.R:45-100). Rows-only driver check."""
+    from sits_ray.stages.train import sits_rfor_lite
+
+    return _classify_trained(sf_dir, sits_rfor_lite(n_trees=10, max_depth=3))
+
+
+@q("accuracy_assessment")
+def accuracy_assessment(sf_dir):
+    """sits_accuracy analog (R/sits_accuracy.R): confusion matrix of the
+    trained model on the held-out 20%, overall accuracy + Cohen's kappa +
+    per-class producer/user accuracy. Rows-only check; metric math pinned
+    vs hand-computed values in tests/test_train.py."""
+    from sits_ray.kernels.ml import accuracy_metrics, confusion_matrix
+    from sits_ray.stages.train import sits_mlr
+
+    preds = _classify_trained(sf_dir, sits_mlr()).to_pandas()
+    val = preds[preds["is_val"]]
+    labels = sorted(set(val["label"]) | set(val["pred_label"]))
+    lut = {l: i for i, l in enumerate(labels)}
+    cm = confusion_matrix(
+        val["label"].map(lut).to_numpy(), val["pred_label"].map(lut).to_numpy(),
+        len(labels),
+    )
+    m = accuracy_metrics(cm)
+    return pd.DataFrame(
+        {
+            "label": labels,
+            "n_ref": cm.sum(axis=0).astype(np.int64),
+            "n_pred": cm.sum(axis=1).astype(np.int64),
+            "producer_acc": m["producer_acc"],
+            "user_acc": m["user_acc"],
+            "overall_acc": m["overall"],
+            "kappa": m["kappa"],
+        }
+    )
+
+
 # --- §2.5 change detection: DTW distance to a pattern ----------------------
 @q("dtw_to_mean_pattern")
 def dtw_to_mean_pattern(sf_dir):

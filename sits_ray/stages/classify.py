@@ -47,8 +47,12 @@ class SeriesScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = list_matrix(batch[self.vec_col])
-        logits = m @ self.model["W"] + self.model["b"]
-        probs = softmax(logits)
+        if "trees" in self.model:  # rfor_lite: forest leaf frequencies
+            from sits_ray.stages.train import forest_probs
+
+            probs = forest_probs(self.model, m)
+        else:
+            probs = softmax(m @ self.model["W"] + self.model["b"])
         label_idx = label_max_prob(probs)  # 1-based, NaN-aware
         ent = entropy_probs(probs)
         marg = margin_probs(probs)
@@ -58,9 +62,8 @@ class SeriesScorer:
                 [
                     self.model["labels"][int(i) - 1] if not np.isnan(i) else None
                     for i in label_idx
-                ],
-                pa.string(),
-            ),
+                ]
+            ),  # type inferred: labels may be strings or ints
             "entropy": pa.array(ent),
             "margin": pa.array(marg),
         }

@@ -1,0 +1,180 @@
+"""Trainable models + the sits train/classify factory pattern.
+
+Mirrors the reference's ``sits_train(samples, ml_method = sits_rfor())``
+shape (``R/sits_train.R:74``, ``R/sits_machine_learning.R:45-650``,
+factory closures ``R/api_factory.R:26-36``): an ``ml_method`` is a factory
+returning a trainer; ``train`` runs it over the predictor matrix and
+returns a model dict whose ``W``/``b``/``labels`` plug straight into the
+broadcast actor-pool scorer (:class:`sits_ray.stages.classify.SeriesScorer`).
+
+Models are pure numpy and deterministic (seeded):
+
+* :func:`sits_mlr` — multinomial logistic regression, full-batch gradient
+  descent with L2, softmax cross-entropy (the reference's ``sits_mlr``,
+  ``R/sits_machine_learning.R:562-650`` via nnet::multinom).
+* :func:`sits_rfor_lite` — a small random forest of depth-limited CART
+  trees on bootstrap samples with random feature subsets (the reference's
+  ``sits_rfor``, ``R/sits_machine_learning.R:45-100`` via randomForest),
+  distilled to a linear scorer is NOT possible — so its model dict carries
+  the trees and a ``predict_probs`` callable used by the scorer path.
+
+At scale the TRAINING SAMPLE is the small side (the reference trains on a
+samples tibble, classifies cubes): callers pass a sampled/collected
+predictor matrix; classification stays distributed via the actor pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sits_ray.kernels.ml import softmax
+
+
+def train_logreg(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_labels: int,
+    iters: int = 300,
+    lr: float = 0.5,
+    reg: float = 1e-3,
+    seed: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full-batch GD on softmax cross-entropy with L2; standardized inputs
+    assumed. Returns (W (d, k), b (k,))."""
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    rng = np.random.default_rng(seed)
+    W = rng.normal(0, 0.01, size=(d, n_labels))
+    b = np.zeros(n_labels)
+    Y = np.zeros((n, n_labels))
+    Y[np.arange(n), y] = 1.0
+    for _ in range(iters):
+        P = softmax(X @ W + b)
+        G = (P - Y) / n
+        W -= lr * (X.T @ G + reg * W)
+        b -= lr * G.sum(axis=0)
+    return W, b
+
+
+def logreg_loss(X, y, W, b, reg=1e-3) -> float:
+    P = softmax(X @ W + b)
+    n = X.shape[0]
+    ll = -np.log(np.clip(P[np.arange(n), y], 1e-300, None)).mean()
+    return float(ll + 0.5 * reg * (W**2).sum())
+
+
+def sits_mlr(iters: int = 300, lr: float = 0.5, reg: float = 1e-3, seed: int = 3):
+    """Factory (R/api_factory.R pattern): returns a trainer closure."""
+
+    def trainer(X: np.ndarray, y: np.ndarray, labels: list[str]) -> dict:
+        mu = X.mean(axis=0)
+        sd = X.std(axis=0)
+        sd[sd == 0] = 1.0
+        Xs = (X - mu) / sd
+        W, b = train_logreg(Xs, y, len(labels), iters=iters, lr=lr, reg=reg, seed=seed)
+        # fold standardization into the linear weights so the scorer stays
+        # a plain X @ W + b (broadcast once, no per-batch preprocessing)
+        W_raw = W / sd[:, None]
+        b_raw = b - mu @ (W / sd[:, None])
+        return {"W": W_raw, "b": b_raw, "labels": list(labels), "kind": "mlr"}
+
+    return trainer
+
+
+# --- random-forest-lite -----------------------------------------------------
+
+def _gini_best_split(X, y, n_labels, feat_idx, rng):
+    """Best (feature, threshold) among feat_idx by Gini; vectorized over
+    candidate thresholds (quartiles of each feature)."""
+    best = (None, None, np.inf)
+    for f in feat_idx:
+        v = X[:, f]
+        qs = np.quantile(v, [0.25, 0.5, 0.75])
+        for t in np.unique(qs):
+            left = v <= t
+            nl, nr = left.sum(), (~left).sum()
+            if nl == 0 or nr == 0:
+                continue
+            gl = 1.0 - ((np.bincount(y[left], minlength=n_labels) / nl) ** 2).sum()
+            gr = 1.0 - ((np.bincount(y[~left], minlength=n_labels) / nr) ** 2).sum()
+            g = (nl * gl + nr * gr) / (nl + nr)
+            if g < best[2]:
+                best = (f, t, g)
+    return best
+
+
+def _grow_tree(X, y, n_labels, depth, max_depth, min_leaf, rng):
+    counts = np.bincount(y, minlength=n_labels)
+    if depth >= max_depth or y.size < 2 * min_leaf or (counts > 0).sum() <= 1:
+        return {"leaf": counts / max(y.size, 1)}
+    n_feat = max(1, int(np.sqrt(X.shape[1])))
+    feat_idx = rng.choice(X.shape[1], size=n_feat, replace=False)
+    f, t, _ = _gini_best_split(X, y, n_labels, feat_idx, rng)
+    if f is None:
+        return {"leaf": counts / max(y.size, 1)}
+    left = X[:, f] <= t
+    return {
+        "f": int(f),
+        "t": float(t),
+        "l": _grow_tree(X[left], y[left], n_labels, depth + 1, max_depth, min_leaf, rng),
+        "r": _grow_tree(X[~left], y[~left], n_labels, depth + 1, max_depth, min_leaf, rng),
+    }
+
+
+def _tree_probs(tree, X):
+    if "leaf" in tree:
+        return np.broadcast_to(tree["leaf"], (X.shape[0], tree["leaf"].size))
+    left = X[:, tree["f"]] <= tree["t"]
+    out = np.empty((X.shape[0], _leaf_width(tree)))
+    if left.any():
+        out[left] = _tree_probs(tree["l"], X[left])
+    if (~left).any():
+        out[~left] = _tree_probs(tree["r"], X[~left])
+    return out
+
+
+def _leaf_width(tree):
+    while "leaf" not in tree:
+        tree = tree["l"]
+    return tree["leaf"].size
+
+
+def forest_probs(model: dict, X: np.ndarray) -> np.ndarray:
+    """Mean leaf class-frequency over the forest."""
+    X = np.asarray(X, dtype=np.float64)
+    acc = np.zeros((X.shape[0], len(model["labels"])))
+    for tree in model["trees"]:
+        acc += _tree_probs(tree, X)
+    return acc / len(model["trees"])
+
+
+def sits_rfor_lite(n_trees: int = 20, max_depth: int = 4, min_leaf: int = 5,
+                   seed: int = 17):
+    """Factory: bootstrap random forest of depth-limited Gini trees."""
+
+    def trainer(X: np.ndarray, y: np.ndarray, labels: list[str]) -> dict:
+        X = np.asarray(X, dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        trees = []
+        for _ in range(n_trees):
+            idx = rng.integers(0, X.shape[0], size=X.shape[0])
+            trees.append(
+                _grow_tree(X[idx], y[idx], len(labels), 0, max_depth, min_leaf, rng)
+            )
+        return {"trees": trees, "labels": list(labels), "kind": "rfor_lite"}
+
+    return trainer
+
+
+def train(X: np.ndarray, labels_col, ml_method=None) -> dict:
+    """``sits_train`` analog: predictor matrix + label column -> model dict.
+
+    ``ml_method`` defaults to :func:`sits_mlr`. Label order is sorted-unique
+    (deterministic across runs and partitions)."""
+    if ml_method is None:
+        ml_method = sits_mlr()
+    labels_col = np.asarray(labels_col)
+    labels = sorted(set(labels_col.tolist()))
+    lut = {lab: i for i, lab in enumerate(labels)}
+    y = np.fromiter((lut[v] for v in labels_col), dtype=np.int64, count=labels_col.size)
+    return ml_method(np.asarray(X, dtype=np.float64), y, labels)

@@ -1,0 +1,127 @@
+"""Trainable models (stages/train.py) + accuracy assessment: learning on
+separable data, analytic-vs-numerical gradients, factory -> actor-pool
+scoring end-to-end, hand-computed kappa."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels.ml import accuracy_metrics, confusion_matrix, softmax
+from sits_ray.stages.train import (
+    forest_probs,
+    logreg_loss,
+    sits_mlr,
+    sits_rfor_lite,
+    train,
+    train_logreg,
+)
+
+
+def _blobs(n_per=60, d=8, k=3, sep=4.0, seed=2):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, size=(k, d)) * sep
+    X = np.vstack([c + rng.normal(0, 0.5, size=(n_per, d)) for c in centers])
+    y = np.repeat(np.arange(k), n_per)
+    labels = [f"class{i}" for i in range(k)]
+    return X, y, labels
+
+
+def test_logreg_learns_separable():
+    X, y, labels = _blobs()
+    model = train(X, np.array(labels)[y], sits_mlr(iters=200))
+    probs = softmax(X @ model["W"] + model["b"])
+    acc = (probs.argmax(axis=1) == y).mean()
+    assert acc >= 0.98
+    assert model["labels"] == labels  # sorted-unique, deterministic
+
+
+def test_logreg_loss_decreases():
+    X, y, _ = _blobs(seed=4)
+    Xs = (X - X.mean(0)) / X.std(0)
+    W0 = np.zeros((X.shape[1], 3))
+    b0 = np.zeros(3)
+    l0 = logreg_loss(Xs, y, W0, b0)
+    W, b = train_logreg(Xs, y, 3, iters=50)
+    assert logreg_loss(Xs, y, W, b) < l0 * 0.5
+
+
+def test_logreg_gradient_check():
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(20, 4))
+    y = rng.integers(0, 3, 20)
+    W = rng.normal(0, 0.1, size=(4, 3))
+    b = rng.normal(0, 0.1, size=3)
+    reg = 1e-2
+    # analytic gradient (as implemented in train_logreg)
+    Y = np.zeros((20, 3))
+    Y[np.arange(20), y] = 1.0
+    P = softmax(X @ W + b)
+    G = (P - Y) / 20
+    gW = X.T @ G + reg * W
+    eps = 1e-6
+    for _ in range(10):
+        i, j = rng.integers(0, 4), rng.integers(0, 3)
+        Wp, Wm = W.copy(), W.copy()
+        Wp[i, j] += eps
+        Wm[i, j] -= eps
+        num = (logreg_loss(X, y, Wp, b, reg) - logreg_loss(X, y, Wm, b, reg)) / (2 * eps)
+        assert abs(num - gW[i, j]) < 1e-6
+
+
+def test_rfor_lite_learns_separable():
+    X, y, labels = _blobs(seed=6)
+    model = train(X, np.array(labels)[y], sits_rfor_lite(n_trees=15, max_depth=4))
+    probs = forest_probs(model, X)
+    assert (probs.argmax(axis=1) == y).mean() >= 0.95
+
+
+def test_trained_model_in_actor_pool(ray_session):
+    from sits_ray.stages.classify import classify
+
+    X, y, labels = _blobs(n_per=40)
+    model = train(X, np.array(labels)[y], sits_mlr(iters=200))
+    df = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    out = classify(rd.from_pandas(df), model, concurrency=1).to_pandas()
+    out = out.sort_values("vec_id")
+    acc = (out["pred_label"].to_numpy() == np.array(labels)[y]).mean()
+    assert acc >= 0.98
+    # rfor model through the same scorer
+    model_rf = train(X, np.array(labels)[y], sits_rfor_lite(n_trees=10, max_depth=3))
+    out_rf = classify(rd.from_pandas(df), model_rf, concurrency=1).to_pandas()
+    acc_rf = (
+        out_rf.sort_values("vec_id")["pred_label"].to_numpy() == np.array(labels)[y]
+    ).mean()
+    assert acc_rf >= 0.9
+
+
+def test_accuracy_metrics_hand_computed():
+    # classic 2-class example: rows=pred, cols=ref
+    cm = np.array([[20.0, 5.0], [10.0, 15.0]])
+    m = accuracy_metrics(cm)
+    assert abs(m["overall"] - 0.7) < 1e-12
+    # pe = (25*30 + 25*20)/50^2 = 0.5 -> kappa = 0.4
+    assert abs(m["kappa"] - 0.4) < 1e-12
+    np.testing.assert_allclose(m["producer_acc"], [20 / 30, 15 / 20])
+    np.testing.assert_allclose(m["user_acc"], [20 / 25, 15 / 25])
+
+
+def test_accuracy_metrics_area_weighted():
+    cm = np.array([[40.0, 10.0], [20.0, 30.0]])
+    # equal mapped areas: p_ij = 0.5 * n_ij / n_i.
+    m = accuracy_metrics(cm, area_weights=np.array([0.5, 0.5]))
+    p = np.array([[0.4, 0.1], [0.2, 0.3]])
+    assert abs(m["overall"] - (p[0, 0] + p[1, 1])) < 1e-12
+    np.testing.assert_allclose(m["user_acc"], [0.8, 0.6])
+    np.testing.assert_allclose(
+        m["producer_acc"], [p[0, 0] / 0.6, p[1, 1] / 0.4]
+    )
+
+
+def test_confusion_matrix_counts():
+    yt = np.array([0, 0, 1, 1, 2])
+    yp = np.array([0, 1, 1, 1, 2])
+    cm = confusion_matrix(yt, yp, 3)
+    assert cm[0, 0] == 1 and cm[1, 0] == 1 and cm[1, 1] == 2 and cm[2, 2] == 1
+    assert cm.sum() == 5
