@@ -1,0 +1,97 @@
+"""Agglomerative (dendrogram) clustering — the reference's
+``sits_cluster_dendro`` (``R/sits_cluster.R:59-177``, which drives
+dtwclust hierarchical clustering over a samples tibble): pairwise
+distances over a SAMPLE, average-linkage merges via Lance-Williams
+updates, cut at k clusters.
+
+The reference clusters sample time series (small side) to audit label
+quality; classification of the full data stays distributed. Pure numpy,
+deterministic; validated in tests/test_sampling_cluster.py on separable
+blobs and against a brute-force linkage twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pairwise_euclidean(X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float64)
+    sq = (X**2).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+    np.fill_diagonal(d2, 0.0)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def linkage_average(D: np.ndarray) -> np.ndarray:
+    """Average-linkage agglomerative clustering of a condensed-free full
+    distance matrix. Returns an (n-1, 4) merge table
+    [cluster_a, cluster_b, height, size] with scipy-style new-cluster ids
+    (n + step)."""
+    D = np.asarray(D, dtype=np.float64).copy()
+    n = D.shape[0]
+    active = np.ones(n, dtype=bool)
+    sizes = np.ones(n, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)  # current cluster id per slot
+    np.fill_diagonal(D, np.inf)
+    merges = np.empty((n - 1, 4))
+    for step in range(n - 1):
+        sub = np.where(active[:, None] & active[None, :], D, np.inf)
+        i, j = np.unravel_index(np.argmin(sub), sub.shape)
+        if i > j:
+            i, j = j, i
+        h = D[i, j]
+        a, b = ids[i], ids[j]
+        if a > b:
+            a, b = b, a
+        new_size = sizes[i] + sizes[j]
+        merges[step] = (a, b, h, new_size)
+        # Lance-Williams average linkage: d(new, k) weighted by sizes
+        wi = sizes[i] / new_size
+        wj = sizes[j] / new_size
+        D[i, :] = wi * D[i, :] + wj * D[j, :]
+        D[:, i] = D[i, :]
+        D[i, i] = np.inf
+        active[j] = False
+        sizes[i] = new_size
+        ids[i] = n + step
+    return merges
+
+
+def cut_tree(merges: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Cluster label (0..k-1) per original sample after stopping the merge
+    sequence at k clusters; labels are renumbered by first appearance."""
+    parent = np.arange(n + merges.shape[0], dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    stop = n - k  # apply the first n-k merges
+    for step in range(stop):
+        a, b, _, _ = merges[step]
+        new = n + step
+        parent[find(int(a))] = new
+        parent[find(int(b))] = new
+    roots = np.array([find(i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    # renumber by first appearance for determinism
+    first = {}
+    out = np.empty(n, dtype=np.int64)
+    nxt = 0
+    for i, lab in enumerate(labels):
+        if lab not in first:
+            first[lab] = nxt
+            nxt += 1
+        out[i] = first[lab]
+    return out
+
+
+def cluster_dendro(X: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full pipeline: distances -> average linkage -> cut at k.
+    Returns (labels (n,), merges (n-1, 4))."""
+    D = pairwise_euclidean(X)
+    merges = linkage_average(D)
+    return cut_tree(merges, X.shape[0], k), merges

@@ -63,17 +63,29 @@ def run_flagship(
 
     state: dict = {}
 
-    def decide(input_rows_by_part: dict[int, int]) -> set[int]:
+    def decide(input_rows_by_part: dict[int, int],
+               input_chk_by_part: dict[int, int] | None = None) -> set[int]:
         done: set[int] = set()
         if resume:
-            done = manifest.done_parts(input_rows_by_part, tiers)
+            done = manifest.done_parts(input_rows_by_part, tiers, input_chk_by_part)
         todo = set(input_rows_by_part) - done
         # stale or partial outputs for rebuilt partitions are removed first
         manifest.invalidate(todo, tiers)
         clean_partition_dirs(os.path.join(out_dir, "long"), tiers, todo)
         clean_partition_dirs(os.path.join(out_dir, "blocks"), tiers, todo)
+        # ghost partitions (ADVICE r1): in the ledger but absent from the
+        # new input fingerprint — changed data emptied them; read_tier must
+        # not serve their stale rows
+        ghost = {
+            e.part_id for e in manifest.entries() if e.tier in tiers
+        } - set(input_rows_by_part)
+        if ghost:
+            manifest.invalidate(ghost, tiers)
+            clean_partition_dirs(os.path.join(out_dir, "long"), tiers, ghost)
+            clean_partition_dirs(os.path.join(out_dir, "blocks"), tiers, ghost)
         state["done"] = done
         state["todo"] = todo
+        state["chk"] = input_chk_by_part or {}
         return todo
 
     t0 = time.perf_counter()
@@ -112,6 +124,7 @@ def run_flagship(
                 output_rows=int(s["n_rows"]),
                 n_convs=int(s["n_series"]),
                 files=files,
+                input_checksum=int(state["chk"].get(part_id, 0)),
             )
         )
         result["tiers"].setdefault(tier, 0)

@@ -129,9 +129,9 @@ def rollup_1d(sf_dir):
 
 
 # --- §2.1+§2.2 regular grid with explicit empty buckets + linear gap-fill --
-@q(
-    "gapfill_1h",
-    """
+# the gap-filled hourly grid as a reusable CTE chain (rolling/cascade
+# oracles compose on top of it)
+_GAPFILL_1H_CTES = """
 with lagged as (
   select user_id, ts,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
@@ -159,8 +159,9 @@ marked as (
       over (partition by conv_id order by pos rows between current row and unbounded following) as npos,
     first_value(case when mean_latency is not null then mean_latency end ignore nulls)
       over (partition by conv_id order by pos rows between current row and unbounded following) as nval
-  from joined)
-select conv_id, bucket_ts,
+  from joined),
+filled_grid as (
+  select conv_id, bucket_ts,
        coalesce(turn_count, 0) as turn_count,
        case
          when mean_latency is not null then mean_latency
@@ -170,8 +171,14 @@ select conv_id, bucket_ts,
          else nval
        end as mean_latency,
        filled
-from marked
-""",
+  from marked)
+"""
+
+
+@q(
+    "gapfill_1h",
+    _GAPFILL_1H_CTES
+    + "select conv_id, bucket_ts, turn_count, mean_latency, filled from filled_grid",
 )
 def gapfill_1h(sf_dir):
     """Regular per-conv hourly grid; empty buckets synthesized (filled=true,
@@ -207,6 +214,56 @@ def timeline_1h(sf_dir):
                 )
             }
         )
+    )
+
+
+# --- §2.1 .timeline_during: subset a timeline to an interval ---------------
+@q(
+    "timeline_during",
+    """
+select distinct date_trunc('hour', ts) as bucket_ts from events
+where date_trunc('hour', ts) >= timestamp '2024-01-10 00:00:00'
+  and date_trunc('hour', ts) <= timestamp '2024-01-20 23:00:00'
+""",
+)
+def timeline_during(sf_dir):
+    """.timeline_during (R/api_timeline.R:231-250): the distinct bucket
+    timeline subset to [start, end], computed on the tiny distinct set."""
+    import datetime as _dt
+
+    from sits_ray.timeline import timeline_during as tl_during
+
+    ds = _events(sf_dir, columns=["ts"])
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket_ts": pc.floor_temporal(t["ts"], unit="hour")})
+
+    buckets = sorted(
+        set(ds.map_batches(to_bucket, batch_format="pyarrow").unique("bucket_ts"))
+    )
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 20, 23)
+    kept = tl_during(buckets, lo, hi)
+    return pa.table({"bucket_ts": pa.array(kept, pa.timestamp("us"))})
+
+
+# --- §2.3 .apply_across: one kernel over EVERY band ------------------------
+@q("apply_across_wmean")
+def apply_across_wmean(sf_dir):
+    """.apply_across analog (R/sits_apply.R:155-248): w_mean3 applied to
+    every continuous metric band of the nested 1d tier in one pass.
+    Rows-only check; per-band parity vs the single-band path pinned in
+    tests/test_series_ops.py."""
+    from sits_ray.stages.series_ops import apply_across_nested
+
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: apply_across_nested(
+            b, lambda m: w_mean(m, 3, edge="clip"),
+            cols=("mean_latency", "p95_latency", "min_latency", "max_latency"),
+            suffix="_w3",
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -476,6 +533,125 @@ def stratified_sample_docs(sf_dir):
         return t.filter(pa.array(ids % 10 < 3))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# --- §2.8 sits_sample: TRUE per-label fraction sampling --------------------
+_BYLABEL_FRACS = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.4, "zh": 0.1}
+
+
+@q(
+    "stratified_sample_bylabel",
+    """
+select lang, doc_id from documents
+where doc_id % 100 < case lang
+  when 'en' then 50 when 'de' then 30 when 'fr' then 20
+  when 'es' then 40 when 'zh' then 10 else 0 end
+""",
+)
+def stratified_sample_bylabel(sf_dir):
+    """Per-label FRACTION sampling (sits_sample,
+    R/sits_sample_functions.R:27-60): each label keeps its own fraction,
+    deterministically, so the SQL oracle reproduces the exact row set.
+    Oversampling (frac > 1) is exercised in tests/test_sampling_cluster.py."""
+    from sits_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+    return stratified_sample(ds, _BYLABEL_FRACS, label_col="lang", id_col="doc_id")
+
+
+# --- §2.8 .samples_prune: modal-length filter ------------------------------
+@q(
+    "samples_prune_modal",
+    """
+with c as (select user_id, count(*) as n from events group by 1),
+m as (select n from c group by n order by count(*) desc, n asc limit 1)
+select user_id as conv_id, n from c where n = (select n from m)
+""",
+)
+def samples_prune_modal(sf_dir):
+    """.samples_prune / .tibble_prune (R/api_tibble.R:239-255): keep only
+    conversations whose event count equals the modal count."""
+    from ray.data.aggregate import Count
+
+    from sits_ray.stages.sampling import samples_prune
+
+    ds = _events(sf_dir, columns=["user_id"])
+    pruned, _ = samples_prune(ds, key_col="user_id")
+    out = pruned.groupby("user_id").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "n"]), batch_format="pyarrow"
+    )
+
+
+# --- §2.8 sits_reduce_imbalance: SMOTE + undersample -----------------------
+@q("reduce_imbalance_smote")
+def reduce_imbalance_smote(sf_dir):
+    """sits_reduce_imbalance (R/sits_reduce_imbalance.R:71, R/api_smote.R):
+    every label balanced to exactly 52 rows — majority undersampled
+    (smallest ids win), minority topped up with SMOTE synthetics. Output:
+    per-label counts + synthetic counts. Rows-only; SMOTE geometry (points
+    on segments between same-class neighbors) pinned in tests."""
+    from ray.data.aggregate import Count, Sum
+
+    from sits_ray.stages.sampling import reduce_imbalance
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    balanced = reduce_imbalance(ds, n_samples=52)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"label": df["label"], "syn": df["synthetic"].astype("int64")}
+        )
+
+    return (
+        balanced.map_batches(flags, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("syn", alias_name="n_synthetic"))
+    )
+
+
+# --- §2.5 sits_cluster_dendro ----------------------------------------------
+@q("cluster_dendro_embeddings")
+def cluster_dendro_embeddings(sf_dir):
+    """sits_cluster_dendro (R/sits_cluster.R:59-177): average-linkage
+    dendrogram over a 256-row sample of the embeddings, cut at k=8;
+    output (vec_id, cluster). The sample is the small side (the reference
+    clusters the samples tibble). Rows-only; blob-recovery pinned in
+    tests/test_sampling_cluster.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.kernels.cluster import cluster_dendro
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.slice(0, 256)
+    X = list_matrix(t["embedding"])
+    labels, _ = cluster_dendro(X, k=8)
+    return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(labels)})
+
+
+# --- §2.8 uncertainty sampling with min-distance constraint ----------------
+@q("uncertainty_sampling_mindist")
+def uncertainty_sampling_mindist(sf_dir):
+    """Diversity-constrained active-learning pick (R/sits_uncertainty.R:254
+    + R/sits_geo_dist.R): greedy top-20 by entropy with pairwise embedding
+    distance >= min_dist between picks. Scoring is distributed; the greedy
+    walk runs on the small scored pool. Rows-only check."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.classify import classify, make_linear_model
+    from sits_ray.stages.sampling import uncertainty_sampling_mindist as pick
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = make_linear_model(n_features=64, n_labels=4, seed=13)
+    scored = classify(ds, model, concurrency=(1, 2)).select_columns(
+        ["vec_id", "entropy"]
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = list_matrix(t["embedding"])[np.argsort(t["vec_id"].to_numpy())]
+    out = pick(scored, vecs, k=20, min_dist=1.0)
+    return out[["vec_id", "entropy"]]
 
 
 # --- §2.3 C_normalize_data -------------------------------------------------
@@ -1208,7 +1384,16 @@ def sgolay_daily(sf_dir):
     )
 
 
-@q("rolling_mean_1h")
+@q(
+    "rolling_mean_1h",
+    _GAPFILL_1H_CTES
+    + """
+select conv_id, bucket_ts, mean_latency,
+       avg(mean_latency) over (partition by conv_id order by bucket_ts
+                               rows between 1 preceding and 1 following) as w_mean3
+from filled_grid
+""",
+)
 def rolling_mean_1h(sf_dir):
     """w_mean rolling kernel (src/kernel.cpp analog) over hourly series;
     clip edges. Vectorized nested-form map."""
@@ -1279,7 +1464,57 @@ def mixture_model_unmix(sf_dir):
     return ds.map_batches(batch_unmix, batch_format="pyarrow", batch_size=256)
 
 
-@q("cascade_1m_to_1h")
+@q(
+    "cascade_1m_to_1h",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+obs_1m as (
+  select user_id as conv_id, date_trunc('minute', ts) as m_ts,
+         count(*) as tc, count(lat) as nl, coalesce(sum(lat), 0.0) as sl
+  from lagged group by 1, 2),
+obs as (
+  -- hourly re-aggregate of the minute tier: sums of counts, sequential
+  -- sum of minute sums in time order, mean = sum/n (cascade semantics)
+  select conv_id, date_trunc('hour', m_ts) as bucket_ts,
+         cast(sum(tc) as bigint) as turn_count,
+         case when sum(nl) > 0 then sum(sl order by m_ts) / sum(nl) end as mean_latency
+  from obs_1m group by 1, 2),
+bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx from obs group by 1),
+grid as (
+  select conv_id, unnest(generate_series(mn, mx, interval '1 hour')) as bucket_ts
+  from bounds),
+joined as (
+  select g.conv_id, g.bucket_ts, o.turn_count, o.mean_latency,
+         (o.turn_count is null) as filled,
+         epoch(g.bucket_ts) as pos
+  from grid g left join obs o using (conv_id, bucket_ts)),
+marked as (
+  select *,
+    last_value(case when mean_latency is not null then pos end ignore nulls)
+      over (partition by conv_id order by pos rows between unbounded preceding and current row) as ppos,
+    last_value(case when mean_latency is not null then mean_latency end ignore nulls)
+      over (partition by conv_id order by pos rows between unbounded preceding and current row) as pval,
+    first_value(case when mean_latency is not null then pos end ignore nulls)
+      over (partition by conv_id order by pos rows between current row and unbounded following) as npos,
+    first_value(case when mean_latency is not null then mean_latency end ignore nulls)
+      over (partition by conv_id order by pos rows between current row and unbounded following) as nval
+  from joined)
+select conv_id, bucket_ts,
+       coalesce(turn_count, 0) as turn_count,
+       case
+         when mean_latency is not null then mean_latency
+         when ppos is not null and npos is not null
+           then pval + ((pos - ppos) / 3600.0 * (nval - pval) / ((npos - ppos) / 3600.0))
+         when ppos is not null then pval
+         else nval
+       end as mean_latency,
+       filled
+from marked
+""",
+)
 def cascade_1m_to_1h(sf_dir):
     """Continuous-aggregate tier cascade (SURVEY.md §7.7): re-aggregate the
     1m tier into 1h without touching raw (stages/cascade.py; exactness per

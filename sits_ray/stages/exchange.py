@@ -35,6 +35,24 @@ import ray
 from sits_ray.stages.regularize import _part_series, prepare_turns
 
 
+def _validate_salt_window(salt_turn_threshold, salt_window_us, tiers):
+    """CLAUDE.md invariant, now ENFORCED (ADVICE r1): the salt window must
+    be a multiple of every tier width, else a tier bucket can span two salt
+    groups and emit duplicate (conv, tier, bucket) rows with partial
+    aggregates."""
+    if not salt_turn_threshold:
+        return
+    from sits_ray.stages.regularize import TIER_WIDTH_US
+
+    for t in tiers:
+        w = TIER_WIDTH_US[t]
+        if salt_window_us % w != 0:
+            raise ValueError(
+                f"salt_window_us={salt_window_us} is not a multiple of tier "
+                f"{t!r} width {w}; aggregates would be split across salt groups"
+            )
+
+
 def _split_one(
     path: str,
     columns: list[str],
@@ -59,11 +77,21 @@ def _split_one(
     order = np.argsort(pid, kind="stable")
     sorted_tbl = prep.take(pa.array(order))
     counts = np.bincount(pid, minlength=n_parts).astype(np.int64)
+    # order-independent per-partition content checksum (count+hash input
+    # fingerprint, SURVEY.md §7.5 / VERDICT r1 #10: same-count late data
+    # must invalidate): commutative uint64 sum of a (ts, order) mix
+    ts_mix = prep["ts"].to_numpy().astype("datetime64[us]").astype(np.int64).view(np.uint64)
+    ord_mix = prep["order"].to_numpy().view(np.uint64)
+    mix = ts_mix * np.uint64(0x9E3779B97F4A7C15) ^ (
+        ord_mix * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1)
+    )
+    chk = np.zeros(n_parts, dtype=np.uint64)
+    np.add.at(chk, pid, mix)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     chunks = [
         sorted_tbl.slice(int(offsets[p]), int(counts[p])) for p in range(n_parts)
     ]
-    return (*chunks, counts)
+    return (*chunks, counts, chk)
 
 
 def _salt_heavy_convs(
@@ -125,14 +153,14 @@ def _salt_heavy_convs(
             out[i] = zlib.crc32(f"{uniq_names[c]}#{s}".encode()) % n_parts
         return out
 
-    # per-(conv,salt) unique pairs only, then fan out
-    pairs = codes[is_heavy].astype(np.int64) * (1 << 32) + (
-        salt[is_heavy] & 0xFFFFFFFF
-    )
-    uniq_pairs, inv = np.unique(pairs, return_inverse=True)
-    up_code = (uniq_pairs >> 32).astype(np.int64)
-    up_salt = (uniq_pairs & 0xFFFFFFFF).astype(np.int64)
-    up_pid = salted_pid(up_code, up_salt)
+    # per-(conv,salt) unique pairs only, then fan out. Signed salts kept
+    # intact (no 32-bit truncation): a pre-1970 timestamp yields a negative
+    # salt, and truncating here while the donor path below uses the exact
+    # salt would route a window's donor to a different partition than its
+    # group (ADVICE r1) — np.unique over the 2-column pair avoids packing.
+    pair_mat = np.stack([codes[is_heavy], salt[is_heavy]], axis=1)
+    uniq_pairs, inv = np.unique(pair_mat, axis=0, return_inverse=True)
+    up_pid = salted_pid(uniq_pairs[:, 0], uniq_pairs[:, 1])
     pid[is_heavy] = up_pid[inv]
 
     base = prep.drop_columns(["part_id"]).append_column(
@@ -152,6 +180,18 @@ def _salt_heavy_convs(
         .append_column("donor", pa.array(np.ones(donor_src.size, dtype=bool)))
     )
     return pa.concat_tables([base, dup]).combine_chunks()
+
+
+def _call_decide(decide_parts, input_rows_by_part, input_chk_by_part):
+    """decide_parts may take (rows) or (rows, checksums)."""
+    import inspect
+
+    try:
+        if len(inspect.signature(decide_parts).parameters) >= 2:
+            return decide_parts(input_rows_by_part, input_chk_by_part)
+    except (TypeError, ValueError):
+        pass
+    return decide_parts(input_rows_by_part)
 
 
 def _build_part(tiers, gapfill, dedup, *chunks):
@@ -229,11 +269,12 @@ def rollup_exchange_fused(
     stats_rows is a list of dicts (tier, part_id, n_series, n_rows)."""
     import ray as _ray
 
+    _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
     if columns is None:
         cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
     else:
         cols = columns
-    split = _ray.remote(num_returns=n_parts + 1)(_split_one)
+    split = _ray.remote(num_returns=n_parts + 2)(_split_one)
     build = _ray.remote(_build_write_part)
 
     refmat = [
@@ -242,11 +283,15 @@ def rollup_exchange_fused(
         for p in paths
     ]
     counts = np.sum(_ray.get([r[n_parts] for r in refmat]), axis=0)
+    chks = np.sum(
+        np.stack(_ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
+    )
     input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
+    input_chk_by_part = {p: int(chks[p]) for p in input_rows_by_part}
 
     only_parts = None
     if decide_parts is not None:
-        only_parts = decide_parts(input_rows_by_part)
+        only_parts = _call_decide(decide_parts, input_rows_by_part, input_chk_by_part)
     parts = sorted(
         p for p in input_rows_by_part if only_parts is None or p in only_parts
     )
@@ -289,11 +334,12 @@ def rollup_exchange(
     ``decide_parts(input_rows_by_part) -> set[int]`` is called between the
     stages for the same purpose when the fingerprint must inform the
     decision (manifest diff)."""
+    _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
     if columns is None:
         cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
     else:
         cols = columns
-    split = ray.remote(num_returns=n_parts + 1)(_split_one)
+    split = ray.remote(num_returns=n_parts + 2)(_split_one)
     build = ray.remote(_build_part)
 
     refmat = [
@@ -303,10 +349,14 @@ def rollup_exchange(
     ]
     count_refs = [r[n_parts] for r in refmat]
     counts = np.sum(ray.get(count_refs), axis=0)
+    chks = np.sum(
+        np.stack(ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
+    )
     input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
+    input_chk_by_part = {p: int(chks[p]) for p in input_rows_by_part}
 
     if decide_parts is not None:
-        only_parts = decide_parts(input_rows_by_part)
+        only_parts = _call_decide(decide_parts, input_rows_by_part, input_chk_by_part)
     parts = sorted(
         p for p in input_rows_by_part if only_parts is None or p in only_parts
     )

@@ -223,7 +223,11 @@ def _part_series(
     )
     if dedup:
         # exact dedup of replayed turns: first occurrence per (conv, salt,
-        # order) (reference groupby-first dedup, R/api_data.R:215-223)
+        # order) (reference groupby-first dedup, R/api_data.R:215-223).
+        # SCOPE (ADVICE r1): adjacency after the (conv, salt, ts, order)
+        # sort means this covers byte-identical replays only — a replayed
+        # turn re-logged with a DIFFERENT timestamp (same turn_idx) is kept
+        # as a distinct observation by design (its ts is new information).
         keep = np.r_[
             True,
             (conv_codes[1:] != conv_codes[:-1])

@@ -1,0 +1,155 @@
+"""Sampling / balancing operators (SURVEY.md §2.8).
+
+* :func:`stratified_sample` — per-label FRACTION sampling (the reference's
+  ``sits_sample``, ``R/sits_sample_functions.R:27-60``): each label keeps
+  its own fraction; fractions > 1 oversample by row repetition. Selection
+  is deterministic (id modulo) so the SQL oracle can reproduce it exactly.
+* :func:`samples_prune` — keep only series of the MODAL length (the
+  reference's ``.samples_prune`` / ``.tibble_prune``,
+  ``R/api_tibble.R:239-255``): a group-count + tiny-modal semi-join.
+* :func:`smote_oversample` / :func:`reduce_imbalance` — SMOTE synthetic
+  minority oversampling + deterministic majority undersampling (the
+  reference's ``sits_reduce_imbalance``, ``R/sits_reduce_imbalance.R:71``,
+  ``R/api_smote.R:1-156``; SMOTE per Chawla et al. 2002).
+* :func:`uncertainty_sampling_mindist` — greedy top-k by uncertainty
+  subject to a minimum pairwise distance between picks (the reference's
+  min-distance constraint, ``R/sits_uncertainty.R:254`` +
+  ``R/sits_geo_dist.R`` — embedding distance stands in for geo distance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sits_ray.arrowutil import list_matrix
+
+
+def stratified_sample(ds, fracs: dict, label_col: str = "lang",
+                      id_col: str = "doc_id", mod: int = 100):
+    """Per-label fraction sampling, deterministic: a row survives iff
+    ``id % mod < round(frac[label] * mod)``; ``frac > 1`` emits
+    ``floor(frac)`` full copies plus the fractional remainder."""
+    items = sorted(fracs.items(), key=lambda kv: str(kv[0]))
+    labels = [k for k, _ in items]
+    whole = np.array([int(np.floor(v)) for _, v in items], dtype=np.int64)
+    rem_thresh = np.array(
+        [int(round((v - np.floor(v)) * mod)) for _, v in items], dtype=np.int64
+    )
+    lab_arr = pa.array(labels)
+
+    def pick(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[label_col], value_set=lab_arr)
+        ids = t[id_col].to_numpy()
+        known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        li = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.where(known, whole[li] + (ids % mod < rem_thresh[li]), 0)
+        rep_idx = np.repeat(np.arange(t.num_rows), reps)
+        return t.take(pa.array(rep_idx, pa.int64()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def samples_prune(ds, key_col: str = "user_id"):
+    """Keep only groups whose row count equals the MODAL count.
+
+    Two tiny aggregations (per-key counts, then the modal count) and one
+    broadcast-filtered pass — the group-count semi-join the reference runs
+    before every model fit."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(key_col).aggregate(Count(alias_name="n")).to_pandas()
+    # modal n: most frequent count; ties -> smallest n (deterministic)
+    freq = counts.groupby("n").size().reset_index(name="f")
+    freq = freq.sort_values(["f", "n"], ascending=[False, True])
+    modal_n = int(freq["n"].iloc[0])
+    keep = pa.array(counts.loc[counts["n"] == modal_n, key_col].to_numpy())
+    keep_ref = ray.put(keep)
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key_col], value_set=ray.get(keep_ref)))
+
+    return ds.map_batches(filt, batch_format="pyarrow"), modal_n
+
+
+def smote_oversample(X: np.ndarray, n_new: int, k: int = 5, seed: int = 23
+                     ) -> np.ndarray:
+    """SMOTE (Chawla et al. 2002; reference ``R/api_smote.R:1-156``):
+    each synthetic sample lies on the segment between a minority sample
+    and one of its k nearest same-class neighbors. Deterministic."""
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if n == 0 or n_new <= 0:
+        return np.empty((0, X.shape[1] if X.ndim == 2 else 0))
+    if n == 1:
+        return np.repeat(X, n_new, axis=0)
+    rng = np.random.default_rng(seed)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    kk = min(k, n - 1)
+    nn = np.argsort(d2, axis=1)[:, :kk]  # (n, kk)
+    base = rng.integers(0, n, size=n_new)
+    pick = nn[base, rng.integers(0, kk, size=n_new)]
+    gap = rng.random((n_new, 1))
+    return X[base] + gap * (X[pick] - X[base])
+
+
+def reduce_imbalance(ds, n_samples: int, label_col: str = "label",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 5, seed: int = 23):
+    """``sits_reduce_imbalance`` analog: every label ends at exactly
+    ``n_samples`` rows — majority labels deterministically undersampled
+    (smallest ids win), minority labels topped up with SMOTE synthetics
+    (``vec_id`` = -1, ``synthetic`` = true).
+
+    Shape: per-label work happens in a ``groupby(label)`` over the (small)
+    samples table — the reference also balances the samples tibble, not
+    the cube."""
+
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        lab = g[label_col].iloc[0]
+        if len(g) >= n_samples:
+            out = g.head(n_samples).copy()
+            out["synthetic"] = False
+            return out
+        X = np.stack(g[vec_col].to_numpy())
+        syn = smote_oversample(
+            X, n_samples - len(g), k=k,
+            seed=seed + (hash(str(lab)) % 1000),
+        )
+        extra = pd.DataFrame(
+            {
+                id_col: np.full(len(syn), -1, dtype=np.int64),
+                label_col: lab,
+                vec_col: list(syn),
+            }
+        )
+        return pd.concat(
+            [g.assign(synthetic=False), extra.assign(synthetic=True)],
+            ignore_index=True,
+        )
+
+    return ds.groupby(label_col).map_groups(per_label, batch_format="pandas")
+
+
+def uncertainty_sampling_mindist(scored_df: pd.DataFrame, vecs: np.ndarray,
+                                 k: int, min_dist: float,
+                                 score_col: str = "entropy") -> pd.DataFrame:
+    """Greedy diverse top-k: walk candidates by descending uncertainty,
+    keep one iff its distance to every already-kept pick >= ``min_dist``.
+    Runs on the (small) candidate pool the distributed scorer produced."""
+    order = scored_df.sort_values(
+        [score_col, scored_df.columns[0]], ascending=[False, True]
+    ).index.to_numpy()
+    picked: list[int] = []
+    for i in order:
+        v = vecs[i]
+        if all(np.linalg.norm(v - vecs[j]) >= min_dist for j in picked):
+            picked.append(i)
+            if len(picked) >= k:
+                break
+    return scored_df.loc[picked]

@@ -160,3 +160,35 @@ def mean_pattern(nested_ds, value_col: str = "mean_latency",
     agg = agg.sort_values("bucket_ts")
     pat = (agg["s"] / agg["c"]).to_numpy(dtype=np.float64)
     return pat[~np.isnan(pat)][:max_len]
+
+
+def apply_across_nested(
+    batch: pa.Table,
+    fn,
+    cols: tuple[str, ...],
+    suffix: str = "_out",
+    min_len: int = 1,
+    id_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+) -> pa.Table:
+    """``.apply_across`` analog (reference applies one function over EVERY
+    band of the samples tibble, ``R/sits_apply.R:155-248`` +
+    ``R/api_apply.R``): the same row-wise kernel applied to each metric
+    list column of the nested form, emitted long as ``<col><suffix>``."""
+    first_flat, lens, offs = ragged(batch[cols[0]])
+    rep = np.repeat(np.arange(batch.num_rows), lens)
+    out_cols: dict = {
+        id_col: _take(batch[id_col], rep),
+        ts_col: pc.list_flatten(batch[ts_col]),
+    }
+    for col in cols:
+        flat = np.asarray(ragged(batch[col])[0], dtype=np.float64)
+        out = flat.copy()
+        for length, rows in _len_groups(lens):
+            if length == 0 or length < min_len:
+                continue
+            idx = offs[rows][:, None] + np.arange(length)
+            out[idx] = fn(flat[idx])
+        out_cols[col] = pa.array(flat)
+        out_cols[col + suffix] = pa.array(out)
+    return pa.table(out_cols)

@@ -31,6 +31,10 @@ class PartEntry:
     output_rows: int
     n_convs: int
     files: list[str]
+    #: order-independent content checksum of the partition's input rows
+    #: (count+hash fingerprint, SURVEY.md §7.5): same-count late data with
+    #: different content invalidates the partition too (VERDICT r1 #10)
+    input_checksum: int = 0
 
 
 class Manifest:
@@ -63,14 +67,21 @@ class Manifest:
                     out.append(PartEntry(**json.load(fh)))
         return out
 
-    def done_parts(self, input_rows_by_part: dict[int, int], tiers: tuple[str, ...]) -> set[int]:
-        """Partitions complete for ALL tiers with matching input fingerprint."""
+    def done_parts(self, input_rows_by_part: dict[int, int], tiers: tuple[str, ...],
+                   input_chk_by_part: dict[int, int] | None = None) -> set[int]:
+        """Partitions complete for ALL tiers with matching input fingerprint
+        (row count AND, when provided, content checksum)."""
         done: set[int] = set()
         for part_id, n_in in input_rows_by_part.items():
             ok = True
             for tier in tiers:
                 e = self.get(tier, int(part_id))
                 if e is None or e.input_rows != int(n_in):
+                    ok = False
+                    break
+                if input_chk_by_part is not None and e.input_checksum != int(
+                    input_chk_by_part.get(part_id, 0)
+                ):
                     ok = False
                     break
             if ok:

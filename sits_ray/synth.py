@@ -118,6 +118,13 @@ def generate_transcripts(
             np.arange(int(off_c[-1])) - np.repeat(off_c[:-1], lens_c)
         )
         bufs.append(pool_arr[flat].tobytes())
+    # int32 string offsets wrap silently past 2 GiB of text per call
+    # (ADVICE r1): fail loudly instead of building a corrupt StringArray
+    if int(t_off[-1]) >= 2**31:
+        raise ValueError(
+            f"text payload {int(t_off[-1])} bytes exceeds int32 StringArray "
+            "offsets; generate with more files (smaller per-file payload)"
+        )
     text_arr = pa.StringArray.from_buffers(
         length=total,
         value_offsets=pa.py_buffer(t_off.astype(np.int32).tobytes()),

@@ -160,3 +160,32 @@ def timeline_during(
     lo = start or timeline[0]
     hi = end or timeline[-1]
     return [d for d in timeline if lo <= d <= hi]
+
+
+def timeline_match(
+    timeline: list[_dt.date], ref_dates: list[_dt.date]
+) -> list[int]:
+    """Match reference dates to the closest timeline entries ACROSS YEARS
+    (the reference's ``.timeline_match`` / multi-year matching,
+    ``R/api_timeline.R:116-170``): each reference date's month/day is
+    projected into every year the timeline spans, and the nearest timeline
+    index is taken. Returns one timeline index per reference date
+    (deduplicated, sorted)."""
+    tl = np.array([d.toordinal() for d in timeline], dtype=np.int64)
+    years = sorted({d.year for d in timeline})
+    out: set[int] = set()
+    for rd in ref_dates:
+        for y in years:
+            day = min(rd.day, _days_in_month(y, rd.month))
+            cand = _dt.date(y, rd.month, day).toordinal()
+            i = int(np.argmin(np.abs(tl - cand)))
+            out.add(i)
+    return sorted(out)
+
+
+def timeline_valid_date(
+    timeline: list[_dt.date], start: _dt.date, end: _dt.date
+) -> bool:
+    """True when [start, end] overlaps the timeline's span (the reference's
+    timeline validity check, ``R/api_timeline.R:197-229``)."""
+    return start <= timeline[-1] and end >= timeline[0]

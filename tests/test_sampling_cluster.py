@@ -1,0 +1,130 @@
+"""Sampling/balancing (stages/sampling.py) and dendrogram clustering
+(kernels/cluster.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.kernels.cluster import (
+    cluster_dendro,
+    cut_tree,
+    linkage_average,
+    pairwise_euclidean,
+)
+from sits_ray.stages.sampling import (
+    reduce_imbalance,
+    samples_prune,
+    smote_oversample,
+    stratified_sample,
+    uncertainty_sampling_mindist,
+)
+
+
+def test_stratified_sample_fraction_and_oversample(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000), "lang": np.where(np.arange(1000) % 2 == 0, "en", "de")}
+    )
+    out = stratified_sample(
+        rd.from_pandas(df), {"en": 0.3, "de": 1.5}, label_col="lang"
+    ).to_pandas()
+    en = out[out["lang"] == "en"]
+    de = out[out["lang"] == "de"]
+    # en: ids with id%100 < 30 (even ids only): 15 per 100 -> 150
+    assert len(en) == 150 and en["doc_id"].is_unique
+    # de (500 rows): each once plus ids%100<50 once more -> 500 + 250
+    assert len(de) == 750
+    assert de["doc_id"].value_counts().max() == 2
+    # unknown labels dropped
+    out2 = stratified_sample(rd.from_pandas(df), {"en": 0.1}).to_pandas()
+    assert set(out2["lang"]) == {"en"}
+
+
+def test_samples_prune_modal(ray_session):
+    rows = []
+    for uid, n in [(1, 3), (2, 3), (3, 3), (4, 5), (5, 2)]:
+        rows += [{"user_id": uid}] * n
+    pruned, modal = samples_prune(rd.from_pandas(pd.DataFrame(rows)))
+    assert modal == 3
+    out = pruned.to_pandas()
+    assert set(out["user_id"]) == {1, 2, 3}
+    assert len(out) == 9
+
+
+def test_smote_on_segments():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(12, 4))
+    syn = smote_oversample(X, 30, k=3, seed=5)
+    assert syn.shape == (30, 4)
+    # every synthetic lies on a segment between two original points:
+    # solve x = a + g*(b-a) -> g in [0,1] for some (a, b) pair
+    for s in syn:
+        ok = False
+        for i in range(12):
+            for j in range(12):
+                if i == j:
+                    continue
+                d = X[j] - X[i]
+                g = (s - X[i]) @ d / (d @ d)
+                if 0 <= g <= 1 and np.allclose(X[i] + g * d, s, atol=1e-9):
+                    ok = True
+                    break
+            if ok:
+                break
+        assert ok
+    # deterministic
+    assert np.array_equal(syn, smote_oversample(X, 30, k=3, seed=5))
+
+
+def test_reduce_imbalance_balances(ray_session):
+    rng = np.random.default_rng(2)
+    rows = []
+    vid = 0
+    for lab, n in [("a", 30), ("b", 8), ("c", 15)]:
+        for _ in range(n):
+            rows.append({"vec_id": vid, "label": lab, "embedding": rng.normal(size=6)})
+            vid += 1
+    out = reduce_imbalance(
+        rd.from_pandas(pd.DataFrame(rows)), n_samples=15
+    ).to_pandas()
+    counts = out.groupby("label").size()
+    assert (counts == 15).all()
+    syn = out[out["synthetic"]]
+    assert set(syn["label"]) == {"b"}
+    assert len(syn) == 7 and (syn["vec_id"] == -1).all()
+    # undersampled label keeps the smallest ids
+    a_ids = sorted(out[out["label"] == "a"]["vec_id"])
+    assert a_ids == list(range(15))
+
+
+def test_uncertainty_mindist_greedy():
+    # 4 points: two nearly identical with top scores -> second one skipped
+    vecs = np.array([[0.0, 0], [0.05, 0], [5, 0], [10, 0]])
+    df = pd.DataFrame({"vec_id": [0, 1, 2, 3], "entropy": [0.9, 0.89, 0.5, 0.4]})
+    out = uncertainty_sampling_mindist(df, vecs, k=3, min_dist=1.0)
+    assert list(out["vec_id"]) == [0, 2, 3]
+
+
+def test_linkage_recovers_blobs():
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.2, size=(20, 5))
+    b = rng.normal(5, 0.2, size=(25, 5))
+    c = rng.normal(-5, 0.2, size=(15, 5))
+    X = np.vstack([a, b, c])
+    labels, merges = cluster_dendro(X, k=3)
+    assert merges.shape == (X.shape[0] - 1, 4)
+    # each true blob maps to exactly one cluster label
+    for lo, hi in [(0, 20), (20, 45), (45, 60)]:
+        assert len(set(labels[lo:hi])) == 1
+    assert len(set(labels)) == 3
+    # merge heights are nondecreasing for average linkage on this data
+    assert (np.diff(merges[:, 2]) >= -1e-9).all()
+
+
+def test_cut_tree_k1_and_kn():
+    X = np.random.default_rng(4).normal(size=(10, 3))
+    D = pairwise_euclidean(X)
+    merges = linkage_average(D)
+    assert len(set(cut_tree(merges, 10, 1))) == 1
+    assert len(set(cut_tree(merges, 10, 10))) == 10

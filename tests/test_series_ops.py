@@ -212,3 +212,29 @@ def test_eventops_kernels_vs_bruteforce(kernel_name):
                 got = out.loc[c][f"lat_t{s}"]
                 assert (np.isnan(got) and np.isnan(exp)) or got == exp
             assert out.loc[c]["n"] == t.size
+
+
+def test_apply_across_matches_single_band():
+    from sits_ray.kernels.rolling import w_mean
+    from sits_ray.stages.series_ops import apply_across_nested
+
+    batch, series = _nested_fixture()
+    # add a second band with different values
+    b2 = pa.array(
+        [list(np.asarray(s) * 2.0 + 1.0) for s in series], pa.list_(pa.float64())
+    )
+    batch = batch.append_column("p95_latency", b2)
+    out = apply_across_nested(
+        batch, lambda m: w_mean(m, 3, edge="clip"),
+        cols=("mean_latency", "p95_latency"), suffix="_w3",
+    ).to_pandas()
+    single = smooth_to_long(
+        batch, {"w3": (lambda m: w_mean(m, 3, edge="clip"), 1)}, "p95_latency"
+    ).to_pandas()
+    np.testing.assert_array_equal(
+        out["p95_latency_w3"].to_numpy(), single["w3"].to_numpy()
+    )
+    assert set(out.columns) == {
+        "conv_id", "bucket_ts", "mean_latency", "mean_latency_w3",
+        "p95_latency", "p95_latency_w3",
+    }
