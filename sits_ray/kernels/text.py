@@ -77,3 +77,46 @@ def rolling_fingerprint(text: str, base: int = 1_000_003, mod: int = (1 << 61) -
     for ch in text.encode("utf-8"):
         h = (h * base + ch) % mod
     return h
+
+
+def fingerprint_batch(
+    texts, base: int = 1_000_003, mod: int = (1 << 31) - 1
+) -> np.ndarray:
+    """Vectorized polynomial fingerprints for MANY documents in one pass
+    (VERDICT r1: the scalar per-char loop is fine at verify volume but not
+    as a corpus-wide pass). With a Mersenne-31 modulus every product fits
+    uint64 (byte * p < 2^39) and a document's sum of <= 2^13 terms stays
+    < 2^52, so ONE reduceat + ONE mod computes every fingerprint:
+    ``fp = sum(byte_i * base^(L-1-i)) mod p`` — identical values to
+    :func:`rolling_fingerprint` called with the same modulus (pinned in
+    tests/test_rolling_text.py)."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    if total == 0:
+        return np.zeros(len(bufs), dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    max_len = int(lens.max())
+    pows = np.empty(max_len, dtype=np.uint64)
+    p = np.uint64(mod)
+    acc = np.uint64(1)
+    b64 = np.uint64(base % mod)
+    for i in range(max_len):  # max_len steps, not total steps
+        pows[i] = acc
+        acc = (acc * b64) % p
+    exp = (np.repeat(offs[1:], lens) - 1 - np.arange(total)).astype(np.int64)
+    terms = flat * pows[exp]
+    # documents longer than ~2^25 bytes could overflow the uint64 sum;
+    # chunk the reduction with interleaved mods for those
+    out = np.zeros(len(bufs), dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        sums = np.add.reduceat(terms, offs[:-1][nz])
+        out[nz] = sums % p
+    if (lens > (1 << 24)).any():  # exact fallback for huge docs
+        for i in np.flatnonzero(lens > (1 << 24)):
+            out[i] = np.uint64(
+                rolling_fingerprint(texts[i], base=base, mod=mod)
+            )
+    return out.astype(np.int64)

@@ -1,0 +1,81 @@
+"""Real pure-numpy media codecs (PPM/WAV) + the feature actor stage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.stages.multimodal import (
+    MediaFeatures,
+    audio_features,
+    decode_ppm,
+    decode_stub,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    extract_features,
+    resize_bilinear,
+    synth_media_table,
+)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    back = decode_ppm(encode_ppm(img))
+    np.testing.assert_array_equal(back, img)
+    # header with comment line
+    payload = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    assert decode_ppm(payload).shape == (2, 2, 3)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n aaa")
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(2)
+    s = (rng.normal(0, 0.3, 1000) * 32767).clip(-32768, 32767).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    np.testing.assert_allclose(samples * 32768.0, s, atol=0.5)
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+
+
+def test_resize_bilinear():
+    # constant image stays constant at any size
+    img = np.full((10, 12), 7.0)
+    out = resize_bilinear(img, (4, 5))
+    np.testing.assert_allclose(out, 7.0)
+    # identity resize returns the same values
+    rng = np.random.default_rng(3)
+    img = rng.random((6, 6))
+    np.testing.assert_allclose(resize_bilinear(img, (6, 6)), img, atol=1e-6)
+    # 3-channel shape preserved
+    img3 = rng.random((8, 8, 3))
+    assert resize_bilinear(img3, (4, 4)).shape == (4, 4, 3)
+
+
+def test_audio_features_bands():
+    t = np.arange(4000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    f = audio_features(tone, 16000, n_bands=8)
+    assert f.shape == (8,)
+    assert f.argmax() == 0  # 440 Hz lands in the lowest band of 0..8k
+    tone_hi = np.sin(2 * np.pi * 7600 * t).astype(np.float32)
+    assert audio_features(tone_hi, 16000, 8).argmax() == 7
+
+
+def test_real_decode_through_actor_stage(ray_session):
+    tbl = synth_media_table(n=16)
+    out = extract_features(rd.from_arrow(tbl), batch_size=4, concurrency=1).to_pandas()
+    assert len(out) == 16
+    assert out["feature"].map(len).eq(64).all()
+    # image features are real resized pixels: reconstruct row 0 by hand
+    mf = MediaFeatures()
+    exp = mf._one(tbl["payload"][0].as_py(), tbl["mime"][0].as_py())
+    got = np.array(out.sort_values("media_id")["feature"].iloc[0], dtype=np.float32)
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+    # strict mode raises on compressed formats
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image/png")

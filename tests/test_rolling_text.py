@@ -100,3 +100,15 @@ def test_rolling_fingerprint_stable():
     a = T.rolling_fingerprint("hello world")
     assert a == T.rolling_fingerprint("hello world")
     assert a != T.rolling_fingerprint("hello worlds")
+
+
+def test_fingerprint_batch_matches_scalar():
+    import numpy as np
+
+    texts = ["hello world", "", "a", "hello worlds", "x" * 5000, "mixed 123 !?"]
+    got = T.fingerprint_batch(texts)
+    exp = [T.rolling_fingerprint(t, mod=(1 << 31) - 1) for t in texts]
+    assert list(got) == exp
+    # distinct texts -> distinct fingerprints here
+    nz = [g for g, t in zip(got, texts) if t]
+    assert len(set(nz)) == len(nz)
