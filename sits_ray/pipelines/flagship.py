@@ -89,7 +89,7 @@ def run_flagship(
         return todo
 
     t0 = time.perf_counter()
-    stats_rows, input_rows_by_part = rollup_exchange_fused(
+    stats_rows, input_rows_by_part, cpu_meta = rollup_exchange_fused(
         paths,
         out_dir,
         tiers=tiers,
@@ -103,6 +103,7 @@ def run_flagship(
         salt_window_us=salt_window_us,
     )
     phases["exchange_fused"] = round(time.perf_counter() - t0, 2)
+    phases.update(cpu_meta)  # per-stage worker CPU seconds (scaling audit)
 
     result.update(
         parts_total=len(input_rows_by_part),

@@ -310,24 +310,23 @@ from lineitem
 """,
 )
 def apply_revenue_expr(sf_dir):
+    """sits_apply band math through the shipped expression DSL
+    (sits_ray/expr.py — the closure-capture analog of R/sits_apply.R's
+    expression env; VERDICT r1 #10: the DSL now IS the driver path)."""
+    from sits_ray.expr import apply_expr
+
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"],
     )
-
-    def expr(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        gross = pc.multiply(t["l_quantity"], t["l_extendedprice"])
-        return pa.table(
-            {
-                "l_orderkey": t["l_orderkey"],
-                "l_linenumber": t["l_linenumber"],
-                "revenue": rev,
-                "gross": gross,
-            }
-        )
-
-    return ds.map_batches(expr, batch_format="pyarrow")
+    out = apply_expr(
+        ds,
+        {
+            "revenue": "l_extendedprice * (1.0 - l_discount)",
+            "gross": "l_quantity * l_extendedprice",
+        },
+    )
+    return out.select_columns(["l_orderkey", "l_linenumber", "revenue", "gross"])
 
 
 # --- §2.3 sits_select: project + predicate pushdown ------------------------
@@ -420,6 +419,73 @@ def hist_value(sf_dir):
 
     return ds.map_batches(bin_batch, batch_format="pyarrow").groupby("bin").aggregate(
         Count(alias_name="n")
+    )
+
+
+# --- §2.4 grouped share (count filter / count) -----------------------------
+@q(
+    "tool_share_by_conv",
+    """
+select user_id as conv_id,
+       count(*) as n_events,
+       cast(count(*) filter (where event_type = 'click') as bigint) as n_tool,
+       count(*) filter (where event_type = 'click') * 1.0 / count(*) as tool_share
+from events group by 1
+""",
+)
+def tool_share_by_conv(sf_dir):
+    """Tool-usage share per conversation (north-star metric family):
+    partial counts inside map_batches, one small groupby — the
+    pre-aggregation pattern (ray_guide 'Wide operations shuffle')."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_tool = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        return pa.table({"user_id": t["user_id"], "tool": is_tool})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("tool", alias_name="n_tool"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.multiply(pc.cast(t["n_tool"], pa.float64()), 1.0),
+            pc.cast(t["n_events"], pa.float64()),
+        )
+        return pa.table(
+            {
+                "conv_id": t["user_id"],
+                "n_events": t["n_events"],
+                "n_tool": t["n_tool"],
+                "tool_share": share,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- §2.4 two-key histogram ------------------------------------------------
+@q(
+    "hist_value_by_type",
+    """
+select event_type, cast(floor(value / 20.0) as bigint) as bin, count(*) as n
+from events group by 1, 2
+""",
+)
+def hist_value_by_type(sf_dir):
+    """hist.* over (class, bin) — the reference's per-label histogram shape."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def bin_batch(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], 20.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "bin": b})
+
+    return (
+        ds.map_batches(bin_batch, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Count(alias_name="n"))
     )
 
 

@@ -64,6 +64,9 @@ def _split_one(
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
 ):
+    import time as _time
+
+    _cpu0 = _time.process_time()
     tbl = pq.read_table(path, columns=columns)
     prep = prepare_turns(
         tbl, key=key, ts_col=ts_col, order_col=order_col,
@@ -91,6 +94,9 @@ def _split_one(
     chunks = [
         sorted_tbl.slice(int(offsets[p]), int(counts[p])) for p in range(n_parts)
     ]
+    # counts carries the task's CPU time (ms) as a trailing element so
+    # the driver can report per-stage CPU efficiency without extra returns
+    counts = np.append(counts, int((_time.process_time() - _cpu0) * 1000))
     return (*chunks, counts, chk)
 
 
@@ -214,10 +220,12 @@ def _build_write_part(
     per-asset resume granularity of the reference
     (``R/api_regularize.R:134-145``)."""
     import os
+    import time as _time
 
     from sits_ray.stages.compressor import GorillaEncode
     from sits_ray.stages.regularize import explode_table
 
+    _cpu0 = _time.process_time()
     tables = [c for c in chunks if c.num_rows]
     if not tables:
         return None
@@ -225,7 +233,8 @@ def _build_write_part(
     nested = _part_series(g, tiers, gapfill, dedup)
     part_id = int(nested["part_id"][0].as_py())
     enc = GorillaEncode() if write_blocks else None
-    stats = {"tier": [], "part_id": [], "n_series": [], "n_rows": []}
+    stats = {"tier": [], "part_id": [], "n_series": [], "n_rows": [],
+             "cpu_ms": []}
     for tier in tiers:
         sub = nested.filter(pa.compute.equal(nested["tier"], tier))
         long_tbl = explode_table(sub)
@@ -244,6 +253,9 @@ def _build_write_part(
         stats["part_id"].append(part_id)
         stats["n_series"].append(sub.num_rows)
         stats["n_rows"].append(long_tbl.num_rows)
+        stats["cpu_ms"].append(0)
+    if stats["cpu_ms"]:
+        stats["cpu_ms"][-1] = int((_time.process_time() - _cpu0) * 1000)
     return pa.table(stats)
 
 
@@ -282,7 +294,9 @@ def rollup_exchange_fused(
                      salt_turn_threshold, salt_window_us)
         for p in paths
     ]
-    counts = np.sum(_ray.get([r[n_parts] for r in refmat]), axis=0)
+    counts_raw = np.stack(_ray.get([r[n_parts] for r in refmat]))
+    stage1_cpu_ms = int(counts_raw[:, n_parts].sum())
+    counts = counts_raw[:, :n_parts].sum(axis=0)
     chks = np.sum(
         np.stack(_ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
     )
@@ -306,7 +320,12 @@ def rollup_exchange_fused(
     for t in _ray.get(stat_refs):
         if t is not None:
             stats_rows.extend(t.to_pylist())
-    return stats_rows, input_rows_by_part
+    stage2_cpu_ms = sum(r.get("cpu_ms", 0) for r in stats_rows)
+    for r in stats_rows:
+        r.pop("cpu_ms", None)
+    cpu_meta = {"stage1_cpu_sec": round(stage1_cpu_ms / 1000, 2),
+                "stage2_cpu_sec": round(stage2_cpu_ms / 1000, 2)}
+    return stats_rows, input_rows_by_part, cpu_meta
 
 
 def rollup_exchange(
@@ -348,7 +367,7 @@ def rollup_exchange(
         for p in paths
     ]
     count_refs = [r[n_parts] for r in refmat]
-    counts = np.sum(ray.get(count_refs), axis=0)
+    counts = np.sum(ray.get(count_refs), axis=0)[:n_parts]
     chks = np.sum(
         np.stack(ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
     )
