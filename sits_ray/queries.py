@@ -248,15 +248,37 @@ def timeline_during(sf_dir):
 
 
 # --- §2.3 .apply_across: one kernel over EVERY band ------------------------
-@q("apply_across_wmean")
+@q(
+    "apply_across_wmean",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+tier as (
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
+         avg(lat) as mean_latency, quantile_disc(lat, 0.95) as p95_latency,
+         min(lat) as min_latency, max(lat) as max_latency
+  from lagged group by 1, 2)
+select conv_id, bucket_ts,
+       mean_latency, avg(mean_latency) over w as mean_latency_w3,
+       p95_latency,  avg(p95_latency)  over w as p95_latency_w3,
+       min_latency,  avg(min_latency)  over w as min_latency_w3,
+       max_latency,  avg(max_latency)  over w as max_latency_w3
+from tier
+window w as (partition by conv_id order by bucket_ts
+             rows between 1 preceding and 1 following)
+""",
+)
 def apply_across_wmean(sf_dir):
-    """.apply_across analog (R/sits_apply.R:155-248): w_mean3 applied to
-    every continuous metric band of the nested 1d tier in one pass.
-    Rows-only check; per-band parity vs the single-band path pinned in
-    tests/test_series_ops.py."""
+    """.apply_across analog (R/sits_apply.R:155-248): w_mean3 (clip edges)
+    applied to every continuous metric band of the nested 1d tier in one
+    pass. SQL-exact: clip-edge window mean == SQL ROWS BETWEEN 1 PRECEDING
+    AND 1 FOLLOWING (NaN/NULL-skipping on both sides); per-band parity vs
+    the single-band path also pinned in tests/test_series_ops.py."""
     from sits_ray.stages.series_ops import apply_across_nested
 
-    nested = _nested_tier(sf_dir, "1d")
+    nested = _nested_tier(sf_dir, "1d", gapfill=False)
     return nested.map_batches(
         lambda b: apply_across_nested(
             b, lambda m: w_mean(m, 3, edge="clip"),
@@ -649,6 +671,103 @@ def samples_prune_modal(sf_dir):
     )
 
 
+# --- §2.8 sits_sampling_design: Cochran/Olofsson allocation ----------------
+_DESIGN_CTES = """
+with areas as (select source as label, count(*) as n from documents group by 1),
+tot as (select sum(n) as total from areas),
+d as (select label, n * 1.0 / total as prop from areas, tot),
+agg as (select sum(prop * 0.433) as s,
+               count(*) as k,
+               sum(case when prop <= 0.1 then prop else 0.0 end) as sum_rare,
+               sum(case when prop <= 0.1 then 1 else 0 end) as n_rare
+        from d),
+ss as (select *, floor((s / 0.05) * (s / 0.05) + 0.5) as n_total from agg)
+"""
+
+
+def _alloc_sql(al: int) -> str:
+    return (
+        f"cast(case when d.prop <= 0.1 then {al} "
+        f"else floor(d.prop / (1.0 - ss.sum_rare) * (ss.n_total - {al} * ss.n_rare)"
+        f" + 0.5) end as bigint) as alloc_{al}"
+    )
+
+
+@q(
+    "sampling_design_props",
+    _DESIGN_CTES
+    + f"""
+select d.label, d.prop, 0.75 as expected_ua, 0.433 as std_dev,
+       cast(floor(ss.n_total / ss.k + 0.5) as bigint) as equal,
+       {_alloc_sql(100)}, {_alloc_sql(75)}, {_alloc_sql(50)},
+       cast(floor(d.prop * ss.n_total + 0.5) as bigint) as alloc_prop
+from d, ss
+""",
+)
+def sampling_design_props(sf_dir):
+    """sits_sampling_design (R/sits_sample_functions.R:312-392): per-class
+    area proportions -> stratum std-dev -> Cochran total sample size ->
+    equal / fixed-rare / proportional allocations. Class areas come from a
+    distributed groupby count; the design itself is a labels-sized driver
+    table. SQL-exact (rounding = half-up on both engines; documented
+    deviation from R's half-to-even)."""
+    from ray.data.aggregate import Count
+
+    from sits_ray.stages.sampling import sampling_design
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    counts = {
+        r["source"]: r["count()"]
+        for r in ds.groupby("source").aggregate(Count()).take_all()
+    }
+    return sampling_design(counts, expected_ua=0.75, std_err=0.05)
+
+
+@q(
+    "stratified_sampling_alloc",
+    _DESIGN_CTES
+    + """,
+alloc as (
+  select d.label,
+         cast(ceil(floor(d.prop * ss.n_total + 0.5) * 1.2) as bigint) as n_alloc
+  from d, ss),
+ranked as (
+  select doc_id, source,
+         row_number() over (
+           partition by source
+           order by ((doc_id % 2147483647) * (2654435761 % 2147483647))
+                    % 2147483647, doc_id
+         ) as rn
+  from documents)
+select r.doc_id, r.source
+from ranked r join alloc a on r.source = a.label
+where r.rn <= a.n_alloc
+""",
+)
+def stratified_sampling_alloc(sf_dir):
+    """sits_stratified_sampling (R/sits_sample_functions.R:398-556,
+    src/sampling.cpp): allocate ceil(alloc_prop * overhead) concrete rows
+    per class by deterministic hash-rank (the reproducible analog of the
+    reference's uniform pixel draw). Scale shape: per-batch partial top-n
+    keeps candidate volume O(batches x labels x n); the finishing groupby
+    has O(labels) groups. SQL-exact."""
+    from ray.data.aggregate import Count
+
+    from sits_ray.stages.sampling import sampling_design, stratified_sampling
+
+    meta = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    counts = {
+        r["source"]: r["count()"]
+        for r in meta.groupby("source").aggregate(Count()).take_all()
+    }
+    design = sampling_design(counts, expected_ua=0.75, std_err=0.05)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sampling(
+        ds, design, alloc="alloc_prop", overhead=1.2,
+        label_col="source", id_col="doc_id",
+    )
+
+
 # --- §2.8 sits_reduce_imbalance: SMOTE + undersample -----------------------
 @q("reduce_imbalance_smote")
 def reduce_imbalance_smote(sf_dir):
@@ -987,33 +1106,101 @@ def label_patterns(sf_dir):
 
 
 # --- §2.8 uncertainty sampling: top-k by entropy ---------------------------
-@q("uncertainty_sampling_topk")
+def _mlr_logit_sql(seed: int, n_features: int = 64, n_labels: int = 4,
+                   emb: str = "embedding") -> list[str]:
+    """DuckDB logit expressions for the deterministic seeded linear model:
+    the weight matrix is inlined as round-trippable double literals so the
+    oracle reproduces the engine's scoring without any engine state (the
+    knn pattern: floats order the rows, only ids/labels are compared)."""
+    from sits_ray.stages.classify import make_linear_model
+
+    m = make_linear_model(n_features, n_labels, seed=seed)
+    exprs = []
+    for j in range(n_labels):
+        ws = ", ".join(repr(float(w)) for w in m["W"][:, j])
+        exprs.append(
+            f"(list_dot_product({emb}::DOUBLE[], [{ws}]) + {float(m['b'][j])!r})"
+        )
+    return exprs
+
+
+def _argmax_label_sql(terms: list[str]) -> str:
+    """First-max (np.argmax) label pick over per-label score expressions."""
+    cases = []
+    for j in range(len(terms) - 1):
+        conds = " and ".join(
+            f"{terms[j]} >= {terms[k]}" for k in range(j + 1, len(terms))
+        )
+        cases.append(f"when {conds} then 'label{j}'")
+    return "case " + " ".join(cases) + f" else 'label{len(terms) - 1}' end"
+
+
+def _topk_entropy_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    ent = " + ".join(f"(exp(l{j} - mx) / z) * ln(exp(l{j} - mx) / z)" for j in range(4))
+    return f"""
+with s as (
+  select vec_id, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+p as (select *, {z} as z from m),
+e as (
+  select vec_id,
+         {_argmax_label_sql([f'l{j}' for j in range(4)])} as pred_label,
+         -({ent}) as ent
+  from p)
+select vec_id, pred_label from e order by ent desc, vec_id limit 20
+"""
+
+
+@q("uncertainty_sampling_topk", _topk_entropy_sql())
 def uncertainty_sampling_topk(sf_dir):
     """Active-learning pick: score embeddings with the broadcast model,
     take the k most uncertain (highest entropy) — sort desc + limit
-    (R/sits_uncertainty.R:254). Rows-only check (model is engine-side)."""
+    (R/sits_uncertainty.R:254). SQL-exact on the picked (vec_id,
+    pred_label) set: the oracle re-scores with the same inlined weights
+    (entropy stays engine-side as the ordering key — the knn pattern)."""
     from sits_ray.stages.classify import classify, make_linear_model
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     model = make_linear_model(n_features=64, n_labels=4, seed=13)
     scored = classify(ds, model, concurrency=(1, 2))
     out = scored.sort(["entropy", "vec_id"], descending=[True, False]).limit(20)
-    return out.select_columns(["vec_id", "entropy", "pred_label"])
+    return out.select_columns(["vec_id", "pred_label"])
 
 
 # --- §2.7 ensemble: sits_combine_predictions -------------------------------
-@q("combine_predictions")
+def _combine_pred_sql() -> str:
+    la = _mlr_logit_sql(seed=13)
+    lb = _mlr_logit_sql(seed=17)
+    cols_a = ", ".join(f"{la[j]} as a{j}" for j in range(4))
+    cols_b = ", ".join(f"{lb[j]} as b{j}" for j in range(4))
+    mxa = f"greatest({', '.join(f'a{j}' for j in range(4))})"
+    mxb = f"greatest({', '.join(f'b{j}' for j in range(4))})"
+    za = " + ".join(f"exp(a{j} - mxa)" for j in range(4))
+    zb = " + ".join(f"exp(b{j} - mxb)" for j in range(4))
+    # avg prob argmax == argmax of (pa_j + pb_j); /2 dropped (monotone)
+    qs = [f"(exp(a{j} - mxa) / za + exp(b{j} - mxb) / zb)" for j in range(4)]
+    return f"""
+with s as (select vec_id, {cols_a}, {cols_b} from embeddings),
+m as (select *, {mxa} as mxa, {mxb} as mxb from s),
+p as (select *, {za} as za, {zb} as zb from m)
+select vec_id, {_argmax_label_sql(qs)} as pred_label from p
+"""
+
+
+@q("combine_predictions", _combine_pred_sql())
 def combine_predictions(sf_dir):
-    """Uncertainty-weighted average of two model scorings
-    (R/sits_combine_predictions.R:82-182). Rows-only check; kernel parity
-    in tests/test_classify_ml.py."""
-    from sits_ray.kernels.ml import combine_average, entropy_probs, softmax
+    """Ensemble average of two model scorings
+    (R/sits_combine_predictions.R:82-182). SQL-exact on (vec_id,
+    pred_label): the oracle re-scores both inlined-weight models and
+    argmaxes the averaged softmax; probability/entropy kernel parity is
+    pinned in tests/test_classify_ml.py."""
+    from sits_ray.kernels.ml import combine_average, label_max_prob, softmax
     from sits_ray.stages.classify import make_linear_model
 
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    m = list_matrix(t["embedding"])
     m1 = make_linear_model(64, 4, seed=13)
     m2 = make_linear_model(64, 4, seed=17)
     refs = [ray.put((mm["W"], mm["b"])) for mm in (m1, m2)]
@@ -1025,11 +1212,15 @@ def combine_predictions(sf_dir):
             W, bias = ray.get(r)
             stack.append(softmax(vecs @ W + bias))
         comb = combine_average(stack)
-        ent = entropy_probs(comb)
-        cols = {"vec_id": b["vec_id"], "entropy": pa.array(ent)}
-        for j in range(comb.shape[1]):
-            cols[f"prob_label{j}"] = pa.array(comb[:, j])
-        return pa.table(cols)
+        idx = label_max_prob(comb)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "pred_label": pa.array(
+                    [f"label{int(i) - 1}" if not np.isnan(i) else None for i in idx]
+                ),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(score_both, batch_format="pyarrow")
@@ -1220,16 +1411,29 @@ def window_7d_count(sf_dir):
 
 
 # --- §2.5 stateful scorer (sits_classify analog, actor pool) ---------------
-@q("classify_embeddings")
+def _classify_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    cols = ", ".join(f"{l[j]} as l{j}" for j in range(4))
+    return f"""
+with s as (select vec_id, {cols} from embeddings)
+select vec_id, {_argmax_label_sql([f'l{j}' for j in range(4)])} as pred_label
+from s
+"""
+
+
+@q("classify_embeddings", _classify_sql())
 def classify_embeddings(sf_dir):
     """Actor-pool scoring of embedding vectors with a broadcast linear model
-    (sits_classify.sits shape: weights loaded once per actor). Rows-only
-    driver check; numeric parity pinned in tests/test_classify.py."""
+    (sits_classify.sits shape: weights loaded once per actor). SQL-exact on
+    (vec_id, pred_label) via inlined-weight re-scoring; the full
+    probability/entropy/margin surface is pinned in tests/test_classify_ml.py."""
     from sits_ray.stages.classify import classify, make_linear_model
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     model = make_linear_model(n_features=64, n_labels=4, seed=13)
-    return classify(ds, model, concurrency=(1, 2))
+    return classify(ds, model, concurrency=(1, 2)).select_columns(
+        ["vec_id", "pred_label"]
+    )
 
 
 # --- §2.5 sits_train + factories: REAL trained models ----------------------
@@ -1360,10 +1564,62 @@ def dtw_to_mean_pattern(sf_dir):
 
 
 # --- text: language ID + quality scoring (engine-only heuristics) ----------
-@q("langid_quality")
+def _langid_sql() -> str:
+    prof = {
+        "en": "'the','and','of','to','a','in','is','that','it','for'",
+        "de": "'der','die','das','und','ist','nicht','ein','mit','zu','den'",
+        "fr": "'le','la','les','et','est','un','une','des','que','pour'",
+        "es": "'el','la','los','las','y','es','un','una','que','por'",
+    }
+    ks = ",\n    ".join(
+        f"len(list_filter(list_distinct(words), x -> list_contains([{p}], x))) as k_{lang}"
+        for lang, p in prof.items()
+    )
+    # first-max in profile order (en,de,fr,es) == the engine's strict->
+    # update loop; overlap 0 everywhere -> 'und'
+    pred = (
+        "case when greatest(k_en, k_de, k_fr, k_es) = 0 then 'und' "
+        "when k_en >= k_de and k_en >= k_fr and k_en >= k_es then 'en' "
+        "when k_de >= k_fr and k_de >= k_es then 'de' "
+        "when k_fr >= k_es then 'fr' else 'es' end"
+    )
+    return f"""
+with base as (
+  select doc_id, lang as true_lang,
+         cast(length(text) as double) as n_chars,
+         len(regexp_extract_all(text, '\\S+')) as n_tok_i,
+         length(regexp_replace(text, '\\s+', '', 'g')) as nonspace,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) as n_punct,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]'))
+           as n_tokens_bpeish,
+         regexp_extract_all(lower(text), '[a-zA-Z]+') as words
+  from documents),
+ov as (
+  select *,
+    len(list_filter(words, x -> list_contains([{prof['en']}], x))) as n_stop,
+    {ks}
+  from base),
+pred as (select *, {pred} as pred_lang from ov)
+select doc_id, pred_lang, n_tokens_bpeish, n_chars,
+       cast(n_tok_i as double) as n_tokens,
+       case when n_tok_i > 0 then nonspace * 1.0 / n_tok_i else 0.0 end
+         as mean_token_len,
+       case when n_chars > 0 then n_punct / n_chars else 0.0 end as punct_ratio,
+       case when len(words) > 0 then n_stop * 1.0 / len(words) else 0.0 end
+         as stopword_ratio,
+       true_lang, pred_lang = true_lang as lang_match
+from pred
+"""
+
+
+@q("langid_quality", _langid_sql())
 def langid_quality(sf_dir):
     """n-gram/stopword language ID + quality features per document
-    (training-data ops; documents.lang is ground truth for eval)."""
+    (training-data ops; documents.lang is ground truth for eval).
+    SQL-exact: the stopword-overlap argmax, C4/Gopher-style quality
+    ratios and BPE-ish token counts re-derived with DuckDB regexes (the
+    corpus is ASCII, so the CJK branch is a no-op on both sides; ratio
+    divisions are int/int in float64 — bit-identical)."""
     from sits_ray.stages.textstats import TextAnalyzer
 
     ds = rd.read_parquet(
@@ -1403,11 +1659,25 @@ def simhash_signatures(sf_dir):
     )
 
 
-@q("doc_fingerprints")
+@q(
+    "doc_fingerprints",
+    """
+select doc_id,
+       list_reduce(
+         list_prepend(cast(0 as bigint),
+                      list_transform(regexp_extract_all(text, '.'),
+                                     c -> cast(ascii(c) as bigint))),
+         (h, c) -> (h * 1000003 + c) % 2147483647
+       ) as fingerprint
+from documents
+""",
+)
 def doc_fingerprints(sf_dir):
     """Polynomial document fingerprints (stable content identity),
     batch-vectorized: one reduceat computes every doc's hash
-    (kernels/text.fingerprint_batch; scalar-parity pinned in tests)."""
+    (kernels/text.fingerprint_batch; scalar-parity pinned in tests).
+    SQL-exact: the oracle folds the same Horner recurrence per character
+    with list_reduce (ASCII corpus: ascii(c) == utf-8 byte)."""
     from sits_ray.kernels.text import fingerprint_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

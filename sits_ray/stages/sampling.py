@@ -136,6 +136,117 @@ def reduce_imbalance(ds, n_samples: int, label_col: str = "label",
     return ds.groupby(label_col).map_groups(per_label, batch_format="pandas")
 
 
+def _round_half_up(x):
+    """Deterministic cross-engine rounding (SQL round / floor(x+.5));
+    documented deviation from R's IEC-60559 half-to-even ``round``."""
+    return np.floor(np.asarray(x, dtype=np.float64) + 0.5)
+
+
+def _signif(x, digits: int = 3):
+    x = np.asarray(x, dtype=np.float64)
+    mag = np.where(x == 0, 0.0, np.floor(np.log10(np.abs(np.where(x == 0, 1, x)))))
+    scale = 10.0 ** (digits - 1 - mag)
+    return _round_half_up(x * scale) / scale
+
+
+def sampling_design(label_counts: dict, expected_ua: float = 0.75,
+                    alloc_options=(100, 75, 50), std_err: float = 0.01,
+                    rare_class_prop: float = 0.1) -> pa.Table:
+    """``sits_sampling_design`` (``R/sits_sample_functions.R:312-392``):
+    Cochran/Olofsson stratified sample-size design over the classified
+    map's per-class areas (row counts here). Per class: area proportion,
+    stratum std-dev ``signif(sqrt(ua(1-ua)), 3)``, total
+    ``n = round((sum(prop*sd)/std_err)^2)``, then equal / fixed-rare /
+    proportional allocations. Driver-side: the design is a
+    labels-sized table; the areas come from a distributed groupby."""
+    items = sorted(label_counts.items(), key=lambda kv: str(kv[0]))
+    labels = [str(k) for k, _ in items]
+    n = np.array([v for _, v in items], dtype=np.float64)
+    prop = n / n.sum()
+    ua = np.full(len(labels), float(expected_ua))
+    sd = _signif(np.sqrt(ua * (1.0 - ua)), 3)
+    sample_size = float(_round_half_up((np.sum(prop * sd) / std_err) ** 2))
+    k = len(labels)
+    equal = np.full(k, _round_half_up(sample_size / k))
+    rare = prop <= rare_class_prop
+    sum_rare = prop[rare].sum()
+    cols: dict = {
+        "label": pa.array(labels),
+        "prop": pa.array(prop),
+        "expected_ua": pa.array(ua),
+        "std_dev": pa.array(sd),
+        "equal": pa.array(equal.astype(np.int64)),
+    }
+    for al in alloc_options:
+        remaining = sample_size - al * int(rare.sum())
+        alloc = np.where(
+            rare, float(al),
+            _round_half_up(prop / (1.0 - sum_rare) * remaining),
+        )
+        cols[f"alloc_{al}"] = pa.array(alloc.astype(np.int64))
+    cols["alloc_prop"] = pa.array(
+        _round_half_up(prop * sample_size).astype(np.int64)
+    )
+    return pa.table(cols)
+
+
+_HASH_P = 2_147_483_647
+_HASH_R = 2_654_435_761 % _HASH_P
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic multiplicative id hash, mod-first so every product
+    fits int64 on both engines (SQL twin: ((id %% p) * r) %% p)."""
+    return ((ids.astype(np.int64) % _HASH_P) * _HASH_R) % _HASH_P
+
+
+def stratified_sampling(ds, design: pa.Table, alloc: str = "alloc_prop",
+                        overhead: float = 1.2, label_col: str = "label",
+                        id_col: str = "doc_id"):
+    """``sits_stratified_sampling`` (``R/sits_sample_functions.R:398-556``,
+    ``src/sampling.cpp``): allocate ``ceil(alloc * overhead)`` concrete
+    sample rows per class from the classified map. Selection is the
+    deterministic hash-rank order (= the reference's uniform pixel draw,
+    made reproducible): per batch keep each label's n smallest hashes
+    (candidate volume O(batches * labels * n)), then one tiny
+    groupby(label) — group count O(labels) — finishes the exact top-n."""
+    import math
+
+    n_by_label = {
+        str(l): int(math.ceil(a * overhead))
+        for l, a in zip(design["label"].to_pylist(), design[alloc].to_pylist())
+    }
+    lab_arr = pa.array(sorted(n_by_label))
+    n_arr = np.array([n_by_label[str(l)] for l in sorted(n_by_label)], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        h = _id_hash(ids)
+        li = pc.index_in(t[label_col], value_set=lab_arr)
+        ok = pc.is_valid(li).to_numpy(zero_copy_only=False)
+        li_np = pc.fill_null(li, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for j in range(len(n_arr)):
+            rows = np.flatnonzero(ok & (li_np == j))
+            nj = int(n_arr[j])
+            if rows.size > nj:
+                # n smallest (h, id) of this batch — candidates only
+                order = np.lexsort((ids[rows], h[rows]))[:nj]
+                keep[rows[order]] = True
+            else:
+                keep[rows] = True
+        t = t.append_column("_h", pa.array(h))
+        return t.filter(pa.array(keep))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        nj = n_by_label.get(str(g[label_col].iloc[0]), 0)
+        g = g.sort_values(["_h", id_col]).head(nj)
+        return g[[id_col, label_col]]
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    return cand.groupby(label_col).map_groups(final, batch_format="pandas")
+
+
 def uncertainty_sampling_mindist(scored_df: pd.DataFrame, vecs: np.ndarray,
                                  k: int, min_dist: float,
                                  score_col: str = "entropy") -> pd.DataFrame:

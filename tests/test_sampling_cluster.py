@@ -128,3 +128,72 @@ def test_cut_tree_k1_and_kn():
     merges = linkage_average(D)
     assert len(set(cut_tree(merges, 10, 1))) == 1
     assert len(set(cut_tree(merges, 10, 10))) == 10
+
+
+def test_signif_three_digits():
+    from sits_ray.stages.sampling import _signif
+
+    assert _signif(np.sqrt(0.75 * 0.25), 3) == 0.433
+    assert _signif(1874.89, 3) == 1870.0
+    assert _signif(0.0004567, 3) == 0.000457
+    assert _signif(0.0, 3) == 0.0
+
+
+def test_sampling_design_hand_computed():
+    from sits_ray.stages.sampling import sampling_design
+
+    # areas 900/100, ua=0.9 -> sd=0.3; s = 0.3; n = round((0.3/0.05)^2)=36
+    t = sampling_design(
+        {"a": 900, "b": 100}, expected_ua=0.9, std_err=0.05,
+        alloc_options=(10,), rare_class_prop=0.1,
+    ).to_pydict()
+    assert t["label"] == ["a", "b"]
+    assert t["prop"] == [0.9, 0.1]
+    assert t["std_dev"] == [0.3, 0.3]
+    assert t["equal"] == [18, 18]
+    # rare class b (prop <= 0.1) gets the fixed 10; a gets
+    # round(0.9/0.9 * (36 - 10)) = 26
+    assert t["alloc_10"] == [26, 10]
+    assert t["alloc_prop"] == [32, 4]  # round(.9*36), round(.1*36)
+
+
+def test_stratified_sampling_matches_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from sits_ray.stages.sampling import (
+        _id_hash, sampling_design, stratified_sampling,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n * 3)[:n],
+            "label": rng.choice(["x", "y", "z"], size=n, p=[0.6, 0.3, 0.1]),
+        }
+    )
+    counts = df["label"].value_counts().to_dict()
+    design = sampling_design(counts, expected_ua=0.75, std_err=0.05)
+    got = (
+        stratified_sampling(
+            rd.from_pandas(df).repartition(5), design,
+            label_col="label", id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values(["label", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # brute force: exact top-n smallest hash per label
+    import math
+
+    alloc = dict(zip(design["label"].to_pylist(), design["alloc_prop"].to_pylist()))
+    want_parts = []
+    for lab, g in df.groupby("label"):
+        nj = math.ceil(alloc[lab] * 1.2)
+        h = _id_hash(g["doc_id"].to_numpy())
+        order = np.lexsort((g["doc_id"].to_numpy(), h))[:nj]
+        want_parts.append(g.iloc[order][["doc_id", "label"]])
+    want = (
+        pd.concat(want_parts).sort_values(["label", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
