@@ -671,6 +671,121 @@ def samples_prune_modal(sf_dir):
     )
 
 
+# --- §2.7 sits_clean: modal neighborhood filter ----------------------------
+@q(
+    "clean_modal_events",
+    """
+with codes as (
+  select user_id, event_id, ts,
+         case event_type when 'click' then 0 when 'error' then 1
+              when 'purchase' then 2 when 'signup' then 3 else 4 end as v
+  from events),
+w as (
+  select user_id, event_id, v,
+         lag(v)  over (partition by user_id order by ts, event_id) as a,
+         lead(v) over (partition by user_id order by ts, event_id) as c
+  from codes)
+select user_id as conv_id, event_id,
+       cast(case when a is null or c is null then null
+                 when a = v or a = c then a
+                 when v = c then v
+                 else least(a, v, c) end as double) as clean_code
+from w
+""",
+)
+def clean_modal_events(sf_dir):
+    """sits_clean (w_modal, src/kernel.cpp:44-62) over each conv's
+    event-type code sequence: mode of {prev, cur, next}, ties -> smallest,
+    clip edges -> NULL. Partition-vectorized (stages/eventops.neighbor_kernel
+    — ONE part_id shuffle, no per-conv Python). SQL-exact."""
+    from sits_ray.stages.eventops import map_conv_partitions, neighbor_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+
+    def to_code(t: pa.Table) -> pa.Table:
+        code = pc.case_when(
+            pc.make_struct(
+                pc.equal(t["event_type"], "click"),
+                pc.equal(t["event_type"], "error"),
+                pc.equal(t["event_type"], "purchase"),
+                pc.equal(t["event_type"], "signup"),
+            ),
+            0, 1, 2, 3, 4,
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "value": pc.cast(code, pa.float64()),
+            }
+        )
+
+    out = map_conv_partitions(
+        ds.map_batches(to_code, batch_format="pyarrow"),
+        lambda g: neighbor_kernel(g, stat="modal"),
+        extra_cols=("value",),
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "event_id", "clean_code"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- §2.7 sits_variance: neighborhood sd/var -------------------------------
+@q(
+    "variance_value_w3",
+    """
+with w as (
+  select user_id, event_id, value as v,
+         lag(value)  over (partition by user_id order by ts, event_id) as a,
+         lead(value) over (partition by user_id order by ts, event_id) as c
+  from events),
+m as (
+  select *,
+         1 + cast(a is not null as int) + cast(c is not null as int) as cnt,
+         ((coalesce(a, 0) + v) + coalesce(c, 0))
+           / (1 + cast(a is not null as int) + cast(c is not null as int)) as mu
+  from w),
+vv as (
+  select user_id, event_id, cnt,
+         ((case when a is null then 0 else (a - mu) * (a - mu) end
+           + (v - mu) * (v - mu))
+          + case when c is null then 0 else (c - mu) * (c - mu) end)
+         / (cnt - 1) as var
+  from m where true)
+select user_id as conv_id, event_id,
+       case when cnt > 1 then sqrt(var) end as w_sd3,
+       case when cnt > 1 then sqrt(var) * sqrt(var) end as w_var3
+from vv
+""",
+)
+def variance_value_w3(sf_dir):
+    """sits_variance (w_sd/w_var, src/kernel.cpp:62-124, clip edges) over
+    each conv's value sequence. The kernel evaluates the two-pass formula
+    in fixed (prev, cur, next) IEEE order so the oracle is bit-exact;
+    mirror-edge variants stay pinned in tests/test_rolling_text.py."""
+    from sits_ray.stages.eventops import map_conv_partitions, neighbor_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    out_sd = map_conv_partitions(
+        ds, lambda g: neighbor_kernel(g, stat="sd"), extra_cols=("value",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sd = t["w_sd3"]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "event_id": t["order"],
+                "w_sd3": sd,
+                "w_var3": pc.multiply(sd, sd),
+            }
+        )
+
+    return out_sd.map_batches(finish, batch_format="pyarrow")
+
+
 # --- §2.8 sits_sampling_design: Cochran/Olofsson allocation ----------------
 _DESIGN_CTES = """
 with areas as (select source as label, count(*) as n from documents group by 1),

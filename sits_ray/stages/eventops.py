@@ -181,6 +181,58 @@ def sessionize_kernel(g: pa.Table, gap_us: int) -> pa.Table:
     )
 
 
+def neighbor_kernel(g: pa.Table, value_col: str = "value",
+                    stat: str = "modal") -> pa.Table:
+    """Per-event 3-window neighborhood stat along each conv's (ts, order)
+    sequence, vectorized across the partition (no per-conv Python):
+
+    * ``modal`` — ``sits_clean``'s ``w_modal`` (src/kernel.cpp:44-62):
+      mode of {prev, cur, next}; ties -> smallest; any missing neighbor
+      (clip edge) -> NULL.
+    * ``sd`` / ``var`` — ``sits_variance``'s ``w_sd``/``w_var``
+      (src/kernel.cpp:62-124, clip edges): explicit two-pass formula in
+      fixed (prev, cur, next) IEEE order so the DuckDB oracle reproduces
+      every bit (CLAUDE.md float contracts).
+    """
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, (value_col,)
+    )
+    v = ex[value_col].astype(np.float64)
+    n = v.size
+    a = np.full(n, np.nan)
+    c = np.full(n, np.nan)
+    if n > 1:
+        a[1:] = v[:-1]
+        c[:-1] = v[1:]
+    a[starts] = np.nan  # conv boundaries
+    c[ends - 1] = np.nan
+    out_cols: dict = {
+        "conv_id": conv_vals.take(pa.array(codes, pa.int64())),
+        "order": pa.array(order),
+    }
+    if stat == "modal":
+        with np.errstate(invalid="ignore"):
+            mode3 = np.where(
+                (a == v) | (a == c), a, np.where(v == c, v, np.minimum(np.minimum(a, v), c))
+            )
+        mode3 = np.where(np.isnan(a) | np.isnan(c), np.nan, mode3)
+        out_cols["clean_code"] = pa.array(mode3, pa.float64(), from_pandas=True)
+    else:
+        a0 = np.nan_to_num(a)
+        c0 = np.nan_to_num(c)
+        cnt = 1 + (~np.isnan(a)).astype(np.int64) + (~np.isnan(c)).astype(np.int64)
+        mu = ((a0 + v) + c0) / cnt
+        sa = np.where(np.isnan(a), 0.0, (a - mu) * (a - mu))
+        sc = np.where(np.isnan(c), 0.0, (c - mu) * (c - mu))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = ((sa + (v - mu) * (v - mu)) + sc) / (cnt - 1)
+        var = np.where(cnt > 1, var, np.nan)
+        sd = np.sqrt(var)
+        col = sd if stat == "sd" else sd * sd
+        out_cols[f"w_{stat}3"] = pa.array(col, pa.float64(), from_pandas=True)
+    return pa.table(out_cols)
+
+
 def window_count_kernel(g: pa.Table, window_days: int = 7) -> pa.Table:
     """Per-conv sliding event counts: windows step daily from the conv's
     first to last day, each spanning ``window_days`` (.period_windows,

@@ -238,3 +238,42 @@ def test_apply_across_matches_single_band():
         "conv_id", "bucket_ts", "mean_latency", "mean_latency_w3",
         "p95_latency", "p95_latency_w3",
     }
+
+
+def test_neighbor_kernel_matches_rolling_kernels(ray_session):
+    """neighbor_kernel (partition-vectorized, SQL-order formulas) must
+    equal the w_modal / w_sd clip-edge rolling kernels per conversation."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sits_ray.kernels.rolling import w_modal, w_sd
+    from sits_ray.stages.eventops import map_conv_partitions, neighbor_kernel
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for conv in range(12):
+        n = rng.integers(1, 30)
+        ts = np.sort(rng.integers(0, 10**9, size=n))
+        vals = rng.integers(0, 5, size=n).astype(float)
+        for i in range(n):
+            rows.append((f"c{conv}", i, ts[i], vals[i]))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    ds = rd.from_pandas(df).repartition(3)
+
+    for stat, kern, col in (("modal", w_modal, "clean_code"), ("sd", w_sd, "w_sd3")):
+        got = (
+            map_conv_partitions(
+                ds, lambda g: neighbor_kernel(g, stat=stat), extra_cols=("value",)
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "order"])
+            .reset_index(drop=True)
+        )
+        for conv, g in df.groupby("user_id"):
+            series = g.sort_values(["ts", "event_id"])["value"].to_numpy()
+            want = kern(series[None, :], 3, edge="clip")[0]
+            have = got.loc[got["conv_id"] == conv, col].to_numpy(dtype=float)
+            np.testing.assert_array_equal(np.isnan(want), np.isnan(have))
+            np.testing.assert_allclose(have, want, rtol=1e-12, equal_nan=True)
