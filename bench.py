@@ -168,14 +168,25 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         columns=["conv_id", "tier", "part_id", "n_points", "ts_block",
                  "filled_block", "val_mean_latency"],
     )
-    nested_1h = blocks.map_batches(_fix_block_types, batch_format="pyarrow").map_batches(
-        GorillaDecode,
-        fn_constructor_kwargs=dict(metrics=("mean_latency",)),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(2, max(2, ncpu // 2)),
-        num_cpus=1,
-    )
+    fixed = blocks.map_batches(_fix_block_types, batch_format="pyarrow")
+    if ncpu >= 4:
+        nested_1h = fixed.map_batches(
+            GorillaDecode,
+            fn_constructor_kwargs=dict(metrics=("mean_latency",)),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(2, max(2, ncpu // 2)),
+            num_cpus=1,
+        )
+    else:
+        # tiny sessions (the scaling proxy's lo leg runs at 1 CPU): an
+        # actor pool would reserve every CPU and starve the upstream read
+        # tasks (silent hang — CLAUDE.md actor-pool rule). GorillaDecode is
+        # stateless, so run it as plain tasks instead.
+        dec = GorillaDecode(metrics=("mean_latency",))
+        nested_1h = fixed.map_batches(
+            lambda b: dec(b), batch_format="pyarrow", batch_size=4096
+        )
     smoothed_rows = nested_1h.map_batches(
         lambda b: smooth_to_long(b, {"smoothed": (lambda m: whittaker(m, 0.5), 4)}),
         batch_format="pyarrow",

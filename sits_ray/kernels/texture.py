@@ -72,15 +72,28 @@ def series_texture(values: np.ndarray, levels: int = 16) -> dict[str, float]:
     return glcm_features(quantize(values, levels), levels)
 
 
-def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
-    """Vectorized-across-series GLCM features: quantize each row of a
-    (k x L) matrix, build all k lag-1 co-occurrence matrices with one
-    bincount, derive the 9 Haralick features per row (same math as
-    :func:`glcm_features`; parity pinned in tests/test_texture_som.py)."""
+def cooccurrence_counts(q: np.ndarray, levels: int = 16) -> np.ndarray:
+    """Symmetric lag-1 co-occurrence COUNT matrices for every row of a
+    (k x L) quantized matrix (invalid levels < 0 break pairs): ONE
+    bincount builds all k matrices. Integer counts are the cross-engine-
+    exact core of the GLCM (the float Haralick reductions sit on top)."""
+    k, L = q.shape
+    a, b = q[:, :-1], q[:, 1:]
+    ok = (a >= 0) & (b >= 0)
+    rows = np.repeat(np.arange(k), L - 1).reshape(k, L - 1)
+    base = rows[ok] * (levels * levels)
+    ij = base + a[ok] * levels + b[ok]
+    ji = base + b[ok] * levels + a[ok]
+    return np.bincount(
+        np.concatenate([ij, ji]), minlength=k * levels * levels
+    ).reshape(k, levels, levels)
+
+
+def quantize_matrix(m: np.ndarray, levels: int = 16) -> np.ndarray:
+    """Row-wise min-max quantization of a (k x L) matrix (NaN -> -1);
+    identical thresholds to :func:`quantize` per row."""
     m = np.atleast_2d(np.asarray(m, dtype=np.float64))
     k, L = m.shape
-    if k == 0:
-        return {f: np.empty(0) for f in FEATURES}
     valid = ~np.isnan(m)
     any_valid = valid.any(axis=1)
     with np.errstate(all="ignore"):
@@ -96,19 +109,24 @@ def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
     if const.any():
         cm = const[:, None] & valid
         q[cm] = 0
+    return q
+
+
+def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
+    """Vectorized-across-series GLCM features: quantize each row of a
+    (k x L) matrix, build all k lag-1 co-occurrence matrices with one
+    bincount, derive the 9 Haralick features per row (same math as
+    :func:`glcm_features`; parity pinned in tests/test_texture_som.py)."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    k, L = m.shape
+    if k == 0:
+        return {f: np.empty(0) for f in FEATURES}
+    q = quantize_matrix(m, levels)
 
     if L < 2:
         nanv = np.full(k, np.nan)
         return {f: nanv.copy() for f in FEATURES}
-    a, b = q[:, :-1], q[:, 1:]
-    ok = (a >= 0) & (b >= 0)
-    rows = np.repeat(np.arange(k), L - 1).reshape(k, L - 1)
-    base = rows[ok] * (levels * levels)
-    ij = base + a[ok] * levels + b[ok]
-    ji = base + b[ok] * levels + a[ok]
-    P = np.bincount(
-        np.concatenate([ij, ji]), minlength=k * levels * levels
-    ).astype(np.float64).reshape(k, levels, levels)
+    P = cooccurrence_counts(q, levels).astype(np.float64)
     tot = P.sum(axis=(1, 2))
     has = tot > 0
     P[has] /= tot[has, None, None]

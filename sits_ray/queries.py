@@ -1881,6 +1881,87 @@ def texture_daily(sf_dir):
     )
 
 
+@q(
+    "texture_cooccurrence_1d",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+tier as (
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts, avg(lat) as x
+  from lagged group by 1, 2),
+stats as (
+  select conv_id, min(x) as lo, max(x) as hi
+  from tier where x is not null group by 1),
+qt as (
+  select t.conv_id, t.bucket_ts,
+         case when t.x is null then -1
+              when s.hi = s.lo then 0
+              else least(cast(floor((t.x - s.lo) / (s.hi - s.lo) * 8) as bigint), 7)
+         end as q
+  from tier t join stats s using (conv_id)),
+prs as (
+  select conv_id,
+         lag(q) over (partition by conv_id order by bucket_ts) as a, q as b
+  from qt),
+valid as (select * from prs where a >= 0 and b >= 0),
+sym as (select conv_id, a as i, b as j from valid
+        union all
+        select conv_id, b as i, a as j from valid)
+select conv_id, i, j, count(*) as n from sym group by 1, 2, 3
+""",
+)
+def texture_cooccurrence_1d(sf_dir):
+    """GLCM core, cross-engine-exact: each conv's daily mean-latency series
+    quantized to 8 grey levels (row min-max thresholds), symmetric lag-1
+    co-occurrence COUNTS emitted long (sits_texture, src/glcm_fns.cpp —
+    the integer matrix the Haralick features integrate; the float features
+    themselves are `texture_daily`, parity-pinned in tests). One nested-form
+    map, no per-conv Python."""
+    from sits_ray.kernels.texture import cooccurrence_counts, quantize_matrix
+    from sits_ray.stages.series_ops import _gather, _len_groups
+
+    nested = _nested_tier(sf_dir, "1d", gapfill=False)
+
+    def cooc(b: pa.Table) -> pa.Table:
+        from sits_ray.arrowutil import ragged
+
+        flat, lens, offs = ragged(b["mean_latency"])
+        flat = np.asarray(flat, dtype=np.float64)
+        conv = b["conv_id"]
+        parts = []
+        for length, rows in _len_groups(lens):
+            if length < 2:
+                continue
+            m = _gather(flat, offs, rows, length)
+            P = cooccurrence_counts(quantize_matrix(m, 8), 8)
+            ks, ii, jj = np.nonzero(P)
+            if ks.size == 0:
+                continue
+            cc = (
+                conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
+            ).take(pa.array(rows[ks], pa.int64()))
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": cc,
+                        "i": pa.array(ii.astype(np.int64)),
+                        "j": pa.array(jj.astype(np.int64)),
+                        "n": pa.array(P[ks, ii, jj].astype(np.int64)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"conv_id": pa.array([], pa.int64()), "i": pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(parts)
+
+    return nested.map_batches(cooc, batch_format="pyarrow")
+
+
 @q("som_embeddings")
 def som_embeddings(sf_dir):
     """Kohonen SOM sample map (sits_som_map analog): 4x4 codebook trained

@@ -63,3 +63,24 @@ def test_som_map_dataset(ray_session):
     assert len(out) == 80
     assert out["bmu"].between(0, 3).all()
     assert (out["quant_err"] >= 0).all()
+
+
+def test_cooccurrence_counts_match_scalar_pairs():
+    """Integer co-occurrence core: counts equal a per-pair scalar tally."""
+    from sits_ray.kernels.texture import cooccurrence_counts, quantize, quantize_matrix
+
+    rng = np.random.default_rng(21)
+    m = rng.normal(size=(6, 15))
+    m[m > 1.2] = np.nan
+    q = quantize_matrix(m, 8)
+    # row-wise thresholds identical to the scalar quantizer
+    for r in range(m.shape[0]):
+        np.testing.assert_array_equal(q[r], quantize(m[r], 8))
+    P = cooccurrence_counts(q, 8)
+    for r in range(m.shape[0]):
+        want = np.zeros((8, 8), dtype=np.int64)
+        for a, b in zip(q[r, :-1], q[r, 1:]):
+            if a >= 0 and b >= 0:
+                want[a, b] += 1
+                want[b, a] += 1
+        np.testing.assert_array_equal(P[r], want)
