@@ -48,6 +48,7 @@ def run_flagship(
     dedup: bool = False,
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
+    stage2_num_cpus: float = 1,
 ) -> dict:
     """Run (or resume) the full rollup. Returns summary metrics."""
     os.makedirs(out_dir, exist_ok=True)
@@ -101,6 +102,7 @@ def run_flagship(
         decide_parts=decide,
         salt_turn_threshold=salt_turn_threshold,
         salt_window_us=salt_window_us,
+        stage2_num_cpus=stage2_num_cpus,
     )
     phases["exchange_fused"] = round(time.perf_counter() - t0, 2)
     phases.update(cpu_meta)  # per-stage worker CPU seconds (scaling audit)

@@ -1653,6 +1653,88 @@ def accuracy_assessment(sf_dir):
     )
 
 
+@q("kfold_validate_mlr")
+def kfold_validate_mlr(sf_dir):
+    """sits_kfold_validate (R/sits_validate.R:68-160): 5-fold CV of the
+    logistic-regression factory over the labeled embeddings; folds train
+    as parallel Ray tasks. Output: one row per fold + the pooled row.
+    Rows-only check; metric math pinned in tests/test_train.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.train import kfold_validate, sits_mlr
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    res = kfold_validate(
+        list_matrix(t["embedding"]), np.asarray(t["label"].to_pylist()),
+        ml_method=sits_mlr(iters=150), k=5,
+    )
+    rows = [
+        {"fold": i, "accuracy": a, "kappa": None}
+        for i, a in enumerate(res["fold_accuracy"])
+    ]
+    rows.append({"fold": -1, "accuracy": res["accuracy"], "kappa": res["kappa"]})
+    return pd.DataFrame(rows)
+
+
+@q("tuning_random_search")
+def tuning_random_search(sf_dir):
+    """sits_tuning (R/sits_tuning.R:95-260): seeded random search over the
+    mlr factory's (lr, reg) with loguniform samplers, trials trained as
+    parallel Ray tasks, scored on a 20% validation split, best first.
+    Rows-only check; search behavior pinned in tests/test_train.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.train import loguniform, sits_mlr, tuning
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    res = tuning(
+        list_matrix(t["embedding"]), np.asarray(t["label"].to_pylist()),
+        lambda lr, reg: sits_mlr(iters=120, lr=lr, reg=reg),
+        {"lr": loguniform(0.05, 1.0), "reg": loguniform(1e-5, 1e-2)},
+        trials=6,
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(res)),
+            "trial": [r["trial"] for r in res],
+            "lr": [r["params"]["lr"] for r in res],
+            "reg": [r["params"]["reg"] for r in res],
+            "val_accuracy": [r["val_accuracy"] for r in res],
+        }
+    )
+
+
+@q("som_clean_labeled")
+def som_clean_labeled(sf_dir):
+    """sits_som_clean_samples + sits_som_evaluate_cluster chain
+    (R/sits_som.R:266-446, R/api_som.R): SOM-map the labeled embeddings,
+    label each neuron (prior = in-neuron label frequency), Bayesian
+    neighborhood posterior (.som_bayes_estimate), then eval each sample
+    clean/analyze/remove. Output: per-sample eval rows (all outcomes
+    kept so the driver sees the full distribution). Rows-only check;
+    neuron math pinned in tests/test_texture_som.py."""
+    from sits_ray.stages.som import (
+        bayes_neuron_posteriors,
+        label_neurons,
+        som_clean_samples,
+        som_map,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    assigned, som = som_map(
+        ds, xdim=4, ydim=4, sample_rows=512, epochs=5, extra_cols=("label",)
+    )
+    assigned = assigned.materialize()
+    neurons = label_neurons(assigned, som.xdim * som.ydim)
+    neurons = bayes_neuron_posteriors(neurons, som.grid, radius=2)
+    out = som_clean_samples(
+        assigned, neurons, keep=("clean", "analyze", "remove")
+    )
+    return out.select_columns(["vec_id", "label", "bmu", "eval"])
+
+
 # --- §2.5 change detection: DTW distance to a pattern ----------------------
 @q("dtw_to_mean_pattern")
 def dtw_to_mean_pattern(sf_dir):
@@ -1969,7 +2051,7 @@ def som_embeddings(sf_dir):
     from sits_ray.stages.som import som_map
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return som_map(ds, xdim=4, ydim=4, sample_rows=512, epochs=5)
+    return som_map(ds, xdim=4, ydim=4, sample_rows=512, epochs=5)[0]
 
 
 @q("mixture_model_unmix")

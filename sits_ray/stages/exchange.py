@@ -275,10 +275,18 @@ def rollup_exchange_fused(
     decide_parts=None,
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
+    stage2_num_cpus: float = 1,
 ):
     """Fused exchange: stage 1 split, stage 2 build+encode+write per
     partition. Returns ``(stats_rows, input_rows_by_part)`` where
-    stats_rows is a list of dicts (tier, part_id, n_series, n_rows)."""
+    stats_rows is a list of dicts (tier, part_id, n_series, n_rows).
+
+    ``stage2_num_cpus`` caps stage-2 concurrency (concurrent tasks =
+    session cpus / stage2_num_cpus): the build task is memory-bandwidth-
+    heavy, and on bandwidth-limited hosts running one per core inflates
+    per-task CPU ~4x for NO wall gain (BASELINE.md round-2 accounting:
+    231 CPU-s at 8 concurrent vs 1012 CPU-s at 32). Multi-node clusters
+    bring bandwidth per node, so the default stays 1."""
     import ray as _ray
 
     _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
@@ -287,7 +295,7 @@ def rollup_exchange_fused(
     else:
         cols = columns
     split = _ray.remote(num_returns=n_parts + 2)(_split_one)
-    build = _ray.remote(_build_write_part)
+    build = _ray.remote(num_cpus=stage2_num_cpus)(_build_write_part)
 
     refmat = [
         split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,

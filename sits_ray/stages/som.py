@@ -58,10 +58,170 @@ class SOM:
         return np.argmin(d, axis=1)
 
 
+def label_neurons(assigned_ds, n_neurons: int, label_col: str = "label",
+                  bmu_col: str = "bmu"):
+    """Per-(neuron, label) counts and prior probabilities
+    (``.som_label_neurons``, ``R/api_som.R:16-49``): label frequency of
+    the samples mapped to each neuron. Distributed partial counts ->
+    tiny (neurons x labels) driver table."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([bmu_col, label_col]).aggregate([(bmu_col, "count")])
+        return g.rename_columns([bmu_col, label_col, "n"])
+
+    rows = assigned_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple[int, str], int] = {}
+    for r in rows:
+        k = (int(r[bmu_col]), str(r[label_col]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    totals: dict[int, int] = {}
+    for (b, _), n in agg.items():
+        totals[b] = totals.get(b, 0) + n
+    out = {"id_neuron": [], "label": [], "count": [], "prior_prob": []}
+    for (b, lab), n in sorted(agg.items()):
+        out["id_neuron"].append(b)
+        out["label"].append(lab)
+        out["count"].append(n)
+        out["prior_prob"].append(n / totals[b])
+    return pa.table(
+        {
+            "id_neuron": pa.array(out["id_neuron"], pa.int64()),
+            "label": pa.array(out["label"]),
+            "count": pa.array(out["count"], pa.int64()),
+            "prior_prob": pa.array(out["prior_prob"], pa.float64()),
+        }
+    )
+
+
+def bayes_neuron_posteriors(neuron_tbl: pa.Table, grid: np.ndarray,
+                            radius: int = 2) -> pa.Table:
+    """Posterior label probability per neuron via the reference's
+    neighborhood Bayesian shrink (``.som_bayes_estimate``,
+    ``R/api_som.R:69-126``): neighbors are neurons at EXACT grid distance
+    ``radius``; ``eta = |0.9999999 - max prior|``;
+    ``post = var/(eta+var) * prior + eta/(eta+var) * mean`` over the
+    neighbor priors of the same label (zeros for absent labels);
+    undefined var/mean (<2 neighbors) -> posterior = prior. Runs on the
+    tiny neuron table (driver-side, like the reference)."""
+    ids = neuron_tbl["id_neuron"].to_numpy()
+    labs = np.asarray(neuron_tbl["label"].to_pylist())
+    prior = neuron_tbl["prior_prob"].to_numpy()
+    # exact squared-distance match (no float compare)
+    d2 = ((grid[:, None, :] - grid[None, :, :]) ** 2).sum(axis=2)
+    neigh = {i: np.flatnonzero(d2[i] == radius * radius) for i in range(len(grid))}
+    prior_of = {(int(i), l): p for i, l, p in zip(ids, labs, prior)}
+    max_prior = {}
+    for i, p in zip(ids, prior):
+        max_prior[int(i)] = max(max_prior.get(int(i), 0.0), p)
+    post = np.empty(len(ids))
+    for r in range(len(ids)):
+        nb = neigh[int(ids[r])]
+        if nb.size < 2:
+            post[r] = prior[r]
+            continue
+        pp = np.array([prior_of.get((int(j), labs[r]), 0.0) for j in nb])
+        var = pp.var(ddof=1)
+        mean = pp.mean()
+        eta = abs(0.9999999 - max_prior[int(ids[r])])
+        post[r] = (var / (eta + var)) * prior[r] + (eta / (eta + var)) * mean
+    return neuron_tbl.append_column("post_prob", pa.array(post))
+
+
+def neuron_majority_labels(neuron_tbl: pa.Table) -> dict[int, str]:
+    """Majority label per neuron (ties -> lexicographically first, the
+    reference's table()-order which.max)."""
+    best: dict[int, tuple[int, str]] = {}
+    for r in neuron_tbl.to_pylist():
+        i, lab, n = int(r["id_neuron"]), str(r["label"]), int(r["count"])
+        cur = best.get(i)
+        if cur is None or n > cur[0] or (n == cur[0] and lab < cur[1]):
+            best[i] = (n, lab)
+    return {i: lab for i, (_, lab) in best.items()}
+
+
+def som_clean_samples(assigned_ds, neuron_post: pa.Table,
+                      prior_threshold: float = 0.6,
+                      posterior_threshold: float = 0.6,
+                      keep: tuple[str, ...] = ("clean", "analyze"),
+                      label_col: str = "label", bmu_col: str = "bmu"):
+    """``sits_som_clean_samples`` (``R/sits_som.R:266-320``): eval each
+    sample by its neuron's (prior, posterior) for the sample's own label —
+    clean / analyze / remove — and keep the requested outcomes. The tiny
+    neuron table is broadcast; the sample pass is one map_batches."""
+    import pyarrow.compute as pc
+
+    lut = {
+        (int(r["id_neuron"]), str(r["label"])): (r["prior_prob"], r["post_prob"])
+        for r in neuron_post.to_pylist()
+    }
+    lut_ref = ray.put(lut)
+
+    def evaluate(t: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        bm = t[bmu_col].to_numpy()
+        lb = t[label_col].to_pylist()
+        evals = []
+        for b, l in zip(bm, lb):
+            prior, post = m.get((int(b), str(l)), (0.0, 0.0))
+            if prior >= prior_threshold and post >= posterior_threshold:
+                evals.append("clean")
+            elif prior >= prior_threshold:
+                evals.append("analyze")
+            else:
+                evals.append("remove")
+        t = t.append_column("eval", pa.array(evals))
+        return t.filter(pc.is_in(t["eval"], value_set=pa.array(list(keep))))
+
+    return assigned_ds.map_batches(evaluate, batch_format="pyarrow")
+
+
+def som_evaluate_cluster(assigned_ds, neuron_tbl: pa.Table,
+                         label_col: str = "label", bmu_col: str = "bmu"):
+    """``sits_som_evaluate_cluster`` (``R/sits_som.R:340-446``): group
+    samples by their neuron's majority-label CLUSTER and report the class
+    mixture percentage per cluster. Distributed counts; tiny output."""
+    major = neuron_majority_labels(neuron_tbl)
+    major_ref = ray.put(major)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(major_ref)
+        cl = [m.get(int(b), "No_Samples") for b in t[bmu_col].to_numpy()]
+        t2 = pa.table({"cluster": pa.array(cl), "class": t[label_col]})
+        g = t2.group_by(["cluster", "class"]).aggregate([("cluster", "count")])
+        return g.rename_columns(["cluster", "class", "n"])
+
+    rows = assigned_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (str(r["cluster"]), str(r["class"]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    totals: dict[str, int] = {}
+    for (c, _), n in agg.items():
+        totals[c] = totals.get(c, 0) + n
+    out = {"cluster": [], "class": [], "n": [], "mixture_pct": []}
+    for (c, cls), n in sorted(agg.items()):
+        out["cluster"].append(c)
+        out["class"].append(cls)
+        out["n"].append(n)
+        out["mixture_pct"].append(100.0 * n / totals[c])
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"]),
+            "class": pa.array(out["class"]),
+            "n": pa.array(out["n"], pa.int64()),
+            "mixture_pct": pa.array(out["mixture_pct"], pa.float64()),
+        }
+    )
+
+
 def som_map(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-            xdim: int = 4, ydim: int = 4, sample_rows: int = 1024, epochs: int = 10):
+            xdim: int = 4, ydim: int = 4, sample_rows: int = 1024,
+            epochs: int = 10, extra_cols: tuple[str, ...] = ()):
     """Train on a sample, broadcast the codebook, assign BMUs distributedly.
-    Returns a Dataset of (id, bmu, bmu_x, bmu_y, quant_err)."""
+    Returns a Dataset of (id, [extras], bmu, bmu_x, bmu_y, quant_err);
+    pass ``extra_cols=("label",)`` to carry sample labels through for
+    ``label_neurons`` / ``som_clean_samples``."""
     sample = np.asarray([r[vec_col] for r in ds.take(sample_rows)], dtype=np.float64)
     som = SOM(xdim, ydim).fit(sample, epochs=epochs)
     ref = ray.put(som)
@@ -71,14 +231,17 @@ def som_map(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         m = list_matrix(t[vec_col])
         b = s.bmu(m)
         qe = np.sqrt(((m - s.codebook[b]) ** 2).sum(axis=1))
-        return pa.table(
+        cols = {id_col: t[id_col]}
+        for c in extra_cols:
+            cols[c] = t[c]
+        cols.update(
             {
-                id_col: t[id_col],
                 "bmu": pa.array(b.astype(np.int64)),
                 "bmu_x": pa.array((b // s.ydim).astype(np.int64)),
                 "bmu_y": pa.array((b % s.ydim).astype(np.int64)),
                 "quant_err": pa.array(qe),
             }
         )
+        return pa.table(cols)
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+    return ds.map_batches(assign, batch_format="pyarrow"), som

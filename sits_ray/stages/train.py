@@ -166,6 +166,115 @@ def sits_rfor_lite(n_trees: int = 20, max_depth: int = 4, min_leaf: int = 5,
     return trainer
 
 
+def predict_probs(model: dict, X: np.ndarray) -> np.ndarray:
+    """Score any trained model dict (linear or forest) to probabilities."""
+    X = np.asarray(X, dtype=np.float64)
+    if "trees" in model:
+        return forest_probs(model, X)
+    return softmax(X @ model["W"] + model["b"])
+
+
+def _encode_labels(labels_col) -> tuple[np.ndarray, list[str]]:
+    labels_col = np.asarray(labels_col)
+    labels = sorted(set(labels_col.tolist()))
+    lut = {lab: i for i, lab in enumerate(labels)}
+    y = np.fromiter((lut[v] for v in labels_col), dtype=np.int64, count=labels_col.size)
+    return y, labels
+
+
+def kfold_validate(X, labels_col, ml_method=None, k: int = 5, seed: int = 7) -> dict:
+    """``sits_kfold_validate`` (``R/sits_validate.R:68-160``): seeded
+    shuffled folds; each fold's model trains on the other k-1 and predicts
+    the held fold; folds run as PARALLEL Ray tasks (the reference's
+    multicores loop). Returns per-fold accuracy + pooled confusion /
+    overall accuracy / kappa (``kernels/ml.accuracy_metrics``)."""
+    import ray
+
+    from sits_ray.kernels.ml import accuracy_metrics, confusion_matrix
+
+    if ml_method is None:
+        ml_method = sits_mlr()
+    X = np.asarray(X, dtype=np.float64)
+    y, labels = _encode_labels(labels_col)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    fold_of = rng.permutation(n) % k
+
+    @ray.remote
+    def _fold(f: int):
+        tr = fold_of != f
+        model = ml_method(X[tr], y[tr], labels)
+        pred = predict_probs(model, X[~tr]).argmax(axis=1)
+        return f, y[~tr], pred
+
+    results = ray.get([_fold.remote(f) for f in range(k)])
+    y_true = np.concatenate([r[1] for r in sorted(results)])
+    y_pred = np.concatenate([r[2] for r in sorted(results)])
+    cm = confusion_matrix(y_pred, y_true, len(labels))
+    m = accuracy_metrics(cm)
+    fold_acc = [
+        float((r[2] == r[1]).mean()) for r in sorted(results)
+    ]
+    return {
+        "labels": labels,
+        "fold_accuracy": fold_acc,
+        "confusion": cm,
+        "accuracy": m["overall"],
+        "kappa": m["kappa"],
+    }
+
+
+# --- hyperparameter tuning (sits_tuning, R/sits_tuning.R:95-260) ------------
+
+def loguniform(lo: float, hi: float):
+    """Sampler factory (the reference's ``loguniform`` hparam dist)."""
+    return lambda rng: float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+
+def uniform(lo: float, hi: float):
+    return lambda rng: float(rng.uniform(lo, hi))
+
+
+def choice(*opts):
+    return lambda rng: opts[int(rng.integers(0, len(opts)))]
+
+
+def tuning(X, labels_col, method_factory, param_space: dict, trials: int = 8,
+           validation_split: float = 0.2, seed: int = 11) -> list[dict]:
+    """``sits_tuning`` (``R/sits_tuning.R:95-260``): random search — sample
+    ``trials`` hyperparameter sets from ``param_space`` (samplers like
+    :func:`loguniform`), train each on the train split as a PARALLEL Ray
+    task, score validation accuracy, return trials sorted best-first.
+
+    ``method_factory(**params)`` must return a trainer closure (e.g.
+    ``sits_mlr`` / ``sits_rfor_lite``)."""
+    import ray
+
+    X = np.asarray(X, dtype=np.float64)
+    y, labels = _encode_labels(labels_col)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    val = np.zeros(n, dtype=bool)
+    val[rng.permutation(n)[: max(1, int(round(n * validation_split)))]] = True
+    param_sets = [
+        {name: sampler(rng) for name, sampler in param_space.items()}
+        for _ in range(trials)
+    ]
+
+    @ray.remote
+    def _trial(params: dict):
+        model = method_factory(**params)(X[~val], y[~val], labels)
+        acc = float((predict_probs(model, X[val]).argmax(axis=1) == y[val]).mean())
+        return acc
+
+    accs = ray.get([_trial.remote(p) for p in param_sets])
+    out = [
+        {"trial": i, "params": p, "val_accuracy": a}
+        for i, (p, a) in enumerate(zip(param_sets, accs))
+    ]
+    return sorted(out, key=lambda r: (-r["val_accuracy"], r["trial"]))
+
+
 def train(X: np.ndarray, labels_col, ml_method=None) -> dict:
     """``sits_train`` analog: predictor matrix + label column -> model dict.
 

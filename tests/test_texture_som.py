@@ -59,7 +59,7 @@ def test_som_map_dataset(ray_session):
     rng = np.random.default_rng(5)
     vecs = np.vstack([rng.normal(0, 0.2, (40, 6)), rng.normal(3, 0.2, (40, 6))])
     df = pd.DataFrame({"vec_id": np.arange(80), "embedding": list(vecs)})
-    out = som_map(rd.from_pandas(df), xdim=2, ydim=2, sample_rows=80, epochs=5).to_pandas()
+    out = som_map(rd.from_pandas(df), xdim=2, ydim=2, sample_rows=80, epochs=5)[0].to_pandas()
     assert len(out) == 80
     assert out["bmu"].between(0, 3).all()
     assert (out["quant_err"] >= 0).all()
@@ -84,3 +84,63 @@ def test_cooccurrence_counts_match_scalar_pairs():
                 want[a, b] += 1
                 want[b, a] += 1
         np.testing.assert_array_equal(P[r], want)
+
+
+def test_som_neuron_labeling_and_clean(ray_session):
+    """Hand-checkable SOM quality chain: priors, Bayes posterior bounds,
+    clean/analyze/remove outcomes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sits_ray.stages.som import (
+        SOM,
+        bayes_neuron_posteriors,
+        label_neurons,
+        neuron_majority_labels,
+        som_clean_samples,
+        som_evaluate_cluster,
+    )
+
+    rng = np.random.default_rng(6)
+    # two tight blobs -> separable neurons; a few mislabeled samples
+    a = rng.normal(0, 0.05, size=(40, 4))
+    b = rng.normal(3, 0.05, size=(40, 4))
+    X = np.vstack([a, b])
+    labels = np.array(["A"] * 40 + ["B"] * 40)
+    labels[0] = "B"  # one impostor in blob a
+    som = SOM(2, 2, seed=1).fit(X, epochs=10)
+    bmu = som.bmu(X)
+    df = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80)),
+            "label": pa.array(labels),
+            "bmu": pa.array(bmu.astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(df)
+    neurons = label_neurons(ds, 4)
+    pdn = neurons.to_pydict()
+    # priors per neuron sum to 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for i, p in zip(pdn["id_neuron"], pdn["prior_prob"]):
+        sums[i] += p
+    for v in sums.values():
+        assert abs(v - 1.0) < 1e-12
+    post = bayes_neuron_posteriors(neurons, som.grid, radius=2)
+    pp = post["post_prob"].to_numpy()
+    assert ((pp >= 0) & (pp <= 1)).all()
+    # majority labels recover the blobs; the impostor's neuron stays its blob's
+    major = neuron_majority_labels(neurons)
+    cleaned = som_clean_samples(
+        ds, post, keep=("clean", "analyze", "remove")
+    ).to_pandas()
+    assert len(cleaned) == 80
+    ev = cleaned.set_index("vec_id")["eval"]
+    assert ev.loc[0] == "remove"            # impostor: prior ~1/40 in its neuron
+    assert (ev.drop(0) != "remove").mean() > 0.9
+    clusters = som_evaluate_cluster(ds, neurons).to_pandas()
+    tot = clusters.groupby("cluster")["mixture_pct"].sum()
+    assert np.allclose(tot.to_numpy(), 100.0)
+    assert set(major.values()) <= {"A", "B"}

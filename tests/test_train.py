@@ -125,3 +125,44 @@ def test_confusion_matrix_counts():
     cm = confusion_matrix(yt, yp, 3)
     assert cm[0, 0] == 1 and cm[1, 0] == 1 and cm[1, 1] == 2 and cm[2, 2] == 1
     assert cm.sum() == 5
+
+
+def test_kfold_validate_learns(ray_session):
+    from sits_ray.stages.train import kfold_validate, sits_mlr
+
+    rng = np.random.default_rng(2)
+    n, d = 200, 6
+    X = rng.normal(size=(n, d))
+    y = np.where(X[:, 0] + X[:, 1] > 0, "pos", "neg")
+    res = kfold_validate(X, y, ml_method=sits_mlr(iters=200), k=4)
+    assert len(res["fold_accuracy"]) == 4
+    assert res["accuracy"] > 0.85          # separable -> CV accuracy high
+    assert res["kappa"] > 0.7
+    assert res["confusion"].sum() == n     # every sample predicted once
+    # deterministic across runs
+    res2 = kfold_validate(X, y, ml_method=sits_mlr(iters=200), k=4)
+    assert res2["fold_accuracy"] == res["fold_accuracy"]
+
+
+def test_tuning_orders_by_val_accuracy(ray_session):
+    from sits_ray.stages.train import loguniform, sits_mlr, tuning
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(150, 5))
+    y = np.where(X[:, 0] > 0, "a", "b")
+    res = tuning(
+        X, y, lambda lr, reg: sits_mlr(iters=80, lr=lr, reg=reg),
+        {"lr": loguniform(0.05, 1.0), "reg": loguniform(1e-5, 1e-2)},
+        trials=5,
+    )
+    assert len(res) == 5
+    accs = [r["val_accuracy"] for r in res]
+    assert accs == sorted(accs, reverse=True)
+    assert accs[0] > 0.8
+    # same seed -> same params and ranking
+    res2 = tuning(
+        X, y, lambda lr, reg: sits_mlr(iters=80, lr=lr, reg=reg),
+        {"lr": loguniform(0.05, 1.0), "reg": loguniform(1e-5, 1e-2)},
+        trials=5,
+    )
+    assert [r["params"] for r in res2] == [r["params"] for r in res]
