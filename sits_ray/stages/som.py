@@ -151,25 +151,43 @@ def som_clean_samples(assigned_ds, neuron_post: pa.Table,
     neuron table is broadcast; the sample pass is one map_batches."""
     import pyarrow.compute as pc
 
-    lut = {
-        (int(r["id_neuron"]), str(r["label"])): (r["prior_prob"], r["post_prob"])
-        for r in neuron_post.to_pylist()
-    }
-    lut_ref = ray.put(lut)
+    # dense (neurons x labels) prior/post matrices -> the per-sample pass
+    # is two vectorized gathers + np.select (no per-row Python)
+    ids = neuron_post["id_neuron"].to_numpy()
+    labs = [str(x) for x in neuron_post["label"].to_pylist()]
+    uniq_labels = sorted(set(labs))
+    lab_idx = {l: i for i, l in enumerate(uniq_labels)}
+    n_neurons = int(ids.max()) + 1 if len(ids) else 0
+    prior_m = np.zeros((n_neurons, len(uniq_labels)))
+    post_m = np.zeros_like(prior_m)
+    for i, l, pr, po in zip(
+        ids, labs, neuron_post["prior_prob"].to_numpy(),
+        neuron_post["post_prob"].to_numpy(),
+    ):
+        prior_m[int(i), lab_idx[l]] = pr
+        post_m[int(i), lab_idx[l]] = po
+    mats_ref = ray.put((prior_m, post_m, pa.array(uniq_labels)))
 
     def evaluate(t: pa.Table) -> pa.Table:
-        m = ray.get(lut_ref)
-        bm = t[bmu_col].to_numpy()
-        lb = t[label_col].to_pylist()
-        evals = []
-        for b, l in zip(bm, lb):
-            prior, post = m.get((int(b), str(l)), (0.0, 0.0))
-            if prior >= prior_threshold and post >= posterior_threshold:
-                evals.append("clean")
-            elif prior >= prior_threshold:
-                evals.append("analyze")
-            else:
-                evals.append("remove")
+        prior_mat, post_mat, lab_arr = ray.get(mats_ref)
+        bm = t[bmu_col].to_numpy().astype(np.int64)
+        lbl = t[label_col]
+        li = pc.index_in(
+            pc.cast(lbl.combine_chunks() if isinstance(lbl, pa.ChunkedArray) else lbl,
+                    pa.string()),
+            value_set=lab_arr,
+        )
+        known = pc.is_valid(li).to_numpy(zero_copy_only=False)
+        li_np = pc.fill_null(li, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        in_grid = (bm >= 0) & (bm < prior_mat.shape[0]) & known
+        bi = np.where(in_grid, bm, 0)
+        prior = np.where(in_grid, prior_mat[bi, li_np], 0.0)
+        post = np.where(in_grid, post_mat[bi, li_np], 0.0)
+        evals = np.select(
+            [(prior >= prior_threshold) & (post >= posterior_threshold),
+             prior >= prior_threshold],
+            ["clean", "analyze"], default="remove",
+        )
         t = t.append_column("eval", pa.array(evals))
         return t.filter(pc.is_in(t["eval"], value_set=pa.array(list(keep))))
 
