@@ -511,6 +511,48 @@ def hist_value_by_type(sf_dir):
     )
 
 
+# --- §2.4 summary.raster_cube: per-band quantiles ---------------------------
+@q(
+    "summary_band_quantiles",
+    """
+select event_type as band,
+       min(value) as q0,
+       quantile_disc(value, 0.25) as q25,
+       quantile_disc(value, 0.50) as q50,
+       quantile_disc(value, 0.75) as q75,
+       max(value) as q100,
+       count(*) as n
+from events group by 1
+""",
+)
+def summary_band_quantiles(sf_dir):
+    """summary.raster_cube analog (R/sits_summary.R): per-band quantile
+    digest. Partial per-batch sorted picks would lose exactness, so the
+    per-band values go through ONE small groupby; quantiles use the
+    pinned nearest-rank rule (kernels/reduce.nearest_rank == DuckDB
+    quantile_disc). SQL-exact."""
+    from sits_ray.kernels.reduce import nearest_rank
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def per_band(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "band": [g["event_type"].iloc[0]],
+                "q0": [v[0]],
+                "q25": [nearest_rank(v, 0.25)],
+                "q50": [nearest_rank(v, 0.50)],
+                "q75": [nearest_rank(v, 0.75)],
+                "q100": [v[-1]],
+                "n": [len(v)],
+            }
+        )
+
+    # group count = band count (tiny) — the O(groups) rule holds
+    return ds.groupby("event_type").map_groups(per_band, batch_format="pandas")
+
+
 # --- §2.6 sits_get_data analog: broadcast key-set semi-join ----------------
 @q(
     "semi_join_building",
@@ -1304,6 +1346,43 @@ m as (select *, {mxa} as mxa, {mxb} as mxb from s),
 p as (select *, {za} as za, {zb} as zb from m)
 select vec_id, {_argmax_label_sql(qs)} as pred_label from p
 """
+
+
+def _margin_topk_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    cols = ", ".join(f"{l[j]} as l{j}" for j in range(4))
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    ps = ", ".join(f"exp(l{j} - mx) / z as p{j}" for j in range(4))
+    s1 = "greatest(p0, p1, p2, p3)"
+    # second largest = max over probs with the (unique) max masked out
+    s2 = ", ".join(f"case when p{j} = s1 then -1 else p{j} end" for j in range(4))
+    return f"""
+with s as (select vec_id, {cols} from embeddings),
+m as (select *, {mx} as mx from s),
+p as (select vec_id, {ps} from (select *, {z} as z from m)),
+mm as (select *, {s1} as s1 from p),
+mg as (select vec_id,
+              1.0 - (s1 - greatest({s2})) as margin,
+              {_argmax_label_sql(['p0', 'p1', 'p2', 'p3'])} as pred_label
+       from mm)
+select vec_id, pred_label from mg order by margin desc, vec_id limit 20
+"""
+
+
+@q("uncertainty_margin_topk", _margin_topk_sql())
+def uncertainty_margin_topk(sf_dir):
+    """sits_uncertainty margin variant (src/uncertainty.cpp:13-19):
+    1 - (p1 - p2) over the two largest probabilities; top-20 most
+    ambiguous picks. SQL-exact on the picked (vec_id, pred_label) set
+    via inlined-weight re-scoring (margin orders engine-side)."""
+    from sits_ray.stages.classify import classify, make_linear_model
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = make_linear_model(n_features=64, n_labels=4, seed=13)
+    scored = classify(ds, model, concurrency=(1, 2))
+    out = scored.sort(["margin", "vec_id"], descending=[True, False]).limit(20)
+    return out.select_columns(["vec_id", "pred_label"])
 
 
 @q("combine_predictions", _combine_pred_sql())
