@@ -69,6 +69,11 @@ def _score_file(
 
     scorer = SeriesScorer(model_ref, vec_col=vec_col, id_col=id_col)
     t = pq.read_table(path, columns=[id_col, vec_col])
+    if t.num_rows == 0:
+        # empty input block: record it in the ledger, write nothing
+        # (read_probs reads only existing part dirs)
+        return {"part_id": part_id, "input_rows": 0, "output_rows": 0,
+                "input_checksum": 0}
     out = pa.concat_tables(
         scorer(t.slice(o, batch_rows)) for o in range(0, t.num_rows, batch_rows)
     )

@@ -21,7 +21,6 @@
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -69,12 +68,16 @@ def mosaic_tier(
 def _regrid_batch(t: pa.Table, n_parts_new: int) -> pa.Table:
     """Recompute part_id on the new grid, vectorized over the batch's
     (dictionary-encoded) conversations."""
+    from sits_ray.stages.regularize import part_of
+
     col = t["conv_id"]
     d = pc.dictionary_encode(
         col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     )
+    # part_of is the single definition of the conv-hash grid — the
+    # re-gridded store must agree with prepare_turns/read_tier forever
     pid = np.array(
-        [zlib.crc32(str(c).encode()) % n_parts_new for c in d.dictionary.to_pylist()],
+        [part_of(c, n_parts_new) for c in d.dictionary.to_pylist()],
         dtype=np.int32,
     )
     new_pid = pa.array(pid[np.asarray(d.indices)])

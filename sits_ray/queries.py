@@ -68,6 +68,16 @@ _ROLLUP_COLS = [
     "sum_latency", "mean_latency", "p95_latency", "min_latency", "max_latency",
 ]
 
+def _sf_of_dir(sf_dir: str, default: float = 0.01) -> float:
+    """Tolerant scale-factor parse of a testdata dir (.../sf0.01); any
+    non-numeric suffix falls back to ``default`` instead of raising."""
+    tail = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return default
+
+
 
 def _nested_tier(sf_dir: str, tier: str, gapfill: bool = True):
     """Nested tier form (one row per conv with list-column series): produced
@@ -1355,8 +1365,12 @@ def _margin_topk_sql() -> str:
     z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
     ps = ", ".join(f"exp(l{j} - mx) / z as p{j}" for j in range(4))
     s1 = "greatest(p0, p1, p2, p3)"
-    # second largest = max over probs with the (unique) max masked out
-    s2 = ", ".join(f"case when p{j} = s1 then -1 else p{j} end" for j in range(4))
+    # second largest of a set = max over all pairs of the pairwise min —
+    # tie-safe (a tied top-two correctly yields the max, matching the
+    # kernel's sorted-desc p[1])
+    s2 = ", ".join(
+        f"least(p{i}, p{j})" for i in range(4) for j in range(i + 1, 4)
+    )
     return f"""
 with s as (select vec_id, {cols} from embeddings),
 m as (select *, {mx} as mx from s),
@@ -2243,7 +2257,7 @@ def text_integrity(sf_dir):
     )
     from sits_ray.synth import write_transcripts
 
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.01
+    sf = _sf_of_dir(sf_dir)
     n_convs = max(20, int(sf * 10_000))
     in_dir = write_transcripts(
         f"/tmp/sits_ray_textint/in_{n_convs}", n_convs=n_convs, mean_turns=20,
@@ -2268,7 +2282,7 @@ def multimodal_features(sf_dir):
     codec round-trips pinned in tests/test_multimodal.py."""
     from sits_ray.stages.multimodal import extract_features, synth_media_table
 
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.01
+    sf = _sf_of_dir(sf_dir)
     n = max(32, int(sf * 6400))
     tbl = synth_media_table(n=n, seed=11)
     out = extract_features(rd.from_arrow(tbl), batch_size=16, concurrency=(1, 2))

@@ -247,6 +247,10 @@ class SimHashStage:
 
     def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
         out = np.empty(toks.size, dtype=np.uint64)
+        # bound the per-actor cache: open vocabularies (ids, typos, many
+        # languages) would otherwise grow it for the actor's lifetime
+        if len(self._cache) > 2_000_000:
+            self._cache.clear()
         cache = self._cache
         for i, t in enumerate(toks):
             h = cache.get(t)

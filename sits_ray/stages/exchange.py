@@ -192,11 +192,15 @@ def _call_decide(decide_parts, input_rows_by_part, input_chk_by_part):
     """decide_parts may take (rows) or (rows, checksums)."""
     import inspect
 
+    # only SIGNATURE INSPECTION is guarded: an exception raised inside the
+    # decide body must propagate (swallowing it would re-run decide's side
+    # effects and silently drop checksum-based invalidation)
     try:
-        if len(inspect.signature(decide_parts).parameters) >= 2:
-            return decide_parts(input_rows_by_part, input_chk_by_part)
+        two_arg = len(inspect.signature(decide_parts).parameters) >= 2
     except (TypeError, ValueError):
-        pass
+        two_arg = False
+    if two_arg:
+        return decide_parts(input_rows_by_part, input_chk_by_part)
     return decide_parts(input_rows_by_part)
 
 

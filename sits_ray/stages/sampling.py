@@ -117,9 +117,13 @@ def reduce_imbalance(ds, n_samples: int, label_col: str = "label",
             out["synthetic"] = False
             return out
         X = np.stack(g[vec_col].to_numpy())
+        import zlib
+
         syn = smote_oversample(
             X, n_samples - len(g), k=k,
-            seed=seed + (hash(str(lab)) % 1000),
+            # stable per-label seed (Python's str hash is salted per
+            # process — non-reproducible across runs/workers)
+            seed=seed + (zlib.crc32(str(lab).encode()) % 1000),
         )
         extra = pd.DataFrame(
             {

@@ -92,9 +92,33 @@ class IVFIndex:
         return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
 
 
+_FP_P = np.uint64((1 << 61) - 1)
+_FP_R = np.uint64(2_654_435_761)
+
+
+def dataset_id_fingerprint(ds, id_col: str = "vec_id") -> dict:
+    """(row count, order-independent id checksum) of a vector Dataset —
+    one thin-column pass; decides whether a materialized index is still
+    valid for this data (CLAUDE.md count+hash fingerprint rule)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        with np.errstate(over="ignore"):
+            s = int(((ids.astype(np.uint64) * _FP_R) % _FP_P).sum() % _FP_P)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s], pa.int64())})
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    s = 0
+    for r in rows:
+        s = (s + int(r["s"])) % int(_FP_P)
+    return {"rows": n, "checksum": s}
+
+
 def ivf_build(ds, index_dir: str, nlist: int = 16, sample_rows: int = 2048,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed: int = 11) -> "IVFIndex":
+              seed: int = 11, fingerprint: dict | None = None) -> "IVFIndex":
     """Materialize the IVF index ONCE: train the coarse quantizer on a
     sample, assign every vector its bucket in a ``map_batches`` pass, and
     write the vectors as Parquet PARTITIONED BY BUCKET
@@ -120,11 +144,25 @@ def ivf_build(ds, index_dir: str, nlist: int = 16, sample_rows: int = 2048,
             "b", pa.array(b)
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    # build into a staging dir, publish with one atomic rename — a crash
+    # mid-build can never leave a half-index that a later run reuses or
+    # appends into (review finding: duplicate vectors after torn build)
+    import json
+    import shutil
+
+    staging = index_dir.rstrip("/") + ".building"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
+        os.path.join(staging, "vectors"), partition_cols=["bucket"]
     )
-    np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
+    np.save(os.path.join(staging, "centroids.npy"), index.centroids)
+    if fingerprint is not None:
+        with open(os.path.join(staging, "fingerprint.json"), "w") as fh:
+            json.dump(fingerprint, fh)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(index_dir.rstrip("/")) or ".", exist_ok=True)
+    os.replace(staging, index_dir)
     return index
 
 
@@ -203,13 +241,23 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16,
     """IVF-flat approximate top-k: build (or reuse) the materialized bucket
     index, then probe-prune the read. ``index_dir=None`` uses a throwaway
     directory (one-shot use); pass a stable dir to amortize the build."""
+    import json
     import os
     import tempfile
 
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        index_dir = os.path.join(tempfile.mkdtemp(prefix="ivf_"), "index")
+    # reuse only when the stored fingerprint matches THIS data — changed
+    # content at the same path (regenerated testdata, new seed) rebuilds
+    # instead of silently serving stale neighbors
+    fp = dataset_id_fingerprint(ds, id_col)
+    fp_path = os.path.join(index_dir, "fingerprint.json")
+    reuse = False
+    if os.path.exists(os.path.join(index_dir, "centroids.npy")) and os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            reuse = json.load(fh) == fp
+    if not reuse:
         ivf_build(ds, index_dir, nlist=nlist, sample_rows=sample_rows,
-                  vec_col=vec_col, id_col=id_col)
+                  vec_col=vec_col, id_col=id_col, fingerprint=fp)
     return ivf_query(index_dir, query_vecs, k=k, nprobe=nprobe,
                      vec_col=vec_col, id_col=id_col)

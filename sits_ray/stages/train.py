@@ -210,7 +210,7 @@ def kfold_validate(X, labels_col, ml_method=None, k: int = 5, seed: int = 7) -> 
     results = ray.get([_fold.remote(f) for f in range(k)])
     y_true = np.concatenate([r[1] for r in sorted(results)])
     y_pred = np.concatenate([r[2] for r in sorted(results)])
-    cm = confusion_matrix(y_pred, y_true, len(labels))
+    cm = confusion_matrix(y_true, y_pred, len(labels))
     m = accuracy_metrics(cm)
     fold_acc = [
         float((r[2] == r[1]).mean()) for r in sorted(results)

@@ -102,3 +102,38 @@ def test_ivf_probe_prunes_read(ray_session, vec_df, tmp_path):
     out = ivf_query(idx_dir, q, k=5, nprobe=2)
     assert set(out["query_id"]) == {0, 1}
     assert len(out) == 10
+
+
+def test_ivf_index_rebuilds_on_changed_data(ray_session, tmp_path):
+    """Stale-index guard: same index_dir + different data must rebuild,
+    not serve old neighbors (round-2 review finding)."""
+    import ray.data as rd
+
+    from sits_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    d = 8
+
+    def mk(ids):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": list(rng.normal(size=(len(ids), d)))}
+            )
+        )
+
+    idx = str(tmp_path / "ivf")
+    ds1 = mk(np.arange(100))
+    q = np.asarray(ds1.take(1)[0]["embedding"], dtype=np.float64)[None, :]
+    r1 = ivf_topk(ds1, q, k=5, nlist=4, nprobe=4, index_dir=idx)
+    assert set(r1["vec_id"]) <= set(range(100))
+
+    ds2 = mk(np.arange(1000, 1100))  # same size, different content
+    r2 = ivf_topk(ds2, q, k=5, nlist=4, nprobe=4, index_dir=idx)
+    assert set(r2["vec_id"]) <= set(range(1000, 1100)), "stale index served"
+
+    # unchanged data reuses the index (fingerprint match, no rebuild)
+    import os
+
+    mtime = os.path.getmtime(os.path.join(idx, "centroids.npy"))
+    ivf_topk(ds2, q, k=5, nlist=4, nprobe=4, index_dir=idx)
+    assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
