@@ -1938,6 +1938,24 @@ def minhash_near_dups(sf_dir):
     return pdf
 
 
+@q("embedding_near_dups")
+def embedding_near_dups_q(sf_dir):
+    """Embedding-cosine near-duplicate pairs (fifth dedup modality):
+    IVF-bucket blocking -> in-bucket pairwise cosine >= 0.99. Group count
+    = nlist, never the corpus. Rows-only driver check (sentinel row when
+    the corpus has no near-identical vectors); recall on planted
+    duplicates pinned in tests/test_dedup.py."""
+    from sits_ray.stages.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = embedding_near_dups(ds, threshold=0.99, nlist=8).to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame(
+            {"id_a": [-1], "id_b": [-1], "cosine": [0.0], "truncated": [False]}
+        )
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 @q("simhash_signatures")
 def simhash_signatures(sf_dir):
     """64-bit SimHash signatures + 16-bit bucket chunks per document."""

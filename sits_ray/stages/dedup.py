@@ -327,3 +327,66 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         ds, join_type="inner", num_partitions=num_partitions,
         on=(id_col,), right_on=(id_col,),
     )
+
+
+def embedding_near_dups(ds, threshold: float = 0.95, nlist: int = 16,
+                        sample_rows: int = 2048, vec_col: str = "embedding",
+                        id_col: str = "vec_id", max_bucket: int = 20_000,
+                        seed: int = 11):
+    """Embedding-cosine near-duplicate pairs (the brief's fifth dedup
+    modality): IVF-style coarse buckets as the BLOCKING key, exact
+    pairwise cosine only inside each bucket.
+
+    Scale shape: the k-means quantizer trains on a driver sample and is
+    broadcast; bucket assignment is one map_batches; the pairwise stage is
+    a ``groupby(bucket)`` whose group count is ``nlist`` (NOT the corpus
+    size), and each group computes one (g x g) matmul. ``max_bucket``
+    caps a degenerate bucket (same guard as the LSH bucket cap) — capped
+    buckets keep their ``max_bucket`` smallest ids, and the cap is
+    reported via the ``truncated`` column so silent loss is visible.
+    Near-identical vectors land in the same coarse cell, so recall for
+    threshold >= ~0.9 is high (pinned in tests on planted duplicates).
+    """
+    import ray
+
+    from sits_ray.arrowutil import list_matrix
+    from sits_ray.stages.similarity import IVFIndex, _normalize
+
+    sample = np.asarray(
+        [r[vec_col] for r in ds.take(sample_rows)], dtype=np.float64
+    )
+    index = IVFIndex(nlist=nlist, seed=seed).fit(sample)
+    c_ref = ray.put(index.centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(list_matrix(t[vec_col]))
+        b = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], vec_col: t[vec_col], "bucket": pa.array(b)}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        truncated = len(g) > max_bucket
+        if truncated:
+            g = g.head(max_bucket)
+        m = _normalize(np.stack(g[vec_col].to_numpy()))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[hit]],
+                "id_b": ids[ju[hit]],
+                "cosine": sims[iu[hit], ju[hit]],
+                "truncated": np.full(int(hit.sum()), truncated),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -116,3 +116,52 @@ def test_minhash_dedup_no_driver_corpus(ray_session, tmp_path):
     out = minhash_dedup(rd.read_parquet(p), threshold=0.7).to_pandas()
     pairs = {tuple(sorted((a, b))) for a, b in zip(out.doc_a, out.doc_b)}
     assert (0, 3) in pairs and not any(2 in p_ for p_ in pairs)
+
+
+def test_embedding_near_dups_recall(ray_session):
+    """Planted near-identical vectors are found; unrelated ones are not."""
+    import ray.data as rd
+
+    from sits_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(120, 16))
+    # plant 10 near-dup pairs: id 200+i is a tiny perturbation of id i
+    dup = base[:10] + rng.normal(scale=1e-3, size=(10, 16))
+    ids = np.concatenate([np.arange(120), np.arange(200, 210)])
+    vecs = np.vstack([base, dup])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ).repartition(4)
+    out = embedding_near_dups(ds, threshold=0.999, nlist=4, sample_rows=200).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    want = {(i, 200 + i) for i in range(10)}
+    recall = len(found & want) / len(want)
+    assert recall >= 0.9
+    # no false positives among unrelated random vectors
+    fp = [p for p in found - want if p[0] < 120 and p[1] < 120]
+    assert not fp
+    assert (out["cosine"] >= 0.999).all()
+
+
+def test_embedding_near_dups_bucket_cap(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(14)
+    # all vectors identical direction -> one bucket; cap must kick in
+    v = np.abs(rng.normal(size=16)) + 1.0
+    vecs = np.stack([v * s for s in rng.uniform(0.5, 2.0, size=50)])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(50), "embedding": list(vecs)})
+    )
+    out = embedding_near_dups(
+        ds, threshold=0.99, nlist=2, sample_rows=50, max_bucket=10
+    ).to_pandas()
+    # the dominant bucket must have been capped (ulp noise may split a few
+    # vectors into the second bucket, which legitimately stays uncapped)
+    capped = out[out["truncated"]]
+    assert len(capped) > 0
+    # capped-bucket pairs can only involve that bucket's 10 smallest ids
+    assert set(capped["id_a"]) | set(capped["id_b"]) <= set(range(11))
