@@ -1,0 +1,167 @@
+"""Reference-named API facade — the switchability surface.
+
+A user of e-sensing/sits drives it through ~30 exported verbs
+(``sits_regularize``, ``sits_apply``, ``sits_classify``, ...). This
+module binds those SAME names to the engine's Ray-Data-native operators
+(thin adapters; the real implementations live in ``stages/``,
+``kernels/`` and ``pipelines/``), so a reference pipeline translates
+verb-for-verb. Semantics/provenance are documented on the underlying
+implementations; the signatures here keep the reference's shape
+(data-first, closure factories for methods).
+
+Time-series tibble  ->  ``ray.data.Dataset`` of transcript events /
+nested tier rows; raster cube -> the partitioned tier/probs stores.
+"""
+
+from __future__ import annotations
+
+# --- §2.1 regularization / cube lifecycle ----------------------------------
+from sits_ray.pipelines.flagship import (  # noqa: F401
+    read_tier,
+    read_tier_blocks,
+    run_flagship as sits_regularize_store,
+)
+from sits_ray.pipelines.mosaic import (  # noqa: F401
+    mosaic_tier as sits_mosaic,
+    regrid_store as sits_tile_convert,
+)
+from sits_ray.pipelines.store_merge import merge_stores as sits_merge_stores  # noqa: F401
+from sits_ray.sources import (  # noqa: F401
+    open_catalog as sits_cube,
+    read_cube as sits_cube_read,
+)
+from sits_ray.stages.regularize import (  # noqa: F401
+    nested_to_long,
+    rollup_tiers as sits_regularize,
+)
+from sits_ray.timeline import (  # noqa: F401
+    period_windows as sits_period_windows,
+    timeline_during as sits_timeline_during,
+    valid_timeline as sits_timeline_valid,
+)
+
+# --- §2.2-2.4 per-series maps / reductions ---------------------------------
+from sits_ray.expr import apply_expr as sits_apply, reduce_expr as sits_reduce  # noqa: F401
+from sits_ray.kernels.bayes import bayes_smooth as sits_smooth  # noqa: F401
+from sits_ray.kernels.gapfill import linear_interp as impute_linear  # noqa: F401
+from sits_ray.kernels.rolling import (  # noqa: F401
+    w_max, w_mean, w_median, w_min, w_modal, w_sd, w_var,
+)
+from sits_ray.kernels.smooth import sgolay, whittaker  # noqa: F401
+from sits_ray.kernels.texture import texture_matrix as sits_texture  # noqa: F401
+
+
+def sits_whittaker(lambda_: float = 0.5):
+    """Closure factory (the reference's filter-method pattern,
+    ``R/sits_filters.R``): returns a (series x time) smoother."""
+    return lambda m: whittaker(m, lambda_)
+
+
+def sits_sgolay(order: int = 3, length: int = 5):
+    return lambda m: sgolay(m, order=order, length=length)
+
+
+def sits_filter(ds, fn, cols=("mean_latency",), suffix: str = "_filt"):
+    """Apply a per-series filter closure over nested tier rows."""
+    from sits_ray.stages.series_ops import apply_across_nested
+
+    return ds.map_batches(
+        lambda b: apply_across_nested(b, fn, cols=tuple(cols), suffix=suffix),
+        batch_format="pyarrow",
+    )
+
+
+def sits_select(ds, columns=None, predicate=None):
+    """Projection + vectorized row predicate (pa.Table -> BooleanArray)."""
+    if predicate is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+        )
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+# --- §2.5 train / classify / quality ---------------------------------------
+from sits_ray.kernels.cluster import cluster_dendro as sits_cluster_dendro  # noqa: F401
+from sits_ray.kernels.dtw import dtw_many as sits_dtw  # noqa: F401
+from sits_ray.kernels.ml import (  # noqa: F401
+    accuracy_metrics as sits_accuracy,
+    combine_average as sits_combine_predictions,
+    entropy_probs as sits_uncertainty_entropy,
+    label_max_prob as sits_label_classification,
+    margin_probs as sits_uncertainty_margin,
+)
+from sits_ray.kernels.nnls import unmix as sits_mixture_model  # noqa: F401
+from sits_ray.stages.classify import classify as sits_classify  # noqa: F401
+from sits_ray.stages.som import (  # noqa: F401
+    som_clean_samples as sits_som_clean_samples,
+    som_evaluate_cluster as sits_som_evaluate_cluster,
+    som_map as sits_som_map,
+)
+from sits_ray.stages.train import (  # noqa: F401
+    kfold_validate as sits_kfold_validate,
+    sits_mlr,
+    sits_rfor_lite as sits_rfor,
+    train as sits_train,
+    tuning as sits_tuning,
+)
+
+# --- §2.6 joins / lookups ---------------------------------------------------
+from sits_ray.kernels.bayes import bayts_change as sits_detect_change  # noqa: F401
+
+# --- §2.8 sampling / dedup --------------------------------------------------
+from sits_ray.stages.dedup import (  # noqa: F401
+    embedding_near_dups,
+    exact_dedup as sits_dedup,
+    minhash_dedup,
+    simhash64,
+)
+from sits_ray.stages.sampling import (  # noqa: F401
+    reduce_imbalance as sits_reduce_imbalance,
+    samples_prune as sits_samples_prune,
+    sampling_design as sits_sampling_design,
+    stratified_sample as sits_sample,
+    stratified_sampling as sits_stratified_sampling,
+)
+from sits_ray.stages.similarity import (  # noqa: F401
+    brute_force_topk as sits_knn,
+    ivf_topk as sits_ann,
+)
+
+
+def sits_bands(ds, rename: dict):
+    """Rename metric columns (``sits_bands<-``)."""
+    cols = ds.schema().names
+    return ds.map_batches(
+        lambda t: t.rename_columns([rename.get(c, c) for c in cols]),
+        batch_format="pyarrow",
+    )
+
+
+def sits_labels(ds, label_col: str = "label"):
+    """Distinct labels of a samples Dataset (``sits_labels``)."""
+    return sorted(set(ds.unique(label_col)))
+
+
+def sits_reclassify(ds, rules: dict, col: str, out_col: str | None = None):
+    """Value remap via a broadcast rule table (``sits_reclassify``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_col = out_col or col
+
+    def remap(t: pa.Table) -> pa.Table:
+        vals = t[col].to_pylist()
+        new = [rules.get(v, v) for v in vals]
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, pa.array(new))
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def sits_to_csv(ds, path: str):
+    """CSV sink (``sits_to_csv``)."""
+    ds.write_csv(path)
+    return path
