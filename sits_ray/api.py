@@ -83,7 +83,11 @@ def sits_select(ds, columns=None, predicate=None):
 
 
 # --- §2.5 train / classify / quality ---------------------------------------
-from sits_ray.kernels.cluster import cluster_dendro as sits_cluster_dendro  # noqa: F401
+from sits_ray.kernels.cluster import (  # noqa: F401
+    cluster_clean as sits_cluster_clean,
+    cluster_dendro as sits_cluster_dendro,
+    cluster_frequency as sits_cluster_frequency,
+)
 from sits_ray.kernels.dtw import dtw_many as sits_dtw  # noqa: F401
 from sits_ray.kernels.ml import (  # noqa: F401
     accuracy_metrics as sits_accuracy,

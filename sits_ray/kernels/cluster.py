@@ -95,3 +95,25 @@ def cluster_dendro(X: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     D = pairwise_euclidean(X)
     merges = linkage_average(D)
     return cut_tree(merges, X.shape[0], k), merges
+
+
+def cluster_frequency(labels, clusters) -> "pd.DataFrame":
+    """(label x cluster) frequency table (``sits_cluster_frequency``,
+    ``R/sits_cluster.R:120-150``)."""
+    import pandas as pd
+
+    return pd.crosstab(pd.Series(labels, name="label"),
+                       pd.Series(clusters, name="cluster"))
+
+
+def cluster_clean(df, label_col: str = "label", cluster_col: str = "cluster"):
+    """``sits_cluster_clean`` (``R/sits_cluster.R:177-201``): keep only the
+    rows whose label is their cluster's majority label (ties -> first
+    label in sorted order, R's table()-order which.max). Runs on the
+    samples table (small side, the reference shape)."""
+    import pandas as pd
+
+    freq = cluster_frequency(df[label_col], df[cluster_col])
+    major = {cl: freq[cl].idxmax() for cl in freq.columns}
+    keep = df[cluster_col].map(major) == df[label_col]
+    return df[keep].reset_index(drop=True)

@@ -78,6 +78,36 @@ def _sf_of_dir(sf_dir: str, default: float = 0.01) -> float:
         return default
 
 
+def _mlr_logit_sql(seed: int, n_features: int = 64, n_labels: int = 4,
+                   emb: str = "embedding") -> list[str]:
+    """DuckDB logit expressions for the deterministic seeded linear model:
+    the weight matrix is inlined as round-trippable double literals so the
+    oracle reproduces the engine's scoring without any engine state (the
+    knn pattern: floats order the rows, only ids/labels are compared)."""
+    from sits_ray.stages.classify import make_linear_model
+
+    m = make_linear_model(n_features, n_labels, seed=seed)
+    exprs = []
+    for j in range(n_labels):
+        ws = ", ".join(repr(float(w)) for w in m["W"][:, j])
+        exprs.append(
+            f"(list_dot_product({emb}::DOUBLE[], [{ws}]) + {float(m['b'][j])!r})"
+        )
+    return exprs
+
+
+def _argmax_label_sql(terms: list[str]) -> str:
+    """First-max (np.argmax) label pick over per-label score expressions."""
+    cases = []
+    for j in range(len(terms) - 1):
+        conds = " and ".join(
+            f"{terms[j]} >= {terms[k]}" for k in range(j + 1, len(terms))
+        )
+        cases.append(f"when {conds} then 'label{j}'")
+    return "case " + " ".join(cases) + f" else 'label{len(terms) - 1}' end"
+
+
+
 
 def _nested_tier(sf_dir: str, tier: str, gapfill: bool = True):
     """Nested tier form (one row per conv with list-column series): produced
@@ -983,6 +1013,93 @@ def cluster_dendro_embeddings(sf_dir):
     return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(labels)})
 
 
+@q("cluster_clean_embeddings")
+def cluster_clean_embeddings(sf_dir):
+    """sits_cluster_clean (R/sits_cluster.R:177-201): dendro-cluster the
+    labeled sample, keep only rows whose label is their cluster's
+    majority. Rows-only; majority rule pinned in
+    tests/test_sampling_cluster.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.kernels.cluster import cluster_clean, cluster_dendro
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    ).slice(0, 256)
+    X = list_matrix(t["embedding"])
+    labels, _ = cluster_dendro(X, k=8)
+    df = pd.DataFrame(
+        {
+            "vec_id": t["vec_id"].to_numpy(),
+            "label": t["label"].to_numpy(),
+            "cluster": labels,
+        }
+    )
+    return cluster_clean(df)
+
+
+def _confidence_topk_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    cols = ", ".join(f"{l[j]} as l{j}" for j in range(4))
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    # max softmax prob = exp(0)/z = 1/z -> most confident = smallest z
+    return f"""
+with s as (select vec_id, {cols} from embeddings),
+m as (select *, {mx} as mx from s),
+p as (select vec_id, {z} as z,
+             {_argmax_label_sql([f'l{j}' for j in range(4)])} as pred_label
+      from m)
+select vec_id, pred_label from p
+qualify row_number() over (partition by pred_label order by z, vec_id) <= 5
+"""
+
+
+@q("confidence_sampling_topk", _confidence_topk_sql())
+def confidence_sampling_topk(sf_dir):
+    """sits_confidence_sampling (R/sits_uncertainty.R): per predicted
+    class, the k most CONFIDENT picks (highest max-probability).
+    Distributed shape: per-batch partial top-k per label, then a tiny
+    groupby(pred_label) — group count O(labels). SQL-exact on the picked
+    (vec_id, pred_label) sets (max prob == 1/z, so the oracle orders by
+    the softmax partition function)."""
+    from sits_ray.stages.classify import classify, make_linear_model
+
+    k = 5
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = make_linear_model(n_features=64, n_labels=4, seed=13)
+    scored = classify(ds, model, concurrency=(1, 2))
+    prob_cols = [f"prob_label{j}" for j in range(4)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        mp = np.max(np.stack([t[c].to_numpy() for c in prob_cols], axis=1), axis=1)
+        lab = np.asarray(t["pred_label"].to_pylist())
+        ids = t["vec_id"].to_numpy()
+        keep = np.zeros(len(ids), dtype=bool)
+        for lb in np.unique(lab):
+            rows = np.flatnonzero(lab == lb)
+            if rows.size > k:
+                rows = rows[np.lexsort((ids[rows], -mp[rows]))[:k]]
+            keep[rows] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "pred_label": pa.array(lab[keep]),
+                "max_prob": pa.array(mp[keep]),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["max_prob", "vec_id"], ascending=[False, True]).head(k)
+        return g[["vec_id", "pred_label"]]
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("pred_label")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 # --- §2.8 uncertainty sampling with min-distance constraint ----------------
 @q("uncertainty_sampling_mindist")
 def uncertainty_sampling_mindist(sf_dir):
@@ -1273,35 +1390,6 @@ def label_patterns(sf_dir):
 
 
 # --- §2.8 uncertainty sampling: top-k by entropy ---------------------------
-def _mlr_logit_sql(seed: int, n_features: int = 64, n_labels: int = 4,
-                   emb: str = "embedding") -> list[str]:
-    """DuckDB logit expressions for the deterministic seeded linear model:
-    the weight matrix is inlined as round-trippable double literals so the
-    oracle reproduces the engine's scoring without any engine state (the
-    knn pattern: floats order the rows, only ids/labels are compared)."""
-    from sits_ray.stages.classify import make_linear_model
-
-    m = make_linear_model(n_features, n_labels, seed=seed)
-    exprs = []
-    for j in range(n_labels):
-        ws = ", ".join(repr(float(w)) for w in m["W"][:, j])
-        exprs.append(
-            f"(list_dot_product({emb}::DOUBLE[], [{ws}]) + {float(m['b'][j])!r})"
-        )
-    return exprs
-
-
-def _argmax_label_sql(terms: list[str]) -> str:
-    """First-max (np.argmax) label pick over per-label score expressions."""
-    cases = []
-    for j in range(len(terms) - 1):
-        conds = " and ".join(
-            f"{terms[j]} >= {terms[k]}" for k in range(j + 1, len(terms))
-        )
-        cases.append(f"when {conds} then 'label{j}'")
-    return "case " + " ".join(cases) + f" else 'label{len(terms) - 1}' end"
-
-
 def _topk_entropy_sql() -> str:
     l = _mlr_logit_sql(seed=13)
     mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"

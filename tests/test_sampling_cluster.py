@@ -197,3 +197,20 @@ def test_stratified_sampling_matches_bruteforce(ray_session):
         pd.concat(want_parts).sort_values(["label", "doc_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cluster_clean_majority_rule():
+    from sits_ray.kernels.cluster import cluster_clean, cluster_frequency
+
+    df = pd.DataFrame(
+        {
+            "vec_id": range(8),
+            "label": ["a", "a", "b", "b", "b", "a", "b", "a"],
+            "cluster": [0, 0, 0, 1, 1, 1, 1, 2],
+        }
+    )
+    out = cluster_clean(df)
+    # cluster 0 majority 'a' (2v1); cluster 1 majority 'b' (2v1); cluster 2 'a'
+    assert set(out["vec_id"]) == {0, 1, 3, 4, 6, 7}
+    freq = cluster_frequency(df["label"], df["cluster"])
+    assert freq.loc["a", 0] == 2 and freq.loc["b", 1] == 3
