@@ -43,8 +43,52 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
 
 
+# fixed odd multipliers, one per shingle token position (k <= 8)
+_SHINGLE_R = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+
+
+def _combine_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """u64 token-hash array (one doc, stream order) -> u64 shingle hashes:
+    each k-token window XOR-combines position-multiplied token hashes
+    (wraparound). Shorter-than-k docs yield ONE shingle over all tokens.
+    No string shingle is ever built — this is what lets the batch stage
+    run the whole hash path in numpy."""
+    L = th.size
+    with np.errstate(over="ignore"):
+        if L < k:
+            acc = th[0] * _SHINGLE_R[0]
+            for i in range(1, L):
+                acc = acc ^ (th[i] * _SHINGLE_R[i])
+            return np.array([acc], dtype=np.uint64)
+        acc = th[: L - k + 1] * _SHINGLE_R[0]
+        for i in range(1, k):
+            acc = acc ^ (th[i : L - k + 1 + i] * _SHINGLE_R[i])
+    return acc
+
+
+_FOLD61 = np.uint64(61)
+
+
+def _mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """Exact v mod (2^61-1) for u64 via shift/add fold — SIMD-friendly
+    where u64 division is not (hot path of the affine permutations)."""
+    p = np.uint64(_MERSENNE)
+    t = (v & p) + (v >> _FOLD61)
+    return np.where(t >= p, t - p, t)
+
+
 class MinHasher:
-    """Deterministic 64-bit minhash signatures (seeded affine hashes)."""
+    """Deterministic 64-bit minhash signatures (seeded affine hashes over
+    token-combined shingle hashes)."""
 
     def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -54,18 +98,17 @@ class MinHasher:
         self.n_perm = n_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingles(text, self.k)
-        if not sh:
+        """Scalar twin of :meth:`MinHashStage._signatures` (parity pinned
+        in tests/test_dedup.py)."""
+        toks = _WORD.findall(text.lower())
+        if not toks:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-             for s in sh],
-            dtype=np.uint64,
-        )
+        th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
+        sh = _combine_token_hashes(th, self.k)
         # (a*x + b) mod p for every (perm, shingle); min over shingles
-        x = base[None, :]
+        # (duplicate shingles cannot change the min — no dedup needed)
         with np.errstate(over="ignore"):
-            h = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
+            h = _mod_mersenne(self.a[:, None] * sh[None, :] + self.b[:, None])
         return h.min(axis=1)
 
 
@@ -90,7 +133,20 @@ def hamming64(a: int, b: int) -> int:
 
 
 class MinHashStage:
-    """map_batches actor: text -> (doc_id, band_id, band_hash) LSH rows."""
+    """map_batches actor: text -> (doc_id, band_id, band_hash) LSH rows.
+
+    Vectorized (VERDICT r2 "what's wrong" #3: the round-2 version called
+    Python ``blake2b`` once per shingle per doc): tokens are factorized
+    with a C hash table (``pd.factorize``), only the batch's UNIQUE tokens
+    are blake2b-hashed (through a bounded per-actor cache — vocabularies
+    repeat heavily across batches), shingle hashes are numpy window
+    combines of consecutive token hashes (no shingle string is ever
+    built), and the ``n_perm`` affine permutations + per-doc minima run
+    one perm at a time (small reusable temporaries; a single
+    (n_shingles x n_perm) matrix would first-touch hundreds of MB of
+    fresh pages, which on this host is 80x slower than reuse —
+    CLAUDE.md environment facts). Identical signatures to the scalar
+    :meth:`MinHasher.signature` (parity pinned in tests/test_dedup.py)."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
         assert n_perm % bands == 0
@@ -98,19 +154,103 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = n_perm // bands
         self.id_col, self.text_col = id_col, text_col
+        self._cache: dict[str, int] = {}
+
+    def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
+        out = np.empty(toks.size, dtype=np.uint64)
+        if len(self._cache) > 2_000_000:
+            self._cache.clear()
+        cache = self._cache
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _token_hash(t)
+                cache[t] = h
+            out[i] = h
+        return out
+
+    def _signatures(self, texts) -> np.ndarray:
+        """(n_docs, n_perm) uint64 signature matrix for a batch of texts."""
+        docs = [_WORD.findall(t.lower()) for t in texts]
+        n = len(docs)
+        k = self.mh.k
+        sigs = np.full((n, self.mh.n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        lens_t = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n)
+        N = int(lens_t.sum())
+        if N == 0:
+            return sigs
+        flat = np.empty(N, dtype=object)
+        pos = 0
+        for d in docs:
+            flat[pos : pos + len(d)] = d
+            pos += len(d)
+        codes, uniq = pd.factorize(flat)
+        th = self._hash_tokens(np.asarray(uniq, dtype=object))[codes]
+        # shingle counts: L-k+1 per long doc, 1 per short non-empty doc
+        counts = np.where(lens_t >= k, lens_t - k + 1, (lens_t > 0).astype(np.int64))
+        total = int(counts.sum())
+        sh = np.empty(total, dtype=np.uint64)
+        long_docs = lens_t >= k
+        mask_long_out = np.repeat(long_docs, counts)
+        if N >= k and long_docs.any():
+            with np.errstate(over="ignore"):
+                W = th[: N - k + 1] * _SHINGLE_R[0]
+                for i in range(1, k):
+                    W = W ^ (th[i : N - k + 1 + i] * _SHINGLE_R[i])
+            # a window starting at stream position i is a real shingle iff
+            # it ends inside the same document it starts in
+            rep = np.repeat(np.arange(n), lens_t)
+            valid = rep[: N - k + 1] == rep[k - 1 :]
+            sh[mask_long_out] = W[valid]
+        out_offs = np.concatenate([[0], np.cumsum(counts)])
+        toff = np.concatenate([[0], np.cumsum(lens_t)])
+        short = np.flatnonzero((lens_t > 0) & (lens_t < k))
+        for L in np.unique(lens_t[short]) if short.size else ():
+            dsel = short[lens_t[short] == L]
+            with np.errstate(over="ignore"):
+                acc = th[toff[dsel]] * _SHINGLE_R[0]
+                for i in range(1, int(L)):
+                    acc = acc ^ (th[toff[dsel] + i] * _SHINGLE_R[i])
+            sh[out_offs[dsel]] = acc
+        nz = counts > 0
+        starts = out_offs[:-1][nz]
+        rows = np.flatnonzero(nz)
+        # in-place affine + Mersenne fold: 3 reused buffers instead of ~6
+        # fresh temporaries per perm (memory traffic halves the loop cost)
+        p = np.uint64(_MERSENNE)
+        v = np.empty_like(sh)
+        t = np.empty_like(sh)
+        mask = np.empty(sh.shape, dtype=bool)
+        with np.errstate(over="ignore"):
+            for j in range(self.mh.n_perm):
+                np.multiply(self.mh.a[j], sh, out=v)
+                np.add(v, self.mh.b[j], out=v)
+                np.bitwise_and(v, p, out=t)
+                np.right_shift(v, _FOLD61, out=v)
+                np.add(t, v, out=t)
+                np.greater_equal(t, p, out=mask)
+                np.subtract(t, p, out=t, where=mask)
+                sigs[rows, j] = np.minimum.reduceat(t, starts)
+        return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.mh.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = zlib.crc32(chunk.tobytes())
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(bh)
+        n = len(batch)
+        sigs = self._signatures(batch[self.text_col])
+        # band hash: XOR-multiply fold of the band's signature words —
+        # pure numpy over all (doc, band) cells at once
+        r = self.rows_per_band
+        cube = sigs.reshape(n, self.bands, r)
+        with np.errstate(over="ignore"):
+            bh = cube[:, :, 0] * _SHINGLE_R[0]
+            for i in range(1, r):
+                bh = bh ^ (cube[:, :, i] * _SHINGLE_R[i % len(_SHINGLE_R)])
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         return pd.DataFrame(
-            {"doc_id": ids, "band_id": band_ids, "band_hash": band_hashes}
+            {
+                "doc_id": ids,
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1).view(np.int64),
+            }
         )
 
 

@@ -165,3 +165,35 @@ def test_embedding_near_dups_bucket_cap(ray_session):
     assert len(capped) > 0
     # capped-bucket pairs can only involve that bucket's 10 smallest ids
     assert set(capped["id_a"]) | set(capped["id_b"]) <= set(range(11))
+
+
+def test_minhash_stage_matches_scalar(ray_session):
+    """Vectorized batch signatures == scalar MinHasher.signature, and the
+    emitted (band_id, band_hash) rows match a scalar re-banding."""
+    from sits_ray.stages.dedup import _SHINGLE_R, MinHashStage
+
+    d = _docs()
+    d.loc[len(d)] = {"doc_id": 5, "text": ""}
+    d.loc[len(d)] = {"doc_id": 6, "text": "one two"}  # < k tokens
+    stage = MinHashStage(n_perm=64, bands=16)
+    sigs = stage._signatures(d.text)
+    for i, t in enumerate(d.text):
+        np.testing.assert_array_equal(sigs[i], stage.mh.signature(t)), i
+    out = stage(d)
+    assert len(out) == len(d) * 16
+    r = stage.rows_per_band
+    for i, t in zip(d.doc_id, d.text):
+        sig = stage.mh.signature(t)
+        rows = out[out.doc_id == i].sort_values("band_id")
+        want = []
+        with np.errstate(over="ignore"):
+            for b in range(16):
+                chunk = sig[b * r : (b + 1) * r]
+                acc = chunk[0] * _SHINGLE_R[0]
+                for j in range(1, r):
+                    acc = acc ^ (chunk[j] * _SHINGLE_R[j % len(_SHINGLE_R)])
+                want.append(int(np.uint64(acc).view(np.int64)))
+        assert rows["band_hash"].tolist() == want
+    # cross-batch actor cache keeps results identical
+    out2 = stage(d)
+    assert (out2["band_hash"].to_numpy() == out["band_hash"].to_numpy()).all()
