@@ -133,3 +133,16 @@ TEMPORAL_REDUCERS = {
     "t_iqr": t_iqr,
     "t_p95": t_p95,
 }
+
+
+def lower_median(m: np.ndarray) -> np.ndarray:
+    """NaN-aware NEAREST-RANK lower median per row:
+    ``sorted_finite[ceil(0.5*n_finite)-1]`` (== SQL ``quantile_disc(x,0.5)``
+    over non-NULL values — selection-only, so bit-exact cross-engine).
+    Rows with no finite value return NaN."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    s = np.sort(m, axis=1)  # NaNs sort last
+    n_fin = np.sum(~np.isnan(m), axis=1)
+    idx = np.maximum(np.ceil(0.5 * n_fin).astype(np.int64) - 1, 0)
+    out = s[np.arange(m.shape[0]), idx]
+    return np.where(n_fin > 0, out, np.nan)
