@@ -69,6 +69,26 @@ def combine_average(prob_stack: list[np.ndarray], weights: list[float] | None = 
     return np.tensordot(w, stack, axes=1)
 
 
+def combine_uncertainty(prob_stack: list[np.ndarray],
+                        uncert_stack: list[np.ndarray]) -> np.ndarray:
+    """Uncertainty-weighted ensemble (reference ``sits_combine_predictions``
+    type="uncertainty", ``R/sits_combine_predictions.R:124-182`` +
+    ``src/combine_data.cpp:40-87``): per-row weights are the normalized
+    INVERSE uncertainties ``w_c = (1/u_c) / sum_j (1/u_j)``; the combined
+    probability is ``sum_c w_c * p_c``. (The reference kernel's weight
+    loop reads ``conf(i,0)`` for every classifier — an indexing quirk; we
+    implement the inverse-uncertainty formula its API documents, the same
+    convention as ``t_skew``.) Callers should floor uncertainties away
+    from zero (an exactly-certain model would otherwise take all weight
+    via an inf/inf NaN)."""
+    P = np.stack([np.atleast_2d(np.asarray(p, np.float64)) for p in prob_stack])
+    U = np.stack([np.atleast_1d(np.asarray(u, np.float64)) for u in uncert_stack])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / U                                # (C, n)
+        w = inv / inv.sum(axis=0, keepdims=True)
+    return np.einsum("cn,cnk->nk", w, P)
+
+
 def confusion_matrix(y_true: np.ndarray, y_pred: np.ndarray, k: int) -> np.ndarray:
     """(k x k) counts, rows = predicted (map), cols = reference
     (the reference's caret-style table, ``R/sits_accuracy.R``)."""

@@ -1541,6 +1541,81 @@ def combine_predictions(sf_dir):
     return ds.map_batches(score_both, batch_format="pyarrow")
 
 
+def _combine_uncert_sql() -> str:
+    # per-model softmax probs + normalized entropies, inverse-uncertainty
+    # weights, weighted-average argmax — mirrors kernels/ml.py
+    # combine_uncertainty + entropy_probs over the two inlined models
+    la = _mlr_logit_sql(seed=13)
+    lb = _mlr_logit_sql(seed=17)
+    cols_a = ", ".join(f"{la[j]} as a{j}" for j in range(4))
+    cols_b = ", ".join(f"{lb[j]} as b{j}" for j in range(4))
+    mxa = f"greatest({', '.join(f'a{j}' for j in range(4))})"
+    mxb = f"greatest({', '.join(f'b{j}' for j in range(4))})"
+    za = " + ".join(f"exp(a{j} - mxa)" for j in range(4))
+    zb = " + ".join(f"exp(b{j} - mxb)" for j in range(4))
+    pa_ = ", ".join(f"exp(a{j} - mxa) / za as pa{j}" for j in range(4))
+    pb_ = ", ".join(f"exp(b{j} - mxb) / zb as pb{j}" for j in range(4))
+    enta = " + ".join(f"pa{j} * (ln(pa{j}) / ln(4.0))" for j in range(4))
+    entb = " + ".join(f"pb{j} * (ln(pb{j}) / ln(4.0))" for j in range(4))
+    comb = [f"(wa * pa{j} + wb * pb{j})" for j in range(4)]
+    return f"""
+with s as (select vec_id, {cols_a}, {cols_b} from embeddings),
+m as (select *, {mxa} as mxa, {mxb} as mxb from s),
+z as (select *, {za} as za, {zb} as zb from m),
+p as (select vec_id, {pa_}, {pb_} from z),
+e as (select *, -({enta}) as ua, -({entb}) as ub from p),
+w as (select *,
+        (1.0 / greatest(ua, 1e-12))
+          / ((1.0 / greatest(ua, 1e-12)) + (1.0 / greatest(ub, 1e-12))) as wa,
+        (1.0 / greatest(ub, 1e-12))
+          / ((1.0 / greatest(ua, 1e-12)) + (1.0 / greatest(ub, 1e-12))) as wb
+      from e)
+select vec_id, {_argmax_label_sql(comb)} as pred_label from w
+"""
+
+
+@q("combine_predictions_uncert", _combine_uncert_sql())
+def combine_predictions_uncert(sf_dir):
+    """Uncertainty-weighted ensemble (sits_combine_predictions
+    type="uncertainty", R/sits_combine_predictions.R:124-182 +
+    src/combine_data.cpp:40-87; VERDICT r2 next #7): per-row weights =
+    normalized inverse entropies of each model's softmax. SQL-exact on
+    (vec_id, pred_label) via inlined-weight re-scoring."""
+    from sits_ray.kernels.ml import (
+        combine_uncertainty,
+        entropy_probs,
+        label_max_prob,
+        softmax,
+    )
+    from sits_ray.stages.classify import make_linear_model
+
+    m1 = make_linear_model(64, 4, seed=13)
+    m2 = make_linear_model(64, 4, seed=17)
+    refs = [ray.put((mm["W"], mm["b"])) for mm in (m1, m2)]
+
+    def score_both(b: pa.Table) -> pa.Table:
+        vecs = list_matrix(b["embedding"])
+        probs, uncs = [], []
+        for r in refs:
+            W, bias = ray.get(r)
+            p = softmax(vecs @ W + bias)
+            probs.append(p)
+            uncs.append(np.maximum(entropy_probs(p), 1e-12))
+        comb = combine_uncertainty(probs, uncs)
+        idx = label_max_prob(comb)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "pred_label": pa.array(
+                    [f"label{int(i) - 1}" if not np.isnan(i) else None for i in idx]
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(score_both, batch_format="pyarrow")
+
+
 # --- §2.7 Bayesian temporal smoothing + bayts change chain -----------------
 # daily gap-filled grid CTE chain (the hash-exact gapfill_1h machinery at
 # day granularity) — shared by the bayes-smooth and bayts oracles

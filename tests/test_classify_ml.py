@@ -94,3 +94,18 @@ def test_multimodal_plumbing(ray_session):
     )
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "image/png")
+
+
+def test_combine_uncertainty_weights():
+    """Inverse-uncertainty weights, hand-computed: u=(0.2,0.8) ->
+    w=(0.8,0.2); a near-certain model dominates the blend."""
+    from sits_ray.kernels.ml import combine_uncertainty
+
+    pa_ = np.array([[0.9, 0.1], [0.2, 0.8]])
+    pb_ = np.array([[0.1, 0.9], [0.5, 0.5]])
+    out = combine_uncertainty([pa_, pb_], [np.array([0.2, 0.2]), np.array([0.8, 0.8])])
+    want = 0.8 * pa_ + 0.2 * pb_
+    np.testing.assert_allclose(out, want, rtol=0, atol=1e-15)
+    # equal uncertainties reduce to the plain average
+    out2 = combine_uncertainty([pa_, pb_], [np.array([0.5, 0.5])] * 2)
+    np.testing.assert_allclose(out2, (pa_ + pb_) / 2, atol=1e-15)
