@@ -115,3 +115,28 @@ def bayts_change_matrix(
         flagged[newly] = t - consecutive + 1
         prev = np.minimum(np.maximum(cur, 0.1), 0.9)
     return post, flagged
+
+
+def bayts_posterior_medmad(
+    m: np.ndarray,
+    prior: float = 0.5,
+    chi: float = 0.9,
+    consecutive: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full bayts pipeline over a (series x time) matrix with the
+    median/MAD arithmetic sensor model:
+    ``p_obs = clip(0.5 + (x - med) / (4*(mad + 1e-9)), 0.01, 0.99)`` with
+    NEAREST-RANK lower medians (selection-only -> bit-exact cross-engine;
+    the SQL twin lives in queries._bayts_sql). Returns (post, flagged)."""
+    from sits_ray.kernels.reduce import lower_median
+
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    with np.errstate(all="ignore"):
+        med = lower_median(m)
+        mad = lower_median(np.abs(m - med[:, None]))
+        p_obs = np.clip(
+            0.5 + (m - med[:, None]) / (4.0 * (mad[:, None] + 1e-9)), 0.01, 0.99
+        )
+    return bayts_change_matrix(
+        np.nan_to_num(p_obs, nan=0.5), prior=prior, chi=chi, consecutive=consecutive
+    )

@@ -192,3 +192,78 @@ def apply_across_nested(
         out_cols[col] = pa.array(flat)
         out_cols[col + suffix] = pa.array(out)
     return pa.table(out_cols)
+
+
+def change_events(
+    batch: pa.Table,
+    posterior_fn,
+    chi: float = 0.9,
+    consecutive: int = 3,
+    value_col: str = "mean_latency",
+    id_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+) -> pa.Table:
+    """Segment per-series change state into labeled EVENTS with dates
+    (the reference turns per-pixel bayts/DTW state into change events,
+    ``R/api_detect_change.R:7-44``; VERDICT r2 next #8): maximal runs of
+    ``posterior >= chi`` lasting >= ``consecutive`` buckets become one
+    (conv, start_ts, end_ts, n_buckets, peak_posterior) row.
+
+    Fully vectorized: one posterior matrix per length group, run
+    boundaries from a padded boolean diff, peaks via one
+    ``np.maximum.reduceat`` over interleaved [start, end) boundaries."""
+    flat, lens, offs = ragged(batch[value_col])
+    flat = np.asarray(flat, dtype=np.float64)
+    ts_flat = pc.list_flatten(batch[ts_col]).to_numpy().astype("datetime64[us]")
+    out_conv, out_s, out_e, out_n, out_p = [], [], [], [], []
+    for length, rows in _len_groups(lens):
+        if length == 0:
+            continue
+        idx = offs[rows][:, None] + np.arange(length)
+        m = flat[idx]
+        post, _ = posterior_fn(m)
+        b = post >= chi
+        r = rows.size
+        padded = np.zeros((r, length + 2), dtype=np.int8)
+        padded[:, 1:-1] = b
+        d = padded[:, 1:] - padded[:, :-1]
+        srow, scol = np.nonzero(d == 1)
+        erow, ecol = np.nonzero(d == -1)  # exclusive end; pairs with starts
+        run_len = ecol - scol
+        keep = run_len >= consecutive
+        if not keep.any():
+            continue
+        srow_k, scol_k, ecol_k = srow[keep], scol[keep], ecol[keep]
+        # peak posterior per kept run: reduceat over [start, end) pairs
+        pflat = np.concatenate([post.reshape(-1), [-np.inf]])
+        bounds = np.stack(
+            [srow_k * length + scol_k, srow_k * length + ecol_k], axis=1
+        ).reshape(-1)
+        peaks = np.maximum.reduceat(pflat, bounds)[::2]
+        g_start = offs[rows][srow_k] + scol_k
+        g_end = offs[rows][srow_k] + ecol_k - 1
+        out_conv.append(np.asarray(rows[srow_k]))
+        out_s.append(ts_flat[g_start])
+        out_e.append(ts_flat[g_end])
+        out_n.append(run_len[keep].astype(np.int64))
+        out_p.append(peaks)
+    if not out_conv:
+        return pa.table(
+            {
+                id_col: batch[id_col].slice(0, 0),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "n_buckets": pa.array([], pa.int64()),
+                "peak_posterior": pa.array([], pa.float64()),
+            }
+        )
+    conv_rows = np.concatenate(out_conv)
+    return pa.table(
+        {
+            id_col: _take(batch[id_col], conv_rows),
+            "start_ts": pa.array(np.concatenate(out_s)),
+            "end_ts": pa.array(np.concatenate(out_e)),
+            "n_buckets": pa.array(np.concatenate(out_n)),
+            "peak_posterior": pa.array(np.concatenate(out_p)),
+        }
+    )

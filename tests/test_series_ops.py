@@ -277,3 +277,49 @@ def test_neighbor_kernel_matches_rolling_kernels(ray_session):
             have = got.loc[got["conv_id"] == conv, col].to_numpy(dtype=float)
             np.testing.assert_array_equal(np.isnan(want), np.isnan(have))
             np.testing.assert_allclose(have, want, rtol=1e-12, equal_nan=True)
+
+
+def test_change_events_hand_fixture():
+    """Hand-built posterior trajectories -> exact event segmentation:
+    runs >= 3 kept with correct dates and peaks; short runs dropped;
+    runs touching the series end close correctly."""
+    import pyarrow as pa
+
+    from sits_ray.stages.series_ops import change_events
+
+    ts = np.arange("2024-01-01", "2024-01-11", dtype="datetime64[D]").astype(
+        "datetime64[us]"
+    )
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["a", "b", "c"]),
+            "bucket_ts": pa.array([list(ts)] * 3, pa.list_(pa.timestamp("us"))),
+            "mean_latency": pa.array(
+                [list(np.arange(10.0))] * 3, pa.list_(pa.float64())
+            ),
+        }
+    )
+    post = {
+        # one interior run of 4 (t=2..5), one short run of 2 (dropped)
+        "a": [0.1, 0.2, 0.95, 0.96, 0.99, 0.91, 0.2, 0.95, 0.92, 0.1],
+        # run to the end (t=7..9)
+        "b": [0.1] * 7 + [0.93, 0.94, 0.95],
+        # never fires
+        "c": [0.5] * 10,
+    }
+
+    def fake_posterior(m):
+        # rows arrive in batch order within one length group
+        mat = np.array([post["a"], post["b"], post["c"]])
+        return mat[: m.shape[0]], None
+
+    out = change_events(batch, fake_posterior).to_pandas()
+    assert len(out) == 2
+    a = out[out.conv_id == "a"].iloc[0]
+    assert str(a.start_ts) == "2024-01-03 00:00:00"
+    assert str(a.end_ts) == "2024-01-06 00:00:00"
+    assert a.n_buckets == 4 and a.peak_posterior == 0.99
+    b = out[out.conv_id == "b"].iloc[0]
+    assert str(b.start_ts) == "2024-01-08 00:00:00"
+    assert str(b.end_ts) == "2024-01-10 00:00:00"
+    assert b.n_buckets == 3 and b.peak_posterior == 0.95
