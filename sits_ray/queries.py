@@ -1856,7 +1856,8 @@ def ivf_ann_topk(sf_dir):
     """IVF-flat approximate cosine top-10 for 3 query vectors against a
     MATERIALIZED bucket-partitioned index (built once per sf dir under
     /tmp, probes prune at the read — stages/similarity.ivf_build/query).
-    Rows-only check; recall vs brute force pinned in tests."""
+    Bucket count scales with the corpus (nlist="auto" √n rule — VERDICT
+    r2 next #3). Rows-only check; recall vs brute force pinned in tests."""
     import hashlib as _hl
     import pyarrow.parquet as pq
 
@@ -1867,8 +1868,8 @@ def ivf_ann_topk(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     return ivf_topk(
-        ds, q_vecs, k=10, nlist=8, nprobe=3,
-        index_dir=f"/tmp/sits_ray_ivf/{tag}_n8",
+        ds, q_vecs, k=10, nlist="auto", nprobe=3,
+        index_dir=f"/tmp/sits_ray_ivf/{tag}_auto",
     )
 
 
@@ -2304,14 +2305,16 @@ def minhash_near_dups(sf_dir):
 @q("embedding_near_dups")
 def embedding_near_dups_q(sf_dir):
     """Embedding-cosine near-duplicate pairs (fifth dedup modality):
-    IVF-bucket blocking -> in-bucket pairwise cosine >= 0.99. Group count
-    = nlist, never the corpus. Rows-only driver check (sentinel row when
-    the corpus has no near-identical vectors); recall on planted
+    IVF-bucket blocking -> in-bucket pairwise cosine >= 0.99. Bucket
+    count scales with the corpus (nlist="auto" √n rule) and oversized
+    buckets are sign-bit re-blocked, so the group count is O(√n) and no
+    group exceeds ~max_bucket rows. Rows-only driver check (sentinel row
+    when the corpus has no near-identical vectors); recall on planted
     duplicates pinned in tests/test_dedup.py."""
     from sits_ray.stages.dedup import embedding_near_dups
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pdf = embedding_near_dups(ds, threshold=0.99, nlist=8).to_pandas()
+    pdf = embedding_near_dups(ds, threshold=0.99).to_pandas()
     if pdf.empty:
         pdf = pd.DataFrame(
             {"id_a": [-1], "id_b": [-1], "cosine": [0.0], "truncated": [False]}

@@ -197,3 +197,49 @@ def test_minhash_stage_matches_scalar(ray_session):
     # cross-batch actor cache keeps results identical
     out2 = stage(d)
     assert (out2["band_hash"].to_numpy() == out["band_hash"].to_numpy()).all()
+
+
+def test_embedding_near_dups_skewed_reblock(ray_session):
+    """Skewed bucket distribution (VERDICT r2 next #3): one coarse bucket
+    holds ~everything; the sign-bit re-block must bound every pandas group
+    near max_bucket (no truncation fires) while planted near-dup recall
+    holds."""
+    import ray.data as rd
+
+    from sits_ray.stages.dedup import embedding_near_dups, split_bits_for
+
+    # unit: split budget math
+    assert split_bits_for({0: 100}, 100) == {}
+    assert split_bits_for({0: 101}, 100) == {0: 1}
+    assert split_bits_for({0: 900}, 100) == {0: 4}
+    assert split_bits_for({0: 10**9}, 100, max_bits=8) == {0: 8}
+
+    rng = np.random.default_rng(21)
+    center = rng.normal(size=24) * 3.0
+    # one dominant but angularly-diverse cluster (splittable by sign bits)
+    base = center + rng.normal(scale=0.5, size=(800, 24))
+    dup = base[:20] + rng.normal(scale=1e-4, size=(20, 24))
+    ids = np.concatenate([np.arange(800), np.arange(1000, 1020)])
+    vecs = np.vstack([base, dup])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ).repartition(4)
+    out = embedding_near_dups(
+        ds, threshold=0.999, nlist=2, sample_rows=820, max_bucket=200
+    ).to_pandas()
+    # bounded groups: the dominant bucket was split, so no cap truncation
+    assert len(out) > 0 and not out["truncated"].any()
+    found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    want = {(i, 1000 + i) for i in range(20)}
+    recall = len(found & want) / len(want)
+    # near-identical pairs almost never straddle a sign hyperplane
+    assert recall >= 0.9
+
+
+def test_auto_nlist_scales():
+    from sits_ray.stages.similarity import auto_nlist
+
+    assert auto_nlist(100) == 10
+    assert auto_nlist(1_000_000) == 1000
+    assert auto_nlist(10) == 4          # floor
+    assert auto_nlist(10**9) == 4096    # ceiling
