@@ -53,6 +53,85 @@ def _validate_salt_window(salt_turn_threshold, salt_window_us, tiers):
             )
 
 
+def _heavy_counts_one(path: str, key: str, floor: int):
+    """Per-file candidate counts for global heavy-conv detection: one
+    conv-id-column read, value counts filtered to >= floor."""
+    t = pq.read_table(path, columns=[key])
+    vc = pa.compute.value_counts(t[key].combine_chunks())
+    counts = vc.field("counts").to_numpy()
+    sel = counts >= floor
+    return vc.field("values").take(pa.array(np.flatnonzero(sel))).to_pylist(), counts[sel]
+
+
+def _heavy_windows_one(path: str, key: str, ts_col: str, window_us: int,
+                       heavy: frozenset):
+    """Distinct (conv, window) pairs of the heavy convs in one file."""
+    t = pq.read_table(path, columns=[key, ts_col])
+    conv = t[key].combine_chunks()
+    mask = pa.compute.is_in(conv, value_set=pa.array(list(heavy), conv.type))
+    t = t.filter(mask)
+    if t.num_rows == 0:
+        return []
+    w = t[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64) // window_us
+    names = t[key].to_pylist()
+    return list({(n, int(x)) for n, x in zip(names, w)})
+
+
+def detect_heavy_convs(paths, threshold: int, key: str = "conv_id",
+                       ts_col: str = "ts",
+                       window_us: int = 7 * 86_400_000_000,
+                       candidate_floor: int | None = None):
+    """Global mega-conversation detection across ALL input files
+    (VERDICT r2 next #5: the per-file heuristic salts inconsistently when
+    a heavy conv spans files — the same (conv, bucket) would then be
+    emitted from two partitions with partial aggregates).
+
+    Pass 1 (conv-id column only): each file returns convs with >=
+    ``candidate_floor`` rows (default ``threshold // 256``, min 1); the
+    driver sums candidates — totals >= threshold are heavy. Detection
+    bound (documented): a conv spread so evenly that no file holds
+    threshold/256 of its turns is missed; lower ``candidate_floor`` for
+    pathological spreads. Missing a heavy conv costs partition balance,
+    never correctness — what correctness requires is that every file
+    salts the SAME set, which this global set guarantees.
+
+    Pass 2 (heavy convs only): distinct (conv, salt-window) pairs, from
+    which the WINDOW SUCCESSION map is built — each file routes the donor
+    of its last row in window w to the conv's global next window, so the
+    kernel's max-ts donor is the true global predecessor even when the
+    predecessor lives in another file.
+
+    Returns ``(heavy_set, succ_map)`` with
+    ``succ_map[conv][w] = next window of conv after w``."""
+    import ray as _ray
+
+    if candidate_floor is None:
+        candidate_floor = max(1, threshold // 256)
+    counts_fn = _ray.remote(_heavy_counts_one)
+    res = _ray.get([counts_fn.remote(p, key, candidate_floor) for p in paths])
+    totals: dict = {}
+    for names, counts in res:
+        for n, c in zip(names, counts):
+            totals[n] = totals.get(n, 0) + int(c)
+    heavy = frozenset(n for n, c in totals.items() if c >= threshold)
+    succ_map: dict = {}
+    if heavy:
+        win_fn = _ray.remote(_heavy_windows_one)
+        pair_lists = _ray.get(
+            [win_fn.remote(p, key, ts_col, window_us, heavy) for p in paths]
+        )
+        windows: dict = {}
+        for pairs in pair_lists:
+            for n, w in pairs:
+                windows.setdefault(n, set()).add(w)
+        for n, ws in windows.items():
+            ordered = sorted(ws)
+            succ_map[n] = {
+                a: b for a, b in zip(ordered[:-1], ordered[1:])
+            }
+    return heavy, succ_map
+
+
 def _split_one(
     path: str,
     columns: list[str],
@@ -63,6 +142,7 @@ def _split_one(
     tool_col: str | None,
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
+    heavy_info=None,
 ):
     import time as _time
 
@@ -74,7 +154,8 @@ def _split_one(
     )
     if salt_turn_threshold:
         prep = _salt_heavy_convs(
-            prep, n_parts, salt_turn_threshold, salt_window_us
+            prep, n_parts, salt_turn_threshold, salt_window_us,
+            heavy_info=heavy_info,
         )
     pid = prep["part_id"].to_numpy()
     order = np.argsort(pid, kind="stable")
@@ -101,13 +182,14 @@ def _split_one(
 
 
 def _salt_heavy_convs(
-    prep: pa.Table, n_parts: int, threshold: int, window_us: int
+    prep: pa.Table, n_parts: int, threshold: int, window_us: int,
+    heavy_info=None,
 ) -> pa.Table:
     """Salted repartitioning of mega-conversations (SURVEY.md §7.8 /
-    north rule): conversations with >= ``threshold`` turns in this file are
-    split into TIME windows (``window_us`` must be a multiple of the
-    coarsest tier width so no tier bucket ever spans two salt groups —
-    aggregates, p95 included, stay exact per bucket). Each window routes to
+    north rule): heavy conversations are split into TIME windows
+    (``window_us`` must be a multiple of the coarsest tier width so no
+    tier bucket ever spans two salt groups — aggregates, p95 included,
+    stay exact per bucket). Each window routes to
     ``crc32(conv#salt) % n_parts``.
 
     Exact latency across the window boundary: the last turn before each
@@ -115,9 +197,14 @@ def _salt_heavy_convs(
     it contributes only its timestamp as the predecessor (the kernel
     weights it out of every aggregate).
 
-    Assumption (documented): a conversation's turns are contained in one
-    input file (true for conversation-sharded logs and the synth
-    generator); convs spanning files simply stay unsalted here.
+    ``heavy_info = (heavy_set, succ_map)`` from
+    :func:`detect_heavy_convs` makes the decision GLOBAL (VERDICT r2 next
+    #5): every file salts the same convs — required for correctness when
+    a conv spans files — and donors route to the conv's global next
+    window via ``succ_map`` so the kernel's max-ts donor is the true
+    global predecessor (the kernel keeps only the latest donor per
+    window). Without ``heavy_info`` the legacy per-file heuristic applies
+    (exact only for conversation-sharded files).
     """
     import zlib
 
@@ -125,8 +212,18 @@ def _salt_heavy_convs(
     conv_arr = prep["conv_id"].combine_chunks()
     d = pa.compute.dictionary_encode(conv_arr)
     codes = np.asarray(d.indices)
-    counts = np.bincount(codes, minlength=len(d.dictionary))
-    heavy_codes = np.flatnonzero(counts >= threshold)
+    uniq_names = d.dictionary.to_pylist()
+    succ_map = None
+    if heavy_info is not None:
+        heavy_set, succ_map = heavy_info
+        heavy_codes = np.flatnonzero(
+            np.fromiter(
+                (v in heavy_set for v in uniq_names), bool, len(uniq_names)
+            )
+        )
+    else:
+        counts = np.bincount(codes, minlength=len(d.dictionary))
+        heavy_codes = np.flatnonzero(counts >= threshold)
     salt = np.zeros(n, dtype=np.int64)
     donor = np.zeros(n, dtype=bool)
     if heavy_codes.size == 0:
@@ -138,19 +235,34 @@ def _salt_heavy_convs(
     is_heavy = np.isin(codes, heavy_codes)
     salt[is_heavy] = ts[is_heavy] // window_us
 
-    # donors: within each heavy conv (time order), rows whose successor is
-    # in a later window get duplicated into the successor's window
     hidx = np.flatnonzero(is_heavy)
     hsel = hidx[np.lexsort((order[hidx], ts[hidx], codes[hidx]))]
     hc, ht, hs = codes[hsel], ts[hsel], salt[hsel]
-    succ_same_conv = np.r_[hc[1:] == hc[:-1], False]
-    succ_new_window = np.r_[hs[1:] != hs[:-1], False]
-    donor_src = hsel[succ_same_conv & succ_new_window]
-    donor_salt = salt[np.roll(hsel, -1)[np.flatnonzero(succ_same_conv & succ_new_window)]] \
-        if donor_src.size else np.empty(0, np.int64)
+    if succ_map is not None:
+        # donors: THIS FILE's last row of every (conv, window) group is
+        # duplicated into the conv's GLOBAL next window; the kernel keeps
+        # only the latest donor per window, which is then the true global
+        # predecessor regardless of which file holds it
+        grp_last = np.r_[(hc[1:] != hc[:-1]) | (hs[1:] != hs[:-1]), True]
+        cand = np.flatnonzero(grp_last)
+        dsrc, dsalt = [], []
+        for i in cand:
+            nxt = succ_map.get(uniq_names[hc[i]], {}).get(int(hs[i]))
+            if nxt is not None:
+                dsrc.append(hsel[i])
+                dsalt.append(nxt)
+        donor_src = np.asarray(dsrc, dtype=np.int64)
+        donor_salt = np.asarray(dsalt, dtype=np.int64)
+    else:
+        # legacy per-file rule: rows whose in-file successor is in a later
+        # window donate into the successor's window
+        succ_same_conv = np.r_[hc[1:] == hc[:-1], False]
+        succ_new_window = np.r_[hs[1:] != hs[:-1], False]
+        donor_src = hsel[succ_same_conv & succ_new_window]
+        donor_salt = salt[np.roll(hsel, -1)[np.flatnonzero(succ_same_conv & succ_new_window)]] \
+            if donor_src.size else np.empty(0, np.int64)
 
     # recompute part ids for salted rows
-    uniq_names = d.dictionary.to_pylist()
     pid = prep["part_id"].to_numpy().copy()
 
     def salted_pid(code_arr, salt_arr):
@@ -280,6 +392,7 @@ def rollup_exchange_fused(
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
     stage2_num_cpus: float = 1,
+    heavy_info=None,
 ):
     """Fused exchange: stage 1 split, stage 2 build+encode+write per
     partition. Returns ``(stats_rows, input_rows_by_part)`` where
@@ -298,12 +411,18 @@ def rollup_exchange_fused(
         cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
     else:
         cols = columns
+    if salt_turn_threshold and heavy_info is None:
+        heavy_info = detect_heavy_convs(
+            paths, salt_turn_threshold, key=key, ts_col=ts_col,
+            window_us=salt_window_us,
+        )
+    heavy_ref = _ray.put(heavy_info) if heavy_info is not None else None
     split = _ray.remote(num_returns=n_parts + 2)(_split_one)
     build = _ray.remote(num_cpus=stage2_num_cpus)(_build_write_part)
 
     refmat = [
         split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
-                     salt_turn_threshold, salt_window_us)
+                     salt_turn_threshold, salt_window_us, heavy_ref)
         for p in paths
     ]
     counts_raw = np.stack(_ray.get([r[n_parts] for r in refmat]))
@@ -355,6 +474,7 @@ def rollup_exchange(
     decide_parts=None,
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
+    heavy_info=None,
 ):
     """Two-stage exchange rollup.
 
@@ -370,12 +490,18 @@ def rollup_exchange(
         cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
     else:
         cols = columns
+    if salt_turn_threshold and heavy_info is None:
+        heavy_info = detect_heavy_convs(
+            paths, salt_turn_threshold, key=key, ts_col=ts_col,
+            window_us=salt_window_us,
+        )
+    heavy_ref = ray.put(heavy_info) if heavy_info is not None else None
     split = ray.remote(num_returns=n_parts + 2)(_split_one)
     build = ray.remote(_build_part)
 
     refmat = [
         split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
-                     salt_turn_threshold, salt_window_us)
+                     salt_turn_threshold, salt_window_us, heavy_ref)
         for p in paths
     ]
     count_refs = [r[n_parts] for r in refmat]

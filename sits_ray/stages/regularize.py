@@ -239,6 +239,24 @@ def _part_series(
             salt[keep], live[keep],
         )
 
+    if not live.all():
+        # cross-file salting delivers MULTIPLE donor rows per (conv, salt)
+        # window (one per input file holding the predecessor window); only
+        # the LATEST — the true global predecessor — may survive, or a
+        # stale donor's valid latency would leak into n_lat and donor-only
+        # artifact buckets would materialize. Donors sort before all live
+        # rows of their window (ts < window start), so "donor followed by
+        # donor in the same group" identifies every stale one.
+        is_donor = ~live
+        same_grp = (conv_codes[1:] == conv_codes[:-1]) & (salt[1:] == salt[:-1])
+        drop = np.r_[is_donor[:-1] & is_donor[1:] & same_grp, False]
+        if drop.any():
+            keep2 = ~drop
+            conv_codes, ts, order, is_tool, salt, live = (
+                conv_codes[keep2], ts[keep2], order[keep2], is_tool[keep2],
+                salt[keep2], live[keep2],
+            )
+
     n = ts.size
     # group = (conv, salt) run; unsalted data degenerates to group == conv
     grp_starts = _seg_starts(conv_codes, salt)

@@ -70,3 +70,101 @@ def test_salted_gapfill_observed_rows_exact(ray_session, sharded_dir):
     pf = set(map(tuple, plain[plain.filled][key].itertuples(index=False)))
     sf = set(map(tuple, salted[salted.filled][key].itertuples(index=False)))
     assert sf <= pf
+
+
+def _write_crossfile(tmpdir):
+    """One mega-conv ALTERNATING between two files (per-file counts below
+    the global threshold), with a 3-window silence, plus a conv heavy in
+    file0 alone that also has a few turns in file1 (the round-2 hazard:
+    per-file salting would split it inconsistently)."""
+    rng = np.random.default_rng(7)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    rows0, rows1 = [], []
+    # mega: 120 turns over ~10h, then a 3h silence, then 20 more turns
+    t = base
+    for i in range(140):
+        t = t + np.timedelta64(int(rng.integers(60, 360)), "s")
+        if i == 120:
+            t = t + np.timedelta64(3, "h")  # silence spanning >1 salt window
+        (rows0 if i % 2 == 0 else rows1).append(("mega", i, t, ""))
+    # spread: 60 turns in file0 (heavy there), 5 stragglers in file1
+    t = base
+    for i in range(65):
+        t = t + np.timedelta64(int(rng.integers(120, 600)), "s")
+        (rows0 if i < 60 else rows1).append(("spread", i, t, "tool" if i % 7 == 0 else ""))
+    # background convs, one per file
+    for j, rows in enumerate((rows0, rows1)):
+        t = base
+        for i in range(20):
+            t = t + np.timedelta64(int(rng.integers(300, 900)), "s")
+            rows.append((f"bg{j}", i, t, ""))
+    paths = []
+    for j, rows in enumerate((rows0, rows1)):
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "tool"])
+        p = f"{tmpdir}/part-{j}.parquet"
+        df.to_parquet(p)
+        paths.append(p)
+    return paths
+
+
+def test_detect_heavy_convs_global(ray_session, tmp_path):
+    from sits_ray.stages.exchange import detect_heavy_convs
+
+    paths = _write_crossfile(str(tmp_path))
+    heavy, succ = detect_heavy_convs(paths, 100, window_us=HOUR_US)
+    # mega: 70 turns/file -> only globally heavy; spread: 60+5; bg: 20
+    assert heavy == frozenset({"mega"})
+    ws = sorted(set(succ["mega"]) | set(succ["mega"].values()))
+    assert len(ws) >= 5  # spans many hourly windows
+    # succession skips the silent windows
+    assert all(succ["mega"][a] > a for a in succ["mega"])
+
+
+def test_crossfile_mega_conv_salted_exact(ray_session, tmp_path):
+    """VERDICT r2 next #5: a conv split across two parquet files salts
+    consistently (global detection) and matches the unsalted output
+    EXACTLY, including latencies across window boundaries whose
+    predecessor turn lives in the other file and across a multi-window
+    silence (donor routed via the global window-succession map)."""
+    paths = _write_crossfile(str(tmp_path))
+
+    def run(salt, threshold=100):
+        nested, counts = rollup_exchange(
+            paths, tiers=("1m", "1h"), gapfill=False, n_parts=8,
+            salt_turn_threshold=(threshold if salt else None),
+            salt_window_us=HOUR_US,
+        )
+        df = nested_to_long(nested).to_pandas()
+        return df.drop(columns=["part_id"]).sort_values(SORT).reset_index(drop=True), counts
+
+    plain, _ = run(False)
+    salted, counts = run(True)
+    pd.testing.assert_frame_equal(plain, salted)
+    # and the mega conv was indeed split across partitions
+    from sits_ray.stages.exchange import detect_heavy_convs
+    heavy, _ = detect_heavy_convs(paths, 100, window_us=HOUR_US)
+    assert "mega" in heavy
+
+
+def test_crossfile_straggler_rows_consistent(ray_session, tmp_path):
+    """The round-2 hazard: a conv heavy in ONE file with stragglers in
+    another must not emit duplicate (conv, bucket) rows. With global
+    detection at threshold 50 both files salt 'spread' identically."""
+    paths = _write_crossfile(str(tmp_path))
+
+    def run(salt):
+        nested, _ = rollup_exchange(
+            paths, tiers=("1h",), gapfill=False, n_parts=8,
+            salt_turn_threshold=(50 if salt else None),
+            salt_window_us=HOUR_US,
+        )
+        return nested_to_long(nested).to_pandas()
+
+    plain = run(False)
+    salted = run(True)
+    key = ["conv_id", "tier", "bucket_ts"]
+    assert not salted.duplicated(subset=key).any()
+    pd.testing.assert_frame_equal(
+        plain.drop(columns=["part_id"]).sort_values(SORT).reset_index(drop=True),
+        salted.drop(columns=["part_id"]).sort_values(SORT).reset_index(drop=True),
+    )
