@@ -69,8 +69,9 @@ def validate(cfg: dict) -> None:
         fl.get("salt_turn_threshold"), fl.get("salt_window_us", 0),
         tuple(fl["tiers"]),
     )
-    if int(fl["n_parts"]) < 1:
-        raise ValueError("n_parts must be >= 1")
+    npv = fl["n_parts"]
+    if npv != "auto" and int(npv) < 1:
+        raise ValueError('n_parts must be >= 1 or "auto"')
 
 
 def load_config(path: str | None = None, overrides: dict | None = None) -> dict:
@@ -89,7 +90,7 @@ def flagship_kwargs(cfg: dict) -> dict:
     fl = cfg["flagship"]
     return dict(
         tiers=tuple(fl["tiers"]),
-        n_parts=int(fl["n_parts"]),
+        n_parts=fl["n_parts"] if fl["n_parts"] == "auto" else int(fl["n_parts"]),
         gapfill=bool(fl["gapfill"]),
         dedup=bool(fl["dedup"]),
         resume=bool(fl["resume"]),

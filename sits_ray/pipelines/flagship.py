@@ -41,7 +41,7 @@ def run_flagship(
     input_path: str,
     out_dir: str,
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
-    n_parts: int = 32,
+    n_parts: int | str = 32,
     resume: bool = True,
     write_blocks: bool = True,
     gapfill: bool = True,
@@ -49,8 +49,16 @@ def run_flagship(
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
     stage2_num_cpus: float = 1,
+    part_budget_bytes: int = 512 * 1024 * 1024,
 ) -> dict:
-    """Run (or resume) the full rollup. Returns summary metrics."""
+    """Run (or resume) the full rollup. Returns summary metrics.
+
+    ``n_parts="auto"`` derives the partition count from input bytes so a
+    stage-2 task's working set stays under ``part_budget_bytes``
+    (stages/exchange.optimal_n_parts — the reference's
+    ``.jobs_optimal_block`` rule). NOTE: resume compares per-partition
+    fingerprints, so a changed n_parts re-keys every partition — pass an
+    explicit count when appending to an existing store."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
     phases: dict[str, float] = {}
@@ -61,6 +69,11 @@ def run_flagship(
         if os.path.isdir(input_path)
         else [input_path]
     )
+    if n_parts == "auto":
+        from sits_ray.stages.exchange import optimal_n_parts
+
+        n_parts = optimal_n_parts(paths, part_budget_bytes=part_budget_bytes)
+        result["n_parts"] = n_parts
 
     state: dict = {}
 

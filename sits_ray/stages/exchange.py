@@ -53,6 +53,38 @@ def _validate_salt_window(salt_turn_threshold, salt_window_us, tiers):
             )
 
 
+def optimal_n_parts(
+    paths: list[str],
+    part_budget_bytes: int = 512 * 1024 * 1024,
+    expansion: float = 4.0,
+    min_parts: int | None = None,
+    max_parts: int = 65_536,
+) -> int:
+    """Partition count from INPUT BYTES (VERDICT r2 next #10; the
+    reference sizes its processing blocks from memory-per-core the same
+    way, ``.jobs_optimal_block``, ``R/api_jobs.R:24-63``): stage 2
+    concatenates one whole partition per task, so the partition's
+    in-memory size (compressed input x ``expansion`` for parquet->arrow
+    decode / ``x n_parts``) must stay under a worker's budget.
+
+    ``min_parts`` defaults to the session CPU count (stage-2 parallelism
+    floor); the result is the smallest count that satisfies both."""
+    import math
+    import os
+
+    total = sum(os.path.getsize(p) for p in paths)
+    if min_parts is None:
+        import ray as _ray
+
+        min_parts = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
+        )
+    need = math.ceil(total * expansion / max(part_budget_bytes, 1))
+    return int(np.clip(max(need, min_parts), 1, max_parts))
+
+
 def _heavy_counts_one(path: str, key: str, floor: int):
     """Per-file candidate counts for global heavy-conv detection: one
     conv-id-column read, value counts filtered to >= floor."""

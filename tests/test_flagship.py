@@ -88,3 +88,42 @@ def test_manifest_fingerprint_detects_late_data(outputs, transcripts_dir, tmp_pa
     touched = part_of("conv00000000", 8)
     assert res["parts_built"] >= 1
     assert res["parts_built"] < res["parts_total"]  # partial rebuild only
+
+
+def test_optimal_n_parts_scales_with_bytes(tmp_path):
+    """VERDICT r2 next #10: partition count follows input bytes — an
+    oversized input is auto-split so one stage-2 task's working set stays
+    under the worker budget; tiny inputs stay at the parallelism floor."""
+    import numpy as np
+    import pandas as pd
+
+    from sits_ray.stages.exchange import optimal_n_parts
+
+    small = tmp_path / "small.parquet"
+    pd.DataFrame({"x": np.arange(100)}).to_parquet(small)
+    big = tmp_path / "big.parquet"
+    pd.DataFrame(
+        {"x": np.random.default_rng(0).integers(0, 2**62, size=400_000)}
+    ).to_parquet(big, compression=None)
+
+    n_small = optimal_n_parts([str(small)], part_budget_bytes=1 << 20, min_parts=4)
+    n_big = optimal_n_parts([str(big)], part_budget_bytes=1 << 20, min_parts=4)
+    assert n_small == 4  # parallelism floor
+    assert n_big > n_small  # bytes force a split
+    import os
+    want = -(-os.path.getsize(big) * 4 // (1 << 20))
+    assert n_big == max(4, want)
+
+
+def test_flagship_auto_n_parts(ray_session, tmp_path):
+    from sits_ray.pipelines.flagship import run_flagship
+    from sits_ray.synth import write_transcripts_scaled
+
+    src = str(tmp_path / "in")
+    write_transcripts_scaled(src, n_convs=20, mean_turns=10, seed=3, files=2)
+    out = str(tmp_path / "out")
+    res = run_flagship(
+        src, out, tiers=("1h",), n_parts="auto",
+        part_budget_bytes=1 << 30, write_blocks=False,
+    )
+    assert res["n_parts"] >= 1 and res["tiers"]["1h"] > 0
