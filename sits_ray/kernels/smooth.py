@@ -94,9 +94,22 @@ def sgolay(m: np.ndarray, order: int = 3, length: int = 5, f: np.ndarray | None 
     if f is None:
         f = sgolay_coef(order, n)
     k = n // 2
-    win = np.lib.stride_tricks.sliding_window_view(x, n, axis=1)  # (rows, ln-n+1, n)
     out = np.empty_like(x)
-    out[:, k : ln - k] = win @ f[k]
-    out[:, :k] = x[:, :n] @ f[:k].T
-    out[:, ln - k :] = x[:, ln - n :] @ f[k + 1 :].T
+    # Explicit left-to-right accumulation (NOT a BLAS dot): each output is
+    # c0*x0 + c1*x1 + ... evaluated left-associatively, so the SQL oracle
+    # (queries._sgolay_sql) reproduces the sums bit-exactly.
+    mid = x[:, 0 : ln - n + 1] * f[k, 0]
+    for j in range(1, n):
+        mid = mid + x[:, j : ln - n + 1 + j] * f[k, j]
+    out[:, k : ln - k] = mid
+    for r in range(k):  # left edge rows: one-sided filters over x[:, :n]
+        acc = x[:, 0] * f[r, 0]
+        for j in range(1, n):
+            acc = acc + x[:, j] * f[r, j]
+        out[:, r] = acc
+    for r in range(k + 1, n):  # right edge rows over x[:, ln-n:]
+        acc = x[:, ln - n] * f[r, 0]
+        for j in range(1, n):
+            acc = acc + x[:, ln - n + j] * f[r, j]
+        out[:, ln - n + r] = acc
     return out

@@ -2383,10 +2383,51 @@ def whittaker_daily(sf_dir):
     )
 
 
-@q("sgolay_daily")
+def _sgolay_sql() -> str:
+    """SQL-exact Savitzky-Golay (order 3, length 5) over the daily filled
+    grid. The coefficient bank comes from the SAME sgolay_coef call the
+    kernel uses (repr round-trips float64 into DuckDB literals), and the
+    kernel accumulates each output left-to-right (kernels/smooth.sgolay),
+    so the left-associative `+` chains below are bit-identical."""
+    from sits_ray.kernels.smooth import sgolay_coef
+
+    f = sgolay_coef(3, 5)
+
+    def dot(row: int, base: str) -> str:
+        # scientific notation: plain long literals parse as DECIMAL in
+        # DuckDB and the DECIMAL->DOUBLE cast can be off by an ulp; an
+        # e-notation literal parses directly as an exact DOUBLE
+        return " + ".join(
+            f"{float(f[row][j]):.17e} * xs[{base} + {j}]" for j in range(5)
+        )
+
+    return _GAPFILL_1D_CTES + f""",
+ser as (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*) as n
+  from filled_grid group by 1),
+pos as (
+  select conv_id, tss, xs, n, unnest(generate_series(1, n)) as i
+  from ser)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency,
+       case when n < 5 then xs[i]
+            when i = 1 then {dot(0, "1")}
+            when i = 2 then {dot(1, "1")}
+            when i = n - 1 then {dot(3, "n - 4")}
+            when i = n then {dot(4, "n - 4")}
+            else {dot(2, "i - 2")} end as smoothed
+from pos
+"""
+
+
+@q("sgolay_daily", _sgolay_sql())
 def sgolay_daily(sf_dir):
     """Savitzky-Golay (order 3, length 5) smoothing of per-conv daily series
-    (sits_sgolay, R/api_signal.R:49-79). Vectorized nested-form map."""
+    (sits_sgolay, R/api_signal.R:49-79). Vectorized nested-form map.
+    SQL-exact: coefficient-literal lead/lag dot per position, one-sided
+    edge filters, n<5 passthrough (VERDICT r2 — rows-only tail)."""
     from sits_ray.stages.series_ops import smooth_to_long
 
     nested = _nested_tier(sf_dir, "1d")
