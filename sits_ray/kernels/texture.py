@@ -130,23 +130,34 @@ def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
     tot = P.sum(axis=(1, 2))
     has = tot > 0
     P[has] /= tot[has, None, None]
-    i = np.arange(levels, dtype=np.float64)
-    ii, jj = np.meshgrid(i, i, indexing="ij")
-    d = ii - jj
-    mu = (ii[None] * P).sum(axis=(1, 2))
-    var = ((ii[None] - mu[:, None, None]) ** 2 * P).sum(axis=(1, 2))
-    asm = (P**2).sum(axis=(1, 2))
+    # Sequential row-major accumulation over the levels*levels cells (NOT
+    # np.sum's pairwise tree): the SQL oracle (queries._texture_feats_sql)
+    # reduces an (i, j)-ordered list left-to-right, and zero-P cells add an
+    # exact +/-0, so summing all cells here == summing nonzero cells there.
+    Pf = P.reshape(k, levels * levels)
+    ic = np.repeat(np.arange(levels, dtype=np.float64), levels)
+    jc = np.tile(np.arange(levels, dtype=np.float64), levels)
+    dc = ic - jc
+
+    def seqsum(T: np.ndarray) -> np.ndarray:
+        acc = T[:, 0].copy()
+        for c in range(1, T.shape[1]):
+            acc = acc + T[:, c]
+        return acc
+
+    mu = seqsum(ic[None] * Pf)
+    var = seqsum((ic[None] - mu[:, None]) ** 2 * Pf)
+    asm = seqsum(Pf**2)
     with np.errstate(invalid="ignore", divide="ignore"):
         corr = np.where(
             var > 0,
-            ((ii[None] - mu[:, None, None]) * (jj[None] - mu[:, None, None]) * P
-             ).sum(axis=(1, 2)) / var,
+            seqsum((ic[None] - mu[:, None]) * (jc[None] - mu[:, None]) * Pf) / var,
             np.nan,
         )
     out = {
-        "contrast": ((d**2)[None] * P).sum(axis=(1, 2)),
-        "dissimilarity": (np.abs(d)[None] * P).sum(axis=(1, 2)),
-        "homogeneity": ((P / (1.0 + d**2)[None])).sum(axis=(1, 2)),
+        "contrast": seqsum((dc**2)[None] * Pf),
+        "dissimilarity": seqsum(np.abs(dc)[None] * Pf),
+        "homogeneity": seqsum(Pf / (1.0 + dc**2)[None]),
         "asm": asm,
         "energy": np.sqrt(asm),
         "glcm_mean": mu,

@@ -2461,13 +2461,98 @@ def rolling_mean_1h(sf_dir):
     )
 
 
-@q("texture_daily")
+def _texture_feats_sql(levels: int = 8) -> str:
+    """SQL-exact Haralick features over the daily gap-filled grid.
+
+    Mirrors kernels/texture.texture_matrix term for term: the kernel
+    reduces the levels*levels co-occurrence cells LEFT-TO-RIGHT in
+    row-major (i, j) order (seqsum), and this SQL materializes all
+    levels^2 cells per conv (zero-count cells as p = 0.0) into an ordered
+    list, then folds the identical per-cell terms with left-associative
+    ``+`` chains — same multiplies, same divides, same order, bit-exact.
+    Constants are e-notation literals (exact DOUBLE parse; plain integer
+    literals would round-trip through DECIMAL)."""
+    n2 = levels * levels
+    iv = [c // levels for c in range(n2)]
+    jv = [c % levels for c in range(n2)]
+
+    def chain(term) -> str:
+        return " + ".join(term(c) for c in range(n2))
+
+    contrast = chain(lambda c: f"{float((iv[c]-jv[c])**2):.1e} * ps[{c + 1}]")
+    dissim = chain(lambda c: f"{float(abs(iv[c]-jv[c])):.1e} * ps[{c + 1}]")
+    homog = chain(lambda c: f"ps[{c + 1}] / {float(1 + (iv[c]-jv[c])**2):.1e}")
+    asm = chain(lambda c: f"ps[{c + 1}] * ps[{c + 1}]")
+    mu = chain(lambda c: f"{float(iv[c]):.1e} * ps[{c + 1}]")
+    var = chain(
+        lambda c: f"(({float(iv[c]):.1e} - mu) * ({float(iv[c]):.1e} - mu))"
+        f" * ps[{c + 1}]"
+    )
+    cnum = chain(
+        lambda c: f"(({float(iv[c]):.1e} - mu) * ({float(jv[c]):.1e} - mu))"
+        f" * ps[{c + 1}]"
+    )
+
+    return _GAPFILL_1D_CTES + f""",
+stats as (
+  select conv_id, min(mean_latency) as lo, max(mean_latency) as hi
+  from filled_grid where mean_latency is not null group by 1),
+qt as (
+  select f.conv_id, f.bucket_ts,
+         case when f.mean_latency is null then -1
+              when s.hi = s.lo then 0
+              else least(cast(floor((f.mean_latency - s.lo) / (s.hi - s.lo)
+                                    * {levels}) as bigint), {levels - 1})
+         end as q
+  from filled_grid f join stats s using (conv_id)),
+prs as (
+  select conv_id,
+         lag(q) over (partition by conv_id order by bucket_ts) as a, q as b
+  from qt),
+valid as (select * from prs where a >= 0 and b >= 0),
+sym as (select conv_id, a as i, b as j from valid
+        union all
+        select conv_id, b as i, a as j from valid),
+cooc as (select conv_id, i, j, count(*) as n from sym group by 1, 2, 3),
+tot as (select conv_id, sum(n) as tot from cooc group by 1),
+cells as (select unnest(generate_series(0, {n2 - 1})) as c),
+pl as (
+  select t.conv_id,
+         list(cast(coalesce(co.n, 0) as double) / cast(t.tot as double)
+              order by cl.c) as ps
+  from tot t cross join cells cl
+  left join cooc co on co.conv_id = t.conv_id
+   and co.i = cl.c // {levels} and co.j = cl.c % {levels}
+  group by t.conv_id),
+m1 as (select conv_id, ps, {mu} as mu from pl),
+m2 as (
+  select conv_id, ps, mu,
+         {contrast} as contrast, {dissim} as dissimilarity,
+         {homog} as homogeneity, {asm} as asm,
+         {var} as glcm_var, {cnum} as cnum
+  from m1),
+feats as (
+  select conv_id, contrast, dissimilarity, homogeneity, asm,
+         sqrt(asm) as energy, mu as glcm_mean, glcm_var,
+         sqrt(glcm_var) as glcm_std,
+         case when glcm_var > 0 then cnum / glcm_var else null end
+           as correlation
+  from m2),
+grid_n as (select conv_id, count(*) as n_days from filled_grid group by 1)
+select g.conv_id, g.n_days, f.contrast, f.dissimilarity, f.homogeneity,
+       f.asm, f.energy, f.glcm_mean, f.glcm_var, f.glcm_std, f.correlation
+from grid_n g left join feats f using (conv_id)
+"""
+
+
+@q("texture_daily", _texture_feats_sql())
 def texture_daily(sf_dir):
     """GLCM texture features of each conv's daily mean-latency series
     (sits_texture analog, src/glcm_fns.cpp; 1-D lag-1 co-occurrence).
     Vectorized: one bincount builds every conv's co-occurrence matrix
-    (kernels/texture.texture_matrix). Rows-only check; parity vs the
-    scalar twin pinned in tests/test_texture_som.py."""
+    (kernels/texture.texture_matrix). SQL-exact: the kernel reduces
+    cells sequentially row-major, matching the oracle's literal chains;
+    parity vs the scalar twin pinned in tests/test_texture_som.py."""
     from sits_ray.kernels.texture import texture_matrix
     from sits_ray.stages.series_ops import series_features
 
