@@ -2844,3 +2844,149 @@ def compress_roundtrip(sf_dir):
         )
 
     return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- custom wide operators: as-of join, range window, cohorts, jaccard ----
+@q(
+    "asof_attribution",
+    """
+with p as (select * from events where event_type = 'purchase'),
+c as (select * from events where event_type = 'click')
+select p.event_id, p.user_id as conv_id, p.ts as purchase_ts,
+       c.event_id as click_event_id, c.ts as click_ts,
+       epoch(p.ts - c.ts) as secs_since_click
+from p left join c on c.user_id = p.user_id and c.ts <= p.ts
+qualify row_number() over (partition by p.event_id
+                           order by c.ts desc nulls last, c.event_id desc) = 1
+""",
+)
+def asof_attribution(sf_dir):
+    """AS-OF attribution join: every purchase matched to the same user's
+    latest click at-or-before it (ties: max event_id). Ray Data has no
+    native as-of join — composed as ONE part_id shuffle + a whole-partition
+    composite-key searchsorted kernel (stages/eventops.asof_join_kernel);
+    lag uses the pinned day-split epoch contract."""
+    from sits_ray.stages.eventops import asof_join_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    out = map_conv_partitions(
+        ds, lambda g: asof_join_kernel(g, "purchase", "click"),
+        key="user_id", order_col="event_id", extra_cols=("event_type",),
+    )
+
+    def name(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["event_id", "conv_id", "purchase_ts", "click_event_id",
+             "click_ts", "secs_since_click"]
+        )
+
+    return out.map_batches(name, batch_format="pyarrow")
+
+
+@q(
+    "range_window_orders",
+    """
+select o_orderkey, o_custkey, o_orderdate,
+       count(*) over w as n_orders_30d,
+       min(o_totalprice) over w as min_price_30d,
+       max(o_totalprice) over w as max_price_30d
+from orders
+window w as (partition by o_custkey order by o_orderdate
+             range between interval 30 days preceding and current row)
+""",
+)
+def range_window_orders(sf_dir):
+    """RANGE-interval windowed aggregate: per order, count/min/max of the
+    same customer's orders in the trailing 30 days (date ties are peers —
+    SQL RANGE frame semantics). Whole-partition kernel: two composite-key
+    searchsorteds + one ragged gather/reduceat
+    (stages/eventops.range_window_kernel); min/max/count are
+    order-independent, hence bit-exact cross-engine."""
+    from sits_ray.stages.eventops import map_conv_partitions, range_window_kernel
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = map_conv_partitions(
+        ds, lambda g: range_window_kernel(g, 30 * 86_400_000_000, "o_totalprice"),
+        key="o_custkey", ts_col="o_orderdate", order_col="o_orderkey",
+        extra_cols=("o_totalprice",),
+    )
+
+    def name(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "n_orders_30d",
+             "min_price_30d", "max_price_30d"]
+        )
+
+    return out.map_batches(name, batch_format="pyarrow")
+
+
+@q(
+    "retention_cohorts",
+    """
+with f as (
+  select user_id, min(date_trunc('day', ts)) as cohort from events group by 1),
+a as (
+  select distinct e.user_id, f.cohort,
+         date_diff('day', f.cohort, date_trunc('day', e.ts)) as offset_d
+  from events e join f using (user_id))
+select cohort, offset_d, count(*) as n_users from a group by 1, 2
+""",
+)
+def retention_cohorts(sf_dir):
+    """Cohort retention matrix: users bucketed by first active day, counted
+    once per (cohort, day-offset). Partial counts are pre-aggregated inside
+    each hash partition (stages/eventops.retention_partial_kernel) — the
+    only cross-partition exchange is the tiny (cohort, offset) groupby-sum;
+    per-user state never leaves its partition."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.eventops import map_conv_partitions, retention_partial_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    partial = map_conv_partitions(
+        ds, retention_partial_kernel, key="user_id", order_col="event_id"
+    )
+    agg = partial.groupby(["cohort", "offset_d"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    return agg
+
+
+@q(
+    "charshingle_near_dups",
+    """
+with g as (
+  select doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) as i
+  from documents),
+sh as (select distinct doc_id, substr(text, i, 5) as s from g),
+mn as (select doc_id, min(s) as blk, count(*) as nsh from sh group by 1),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, a.nsh as na, b.nsh as nb
+  from mn a join mn b on a.blk = b.blk and a.doc_id < b.doc_id),
+inter as (
+  select p.doc_a, p.doc_b, p.na, p.nb, count(*) as inter
+  from pairs p
+  join sh x on x.doc_id = p.doc_a
+  join sh y on y.doc_id = p.doc_b and y.s = x.s
+  group by 1, 2, 3, 4)
+select doc_a, doc_b, inter,
+       cast(inter as double) / cast(na + nb - inter as double) as jaccard
+from inter
+where cast(inter as double) / cast(na + nb - inter as double) >= 0.6
+""",
+)
+def charshingle_near_dups(sf_dir):
+    """Deterministic near-dup pairs: min-char-5-shingle blocking + EXACT
+    n-gram Jaccard >= 0.6 (stages/dedup.charshingle_dedup). The SQL-
+    mechanizable member of the dedup family (MinHash/SimHash hash with
+    blake2b and can't have a DuckDB oracle); same distributed shape —
+    text never shuffles for blocking, candidate texts return via hash
+    joins."""
+    from sits_ray.stages.dedup import charshingle_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return charshingle_dedup(ds, threshold=0.6, k=5)

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from sits_ray.stages.regularize import part_of
+
 _WORD = re.compile(r"\w+")
 
 _MERSENNE = (1 << 61) - 1
@@ -329,10 +331,12 @@ def minhash_dedup(ds, threshold: float = 0.8, n_perm=64, bands=16, k=3,
     id_pdf = cand.map_batches(batch_ids, batch_format="pyarrow").to_pandas()
     id_set = pa.array(np.unique(id_pdf["doc_id"].to_numpy()))
     if len(id_set) == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                          "doc_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
+        # from_arrow, not from_pandas: an empty pandas block loses its
+        # column schema on the way back out of to_pandas()
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
         )
     id_ref = ray.put(id_set)
 
@@ -586,3 +590,139 @@ def embedding_near_dups(ds, threshold: float = 0.95, nlist: int | str = "auto",
         .groupby(["bucket", "sub"])
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# --- min-shingle-blocked EXACT char-n-gram Jaccard near-dups --------------
+def char_shingles(text: str, k: int = 5) -> set[str]:
+    """Distinct character k-grams. Texts shorter than ``k`` yield one
+    shingle (the whole text) — mirrors SQL ``substr(text, i, k)`` over
+    ``generate_series(1, greatest(length - k + 1, 1))`` exactly, so the
+    pipeline is DuckDB-mechanizable (unlike the hashed MinHash bands)."""
+    return {text[i:i + k] for i in range(max(len(text) - k + 1, 1))}
+
+
+def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
+                      n_parts: int = 32, num_partitions: int | None = None):
+    """Deterministic near-dup pairs: block on the lexicographic MINIMUM of
+    each doc's distinct char k-shingles (1-band LSH on the true min — the
+    un-hashed cousin of MinHash), then EXACT Jaccard over candidate pairs.
+
+    Scale shape mirrors ``minhash_dedup``: stage A ships only
+    (doc_id, blk, nsh) — text never shuffles; pairs form inside hash
+    partitions of the block key (group count O(n_parts)); candidate texts
+    return through distributed hash joins; no driver corpus state. The
+    min-shingle comparison is byte-lexicographic both here (Python str,
+    code points) and in DuckDB (UTF-8 bytes) — UTF-8 preserves code-point
+    order, so the blocks agree cross-engine."""
+    import ray
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def stats(t: pa.Table) -> pa.Table:
+        blks, nshs, pids = [], [], []
+        for s in t["text"].to_pylist():
+            sh = char_shingles(s, k)
+            b = min(sh)
+            blks.append(b)
+            nshs.append(len(sh))
+            pids.append(part_of(b, n_parts))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "blk": pa.array(blks, pa.string()),
+                "nsh": pa.array(nshs, pa.int64()),
+                "part_id": pa.array(pids, pa.int32()),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["blk", "doc_id"], kind="mergesort")
+        codes, _ = pd.factorize(g["blk"], sort=False)
+        ids = g["doc_id"].to_numpy()
+        nsh = g["nsh"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(np.diff(codes)) + 1]
+        ends = np.r_[starts[1:], codes.size]
+        out = {"doc_a": [], "doc_b": [], "na": [], "nb": []}
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            out["doc_a"].append(ids[s + iu])
+            out["doc_b"].append(ids[s + ju])
+            out["na"].append(nsh[s + iu])
+            out["nb"].append(nsh[s + ju])
+        if not out["doc_a"]:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in out}
+            )
+        return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+
+    cand = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(block_pairs, batch_format="pandas")
+    ).materialize()
+
+    # from_arrow, not from_pandas: an empty pandas block loses its column
+    # schema on the way back out of to_pandas()
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "inter": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    ids_pdf = cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(np.unique(np.concatenate(
+            [t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]
+        )))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if ids_pdf.empty:
+        return ray.data.from_arrow(empty)
+    id_ref = ray.put(pa.array(np.unique(ids_pdf["doc_id"].to_numpy())))
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
+
+    texts = ds.map_batches(prune, batch_format="pyarrow")
+
+    def rename(cols: dict):
+        def do(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+
+        return do
+
+    j1 = cand.join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(rename({"text": "text_a"}), batch_format="pyarrow")
+    j2 = j1.join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).map_batches(rename({"text": "text_b"}), batch_format="pyarrow")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        inter = np.fromiter(
+            (
+                len(char_shingles(a, k) & char_shingles(b, k))
+                for a, b in zip(batch["text_a"], batch["text_b"])
+            ),
+            dtype=np.int64, count=len(batch),
+        )
+        na = batch["na"].to_numpy()
+        nb = batch["nb"].to_numpy()
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy()[keep],
+                "doc_b": batch["doc_b"].to_numpy()[keep],
+                "inter": inter[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")

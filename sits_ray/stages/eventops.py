@@ -277,3 +277,167 @@ def window_count_kernel(g: pa.Table, window_days: int = 7) -> pa.Table:
             "n_events": pa.array(win.astype(np.int64)),
         }
     )
+
+
+def _seg_keys(codes: np.ndarray, vals: np.ndarray, base: int, span: int):
+    """Composite (code, val) sort key for per-segment searchsorted across
+    every conversation of a partition at once. ``vals`` rebased to the
+    partition minimum so ``code * span + (val - base)`` fits int64; the
+    caller guards the overflow case (ncodes * span >= 2**62)."""
+    return codes.astype(np.int64) * span + (vals - base)
+
+
+def _span_of(ts: np.ndarray) -> tuple[int, int]:
+    if ts.size == 0:
+        return 0, 2
+    base = int(ts.min())
+    return base, int(ts.max()) - base + 2
+
+
+def asof_join_kernel(g: pa.Table, left_type: str, right_type: str) -> pa.Table:
+    """AS-OF join inside one event stream: for every ``left_type`` event,
+    the same conversation's latest ``right_type`` event with ``ts <= left
+    ts`` (ties: max event_id). The reference family is ``sits_get_data``'s
+    nearest-date matching (R/api_samples.R) generalized to the classic
+    attribution as-of join; Ray Data lacks a native as-of join so it runs
+    as a whole-partition kernel after the single part_id shuffle
+    (partitioning assumption: both sides of a key live in one partition —
+    guaranteed by hash-partitioning on the conversation key).
+
+    Vectorized: both sides stay (conv, ts, order)-sorted; one composite-key
+    ``np.searchsorted`` resolves every left row's match at once (per-conv
+    fallback loop only if the composite would overflow int64)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    et = ex["event_type"]
+    lm = et == left_type
+    rm = et == right_type
+    lc, lt, lid = codes[lm].astype(np.int64), ts[lm], order[lm]
+    rc, rt, rid = codes[rm].astype(np.int64), ts[rm], order[rm]
+    ncodes = int(codes.max()) + 1 if codes.size else 0
+    base, span = _span_of(ts)
+    if lc.size and rc.size:
+        if ncodes * span < 2**62:
+            rkey = _seg_keys(rc, rt, base, span)
+            qkey = _seg_keys(lc, lt, base, span)
+            pos = np.searchsorted(rkey, qkey, side="right") - 1
+        else:  # pragma: no cover - pathological span
+            pos = np.full(lc.size, -1, dtype=np.int64)
+            for c in np.unique(lc):
+                rsel = np.flatnonzero(rc == c)
+                qsel = np.flatnonzero(lc == c)
+                if rsel.size:
+                    p = np.searchsorted(rt[rsel], lt[qsel], side="right") - 1
+                    pos[qsel] = np.where(p >= 0, rsel[np.maximum(p, 0)], -1)
+        valid = (pos >= 0) & (rc[np.maximum(pos, 0)] == lc)
+    else:
+        pos = np.full(lc.size, -1, dtype=np.int64)
+        valid = np.zeros(lc.size, dtype=bool)
+    p = np.maximum(pos, 0)
+    lag_sec = delta_us_to_seconds(lt - rt[p]) if rc.size else np.zeros(lc.size)
+    return pa.table(
+        {
+            "event_id": pa.array(lid),
+            "conv_id": conv_vals.take(pa.array(lc, pa.int64())),
+            "left_ts": pa.array(lt.astype("datetime64[us]")),
+            "right_event_id": pa.array(
+                rid[p] if rc.size else np.zeros(lc.size, np.int64), mask=~valid
+            ),
+            "right_ts": pa.array(
+                (rt[p] if rc.size else np.zeros(lc.size, np.int64)),
+                pa.timestamp("us"), mask=~valid,
+            ),
+            "lag_seconds": pa.array(lag_sec, mask=~valid),
+        }
+    )
+
+
+def range_window_kernel(g: pa.Table, window_us: int,
+                        value_col: str = "value") -> pa.Table:
+    """RANGE-interval windowed aggregate: for every row, count/min/max of
+    the same conversation's rows with ``ts`` in ``[ts - window, ts]``
+    (both ends inclusive, ties are peers — SQL ``range between interval W
+    preceding and current row``). Whole-partition kernel: two composite-key
+    searchsorteds give every window's [lo, hi) at once; min/max via one
+    ragged gather + ``reduceat`` (windows always contain the current row)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, (value_col,)
+    )
+    v = ex[value_col].astype(np.float64)
+    n = ts.size
+    if n == 0:
+        return pa.table(
+            {"order_id": pa.array([], pa.int64()),
+             "conv_id": conv_vals.take(pa.array([], pa.int64())),
+             "ts": pa.array([], pa.timestamp("us")),
+             "n_window": pa.array([], pa.int64()),
+             "min_window": pa.array([], pa.float64()),
+             "max_window": pa.array([], pa.float64())}
+        )
+    c64 = codes.astype(np.int64)
+    ncodes = int(codes.max()) + 1
+    base, span = _span_of(ts)
+    key = _seg_keys(c64, ts, base, span)
+    qlo = np.maximum(ts - window_us - base, -1)
+    if ncodes * span < 2**62:
+        lo = np.searchsorted(key, c64 * span + qlo, side="left")
+        hi = np.searchsorted(key, _seg_keys(c64, ts, base, span), side="right")
+    else:  # pragma: no cover - pathological span
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - window_us, "left")
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+    w = hi - lo
+    woff = np.concatenate([[0], np.cumsum(w)])
+    gidx = np.repeat(lo, w) + (
+        np.arange(int(woff[-1]), dtype=np.int64) - np.repeat(woff[:-1], w)
+    )
+    gv = v[gidx]
+    return pa.table(
+        {
+            "order_id": pa.array(order),
+            "conv_id": conv_vals.take(pa.array(c64, pa.int64())),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "n_window": pa.array(w.astype(np.int64)),
+            "min_window": pa.array(np.minimum.reduceat(gv, woff[:-1])),
+            "max_window": pa.array(np.maximum.reduceat(gv, woff[:-1])),
+        }
+    )
+
+
+def retention_partial_kernel(g: pa.Table) -> pa.Table:
+    """Cohort-retention PARTIAL counts for one hash partition: cohort =
+    each conversation's first active day, offset = whole days since the
+    cohort day; emits (cohort, offset_d, n_users) partials (a user counts
+    once per distinct active day). The tiny global groupby-sum downstream
+    is the only cross-partition exchange — user-level state never leaves
+    the partition (the pre-aggregate-inside-map_batches rule)."""
+    conv_vals, codes, ts, order, _, starts, ends = _sorted_partition(g)
+    n = ts.size
+    if n == 0:
+        return pa.table(
+            {"cohort": pa.array([], pa.timestamp("us")),
+             "offset_d": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+    day = ts // DAY_US
+    ncodes = int(codes.max()) + 1
+    cohort_by_code = np.zeros(ncodes, dtype=np.int64)
+    cohort_by_code[codes[starts]] = day[starts]  # ts sorted -> first = min
+    new = np.r_[True, (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])]
+    c2, d2 = codes[new], day[new]
+    coh = cohort_by_code[c2]
+    off = d2 - coh
+    comp = coh * 1_000_000 + off
+    uniq, cnt = np.unique(comp, return_counts=True)
+    return pa.table(
+        {
+            "cohort": pa.array(
+                ((uniq // 1_000_000) * DAY_US).astype("datetime64[us]")
+            ),
+            "offset_d": pa.array(uniq % 1_000_000),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        }
+    )
