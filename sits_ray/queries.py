@@ -1111,7 +1111,52 @@ def confidence_sampling_topk(sf_dir):
 
 
 # --- §2.8 uncertainty sampling with min-distance constraint ----------------
-@q("uncertainty_sampling_mindist")
+def _mindist_sql(m: int = 256, k: int = 20, min_dist: float = 1.0) -> str:
+    """Recursive-CTE twin of the greedy diverse-pick walk: rank the pool by
+    entropy (inlined-weight re-scoring, the topk pattern), precompute the
+    conflict pairs (distance < min_dist) once, then walk the pool in rank
+    order keeping a row iff it conflicts with no kept row, stopping at k.
+    Distances run in DOUBLE on both sides (engine casts the pool matrix to
+    float64); only (vec_id, pred_label) is compared."""
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    ent = " + ".join(f"(exp(l{j} - mx) / z) * ln(exp(l{j} - mx) / z)" for j in range(4))
+    hit = (
+        "exists (select 1 from conflict c "
+        "where c.ra = w.rn + 1 and list_contains(w.kept, c.rb))"
+    )
+    return f"""
+with recursive
+s as (select vec_id, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+      from embeddings),
+m as (select *, {mx} as mx from s),
+p as (select *, {z} as z from m),
+e as (select vec_id, -({ent}) as ent,
+             {_argmax_label_sql([f'l{j}' for j in range(4)])} as pred_label
+      from p),
+pool as (select vec_id, pred_label,
+                row_number() over (order by ent desc, vec_id) as rn
+         from e order by ent desc, vec_id limit {m}),
+pv as (select p.rn, p.vec_id, p.pred_label, x.embedding::DOUBLE[] as v
+       from pool p join embeddings x using (vec_id)),
+conflict as (select a.rn as ra, b.rn as rb from pv a join pv b on a.rn > b.rn
+             where list_distance(a.v, b.v) < {min_dist!r}),
+walk as (
+  select 1::BIGINT as rn, [1::BIGINT] as kept, 1 as n
+  union all
+  select w.rn + 1,
+         case when {hit} then w.kept else list_append(w.kept, w.rn + 1) end,
+         case when {hit} then w.n else w.n + 1 end
+  from walk w
+  where w.rn < (select max(rn) from pool) and w.n < {k})
+select pv.vec_id, pv.pred_label
+from (select kept from walk order by rn desc limit 1) f, pv
+where list_contains(f.kept, pv.rn)
+"""
+
+
+@q("uncertainty_sampling_mindist", _mindist_sql())
 def uncertainty_sampling_mindist(sf_dir):
     """Diversity-constrained active-learning pick (R/sits_uncertainty.R:254
     + R/sits_geo_dist.R): greedy top-20 by entropy with pairwise embedding
@@ -1120,7 +1165,8 @@ def uncertainty_sampling_mindist(sf_dir):
     distributed partial top-M (M=256 >> k), and ONLY those M embeddings
     are fetched via a broadcast-id semi-join — no full-corpus to_pandas or
     driver-side parquet read anywhere (pinned by a structural test).
-    Rows-only check."""
+    SQL-exact on the picked (vec_id, pred_label) set vs a recursive-CTE
+    twin of the greedy walk (entropy stays engine-side as ordering key)."""
     from sits_ray.stages.classify import classify, make_linear_model
     from sits_ray.stages.sampling import (
         fetch_rows_by_id,
@@ -1131,15 +1177,15 @@ def uncertainty_sampling_mindist(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     model = make_linear_model(n_features=64, n_labels=4, seed=13)
     scored = classify(ds, model, concurrency=(1, 2)).select_columns(
-        ["vec_id", "entropy"]
+        ["vec_id", "pred_label", "entropy"]
     )
     pool = topm_by_score(scored, m=256).sort_values("vec_id").reset_index(drop=True)
     emb = fetch_rows_by_id(ds, pool["vec_id"].to_numpy()).sort_values(
         "vec_id"
     ).reset_index(drop=True)
-    vecs = np.stack(emb["embedding"].to_numpy())
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     out = pick(pool, vecs, k=20, min_dist=1.0)
-    return out[["vec_id", "entropy"]]
+    return out[["vec_id", "pred_label"]]
 
 
 # --- §2.3 C_normalize_data -------------------------------------------------
