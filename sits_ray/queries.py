@@ -2125,33 +2125,99 @@ def train_then_classify_rfor(sf_dir):
     return _classify_trained(sf_dir, sits_rfor_lite(n_trees=10, max_depth=3))
 
 
-@q("accuracy_assessment")
-def accuracy_assessment(sf_dir):
-    """sits_accuracy analog (R/sits_accuracy.R): confusion matrix of the
-    trained model on the held-out 20%, overall accuracy + Cohen's kappa +
-    per-class producer/user accuracy. Rows-only check; metric math pinned
-    vs hand-computed values in tests/test_train.py."""
-    from sits_ray.kernels.ml import accuracy_metrics, confusion_matrix
-    from sits_ray.stages.train import sits_mlr
+def _accuracy_sql(n_labels: int = 4) -> str:
+    """Confusion-matrix metrics of the seeded scorer on the held-out 20%
+    against the coarse reference partition label%4. Every ratio is ONE
+    double division of exact integer counts (products of counts < 2^53),
+    so the engine matches bit-for-bit without ordering concerns; kappa
+    mirrors the engine's (po - pe) / (1 - pe) expression op-for-op."""
+    arg = _argmax_label_sql(_mlr_logit_sql(seed=13))
+    labs = ", ".join(f"('label{j}')" for j in range(n_labels))
+    return f"""
+with p as (select 'label' || (label % {n_labels}) as ref_label, {arg} as pred_label
+           from embeddings where vec_id % 5 = 4),
+cm as (select pred_label, ref_label, count(*)::BIGINT as n from p group by 1, 2),
+labs(label) as (values {labs}),
+m as (select l.label,
+             coalesce((select sum(n) from cm where ref_label = l.label), 0)::BIGINT as n_ref,
+             coalesce((select sum(n) from cm where pred_label = l.label), 0)::BIGINT as n_pred,
+             coalesce((select n from cm where pred_label = l.label and ref_label = l.label), 0)::BIGINT as diag
+      from labs l),
+t as (select sum(n_ref)::BIGINT as total, sum(diag)::BIGINT as diagsum,
+             sum(n_ref * n_pred)::BIGINT as rc
+      from m)
+select m.label, m.n_ref, m.n_pred,
+       m.diag::DOUBLE / m.n_ref as producer_acc,
+       m.diag::DOUBLE / m.n_pred as user_acc,
+       t.diagsum::DOUBLE / t.total as overall_acc,
+       ((t.diagsum::DOUBLE / t.total) - (t.rc::DOUBLE / (t.total * t.total)))
+         / (1 - t.rc::DOUBLE / (t.total * t.total)) as kappa
+from m, t order by m.label
+"""
 
-    preds = _classify_trained(sf_dir, sits_mlr()).to_pandas()
-    val = preds[preds["is_val"]]
-    labels = sorted(set(val["label"]) | set(val["pred_label"]))
-    lut = {l: i for i, l in enumerate(labels)}
-    cm = confusion_matrix(
-        val["label"].map(lut).to_numpy(), val["pred_label"].map(lut).to_numpy(),
-        len(labels),
+
+@q("accuracy_assessment", _accuracy_sql())
+def accuracy_assessment(sf_dir):
+    """sits_accuracy analog (R/sits_accuracy.R): confusion matrix on the
+    held-out 20%, overall accuracy + Cohen's kappa + per-class
+    producer/user accuracy — SQL-exact with the deterministic seeded
+    scorer (the classify_embeddings model) against the coarse label%4
+    reference partition, so the metric arithmetic itself is driver-
+    certified. Confusion counts come from a distributed
+    groupby(pred,ref).count() (k*k tiny result); every metric is one
+    float64 division of exact integer counts. The trained-model variant
+    of this path stays in train_then_classify (+ tests/test_train.py
+    hand-computed kappa pins)."""
+    from sits_ray.stages.classify import classify, make_linear_model
+
+    n_labels = 4
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
     )
-    m = accuracy_metrics(cm)
+
+    def val_only(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        return t.filter(pa.array(vid % 5 == 4))
+
+    val = ds.map_batches(val_only, batch_format="pyarrow")
+    model = make_linear_model(n_features=64, n_labels=n_labels, seed=13)
+    scored = classify(
+        val.select_columns(["vec_id", "embedding"]), model, concurrency=(1, 2)
+    ).select_columns(["vec_id", "pred_label"])
+    truth = val.select_columns(["vec_id", "label"])
+    joined = scored.join(truth, join_type="inner", num_partitions=4, on=("vec_id",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ref = np.char.add("label", (t["label"].to_numpy() % n_labels).astype(str))
+        return pa.table({"pred_label": t["pred_label"], "ref_label": pa.array(ref)})
+
+    counts = (
+        joined.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["pred_label", "ref_label"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    labels = [f"label{j}" for j in range(n_labels)]
+    idx = {l: i for i, l in enumerate(labels)}
+    cm = np.zeros((n_labels, n_labels), dtype=np.int64)  # rows=pred, cols=ref
+    for p_, r_, n_ in counts.itertuples(index=False):
+        cm[idx[p_], idx[r_]] = n_
+    n_pred, n_ref, diag = cm.sum(axis=1), cm.sum(axis=0), np.diag(cm)
+    total = int(n_ref.sum())
+    po = float(diag.sum()) / total
+    pe = float((n_ref * n_pred).sum()) / (total * total)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        producer = np.where(n_ref > 0, diag / n_ref, np.nan)
+        user = np.where(n_pred > 0, diag / n_pred, np.nan)
     return pd.DataFrame(
         {
             "label": labels,
-            "n_ref": cm.sum(axis=0).astype(np.int64),
-            "n_pred": cm.sum(axis=1).astype(np.int64),
-            "producer_acc": m["producer_acc"],
-            "user_acc": m["user_acc"],
-            "overall_acc": m["overall"],
-            "kappa": m["kappa"],
+            "n_ref": n_ref,
+            "n_pred": n_pred,
+            "producer_acc": producer,
+            "user_acc": user,
+            "overall_acc": po,
+            "kappa": (po - pe) / (1 - pe),
         }
     )
 
