@@ -2479,13 +2479,130 @@ def doc_fingerprints(sf_dir):
     return ds.map_batches(fp, batch_format="pandas")
 
 
-@q("whittaker_daily")
+def _whittaker_sql(lam: float = 0.5) -> str:
+    """SQL-exact Whittaker (2nd-order penalty, banded Thomas solver of
+    src/smooth_whit.cpp) over the daily filled grid. Key structure: the
+    d/c/e solver coefficients are DATA-INDEPENDENT — d[0..n-3]/c/e follow
+    one shared recursion (computed once in a recursive CTE, literals for
+    rows 0/1 from the exact kernel ops), and only THREE scalars per conv
+    depend on its length n (d[n-2], c[n-2], d[n-1]). The forward z pass
+    and the back-substitution are per-conv recursive CTEs whose arithmetic
+    mirrors the kernel op-for-op (left-assoc subtract chains, single
+    divisions), so results match bit-for-bit; n<4 passes through."""
+    d0 = 1.0 + lam
+    c0 = -2.0 * lam / d0
+    e0 = lam / d0
+    d1 = 1.0 + 5.0 * lam - d0 * c0 * c0
+    c1 = (-4.0 * lam - d0 * c0 * e0) / d1
+    e1 = lam / d1
+
+    def L(v: float) -> str:
+        return f"{float(v):.17e}"
+
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+big as materialized (select * from ser where n >= 4),
+coef as materialized (
+  with recursive cr as (
+    select 1::BIGINT as i,
+           {L(d1)} as d, {L(c1)} as c, {L(e1)} as e,
+           {L(d0)} as dp, {L(c0)} as cp, {L(e0)} as ep
+    union all
+    select i + 1,
+           nd,
+           (({L(-4.0 * lam)}) - ((d * c) * e)) / nd,
+           {L(lam)} / nd,
+           d, c, e
+    from (select *, ({L(1.0 + 6.0 * lam)} - ((c * c) * d)) - ((ep * ep) * dp) as nd
+          from cr
+          where i < (select coalesce(max(n), 4) from big) - 3) s)
+  select 0::BIGINT as i, {L(d0)} as d, {L(c0)} as c, {L(e0)} as e
+  union all
+  select i, d, c, e from cr),
+nspec1 as materialized (
+  select b.conv_id, b.n, a.d as da, a.c as ca, a.e as ea,
+         ({L(1.0 + 5.0 * lam)} - ((a.c * a.c) * a.d)) - ((p.e * p.e) * p.d) as dm1
+  from big b
+  join coef a on a.i = b.n - 3
+  join coef p on p.i = b.n - 4),
+nspec as materialized (
+  select conv_id, n, da, ea, dm1,
+         (({L(-2.0 * lam)}) - ((da * ca) * ea)) / dm1 as cm1
+  from nspec1),
+nspec2 as materialized (
+  select conv_id, n, ea, dm1, cm1,
+         ({L(1.0 + lam)} - ((cm1 * cm1) * dm1)) - ((ea * ea) * da) as dm
+  from nspec),
+fwd as materialized (
+  with recursive fr as (
+    select b.conv_id, 1::BIGINT as i,
+           (b.xs[2] - ({L(c0)} * b.xs[1])) as z,
+           b.xs[1] as zp
+    from big b
+    union all
+    select f.conv_id, f.i + 1,
+           ((b.xs[f.i + 2] - (a.c * f.z)) - (p.e * f.zp)),
+           f.z
+    from fr f
+    join big b on b.conv_id = f.conv_id
+    join coef a on a.i = f.i
+    join coef p on p.i = f.i - 1
+    where f.i + 1 <= b.n - 2)
+  select conv_id, i, z from fr),
+zf as materialized (
+  select conv_id, 0::BIGINT as i, xs[1] as z from big
+  union all
+  select conv_id, i, z from fwd),
+tailz as materialized (
+  select b.conv_id, b.n, s.dm1, s.cm1,
+         z1.z as zfm1,
+         (((b.xs[b.n] - (s.cm1 * z1.z)) - (s.ea * z2.z)) / s.dm) as zmm
+  from big b
+  join nspec2 s using (conv_id)
+  join zf z1 on z1.conv_id = b.conv_id and z1.i = b.n - 2
+  join zf z2 on z2.conv_id = b.conv_id and z2.i = b.n - 3),
+bwd as materialized (
+  with recursive br as (
+    select conv_id, (n - 2)::BIGINT as i,
+           ((zfm1 / dm1) - (cm1 * zmm)) as zb,
+           zmm as zbn
+    from tailz
+    union all
+    select b.conv_id, b.i - 1,
+           (((z.z / a.d) - (a.c * b.zb)) - (a.e * b.zbn)),
+           b.zb
+    from br b
+    join zf z on z.conv_id = b.conv_id and z.i = b.i - 1
+    join coef a on a.i = b.i - 1
+    where b.i - 1 >= 0)
+  select conv_id, i, zb from br),
+sm as materialized (
+  select conv_id, i, zb as smoothed from bwd
+  union all
+  select conv_id, (n - 1)::BIGINT as i, zmm as smoothed from tailz)
+select b.conv_id, b.tss[s.i + 1] as bucket_ts, b.xs[s.i + 1] as mean_latency,
+       s.smoothed
+from big b join sm s using (conv_id)
+union all
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency, xs[i] as smoothed
+from (select *, unnest(generate_series(1, n)) as i from ser where n < 4)
+"""
+
+
+@q("whittaker_daily", _whittaker_sql())
 def whittaker_daily(sf_dir):
     """Whittaker-smoothed per-conv daily mean-latency series
     (sits_whittaker, src/smooth_whit.cpp). Vectorized: stateless map over
     NESTED rows, matrix kernel across every conv of the batch, no second
-    shuffle (stages/series_ops.py). Rows-only driver check; numeric parity
-    pinned by tests/test_smooth.py + tests/test_series_ops.py."""
+    shuffle (stages/series_ops.py). SQL-exact vs a recursive-CTE twin of
+    the banded Thomas solver (shared coefficient recursion + per-conv
+    forward/backward z passes); numeric parity also pinned by
+    tests/test_smooth.py + tests/test_series_ops.py."""
     from sits_ray.stages.series_ops import smooth_to_long
 
     nested = _nested_tier(sf_dir, "1d")
