@@ -126,7 +126,15 @@ def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
     if L < 2:
         nanv = np.full(k, np.nan)
         return {f: nanv.copy() for f in FEATURES}
-    P = cooccurrence_counts(q, levels).astype(np.float64)
+    return haralick_rows(cooccurrence_counts(q, levels), levels)
+
+
+def haralick_rows(counts: np.ndarray, levels: int) -> dict[str, np.ndarray]:
+    """The 9 Haralick features for every (levels x levels) count matrix of
+    a (k x levels x levels) stack — the shared float core of the 1-D
+    (texture_matrix) and 2-D (glcm2d_features) paths."""
+    k = counts.shape[0]
+    P = np.asarray(counts, dtype=np.float64)
     tot = P.sum(axis=(1, 2))
     has = tot > 0
     P[has] /= tot[has, None, None]
@@ -168,3 +176,56 @@ def texture_matrix(m: np.ndarray, levels: int = 16) -> dict[str, np.ndarray]:
     for f in FEATURES:
         out[f] = np.where(has, out[f], np.nan)
     return out
+
+
+def quantize_global(m: np.ndarray, levels: int = 16) -> np.ndarray:
+    """GLOBAL min-max quantization of a 2-D grid to [0, levels-1]
+    (NaN -> -1) — the raster-image rule of ``sits_texture``
+    (``R/sits_texture.R:118-160``: one min/max per band, not per row);
+    same threshold arithmetic as :func:`quantize`."""
+    m = np.asarray(m, dtype=np.float64)
+    out = np.full(m.shape, -1, dtype=np.int64)
+    ok = ~np.isnan(m)
+    if not ok.any():
+        return out
+    lo, hi = m[ok].min(), m[ok].max()
+    if hi == lo:
+        out[ok] = 0
+        return out
+    q = np.floor((m[ok] - lo) / (hi - lo) * levels).astype(np.int64)
+    out[ok] = np.clip(q, 0, levels - 1)
+    return out
+
+
+OFFSETS_2D = {"h": (0, 1), "v": (1, 0)}
+
+
+def cooccurrence_counts_2d(
+    q: np.ndarray, levels: int = 16, offsets: dict[str, tuple[int, int]] | None = None
+) -> dict[str, np.ndarray]:
+    """Symmetric co-occurrence COUNT matrix of a quantized 2-D grid per
+    spatial offset — the true 2-D GLCM of ``sits_texture``
+    (``src/glcm_fns.cpp``: angle 0 = horizontal (0,1), angle 90 =
+    vertical (1, 0)); invalid (< 0) cells break pairs."""
+    q = np.asarray(q, dtype=np.int64)
+    out = {}
+    for name, (dr, dc) in (offsets or OFFSETS_2D).items():
+        a = q[: q.shape[0] - dr, : q.shape[1] - dc]
+        b = q[dr:, dc:]
+        ok = (a >= 0) & (b >= 0)
+        av, bv = a[ok], b[ok]
+        out[name] = np.bincount(
+            np.concatenate([av * levels + bv, bv * levels + av]),
+            minlength=levels * levels,
+        ).reshape(levels, levels)
+    return out
+
+
+def glcm2d_features(m: np.ndarray, levels: int = 8) -> dict[str, dict[str, float]]:
+    """Per-offset Haralick features of a 2-D grid: global quantize, one
+    symmetric co-occurrence matrix per offset, shared float core.
+    Returns ``{offset_name: {feature: value}}``."""
+    counts = cooccurrence_counts_2d(quantize_global(m, levels), levels)
+    names = list(counts)
+    feats = haralick_rows(np.stack([counts[n] for n in names]), levels)
+    return {n: {f: float(feats[f][i]) for f in FEATURES} for i, n in enumerate(names)}

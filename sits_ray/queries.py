@@ -2690,17 +2690,18 @@ def rolling_mean_1h(sf_dir):
     )
 
 
-def _texture_feats_sql(levels: int = 8) -> str:
-    """SQL-exact Haralick features over the daily gap-filled grid.
-
-    Mirrors kernels/texture.texture_matrix term for term: the kernel
-    reduces the levels*levels co-occurrence cells LEFT-TO-RIGHT in
-    row-major (i, j) order (seqsum), and this SQL materializes all
-    levels^2 cells per conv (zero-count cells as p = 0.0) into an ordered
-    list, then folds the identical per-cell terms with left-associative
-    ``+`` chains — same multiplies, same divides, same order, bit-exact.
-    Constants are e-notation literals (exact DOUBLE parse; plain integer
-    literals would round-trip through DECIMAL)."""
+def _haralick_tail_sql(levels: int, key: str) -> str:
+    """Shared Haralick CTE tail (the float core mirroring
+    kernels/texture.haralick_rows term for term): expects upstream CTEs
+    ``cooc({key}, i, j, n)`` and ``tot({key}, tot)``; yields
+    ``feats({key}, 9 features)``. The kernel reduces the levels*levels
+    co-occurrence cells LEFT-TO-RIGHT in row-major (i, j) order (seqsum),
+    and this SQL materializes all levels^2 cells (zero-count cells as
+    p = 0.0) into an ordered list, then folds identical per-cell terms
+    with left-associative ``+`` chains — same multiplies, same divides,
+    same order, bit-exact. Constants are e-notation literals (exact
+    DOUBLE parse; plain integer literals would round-trip through
+    DECIMAL)."""
     n2 = levels * levels
     iv = [c // levels for c in range(n2)]
     jv = [c % levels for c in range(n2)]
@@ -2722,6 +2723,35 @@ def _texture_feats_sql(levels: int = 8) -> str:
         f" * ps[{c + 1}]"
     )
 
+    return f""",
+cells as (select unnest(generate_series(0, {n2 - 1})) as c),
+pl as (
+  select t.{key},
+         list(cast(coalesce(co.n, 0) as double) / cast(t.tot as double)
+              order by cl.c) as ps
+  from tot t cross join cells cl
+  left join cooc co on co.{key} = t.{key}
+   and co.i = cl.c // {levels} and co.j = cl.c % {levels}
+  group by t.{key}),
+m1 as (select {key}, ps, {mu} as mu from pl),
+m2 as (
+  select {key}, ps, mu,
+         {contrast} as contrast, {dissim} as dissimilarity,
+         {homog} as homogeneity, {asm} as asm,
+         {var} as glcm_var, {cnum} as cnum
+  from m1),
+feats as (
+  select {key}, contrast, dissimilarity, homogeneity, asm,
+         sqrt(asm) as energy, mu as glcm_mean, glcm_var,
+         sqrt(glcm_var) as glcm_std,
+         case when glcm_var > 0 then cnum / glcm_var else null end
+           as correlation
+  from m2)"""
+
+
+def _texture_feats_sql(levels: int = 8) -> str:
+    """SQL-exact Haralick features over the daily gap-filled grid (the
+    1-D lag-1 GLCM per conv); float core shared via _haralick_tail_sql."""
     return _GAPFILL_1D_CTES + f""",
 stats as (
   select conv_id, min(mean_latency) as lo, max(mean_latency) as hi
@@ -2743,30 +2773,9 @@ sym as (select conv_id, a as i, b as j from valid
         union all
         select conv_id, b as i, a as j from valid),
 cooc as (select conv_id, i, j, count(*) as n from sym group by 1, 2, 3),
-tot as (select conv_id, sum(n) as tot from cooc group by 1),
-cells as (select unnest(generate_series(0, {n2 - 1})) as c),
-pl as (
-  select t.conv_id,
-         list(cast(coalesce(co.n, 0) as double) / cast(t.tot as double)
-              order by cl.c) as ps
-  from tot t cross join cells cl
-  left join cooc co on co.conv_id = t.conv_id
-   and co.i = cl.c // {levels} and co.j = cl.c % {levels}
-  group by t.conv_id),
-m1 as (select conv_id, ps, {mu} as mu from pl),
-m2 as (
-  select conv_id, ps, mu,
-         {contrast} as contrast, {dissim} as dissimilarity,
-         {homog} as homogeneity, {asm} as asm,
-         {var} as glcm_var, {cnum} as cnum
-  from m1),
-feats as (
-  select conv_id, contrast, dissimilarity, homogeneity, asm,
-         sqrt(asm) as energy, mu as glcm_mean, glcm_var,
-         sqrt(glcm_var) as glcm_std,
-         case when glcm_var > 0 then cnum / glcm_var else null end
-           as correlation
-  from m2),
+tot as (select conv_id, sum(n) as tot from cooc group by 1)""" + _haralick_tail_sql(
+        levels, "conv_id"
+    ) + f""",
 grid_n as (select conv_id, count(*) as n_days from filled_grid group by 1)
 select g.conv_id, g.n_days, f.contrast, f.dissimilarity, f.homogeneity,
        f.asm, f.energy, f.glcm_mean, f.glcm_var, f.glcm_std, f.correlation
@@ -2874,6 +2883,103 @@ def texture_cooccurrence_1d(sf_dir):
         return pa.concat_tables(parts)
 
     return nested.map_batches(cooc, batch_format="pyarrow")
+
+
+def _glcm2d_sql(levels: int = 8) -> str:
+    """SQL-exact TRUE 2-D GLCM over the day x hour turn-count raster:
+    dense grid (zero-filled cells), GLOBAL min-max quantization, symmetric
+    co-occurrence at angle 0 (hour axis) and angle 90 (day axis), then the
+    shared Haralick literal-chain tail keyed by direction."""
+    return f"""
+with cnt as (
+  select date_trunc('day', ts) as d, extract(hour from ts)::BIGINT as h,
+         count(*)::BIGINT as n
+  from events group by 1, 2),
+b as (select min(d) as mn, max(d) as mx from cnt),
+grid as (
+  select dy.d, hh.h, cast(coalesce(c.n, 0) as double) as x
+  from (select unnest(generate_series(mn, mx, interval '1 day')) as d from b) dy
+  cross join (select unnest(generate_series(0, 23)) as h) hh
+  left join cnt c on c.d = dy.d and c.h = hh.h),
+stats as (select min(x) as lo, max(x) as hi from grid),
+qt as (
+  select g.d, g.h,
+         case when s.hi = s.lo then 0
+              else least(cast(floor((g.x - s.lo) / (s.hi - s.lo) * {levels})
+                              as bigint), {levels - 1})
+         end as q
+  from grid g cross join stats s),
+hp as (select a.q as qa, b2.q as qb from qt a
+       join qt b2 on b2.d = a.d and b2.h = a.h + 1),
+vp as (select a.q as qa, b2.q as qb from qt a
+       join qt b2 on b2.d = a.d + interval '1 day' and b2.h = a.h),
+sym as (
+  select 'h' as direction, qa as i, qb as j from hp
+  union all select 'h', qb, qa from hp
+  union all select 'v', qa, qb from vp
+  union all select 'v', qb, qa from vp),
+cooc as (select direction, i, j, count(*) as n from sym group by 1, 2, 3),
+tot as (select direction, sum(n) as tot from cooc group by 1)""" + _haralick_tail_sql(
+        levels, "direction"
+    ) + """
+select direction, contrast, dissimilarity, homogeneity, asm, energy,
+       glcm_mean, glcm_var, glcm_std, correlation
+from feats order by direction
+"""
+
+
+@q("texture_glcm_2d", _glcm2d_sql())
+def texture_glcm_2d(sf_dir):
+    """TRUE 2-D GLCM (sits_texture, R/sits_texture.R:118-220 +
+    src/glcm_fns.cpp — closes the 1-D-analog gap): the day x hour
+    turn-count grid is the raster, globally min-max quantized to 8 grey
+    levels, symmetric co-occurrence at angle 0 (horizontal, hour axis)
+    and angle 90 (vertical, day axis), 9 Haralick features per direction.
+    Cell counts aggregate DISTRIBUTED (groupby(day, hour) — result is at
+    most n_days*24 cells regardless of event volume); the tiny grid +
+    feature math run driver-side with the kernel's sequential row-major
+    cell order, so the SQL literal-chain oracle matches bit-for-bit."""
+    from sits_ray.kernels.texture import FEATURES, glcm2d_features
+
+    cells = (
+        _events(sf_dir, columns=["ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {"d": pc.floor_temporal(t["ts"], unit="day"), "h": pc.hour(t["ts"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["d", "h"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    days = pd.date_range(cells["d"].min(), cells["d"].max(), freq="D")
+    didx = {d: i for i, d in enumerate(days)}
+    M = np.zeros((len(days), 24), dtype=np.float64)
+    for d_, h_, n_ in cells.itertuples(index=False):
+        M[didx[d_], int(h_)] = float(n_)
+    feats = glcm2d_features(M, levels=8)
+    return pd.DataFrame(
+        [
+            {"direction": direction, **{f: feats[direction][f] for f in FEATURES}}
+            for direction in sorted(feats)
+        ]
+    )
+
+
+@q("texture_image_glcm")
+def texture_image_glcm(sf_dir):
+    """sits_texture over REAL raster images: decode the synthetic PPM/PNG
+    media with the pure-numpy codecs, grayscale, 2-D GLCM (h + v) + 9
+    Haralick features per image — an actor-pool map_batches stage
+    (stages/multimodal.ImageTexture). Rows-only check; 2-D GLCM math
+    pinned vs the 1-D kernel + hand-built grids in tests."""
+    from sits_ray.stages.multimodal import image_texture, synth_media_table
+
+    sf = _sf_of_dir(sf_dir)
+    n = max(32, int(sf * 6400))
+    tbl = synth_media_table(n=n, seed=11)
+    return image_texture(rd.from_arrow(tbl), levels=8, batch_size=16, concurrency=(1, 2))
 
 
 @q("som_embeddings")

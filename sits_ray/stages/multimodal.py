@@ -351,6 +351,62 @@ def extract_features(ds, batch_size: int = 64, concurrency=(1, 4), **kw):
     )
 
 
+class ImageTexture:
+    """Actor-pool image-texture stage — ``sits_texture`` raster semantics
+    over REAL images (``R/sits_texture.R:118-220``, ``src/glcm_fns.cpp``):
+    decode (pure-numpy PPM/PNG codecs) -> grayscale -> global 8-level
+    quantize -> symmetric 2-D GLCM at angle 0 (horizontal) and 90
+    (vertical) -> 9 Haralick features per direction. Non-image mimes are
+    skipped."""
+
+    def __init__(self, levels: int = 8):
+        self.levels = levels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from sits_ray.kernels.texture import FEATURES, glcm2d_features
+
+        rows: dict[str, list] = {"media_id": [], "direction": []}
+        for f in FEATURES:
+            rows[f] = []
+        for mid, mime, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["mime"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mime in ("image/x-portable-pixmap", "image/ppm"):
+                img = decode_ppm(payload).mean(axis=2)
+            elif mime == "image/png":
+                img = decode_png(payload)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
+            else:
+                continue
+            feats = glcm2d_features(img, self.levels)
+            for direction in sorted(feats):
+                rows["media_id"].append(mid)
+                rows["direction"].append(direction)
+                for f in FEATURES:
+                    rows[f].append(feats[direction][f])
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "direction": pa.array(rows["direction"], pa.string()),
+                **{f: pa.array(rows[f], pa.float64()) for f in FEATURES},
+            }
+        )
+
+
+def image_texture(ds, levels: int = 8, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        ImageTexture,
+        fn_constructor_kwargs=dict(levels=levels),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic media table with REAL decodable payloads: PPM and
     PNG images and PCM WAV clips."""

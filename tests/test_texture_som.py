@@ -144,3 +144,68 @@ def test_som_neuron_labeling_and_clean(ray_session):
     tot = clusters.groupby("cluster")["mixture_pct"].sum()
     assert np.allclose(tot.to_numpy(), 100.0)
     assert set(major.values()) <= {"A", "B"}
+
+
+def test_glcm2d_one_row_matches_1d_series():
+    # a 1-row grid's horizontal GLCM IS the 1-D lag-1 GLCM (global
+    # quantization == the single row's min-max)
+    from sits_ray.kernels.texture import (
+        FEATURES,
+        glcm2d_features,
+        glcm_features,
+        quantize,
+    )
+
+    from sits_ray.kernels.texture import texture_matrix
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(0, 1, 40)
+    f2 = glcm2d_features(v[None, :], levels=8)["h"]
+    fm = texture_matrix(v[None, :], levels=8)  # same sequential float core
+    f1 = glcm_features(quantize(v, 8), 8)  # scalar twin (pairwise np.sum)
+    for f in FEATURES:
+        assert f2[f] == fm[f][0] or (np.isnan(f2[f]) and np.isnan(fm[f][0]))
+        assert np.isclose(f2[f], f1[f], rtol=1e-12, equal_nan=True)
+
+
+def test_glcm2d_counts_hand_built():
+    from sits_ray.kernels.texture import cooccurrence_counts_2d
+
+    q = np.array([[0, 1], [1, 0]])
+    c = cooccurrence_counts_2d(q, levels=2)
+    # horizontal pairs: (0,1) and (1,0) -> symmetric counts 2+2
+    assert c["h"][0, 1] == 2 and c["h"][1, 0] == 2 and c["h"].sum() == 4
+    # vertical pairs: (0,1) and (1,0)
+    assert c["v"][0, 1] == 2 and c["v"][1, 0] == 2 and c["v"].sum() == 4
+    # invalid cells break pairs
+    q2 = np.array([[0, -1, 1]])
+    c2 = cooccurrence_counts_2d(q2, levels=2)
+    assert c2["h"].sum() == 0 and c2["v"].sum() == 0
+
+
+def test_quantize_global_vs_row():
+    from sits_ray.kernels.texture import quantize, quantize_global
+
+    m = np.array([[0.0, 1.0], [10.0, 11.0]])
+    g = quantize_global(m, 4)
+    # global thresholds: 0 and 11 -> second row lands in top levels
+    assert g[0, 0] == 0 and g[1, 1] == 3
+    # 1-row global == per-row quantize
+    assert (quantize_global(m[:1], 4) == quantize(m[0], 4)).all()
+    # all-NaN -> -1, constant -> 0
+    assert (quantize_global(np.full((2, 2), np.nan), 4) == -1).all()
+    assert (quantize_global(np.ones((2, 2)), 4) == 0).all()
+
+
+def test_image_texture_stage(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.multimodal import image_texture, synth_media_table
+
+    tbl = synth_media_table(n=16, seed=11)
+    out = image_texture(rd.from_arrow(tbl), levels=8, concurrency=(1, 2)).to_pandas()
+    n_images = sum(1 for m in tbl["mime"].to_pylist() if m.startswith("image/"))
+    assert len(out) == 2 * n_images  # h + v per image
+    assert set(out["direction"]) == {"h", "v"}
+    assert (out["asm"] > 0).all() and (out["asm"] <= 1).all()
+    assert np.allclose(out["energy"], np.sqrt(out["asm"]))
