@@ -2329,6 +2329,68 @@ def dtw_to_mean_pattern(sf_dir):
     )
 
 
+def _ref_pattern(m: int = 8) -> np.ndarray:
+    """Deterministic seeded reference pattern (latency-scale values)."""
+    return np.random.default_rng(17).uniform(0.0, 86400.0, m)
+
+
+def _dtw_ref_sql(m: int = 8) -> str:
+    """SQL-exact DTW: the symmetric-2 DP uses only abs/add/min — all
+    order-insensitive IEEE ops — so a recursive CTE over series position
+    carrying the m unrolled cost-row columns (DuckDB lateral column
+    aliases give the within-row cur[j-1] dependency) reproduces the
+    kernel bit-for-bit. Pattern values are e-notation literals (exact
+    DOUBLE parse; plain literals round-trip through DECIMAL)."""
+    pat = [f"{float(v):.17e}" for v in _ref_pattern(m)]
+    anchor = [f"abs(xs[1] - {pat[0]}) + 0.0 as c1"]
+    for j in range(2, m + 1):
+        anchor.append(f"abs(xs[1] - {pat[j - 1]}) + c{j - 1} as c{j}")
+    step = [f"abs(xs[i + 1] - {pat[0]}) + c1 as nc1"]
+    for j in range(2, m + 1):
+        step.append(
+            f"abs(xs[i + 1] - {pat[j - 1]}) + least(c{j - 1}, c{j}, nc{j - 1}) as nc{j}"
+        )
+    ncs = ", ".join(f"nc{j}" for j in range(1, m + 1))
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id, list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, xs, {", ".join(anchor)}
+    from ser
+    union all
+    select conv_id, i + 1, n, xs, {ncs}
+    from (select *, {", ".join(step)} from w where i < n) s)
+  select * from w)
+select conv_id, c{m} as dtw_dist from walk where i = n
+"""
+
+
+@q("dtw_to_ref_pattern", _dtw_ref_sql())
+def dtw_to_ref_pattern(sf_dir):
+    """DTW distance (symmetric-2, src/dtw.cpp:71-105) of each conv's daily
+    gap-filled series to a FIXED seeded reference pattern (the
+    sits_patterns -> sits_dtw matching step with a broadcast pattern).
+    Same vectorized dtw_many path as dtw_to_mean_pattern, but the pattern
+    is deterministic literals, which makes the full DP SQL-exact (the
+    recursion is abs/add/min only — no ordering-sensitive float sums).
+    Distances compare bit-for-bit, not just ids."""
+    from sits_ray.kernels.dtw import dtw_many
+    from sits_ray.stages.series_ops import series_features
+
+    pat = _ref_pattern(8)
+    nested = _nested_tier(sf_dir, "1d")
+
+    def fn(m: np.ndarray) -> dict:
+        return {"dtw_dist": dtw_many(m, pat)}
+
+    return nested.map_batches(
+        lambda b: series_features(b, fn), batch_format="pyarrow"
+    )
+
+
 # --- text: language ID + quality scoring (engine-only heuristics) ----------
 def _langid_sql() -> str:
     prof = {
