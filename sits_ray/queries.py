@@ -3352,10 +3352,7 @@ def retention_cohorts(sf_dir):
     return agg
 
 
-@q(
-    "charshingle_near_dups",
-    """
-with g as (
+_CHARSHINGLE_CTES = """g as (
   select doc_id, text,
          unnest(generate_series(1, greatest(length(text) - 4, 1))) as i
   from documents),
@@ -3369,7 +3366,12 @@ inter as (
   from pairs p
   join sh x on x.doc_id = p.doc_a
   join sh y on y.doc_id = p.doc_b and y.s = x.s
-  group by 1, 2, 3, 4)
+  group by 1, 2, 3, 4)"""
+
+
+@q(
+    "charshingle_near_dups",
+    "with " + _CHARSHINGLE_CTES + """
 select doc_a, doc_b, inter,
        cast(inter as double) / cast(na + nb - inter as double) as jaccard
 from inter
@@ -3387,3 +3389,39 @@ def charshingle_near_dups(sf_dir):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return charshingle_dedup(ds, threshold=0.6, k=5)
+
+
+@q(
+    "dedup_cluster_reps",
+    "with recursive " + _CHARSHINGLE_CTES + """,
+nd as (
+  select doc_a, doc_b from inter
+  where cast(inter as double) / cast(na + nb - inter as double) >= 0.6),
+ed as (
+  select doc_a as node, doc_b as peer from nd
+  union all
+  select doc_b, doc_a from nd),
+reach as (
+  select node, peer from ed
+  union
+  select r.node, e.peer from reach r join ed e on r.peer = e.node)
+select node as doc_id, least(node, min(peer)) as rep_id
+from reach group by node
+""",
+)
+def dedup_cluster_reps(sf_dir):
+    """Fuzzy-dedup cluster assignment: connected components over the
+    SQL-exact charshingle near-dup pairs, representative = MIN doc_id per
+    component (pair lists under-delete when similarity chains A~B~C;
+    production dedup keeps one doc per component). Engine: distributed
+    min-label propagation — one hash join + one groupby-min per round,
+    label table O(paired docs), convergence witnessed by the monotone
+    label-sum aggregate (stages/dedup.connected_components). Oracle: the
+    transitive closure as a recursive CTE. Reference analog: the
+    groupby-first collapse of R/api_data.R:215-223 lifted from exact keys
+    to a similarity graph."""
+    from sits_ray.stages.dedup import charshingle_dedup, connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = charshingle_dedup(ds, threshold=0.6, k=5)
+    return connected_components(pairs)

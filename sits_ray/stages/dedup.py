@@ -726,3 +726,82 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
         )
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                         num_partitions: int | None = None,
+                         max_iters: int = 64):
+    """Distributed connected components over near-dup candidate pairs:
+    min-label propagation until fixed point. Returns ``(doc_id, rep_id)``
+    for every doc that appears in at least one pair; ``rep_id`` is the
+    MINIMUM doc_id of its component (the canonical "keep one per cluster"
+    rule of fuzzy-dedup pipelines — pair finding alone under-deletes when
+    A~B and B~C but A!~C).
+
+    Scale shape: the label table is O(nodes-in-pairs) — a small fraction
+    of the corpus — and each iteration is ONE distributed hash join
+    (edges x labels on the peer endpoint) plus one ``groupby(node).min``;
+    no driver-side graph state. Convergence is witnessed by the label-sum
+    aggregate (labels only ever decrease, and the sum is a monotone
+    integer, so an unchanged sum IS the fixed point — one tiny scalar per
+    iteration crosses to the driver). Iteration count is the component
+    diameter; near-dup clusters are shallow (dozens of iterations would
+    mean a chain of pairwise-similar docs thousands long). ``max_iters``
+    bounds pathological chains; hitting it raises rather than returning
+    a partial labeling.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks() if isinstance(t[a_col], pa.ChunkedArray) else t[a_col]
+        b = t[b_col].combine_chunks() if isinstance(t[b_col], pa.ChunkedArray) else t[b_col]
+        return pa.table(
+            {"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+             "peer": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])}
+        )
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+        ))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "lbl": t["node"]})
+
+    from ray.data.aggregate import Min, Sum
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        cur = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+        # peer's current label flows to node; keep own label via union
+        prop = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("peer",), right_on=("node",),
+        ).select_columns(["node", "lbl"])
+        labels = (
+            prop.union(labels)
+            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "rep_id"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -243,3 +243,33 @@ def test_auto_nlist_scales():
     assert auto_nlist(1_000_000) == 1000
     assert auto_nlist(10) == 4          # floor
     assert auto_nlist(10**9) == 4096    # ceiling
+
+
+def test_connected_components_chain(ray_session):
+    # chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+    from sits_ray.stages.dedup import connected_components
+
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_a": [2, 2, 10], "doc_b": [1, 3, 11]}
+    ))
+    out = connected_components(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_and_empty(ray_session):
+    from sits_ray.stages.dedup import connected_components
+
+    # a 12-node chain exercises multi-round propagation (diameter 11)
+    n = 12
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))}
+    ))
+    out = connected_components(pairs).to_pandas()
+    assert set(out["rep_id"]) == {0} and len(out) == n
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": []})).filter(
+        lambda r: False
+    )
+    eds = connected_components(empty)
+    assert eds.schema().names == ["doc_id", "rep_id"] and eds.count() == 0
