@@ -120,3 +120,46 @@ def fingerprint_batch(
                 rolling_fingerprint(texts[i], base=base, mod=mod)
             )
     return out.astype(np.int64)
+
+
+def bigram_counts(texts: "pd.Series") -> "pd.Series":
+    """Per-batch partial word-bigram counts (heavy-hitter pre-aggregation:
+    combine inside the map stage so only (ngram, partial_count) rows reach
+    the global groupby — corpus text never shuffles). Tokens are lowercase
+    ASCII word runs ``[a-z]+`` (the langid/quality tokenizer); a bigram is
+    two tokens adjacent WITHIN one document. Matches DuckDB
+    ``regexp_extract_all(lower(text), '[a-z]+')`` + list adjacency exactly.
+    """
+    import pandas as pd
+
+    lists = texts.str.lower().str.findall(r"[a-z]+")
+    ex = lists.explode().dropna()
+    if ex.empty:
+        return pd.Series([], dtype="int64")
+    toks = ex.to_numpy(dtype=object)
+    idx = ex.index.to_numpy()
+    same_doc = idx[1:] == idx[:-1]
+    if not same_doc.any():
+        return pd.Series([], dtype="int64")
+    grams = toks[:-1][same_doc] + " " + toks[1:][same_doc]
+    return pd.Series(grams).value_counts()
+
+
+# PII-style scrub: alternation of an email shape and ASCII digit runs.
+# [0-9] (not \d) so Python re and DuckDB RE2 agree byte-for-byte; no
+# backreferences/lookarounds so the pattern is RE2-safe — both engines
+# use leftmost, greedy matching for this alternation.
+REDACT_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+"
+
+
+def redact_batch(texts: "pd.Series", pattern: str = REDACT_PATTERN,
+                 token: str = "<PII>"):
+    """Vectorized redaction: replace every pattern match with ``token``
+    and count the matches per row (compiled regex runs in C via pandas
+    ``str.replace``/``str.count`` — no Python loop over rows). Twin of
+    DuckDB ``regexp_replace(text, pattern, token, 'g')`` +
+    ``len(regexp_extract_all(text, pattern))``."""
+    import re as _re
+
+    pat = _re.compile(pattern)
+    return texts.str.replace(pat, token, regex=True), texts.str.count(pat)

@@ -3392,6 +3392,80 @@ def charshingle_near_dups(sf_dir):
 
 
 @q(
+    "redact_pii",
+    r"""
+select event_id,
+       regexp_replace(props,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+',
+         '<PII>', 'g') as redacted,
+       cast(len(regexp_extract_all(props,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]+')) as bigint)
+         as n_redactions
+from events
+""",
+)
+def redact_pii(sf_dir):
+    """PII-style scrub of a payload column: replace email shapes and
+    digit runs with a token, count matches per row (the pre-training
+    redaction pass of LLM data pipelines). Kernel is compiled-regex-in-C
+    (kernels/text.redact_batch); the pattern is RE2-safe so the DuckDB
+    regexp_replace oracle matches byte-for-byte. Pure map stage — no
+    shuffle; prunes the read to (event_id, props)."""
+    from sits_ray.kernels.text import redact_batch
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        red, cnt = redact_batch(df["props"])
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "redacted": red,
+             "n_redactions": cnt.astype("int64")}
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+@q(
+    "top_bigrams",
+    """
+with w as (select regexp_extract_all(lower(text), '[a-z]+') as ws from documents),
+b as (
+  select ws[i] || ' ' || ws[i + 1] as ngram
+  from (select ws, unnest(generate_series(1, len(ws) - 1)) as i
+        from w where len(ws) > 1))
+select ngram, cast(count(*) as bigint) as cnt
+from b group by 1
+order by cnt desc, ngram asc limit 50
+""",
+)
+def top_bigrams(sf_dir):
+    """Heavy-hitter word bigrams across the corpus (the n-gram frequency
+    sweep of training-data curation). Scale shape: partial counts combine
+    INSIDE map_batches (kernels/text.bigram_counts) so only
+    (ngram, partial_count) rows reach the global groupby — corpus text
+    never shuffles; the final top-k is a sort over the distinct-ngram
+    table, not the corpus. Deterministic tiebreak (count desc, ngram asc)
+    keeps the k-boundary stable cross-engine."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.kernels.text import bigram_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = bigram_counts(df["text"])
+        return pd.DataFrame(
+            {"ngram": vc.index.astype(str), "cnt": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(50)
+
+
+@q(
     "dedup_cluster_reps",
     "with recursive " + _CHARSHINGLE_CTES + """,
 nd as (

@@ -112,3 +112,29 @@ def test_fingerprint_batch_matches_scalar():
     # distinct texts -> distinct fingerprints here
     nz = [g for g, t in zip(got, texts) if t]
     assert len(set(nz)) == len(nz)
+
+
+def test_bigram_counts_adjacency_and_boundaries():
+    import pandas as pd
+
+    s = pd.Series(["The quick brown fox", "quick brown", "x", "", "!!!"])
+    vc = T.bigram_counts(s)
+    assert vc["quick brown"] == 2          # counted in both docs
+    assert vc["the quick"] == 1            # lowercased
+    assert "fox quick" not in vc.index     # no cross-document bigrams
+    assert T.bigram_counts(pd.Series(["", "?!"])).empty
+    # single-token docs yield nothing
+    assert T.bigram_counts(pd.Series(["word"])).empty
+
+
+def test_redact_batch_emails_and_digits():
+    import pandas as pd
+
+    s = pd.Series(
+        ["contact a.b+x@mail.example.org now", "pin 1234 then 5", "clean"]
+    )
+    red, cnt = T.redact_batch(s)
+    assert list(red) == [
+        "contact <PII> now", "pin <PII> then <PII>", "clean"
+    ]
+    assert list(cnt) == [1, 2, 0]
