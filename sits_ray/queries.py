@@ -3391,6 +3391,54 @@ def charshingle_near_dups(sf_dir):
     return charshingle_dedup(ds, threshold=0.6, k=5)
 
 
+def _lsh_sql(k: int = 5, nbits: int = 4, seed: int = 29, dim: int = 64,
+             qids=(0, 1, 2)) -> str:
+    """SQL twin of the hyperplane bucket assignment: per bit one
+    left-associated literal dot product (matches the engine's sequential
+    accumulation bit-for-bit; e-notation literals parse as exact DOUBLE),
+    then exact cosine ranking within the probed bucket."""
+    planes = np.random.default_rng(seed).standard_normal((nbits, dim))
+    bits = []
+    for i in range(nbits):
+        terms = " + ".join(
+            f"embedding[{j + 1}] * {planes[i, j]:.17e}" for j in range(dim)
+        )
+        bits.append(f"(case when ({terms}) > 0 then {1 << i} else 0 end)")
+    bucket = "\n   + ".join(bits)
+    ql = ", ".join(str(int(q)) for q in qids)
+    return f"""
+with b as (
+  select vec_id, embedding,
+     {bucket} as bucket
+  from embeddings),
+q as (select vec_id as query_id, embedding as qe, bucket as qb
+      from b where vec_id in ({ql})),
+ranked as (
+  select q.query_id, b.vec_id,
+         row_number() over (
+           partition by q.query_id
+           order by list_cosine_similarity(b.embedding, q.qe) desc,
+                    b.vec_id asc) as rn
+  from b join q on b.bucket = q.qb and b.vec_id <> q.query_id)
+select query_id, vec_id from ranked where rn <= {k}
+"""
+
+
+@q("lsh_ann_topk", _lsh_sql())
+def lsh_ann_topk(sf_dir):
+    """Random-hyperplane LSH ANN (Charikar sign-bit buckets): 3 query
+    vectors probe only their own bucket, exact cosine top-5 within it
+    (stages/similarity.lsh_topk). The SQL-mechanizable ANN variant —
+    bucket assignment is a literal dot-product sign, so the DuckDB oracle
+    reproduces probe sets exactly (IVF's k-means centroids can't). At
+    corpus scale the bucket id becomes the partition key of a
+    materialized index (the ivf_build layout)."""
+    from sits_ray.stages.similarity import lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, query_ids=(0, 1, 2), k=5, nbits=4, seed=29)
+
+
 @q(
     "redact_pii",
     r"""

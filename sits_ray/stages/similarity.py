@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -281,3 +282,90 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10,
                   vec_col=vec_col, id_col=id_col, fingerprint=fp)
     return ivf_query(index_dir, query_vecs, k=k, nprobe=nprobe,
                      vec_col=vec_col, id_col=id_col)
+
+
+def hyperplane_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit LSH bucket per row: bit i = (m . planes[i]) > 0. The dot
+    product accumulates SEQUENTIALLY over dimensions (vectorized across
+    rows) so the float sum matches a left-associated SQL expression
+    ``v[1]*h1 + v[2]*h2 + ...`` bit-for-bit — that is what makes the
+    bucket assignment DuckDB-mechanizable, unlike the blake2b MinHash."""
+    n, d = m.shape
+    if planes.shape[1] != d:
+        raise ValueError(f"planes dim {planes.shape[1]} != vectors dim {d}")
+    nbits = planes.shape[0]
+    bits = np.zeros((n, nbits), dtype=np.int64)
+    for i in range(nbits):
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            acc = acc + m[:, j] * planes[i, j]
+        bits[:, i] = acc > 0.0
+    return bits @ (np.int64(1) << np.arange(nbits, dtype=np.int64))
+
+
+def lsh_topk(ds, query_ids, k: int = 5, nbits: int = 4, seed: int = 29,
+             dim: int = 64, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Random-hyperplane LSH ANN: queries probe only their own sign-bit
+    bucket, exact cosine ranks within it (Charikar 2002 SimHash-for-cosine;
+    the hyperplane cousin of the IVF path in this module). Scale shape:
+    buckets are a cheap map-side assignment — at corpus scale the bucket
+    id becomes the partition key of a materialized index exactly like
+    ``ivf_build`` (same pruned-read layout); here the probe is a filtered
+    scan + per-batch partial top-k, final merge on ~k x n_batches rows.
+    Returns (query_id, vec_id) pairs, deterministic tie-break by id."""
+    rng = np.random.default_rng(seed)
+    # planes drawn once, deterministic; literal twin lives in the oracle SQL
+    planes = rng.standard_normal((nbits, dim))
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        m = list_matrix(t[vec_col])
+        return t.append_column("bucket", pa.array(hyperplane_buckets(m, planes)))
+
+    bds = ds.map_batches(with_bucket, batch_format="pyarrow")
+
+    qset = pa.array([int(q) for q in query_ids], pa.int64())
+    qtab = bds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=qset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qm = _normalize(np.vstack(qtab[vec_col].to_numpy()).astype(np.float64))
+    qids = qtab[id_col].to_numpy()
+    qbuckets = qtab["bucket"].to_numpy()
+    q_ref = ray.put((qids, qbuckets, qm))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_q, bks_q, qmat = ray.get(q_ref)
+        m = _normalize(list_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy()
+        bks = t["bucket"].to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi, qb in zip(range(len(ids_q)), bks_q):
+            mask = (bks == qb) & (ids != ids_q[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qmat[qi]
+            cand = ids[mask]
+            kk = min(k, cand.size)
+            part = np.argpartition(sims, -kk)[-kk:]
+            out_q.extend([int(ids_q[qi])] * kk)
+            out_id.extend(cand[part].tolist())
+            out_sim.extend(sims[part].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "sim": pa.array(out_sim, pa.float64())}
+        )
+
+    pdf = bds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64")})
+    pdf = (
+        pdf.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pdf[["query_id", id_col]]

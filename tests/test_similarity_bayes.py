@@ -137,3 +137,42 @@ def test_ivf_index_rebuilds_on_changed_data(ray_session, tmp_path):
     mtime = os.path.getmtime(os.path.join(idx, "centroids.npy"))
     ivf_topk(ds2, q, k=5, nlist=4, nprobe=4, index_dir=idx)
     assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
+
+
+def test_hyperplane_buckets_deterministic_and_sequential():
+    from sits_ray.stages.similarity import hyperplane_buckets
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 16))
+    planes = rng.normal(size=(4, 16))
+    b1 = hyperplane_buckets(m, planes)
+    b2 = hyperplane_buckets(m.copy(), planes.copy())
+    assert (b1 == b2).all() and b1.min() >= 0 and b1.max() < 16
+    # sequential accumulation twin: explicit left-assoc python sum
+    i, r = 2, 7
+    acc = 0.0
+    for j in range(16):
+        acc = acc + m[r, j] * planes[i, j]
+    assert bool(acc > 0.0) == bool(b1[r] >> i & 1)
+
+
+def test_lsh_topk_recall_vs_brute(ray_session, vec_df):
+    from sits_ray.stages.similarity import lsh_topk
+
+    df, vecs = vec_df
+    ds = rd.from_pandas(df)
+    # same-cluster neighbors dominate cosine; LSH with few bits keeps
+    # most of the true top-k inside the query's bucket
+    planes_bits = 4
+    got = lsh_topk(ds, query_ids=(0, 40, 80), k=5, nbits=planes_bits, seed=29, dim=32)
+    assert set(got.columns) == {"query_id", "vec_id"}
+    brute = brute_force_topk(ds, vecs[[0, 40, 80]], k=6)
+    recalls = []
+    for qi, qid in enumerate((0, 40, 80)):
+        mine = set(got.loc[got["query_id"] == qid, "vec_id"])
+        truth = set(
+            brute.loc[brute["query_id"] == qi, "vec_id"]
+        ) - {qid}
+        if mine:
+            recalls.append(len(mine & truth) / min(len(truth), 5))
+    assert recalls and np.mean(recalls) >= 0.5
