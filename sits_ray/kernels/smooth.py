@@ -113,3 +113,20 @@ def sgolay(m: np.ndarray, order: int = 3, length: int = 5, f: np.ndarray | None 
             acc = acc + x[:, ln - n + j] * f[r, j]
         out[:, ln - n + r] = acc
     return out
+
+
+def ewma(m: np.ndarray, alpha: float = 0.3) -> np.ndarray:
+    """Exponential moving average along time, vectorized across series
+    (rows): s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}. The
+    sits_filter-family exponential smoother (the recursive cousin of
+    sits_sgolay's FIR bank, R/api_signal.R). Operand order is pinned —
+    ``alpha*x + (1-alpha)*s`` with ``1-alpha`` precomputed — so a SQL
+    recursive CTE evaluating the same literal expression is bit-exact."""
+    out = np.empty_like(m, dtype=np.float64)
+    beta = 1.0 - alpha
+    s = m[:, 0].astype(np.float64).copy()
+    out[:, 0] = s
+    for t in range(1, m.shape[1]):
+        s = alpha * m[:, t] + beta * s
+        out[:, t] = s
+    return out

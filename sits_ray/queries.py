@@ -2728,6 +2728,50 @@ def sgolay_daily(sf_dir):
     )
 
 
+def _ewma_sql(alpha: float = 0.3) -> str:
+    """Recursive-CTE twin of kernels/smooth.ewma: the chain
+    s_t = a*x_t + (1-a)*s_{t-1} uses only mul/add in a pinned operand
+    order, so carrying s through a position-indexed recursion is
+    bit-exact (same trick as the DTW/bayts walks)."""
+    a = f"{float(alpha):.17e}"
+    b = f"{1.0 - float(alpha):.17e}"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, tss, xs, xs[1] + 0.0 as s
+    from ser
+    union all
+    select conv_id, i + 1, n, tss, xs, {a} * xs[i + 1] + {b} * s
+    from w where i < n)
+  select * from w)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency, s as ewma
+from walk
+"""
+
+
+@q("ewma_daily", _ewma_sql())
+def ewma_daily(sf_dir):
+    """Exponential moving average (alpha=0.3) of per-conv daily
+    mean-latency series — the recursive member of the sits_filter family
+    (kernels/smooth.ewma). Same vectorized nested-form map as
+    whittaker/sgolay: no per-conv shuffle, time loop vectorized across
+    every conv of the batch. SQL-exact via a recursive-CTE state walk."""
+    from sits_ray.kernels.smooth import ewma
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"ewma": (ewma, 1)}),
+        batch_format="pyarrow",
+    )
+
+
 @q(
     "rolling_mean_1h",
     _GAPFILL_1H_CTES

@@ -62,3 +62,17 @@ def test_sgolay_matrix_rows_independent():
     full = sgolay(m)
     for i in range(4):
         np.testing.assert_allclose(full[i], sgolay(m[i : i + 1])[0])
+
+
+def test_ewma_recursion_and_vectorization():
+    import numpy as np
+
+    from sits_ray.kernels.smooth import ewma
+
+    m = np.array([[1.0, 2.0, 4.0], [0.0, 0.0, 9.0]])
+    out = ewma(m, alpha=0.3)
+    assert np.allclose(out[0], [1.0, 1.3, 2.11])
+    # row-wise independence: batch result == single-row result bit-for-bit
+    assert (ewma(m[1:2], alpha=0.3) == out[1:2]).all()
+    # alpha=1 reproduces the input exactly
+    assert (ewma(m, alpha=1.0) == m).all()
