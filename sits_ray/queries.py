@@ -3435,6 +3435,77 @@ def charshingle_near_dups(sf_dir):
     return charshingle_dedup(ds, threshold=0.6, k=5)
 
 
+_RETENTION_CUTOFF = "2024-01-16 00:00:00"
+
+
+@q(
+    "retention_expire_1m",
+    """
+with lagged as (
+  select user_id, event_type, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select cast(user_id as varchar) as conv_id,
+       date_trunc('minute', ts) as bucket_ts,
+       count(*) as turn_count,
+       count(*) filter (where event_type = 'click') as tool_calls,
+       count(lat) as n_latency,
+       coalesce(sum(lat), 0.0) as sum_latency,
+       avg(lat) as mean_latency,
+       quantile_disc(lat, 0.95) as p95_latency,
+       min(lat) as min_latency,
+       max(lat) as max_latency
+from lagged
+group by 1, 2
+having date_trunc('minute', ts) >= timestamp '""" + _RETENTION_CUTOFF + """'
+""",
+)
+def retention_expire_1m(sf_dir):
+    """Full store lifecycle under a retention policy: events adapted to
+    the transcript shape -> flagship store (fused exchange, Gorilla
+    blocks, manifests) -> retention_expire drops 1m points before the
+    cutoff from BOTH stores (pipelines/retention.py) -> read back the
+    long tier. SQL-exact vs the rollup oracle with the cutoff applied —
+    this certifies the expiry rewrite path end-to-end, not just the
+    in-memory rollup. Idempotent across runs: flagship resume skips
+    unchanged partitions; the manifest ``expired_to_us`` watermark skips
+    already-expired ones."""
+    import shutil
+
+    from sits_ray import SCHEMA_VERSION
+    from sits_ray.pipelines.flagship import read_tier, run_flagship
+    from sits_ray.pipelines.retention import retention_expire
+
+    sf = _sf_of_dir(sf_dir)
+    root = f"/tmp/sits_ray_retention/v{SCHEMA_VERSION}/sf{sf}"
+    in_dir, store = f"{root}/in", f"{root}/store"
+
+    def adapt(t: pa.Table) -> pa.Table:
+        tool = pc.if_else(
+            pc.equal(t["event_type"], "click"), t["event_type"], pa.scalar("")
+        )
+        return pa.table(
+            {"conv_id": pc.cast(t["user_id"], pa.string()),
+             "turn_idx": pc.cast(t["event_id"], pa.int32()),
+             "tool": tool,
+             "ts": t["ts"]}
+        )
+
+    import os
+
+    if not os.path.isdir(in_dir):
+        tmp = in_dir + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        (_events(sf_dir, columns=["user_id", "event_id", "event_type", "ts"])
+         .map_batches(adapt, batch_format="pyarrow")
+         .repartition(4).write_parquet(tmp))
+        os.replace(tmp, in_dir)
+    run_flagship(in_dir, store, tiers=("1m",), n_parts=8, gapfill=False)
+    retention_expire(store, {"1m": np.datetime64(_RETENTION_CUTOFF.replace(" ", "T"), "us")})
+    return read_tier(store, "1m").select_columns(_ROLLUP_COLS)
+
+
 def _lsh_sql(k: int = 5, nbits: int = 4, seed: int = 29, dim: int = 64,
              qids=(0, 1, 2)) -> str:
     """SQL twin of the hyperplane bucket assignment: per bit one

@@ -35,6 +35,10 @@ class PartEntry:
     #: (count+hash fingerprint, SURVEY.md §7.5): same-count late data with
     #: different content invalidates the partition too (VERDICT r1 #10)
     input_checksum: int = 0
+    #: retention watermark (pipelines/retention.py): points before this
+    #: epoch-us cutoff have been expired from the partition's outputs; a
+    #: re-run with cutoff <= watermark skips the partition (idempotent)
+    expired_to_us: int = 0
 
 
 class Manifest:
