@@ -3435,6 +3435,40 @@ def charshingle_near_dups(sf_dir):
     return charshingle_dedup(ds, threshold=0.6, k=5)
 
 
+@q(
+    "global_latency_quantiles",
+    """
+with lagged as (
+  select epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select quantile_disc(lat, 0.50) as p50_latency,
+       quantile_disc(lat, 0.95) as p95_latency,
+       quantile_disc(lat, 0.99) as p99_latency
+from lagged
+""",
+)
+def global_latency_quantiles(sf_dir):
+    """EXACT global order statistics over the latency stream with NO
+    global sort (stages/quantile.exact_quantile): iterative histogram
+    refinement — per round one streaming pass emits B+1 counters per
+    block, the driver narrows the value range ~300x, and the terminal
+    step collects only the surviving sliver (or resolves duplicate-heavy
+    ranges by distinct-value counts). Nearest-rank rule
+    sorted[ceil(q*n)-1] == quantile_disc, so the returned values are
+    actual data elements and compare bit-exact. The global cousin of
+    sits_reduce's per-series t_q* reducers (src/reduce_fns.cpp)."""
+    from sits_ray.stages.eventops import latency_kernel, map_conv_partitions
+    from sits_ray.stages.quantile import exact_quantile
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    lat = map_conv_partitions(ds, latency_kernel).materialize()
+    qs = {p: exact_quantile(lat, "lat", p) for p in (0.50, 0.95, 0.99)}
+    return pd.DataFrame(
+        {"p50_latency": [qs[0.50]], "p95_latency": [qs[0.95]],
+         "p99_latency": [qs[0.99]]}
+    )
+
+
 _RETENTION_CUTOFF = "2024-01-16 00:00:00"
 
 

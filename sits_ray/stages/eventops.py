@@ -119,6 +119,21 @@ def reduce_stats_kernel(g: pa.Table) -> pa.Table:
     )
 
 
+def latency_kernel(g: pa.Table) -> pa.Table:
+    """Per-conv turn latencies in time order (first turn = NaN), one flat
+    ``lat`` column — the input stream of global order-statistic operators
+    (stages/quantile.exact_quantile). Same day-split epoch rule as the
+    rollup kernels."""
+    from sits_ray.stages.regularize import delta_us_to_seconds
+
+    _, codes, ts, order, _, starts, ends = _sorted_partition(g)
+    lat = np.full(codes.size, np.nan)
+    if codes.size > 1:
+        lat[1:] = delta_us_to_seconds(ts[1:] - ts[:-1])
+    lat[starts] = np.nan
+    return pa.table({"lat": pa.array(lat, pa.float64())})
+
+
 def predictor_matrix_kernel(g: pa.Table, lo: float, span: float,
                             n_slots: int = 4) -> pa.Table:
     """Per-conv mean latency per global time slot (predictor-matrix pivot,
