@@ -69,3 +69,64 @@ def unmix(values: np.ndarray, endmembers: np.ndarray, rmse_band: bool = True):
         fracs[i] = x
         rmse[i] = rn / np.sqrt(nb)
     return (fracs, rmse) if rmse_band else (fracs, None)
+
+
+def _seqdot_const(a, b) -> float:
+    """Scalar sequential dot with pinned left-associated order (matches
+    the generated SQL literal chains)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def unmix2_pinned(m: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Exact 2-endmember NNLS by case enumeration, every float operation
+    in a PINNED order so a generated SQL twin is bit-identical.
+
+    For two variables the NNLS optimum is either the unconstrained
+    normal-equation solution (when feasible) or the better of the two
+    clamped single-endmember projections — enumeration IS Lawson-Hanson
+    here (src/nnls_solver.cpp semantics, n_endmembers=2). Returns
+    (fracs (n,2), rmse (n,)). Gram constants are computed once with the
+    same sequential rule the SQL literals use."""
+    n, d = m.shape
+    a11 = _seqdot_const(e1, e1)
+    a12 = _seqdot_const(e1, e2)
+    a22 = _seqdot_const(e2, e2)
+    det = a11 * a22 - a12 * a12
+
+    def seqdot(w: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            acc = acc + m[:, j] * float(w[j])
+        return acc
+
+    b1, b2 = seqdot(e1), seqdot(e2)
+    x1u = (a22 * b1 - a12 * b2) / det
+    x2u = (a11 * b2 - a12 * b1) / det
+    x1a = np.maximum(b1 / a11, 0.0)
+    x2b = np.maximum(b2 / a22, 0.0)
+
+    def rss(x1, x2, use1: bool, use2: bool) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            t = m[:, j]
+            if use1:
+                t = t - x1 * float(e1[j])
+            if use2:
+                t = t - x2 * float(e2[j])
+            acc = acc + t * t
+        return acc
+
+    rssu = rss(x1u, x2u, True, True)
+    rss1 = rss(x1a, None, True, False)
+    rss2 = rss(None, x2b, False, True)
+
+    feas = (x1u >= 0.0) & (x2u >= 0.0)
+    pick1 = rss1 <= rss2
+    f0 = np.where(feas, x1u, np.where(pick1, x1a, 0.0))
+    f1 = np.where(feas, x2u, np.where(pick1, 0.0, x2b))
+    chosen = np.where(feas, rssu, np.where(pick1, rss1, rss2))
+    rmse = np.sqrt(chosen / float(d))
+    return np.stack([f0, f1], axis=1), rmse

@@ -3435,6 +3435,97 @@ def charshingle_near_dups(sf_dir):
     return charshingle_dedup(ds, threshold=0.6, k=5)
 
 
+def _mix2_endmembers(dim: int = 64):
+    rng = np.random.default_rng(23)
+    return rng.random(dim), rng.random(dim)
+
+
+def _mix2_sql(dim: int = 64) -> str:
+    """SQL twin of kernels/nnls.unmix2_pinned: literal Gram constants,
+    left-associated dot/residual chains, identical case enumeration."""
+    from sits_ray.kernels.nnls import _seqdot_const
+
+    e1, e2 = _mix2_endmembers(dim)
+    a11, a12, a22 = (_seqdot_const(e1, e1), _seqdot_const(e1, e2),
+                     _seqdot_const(e2, e2))
+    det = a11 * a22 - a12 * a12
+    L = lambda v: f"{float(v):.17e}"  # noqa: E731
+
+    def chain(terms):
+        return " + ".join(terms)
+
+    b1 = chain(f"embedding[{j + 1}] * {L(e1[j])}" for j in range(dim))
+    b2 = chain(f"embedding[{j + 1}] * {L(e2[j])}" for j in range(dim))
+
+    def rss(x1expr, x2expr):
+        ts = []
+        for j in range(dim):
+            t = f"embedding[{j + 1}]"
+            if x1expr is not None:
+                t = f"{t} - {x1expr} * {L(e1[j])}"
+            if x2expr is not None:
+                t = f"({t}) - {x2expr} * {L(e2[j])}" if x1expr is not None \
+                    else f"{t} - {x2expr} * {L(e2[j])}"
+            ts.append(f"({t}) * ({t})")
+        return chain(ts)
+
+    return f"""
+with sel as (
+  select vec_id, embedding,
+         {b1} as b1,
+         {b2} as b2
+  from embeddings),
+xs as (
+  select *,
+         ({L(a22)} * b1 - {L(a12)} * b2) / {L(det)} as x1u,
+         ({L(a11)} * b2 - {L(a12)} * b1) / {L(det)} as x2u,
+         greatest(b1 / {L(a11)}, 0.0) as x1a,
+         greatest(b2 / {L(a22)}, 0.0) as x2b
+  from sel),
+rs as (
+  select *,
+         {rss('x1u', 'x2u')} as rssu,
+         {rss('x1a', None)} as rss1,
+         {rss(None, 'x2b')} as rss2
+  from xs)
+select vec_id,
+       case when x1u >= 0.0 and x2u >= 0.0 then x1u
+            when rss1 <= rss2 then x1a else 0.0 end as frac_0,
+       case when x1u >= 0.0 and x2u >= 0.0 then x2u
+            when rss1 <= rss2 then 0.0 else x2b end as frac_1,
+       case when x1u >= 0.0 and x2u >= 0.0 then sqrt(rssu / {float(dim)!r})
+            when rss1 <= rss2 then sqrt(rss1 / {float(dim)!r})
+            else sqrt(rss2 / {float(dim)!r}) end as rmse
+from rs
+"""
+
+
+@q("mixture_model_2em", _mix2_sql())
+def mixture_model_2em(sf_dir):
+    """2-endmember NNLS unmixing with a bit-exact oracle: for two
+    endmembers the Lawson-Hanson active set reduces to case enumeration
+    (unconstrained normal equations if feasible, else the better clamped
+    single-endmember projection), and every float op is order-pinned
+    (kernels/nnls.unmix2_pinned) — so fractions AND rmse compare
+    bit-for-bit, certifying the sits_mixture_model semantics the general
+    solver (mixture_model_unmix, KKT-pinned in pytest) can't express in
+    SQL. Pure map stage over the embedding batch."""
+    from sits_ray.kernels.nnls import unmix2_pinned
+
+    e1, e2 = _mix2_endmembers()
+
+    def batch_unmix(t: pa.Table) -> pa.Table:
+        m = list_matrix(t["embedding"])
+        fr, rmse = unmix2_pinned(m, e1, e2)
+        return pa.table(
+            {"vec_id": t["vec_id"], "frac_0": pa.array(fr[:, 0]),
+             "frac_1": pa.array(fr[:, 1]), "rmse": pa.array(rmse)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(batch_unmix, batch_format="pyarrow", batch_size=256)
+
+
 @q(
     "global_latency_quantiles",
     """

@@ -46,3 +46,29 @@ def test_unmix_recovers_fractions():
     fr, rmse = unmix(vals, E)
     np.testing.assert_allclose(fr, fr_true, atol=1e-8)
     assert (rmse < 1e-9).all()
+
+
+def test_unmix2_pinned_matches_general_nnls():
+    import numpy as np
+
+    from sits_ray.kernels.nnls import nnls, unmix2_pinned
+
+    rng = np.random.default_rng(7)
+    e1, e2 = rng.random(16), rng.random(16)
+    # mix of interior solutions and boundary (clamped) cases
+    ys = np.vstack([
+        2.0 * e1 + 0.5 * e2,            # feasible unconstrained
+        3.0 * e1 - 1.0 * e2,            # forces x2 -> 0
+        -1.0 * e1 + 2.0 * e2,           # forces x1 -> 0
+        -e1 - e2,                       # both clamp to 0
+        rng.normal(size=16),
+    ])
+    fr, rmse = unmix2_pinned(ys, e1, e2)
+    A = np.stack([e1, e2], axis=1)
+    for i, y in enumerate(ys):
+        x_ref = nnls(A, y)[0] if isinstance(nnls(A, y), tuple) else nnls(A, y)
+        x_ref = np.asarray(x_ref, dtype=float).ravel()[:2]
+        assert np.allclose(fr[i], x_ref, atol=1e-9), (i, fr[i], x_ref)
+        r = y - A @ fr[i]
+        assert np.isclose(rmse[i], np.sqrt((r @ r) / 16.0), atol=1e-9)
+        assert (fr[i] >= 0).all()
