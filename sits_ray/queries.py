@@ -3396,6 +3396,12 @@ def retention_cohorts(sf_dir):
     return agg
 
 
+def _charshingle_ctes(src: str = "documents") -> str:
+    """Shared min-shingle blocking + exact-Jaccard CTE chain over any
+    (doc_id, text) source CTE/table."""
+    return _CHARSHINGLE_CTES.replace("from documents)", f"from {src})", 1)
+
+
 _CHARSHINGLE_CTES = """g as (
   select doc_id, text,
          unnest(generate_series(1, greatest(length(text) - 4, 1))) as i
@@ -3787,3 +3793,80 @@ def dedup_cluster_reps(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = charshingle_dedup(ds, threshold=0.6, k=5)
     return connected_components(pairs)
+
+
+@q(
+    "curation_keep_docs",
+    """
+with recursive stats as (
+  select doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) as n_tok,
+         regexp_extract_all(lower(text), '[a-zA-Z]+') as words
+  from documents),
+docs as (
+  select doc_id, text from stats
+  where n_tok >= 40
+    and len(list_filter(words, x -> list_contains(
+          ['the','and','of','to','a','in','is','that','it','for'], x)))
+        * 1.0 / greatest(len(words), 1) >= 0.05),
+""" + _charshingle_ctes("docs") + """,
+nd as (
+  select doc_a, doc_b from inter
+  where cast(inter as double) / cast(na + nb - inter as double) >= 0.6),
+ed as (
+  select doc_a as node, doc_b as peer from nd
+  union all
+  select doc_b, doc_a from nd),
+reach as (
+  select node, peer from ed
+  union
+  select r.node, e.peer from reach r join ed e on r.peer = e.node),
+labels as (
+  select node as doc_id, least(node, min(peer)) as rep from reach group by node)
+select d.doc_id
+from docs d left join labels l using (doc_id)
+where l.rep is null or l.rep = d.doc_id
+""",
+)
+def curation_keep_docs(sf_dir):
+    """End-to-end corpus curation (the pre-training keep-list): Gopher/C4
+    style quality gate (token count + stopword ratio) -> near-dup
+    clustering of the survivors (min-shingle blocking + exact Jaccard ->
+    connected components) -> keep unpaired docs and cluster
+    representatives. Every stage is the distributed shape certified
+    elsewhere (text never shuffles for blocking; label propagation state
+    is O(paired docs)); membership is resolved by a distributed left
+    join, not a driver set. SQL-exact end to end."""
+    from sits_ray.stages.dedup import charshingle_dedup, connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    _STOPS = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
+
+    def qgate(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.count(r"\S+").to_numpy()
+        words = df["text"].str.lower().str.findall(r"[a-zA-Z]+")
+        n_words = words.str.len().to_numpy()
+        n_stop = np.fromiter(
+            (sum(w in _STOPS for w in ws) for ws in words),
+            dtype=np.int64, count=len(df),
+        )
+        ratio = n_stop * 1.0 / np.maximum(n_words, 1)
+        keep = (n_tok >= 40) & (ratio >= 0.05)
+        return df.loc[keep, ["doc_id", "text"]]
+
+    kept = ds.map_batches(qgate, batch_format="pandas").materialize()
+    pairs = charshingle_dedup(kept, threshold=0.6, k=5)
+    labels = connected_components(pairs)
+
+    ids = kept.select_columns(["doc_id"])
+    joined = ids.join(
+        labels, join_type="left_outer", num_partitions=4, on=("doc_id",)
+    )
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        rep = t["rep_id"]
+        keep = pc.or_kleene(pc.is_null(rep), pc.equal(rep, t["doc_id"]))
+        return pa.table({"doc_id": t.filter(pc.fill_null(keep, True))["doc_id"]})
+
+    return joined.map_batches(keep_reps, batch_format="pyarrow")
