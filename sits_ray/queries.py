@@ -3441,6 +3441,61 @@ def charshingle_near_dups(sf_dir):
     return charshingle_dedup(ds, threshold=0.6, k=5)
 
 
+@q(
+    "decontaminate_overlap",
+    """
+with w as (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as ws
+           from documents),
+g as (select doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as gram
+      from (select doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0))) as i
+            from w)),
+gd as (select distinct doc_id, gram from g),
+bench as (select distinct gram from gd where doc_id < 5),
+cnt as (select d.doc_id, cast(count(*) as bigint) as n_shared
+        from gd d join bench using (gram) where d.doc_id >= 5 group by 1)
+select w.doc_id, coalesce(cnt.n_shared, 0) as n_shared,
+       coalesce(cnt.n_shared, 0) > 0 as contaminated
+from w left join cnt using (doc_id)
+where w.doc_id >= 5
+""",
+)
+def decontaminate_overlap(sf_dir):
+    """Benchmark decontamination (training-data ops): flag corpus docs
+    sharing any distinct word 3-gram with a benchmark set (docs 0-4
+    here). The benchmark n-gram set is SMALL and broadcast once via
+    ray.put — the canonical broadcast-not-shuffle membership join; corpus
+    text never leaves its map task. At real scale the benchmark side
+    stays driver-small (eval suites), so the shape holds at 100 TB."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams_of(text: str) -> set[str]:
+        ws = re.findall(r"[a-z]+", text.lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    bench_pdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    bench: set[str] = set()
+    for txt in bench_pdf["text"]:
+        bench |= grams_of(txt)
+    b_ref = ray.put(bench)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(b_ref)
+        df = df[df["doc_id"] >= 5]
+        n = np.fromiter(
+            (len(grams_of(t) & bset) for t in df["text"]),
+            dtype=np.int64, count=len(df),
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "n_shared": n,
+             "contaminated": n > 0}
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def _mix2_endmembers(dim: int = 64):
     rng = np.random.default_rng(23)
     return rng.random(dim), rng.random(dim)
