@@ -3287,6 +3287,61 @@ def compress_roundtrip(sf_dir):
     return nested.map_batches(per_batch, batch_format="pyarrow")
 
 
+@q(
+    "compress_decode_1h",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select user_id as conv_id,
+       date_trunc('hour', ts) as bucket_ts,
+       coalesce(sum(lat), 0.0) as sum_latency
+from lagged
+group by 1, 2
+""",
+)
+def compress_decode_1h(sf_dir):
+    """Gorilla codec certified IN the driver gate: encode the 1h tier
+    (timestamps delta-of-delta, sums XOR-float), then DECODE the blocks and
+    emit the long rows. The oracle is the plain SQL rollup over the raw
+    events — a value-hash match proves encode+decode is bit-exact
+    end-to-end (not just a self-reported roundtrip_ok flag as in
+    `compress_roundtrip`). Batch-vectorized both ways
+    (kernels/compress_batch); no per-conversation Python."""
+    from sits_ray.arrowutil import ragged
+    from sits_ray.kernels.compress_batch import (
+        decode_timestamps_batch,
+        decode_values_batch,
+        encode_timestamps_batch,
+        encode_values_batch,
+    )
+
+    nested = _nested_tier(sf_dir, "1h", gapfill=False)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        flat_v, lens, offs = ragged(b["sum_latency"])
+        flat_v = np.ascontiguousarray(flat_v, dtype=np.float64)
+        ts = (
+            pc.list_flatten(b["bucket_ts"]).to_numpy()
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ts_blocks = encode_timestamps_batch(ts, offs)
+        val_blocks = encode_values_batch(flat_v, offs)
+        ts2, _ = decode_timestamps_batch(ts_blocks)
+        v2, _ = decode_values_batch(val_blocks)
+        conv = np.repeat(b["conv_id"].to_numpy(), lens)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv),
+                "bucket_ts": pa.array(ts2.astype("datetime64[us]")),
+                "sum_latency": pa.array(v2),
+            }
+        )
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
 # --- custom wide operators: as-of join, range window, cohorts, jaccard ----
 @q(
     "asof_attribution",
