@@ -163,3 +163,63 @@ def redact_batch(texts: "pd.Series", pattern: str = REDACT_PATTERN,
 
     pat = _re.compile(pattern)
     return texts.str.replace(pat, token, regex=True), texts.str.count(pat)
+
+
+def repetition_features(texts: "pd.Series"):
+    """Gopher-style repetition/format quality signals, fully vectorized
+    (pandas C kernels — findall/explode/groupby — no Python loop over
+    rows): word count, mean word length, most-frequent-word fraction and
+    most-frequent-bigram fraction, plus the composite ``keep`` flag used
+    by quality filtering pipelines (Rae et al. 2021 "Gopher" §A1.1
+    heuristics, adapted to the single-line corpus). Tokens are the
+    langid/quality tokenizer ``[a-z]+`` so the DuckDB twin
+    (``regexp_extract_all(lower(text), '[a-z]+')``) matches exactly;
+    every emitted float is an int/int division in float64 — bit-identical
+    cross-engine."""
+    import pandas as pd
+
+    lists = texts.str.lower().str.findall(r"[a-z]+")
+    n_words = lists.str.len().astype("int64")
+    ex = lists.explode().dropna()
+    zero = pd.Series(0, index=texts.index, dtype="int64")
+    if ex.empty:
+        top_word = sum_wlen = top_bi = zero
+    else:
+        wc = ex.groupby([ex.index, ex]).size()
+        top_word = wc.groupby(level=0).max().reindex(texts.index, fill_value=0)
+        sum_wlen = (
+            ex.str.len().groupby(ex.index).sum()
+            .reindex(texts.index, fill_value=0).astype("int64")
+        )
+        toks = ex.to_numpy(dtype=object)
+        idx = ex.index.to_numpy()
+        same = idx[1:] == idx[:-1]
+        if same.any():
+            bi = pd.Series(
+                toks[:-1][same] + " " + toks[1:][same], index=idx[:-1][same]
+            )
+            bc = bi.groupby([bi.index, bi]).size()
+            top_bi = bc.groupby(level=0).max().reindex(texts.index, fill_value=0)
+        else:
+            top_bi = zero
+    nw = n_words.to_numpy()
+    mean_wlen = np.where(nw > 0, sum_wlen.to_numpy() / np.maximum(nw, 1), 0.0)
+    top_word_frac = np.where(nw > 0, top_word.to_numpy() / np.maximum(nw, 1), 0.0)
+    top_bigram_frac = np.where(
+        nw > 1, top_bi.to_numpy() / np.maximum(nw - 1, 1), 0.0
+    )
+    keep = (
+        (nw >= 10) & (nw <= 1000)
+        & (mean_wlen >= 2.0) & (mean_wlen <= 8.0)
+        & (top_word_frac <= 0.25) & (top_bigram_frac <= 0.15)
+    )
+    return pd.DataFrame(
+        {
+            "n_words": n_words.to_numpy(),
+            "mean_word_len": mean_wlen,
+            "top_word_frac": top_word_frac,
+            "top_bigram_frac": top_bigram_frac,
+            "keep": keep,
+        },
+        index=texts.index,
+    )

@@ -2458,6 +2458,53 @@ def langid_quality(sf_dir):
     )
 
 
+@q(
+    "gopher_repetition",
+    """
+with tok as (
+  select doc_id, unnest(l) as w, generate_subscripts(l, 1) as i
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents)),
+wc as (select doc_id, count(*) as n_words, sum(length(w)) as swl from tok group by 1),
+topw as (select doc_id, max(cnt) as top_cnt
+         from (select doc_id, w, count(*) as cnt from tok group by 1, 2) group by 1),
+topb as (select doc_id, max(cnt) as top_bi
+         from (select a.doc_id, a.w || ' ' || b.w as g, count(*) as cnt
+               from tok a join tok b on a.doc_id = b.doc_id and b.i = a.i + 1
+               group by 1, 2) group by 1)
+select d.doc_id,
+       coalesce(n_words, 0) as n_words,
+       case when coalesce(n_words, 0) = 0 then 0.0 else swl / n_words end as mean_word_len,
+       case when coalesce(n_words, 0) = 0 then 0.0 else top_cnt / n_words end as top_word_frac,
+       case when coalesce(n_words, 0) < 2 then 0.0
+            else coalesce(top_bi, 0) / (n_words - 1) end as top_bigram_frac,
+       coalesce(n_words between 10 and 1000
+                and swl / n_words between 2.0 and 8.0
+                and top_cnt / n_words <= 0.25
+                and coalesce(top_bi, 0) / (n_words - 1) <= 0.15, false) as keep
+from documents d
+left join wc using (doc_id) left join topw using (doc_id) left join topb using (doc_id)
+""",
+)
+def gopher_repetition(sf_dir):
+    """Gopher-style repetition/format quality filter (Rae et al. 2021
+    §A1.1 heuristics): word count, mean word length, top-word and
+    top-bigram repetition fractions, and the composite keep flag.
+    SQL-exact: int/int divisions in float64 on both sides; tokens are the
+    shared ``[a-z]+`` tokenizer. Fully vectorized
+    (kernels/text.repetition_features — pandas C kernels, no row loop)."""
+    from sits_ray.kernels.text import repetition_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_features(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
 @q("minhash_near_dups")
 def minhash_near_dups(sf_dir):
