@@ -2505,6 +2505,79 @@ def gopher_repetition(sf_dir):
     return ds.map_batches(feats, batch_format="pandas")
 
 
+@q(
+    "tfidf_top_terms",
+    """
+with tok as (
+  select source, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents),
+tf as (select source, w, cast(count(*) as bigint) as tf from tok group by 1, 2),
+df as (select w, cast(count(*) as bigint) as df from tf group by 1),
+ns as (select cast(count(distinct source) as bigint) as n from documents)
+select tf.source, tf.w as term, tf.tf as tf, df.df as df,
+       tf.tf * ns.n / df.df as score
+from tf join df using (w) cross join ns
+qualify row_number() over (partition by tf.source
+                           order by score desc, term asc) <= 5
+order by source, score desc, term
+""",
+)
+def tfidf_top_terms(sf_dir):
+    """Salient terms per source by tf-idf (corpus curation: domain
+    signature terms). The idf is kept RATIONAL — score = tf * n_sources /
+    df, an int*int/int in float64 — so both engines are bit-identical (a
+    log idf would differ by libm ulps; the ranking is monotone-equivalent
+    for fixed n). Fully distributed: per-batch partial (source, term)
+    counts combine inside map_batches (text never shuffles), the global
+    tf/df tables are small groupbys over distinct terms, df re-attaches
+    via a distributed hash join, and the final top-5 is an O(n_sources)
+    map_groups — no driver-side vocabulary state."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df["text"].str.lower().str.findall(r"[a-z]+")
+        ex = lists.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str),
+                 "term": pd.Series([], dtype=str),
+                 "tf": pd.Series([], dtype="int64")}
+            )
+        src = df["source"].loc[ex.index]
+        vc = pd.DataFrame({"source": src.to_numpy(), "term": ex.to_numpy()})
+        g = vc.groupby(["source", "term"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["source", "term", "tf"]
+        return out
+
+    tf = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    df_tab = tf.groupby("term").aggregate(Count(alias_name="df"))
+    n_sources = tf.groupby("source").aggregate(Count()).count()
+    scored = tf.join(df_tab, join_type="inner", on=("term",), num_partitions=8)
+
+    def score(t: pa.Table) -> pa.Table:
+        s = (t["tf"].to_numpy() * np.int64(n_sources)) / t["df"].to_numpy()
+        return t.append_column("score", pa.array(s))
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "term"], ascending=[False, True]
+        ).head(5)
+
+    out = (
+        scored.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(top5, batch_format="pandas")
+    )
+    return out.select_columns(["source", "term", "tf", "df", "score"])
+
+
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
 @q("minhash_near_dups")
 def minhash_near_dups(sf_dir):

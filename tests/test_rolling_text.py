@@ -138,3 +138,45 @@ def test_redact_batch_emails_and_digits():
         "contact <PII> now", "pin <PII> then <PII>", "clean"
     ]
     assert list(cnt) == [1, 2, 0]
+
+
+def test_repetition_features_edges_and_bruteforce():
+    import pandas as pd
+
+    s = pd.Series(
+        ["the the the cat", "", "x", "one two one two one two",
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    )
+    out = T.repetition_features(s)
+    # brute-force twin per doc
+    for i, txt in enumerate(s):
+        import re
+        ws = re.findall(r"[a-z]+", txt.lower())
+        n = len(ws)
+        assert out["n_words"].iloc[i] == n
+        if n == 0:
+            assert out["mean_word_len"].iloc[i] == 0.0
+            assert out["top_word_frac"].iloc[i] == 0.0
+            continue
+        assert out["mean_word_len"].iloc[i] == sum(map(len, ws)) / n
+        top = max(ws.count(w) for w in set(ws))
+        assert out["top_word_frac"].iloc[i] == top / n
+        if n >= 2:
+            bis = [ws[j] + " " + ws[j + 1] for j in range(n - 1)]
+            topb = max(bis.count(b) for b in set(bis))
+            assert out["top_bigram_frac"].iloc[i] == topb / (n - 1)
+        else:
+            assert out["top_bigram_frac"].iloc[i] == 0.0
+    # "the the the cat": top_word_frac 0.75 -> dropped; 10-word clean doc kept
+    assert not out["keep"].iloc[0]
+    assert out["keep"].iloc[4]
+
+
+def test_repetition_features_batch_boundary_isolation():
+    """Bigrams never span documents: two docs that would form a repeated
+    bigram if concatenated stay independent."""
+    import pandas as pd
+
+    out = T.repetition_features(pd.Series(["aa bb", "bb aa bb aa"]))
+    assert out["top_bigram_frac"].iloc[0] == 1.0  # its own single bigram
+    assert out["top_bigram_frac"].iloc[1] == 2 / 3
