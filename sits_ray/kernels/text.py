@@ -223,3 +223,42 @@ def repetition_features(texts: "pd.Series"):
         },
         index=texts.index,
     )
+
+
+def simhash_poly_batch(texts: "pd.Series", bits: int = 16,
+                       base: int = 1_000_003, mod: int = (1 << 31) - 1):
+    """SQL-mechanizable SimHash: per-document signature over the low
+    ``bits`` bits of the POLYNOMIAL token hash (fingerprint_batch's
+    Horner recurrence — the hash a DuckDB oracle can fold with
+    list_reduce), weights = token counts. Bit j of the signature is 1
+    iff sum over distinct tokens of cnt * (±1 by bit j of hash(token))
+    is > 0. This is the gate-certifiable twin of the production 64-bit
+    blake2b SimHash (stages/dedup.SimHashStage), exactly as
+    charshingle_dedup is MinHash's SQL twin. Vectorized: one
+    fingerprint_batch over the batch's UNIQUE tokens, one reduceat per
+    batch — no per-document Python."""
+    import pandas as pd
+
+    lists = texts.str.lower().str.findall(r"[a-z]+")
+    ex = lists.explode().dropna()
+    sig = np.zeros(len(texts), dtype=np.int64)
+    if ex.empty:
+        return pd.Series(sig, index=texts.index)
+    pairs = (
+        pd.DataFrame({"doc": ex.index.to_numpy(), "w": ex.to_numpy()})
+        .groupby(["doc", "w"], sort=True)
+        .size()
+        .reset_index()
+    )
+    pairs.columns = ["doc", "w", "cnt"]
+    uniq, inv = np.unique(pairs["w"].to_numpy(dtype=object), return_inverse=True)
+    hw = fingerprint_batch(list(uniq), base=base, mod=mod)[inv]
+    cnt = pairs["cnt"].to_numpy(dtype=np.int64)
+    pm = (((hw[:, None] >> np.arange(bits)) & 1) * 2 - 1) * cnt[:, None]
+    doc = pairs["doc"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1])
+    sums = np.add.reduceat(pm, starts, axis=0)
+    packed = ((sums > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
+    pos = pd.Index(texts.index).get_indexer(doc[starts])
+    sig[pos] = packed
+    return pd.Series(sig, index=texts.index)

@@ -2578,6 +2578,62 @@ def tfidf_top_terms(sf_dir):
     return out.select_columns(["source", "term", "tf", "df", "score"])
 
 
+def _simhash_poly_sql(bits: int = 16) -> str:
+    """DuckDB twin of kernels/text.simhash_poly_batch: Horner token hash
+    (the doc_fingerprints recurrence), per-bit signed count sums, packed
+    signature. The bit expressions are generated, mirroring the
+    _mlr_logit_sql pattern."""
+    sums = ",\n  ".join(
+        f"sum(case when (hw >> {j}) & 1 = 1 then cnt else -cnt end) as b{j}"
+        for j in range(bits)
+    )
+    pack = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(bits)
+    )
+    return f"""
+with tok as (
+  select doc_id, w, cast(count(*) as bigint) as cnt
+  from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)
+  group by 1, 2),
+h as (
+  select doc_id, cnt,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+                        list_transform(regexp_extract_all(w, '.'),
+                                       c -> cast(ascii(c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647
+         ) as hw
+  from tok),
+b as (select doc_id,
+  {sums}
+  from h group by 1)
+select d.doc_id, cast(coalesce({pack}, 0) as bigint) as simhash
+from documents d left join b using (doc_id)
+"""
+
+
+@q("simhash_poly", _simhash_poly_sql())
+def simhash_poly(sf_dir):
+    """SQL-mechanizable SimHash twin (gate-certifies the SimHash
+    algorithm shape, as charshingle_near_dups does for MinHash): 16-bit
+    signatures over polynomial token hashes, weights = token counts.
+    Vectorized batch kernel (one fingerprint_batch over unique tokens +
+    one reduceat); production 64-bit blake2b SimHash stays in
+    stages/dedup.SimHashStage."""
+    from sits_ray.kernels.text import simhash_poly_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "simhash": simhash_poly_batch(df["text"]).to_numpy()}
+        )
+
+    return ds.map_batches(sh, batch_format="pandas")
+
+
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
 @q("minhash_near_dups")
 def minhash_near_dups(sf_dir):

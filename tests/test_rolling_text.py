@@ -180,3 +180,33 @@ def test_repetition_features_batch_boundary_isolation():
     out = T.repetition_features(pd.Series(["aa bb", "bb aa bb aa"]))
     assert out["top_bigram_frac"].iloc[0] == 1.0  # its own single bigram
     assert out["top_bigram_frac"].iloc[1] == 2 / 3
+
+
+def test_simhash_poly_batch_scalar_parity_and_stability():
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    texts = ["the cat sat on the mat", "cat the sat", "", "q",
+             "alpha beta alpha beta alpha"]
+    out = T.simhash_poly_batch(pd.Series(texts))
+
+    def scalar(t, bits=16):
+        acc = np.zeros(bits)
+        for w, c in Counter(re.findall(r"[a-z]+", t.lower())).items():
+            h = int(T.fingerprint_batch([w])[0])
+            for j in range(bits):
+                acc[j] += c if (h >> j) & 1 else -c
+        return sum((1 << j) for j in range(bits) if acc[j] > 0)
+
+    assert out.tolist() == [scalar(t) for t in texts]
+    # signature is order-invariant in token positions but weight-sensitive
+    a = T.simhash_poly_batch(pd.Series(["x y z", "z y x"]))
+    assert a.iloc[0] == a.iloc[1]
+    # batch split must not change any signature
+    half = pd.concat(
+        [T.simhash_poly_batch(pd.Series(texts[:2])),
+         T.simhash_poly_batch(pd.Series(texts[2:]))]
+    )
+    assert half.tolist() == out.tolist()
