@@ -2972,6 +2972,53 @@ def rolling_mean_1h(sf_dir):
     )
 
 
+@q(
+    "rolling_order_stats_1h",
+    _GAPFILL_1H_CTES
+    + """
+select conv_id, bucket_ts, mean_latency,
+       min(mean_latency) over w as w_min3,
+       max(mean_latency) over w as w_max3,
+       median(mean_latency) over w as w_med3
+from filled_grid
+window w as (partition by conv_id order by bucket_ts
+             rows between 1 preceding and 1 following)
+qualify row_number() over (partition by conv_id order by bucket_ts)
+        between 2 and count(*) over (partition by conv_id) - 1
+""",
+)
+def rolling_order_stats_1h(sf_dir):
+    """w_min / w_max / w_median rolling order statistics (src/kernel.cpp
+    analogs) over the gap-filled hourly grid, interior buckets only so
+    every window holds exactly 3 points — order stats are then pure
+    SELECTION (no float arithmetic), bit-exact vs DuckDB, whose window
+    ``median`` is the discrete lower-middle (edge windows of 2 would
+    average on the numpy side but select on the SQL side). Vectorized
+    nested-form map + one interior-mask filter; no extra shuffle."""
+    from sits_ray.kernels.rolling import w_max, w_median, w_min
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    nested = _nested_tier(sf_dir, "1h")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = smooth_to_long(
+            b,
+            {
+                "w_min3": (lambda m: w_min(m, 3, edge="clip"), 1),
+                "w_max3": (lambda m: w_max(m, 3, edge="clip"), 1),
+                "w_med3": (lambda m: w_median(m, 3, edge="clip"), 1),
+            },
+        )
+        lens = pc.list_value_length(b["bucket_ts"]).to_numpy()
+        pos = np.arange(len(t)) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)])[:-1], lens
+        )
+        interior = (pos > 0) & (pos < np.repeat(lens, lens) - 1)
+        return t.filter(pa.array(interior))
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
 def _haralick_tail_sql(levels: int, key: str) -> str:
     """Shared Haralick CTE tail (the float core mirroring
     kernels/texture.haralick_rows term for term): expects upstream CTEs
