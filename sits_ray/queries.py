@@ -3565,6 +3565,42 @@ def compress_decode_1h(sf_dir):
     return nested.map_batches(per_batch, batch_format="pyarrow")
 
 
+@q(
+    "funnel_stages",
+    """
+with v as (select user_id, min(ts) as t_view from events
+           where event_type = 'view' group by 1),
+c as (select e.user_id, min(e.ts) as t_click
+      from events e join v on e.user_id = v.user_id and e.ts >= v.t_view
+      where e.event_type = 'click' group by 1),
+p as (select e.user_id, min(e.ts) as t_purchase
+      from events e join c on e.user_id = c.user_id and e.ts >= c.t_click
+      where e.event_type = 'purchase' group by 1)
+select u.user_id as conv_id, v.t_view, c.t_click, p.t_purchase,
+       case when p.user_id is not null then 3
+            when c.user_id is not null then 2
+            when v.user_id is not null then 1 else 0 end as funnel_stage
+from (select distinct user_id from events) u
+left join v using (user_id) left join c using (user_id) left join p using (user_id)
+""",
+)
+def funnel_stages(sf_dir):
+    """Ordered conversion funnel (view -> click-at-or-after -> purchase-
+    at-or-after): per conversation, first-reach timestamp of each stage
+    and the deepest stage reached. The product-analytics sequencing
+    operator Ray Data has no native form for — composed as ONE part_id
+    shuffle + a whole-partition kernel (stages/eventops.funnel_kernel:
+    one masked minimum.reduceat per stage, no per-conv Python).
+    SQL-exact: timestamps are selections, the chain joins are >= on ts."""
+    from sits_ray.stages.eventops import funnel_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    return map_conv_partitions(
+        ds, funnel_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",),
+    )
+
+
 # --- custom wide operators: as-of join, range window, cohorts, jaccard ----
 @q(
     "asof_attribution",

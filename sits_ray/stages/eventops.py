@@ -456,3 +456,41 @@ def retention_partial_kernel(g: pa.Table) -> pa.Table:
             "n_users": pa.array(cnt.astype(np.int64)),
         }
     )
+
+
+def funnel_kernel(g: pa.Table, stages: tuple[str, ...] = ("view", "click", "purchase")) -> pa.Table:
+    """Ordered conversion funnel inside one partition: per conversation,
+    the first ``stages[0]`` event, then the first ``stages[1]`` at-or-after
+    it, then the first ``stages[2]`` at-or-after that, etc. (>= on ts, so
+    same-timestamp progress counts — matching the SQL twin's ``ts >= prev``
+    join). Vectorized: one masked ``np.minimum.reduceat`` per stage — no
+    per-conversation Python. Emits one row per conversation with the
+    per-stage first-reach timestamps (NaT once the chain breaks) and the
+    deepest stage reached."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    n_conv = len(conv_vals)
+    if codes.size == 0:
+        cols = {"conv_id": conv_vals}
+        for s in stages:
+            cols[f"t_{s}"] = pa.array([], pa.timestamp("us"))
+        cols["funnel_stage"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    et = ex["event_type"]
+    INF = np.iinfo(np.int64).max
+    prev = np.zeros(n_conv, dtype=np.int64)  # stage-0 threshold: epoch min
+    prev[:] = np.int64(-(2**62))
+    reach = np.zeros(n_conv, dtype=np.int64)
+    cols = {"conv_id": conv_vals}
+    for k, s in enumerate(stages):
+        cand = np.where((et == s) & (ts >= prev[codes]), ts, INF)
+        t_k = np.minimum.reduceat(cand, starts)
+        t_k = np.where(prev == INF, INF, t_k)  # chain already broken
+        reach += (t_k != INF).astype(np.int64)
+        out = t_k.astype("datetime64[us]")
+        out[t_k == INF] = np.datetime64("NaT")
+        cols[f"t_{s}"] = pa.array(out)
+        prev = t_k
+    cols["funnel_stage"] = pa.array(reach)
+    return pa.table(cols)

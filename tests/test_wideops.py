@@ -190,3 +190,49 @@ def test_charshingle_dedup_no_candidates(ray_session):
     # on zero-row datasets, so assert on the Dataset schema)
     assert out.schema().names == ["doc_a", "doc_b", "inter", "jaccard"]
     assert out.count() == 0
+
+
+# --- funnel_kernel ---------------------------------------------------------
+def test_funnel_chain_order_and_break():
+    from sits_ray.stages.eventops import funnel_kernel
+
+    # conv 1: click BEFORE the first view must not count; later click does.
+    # conv 2: view only. conv 3: purchase before everything -> stage 1 only
+    # after its view (no click at all).
+    g = _g(
+        [1, 1, 1, 1, 2, 3, 3],
+        [10 * US, 20 * US, 30 * US, 40 * US, 5 * US, 1 * US, 50 * US],
+        [1, 2, 3, 4, 5, 6, 7],
+        event_type=["click", "view", "click", "purchase", "view",
+                    "purchase", "view"],
+    )
+    out = funnel_kernel(g).to_pandas().set_index("conv_id")
+    assert out.loc[1, "funnel_stage"] == 3
+    assert out.loc[1, "t_view"] == pd.Timestamp(20 * US, unit="us")
+    assert out.loc[1, "t_click"] == pd.Timestamp(30 * US, unit="us")
+    assert out.loc[2, "funnel_stage"] == 1
+    assert pd.isna(out.loc[2, "t_click"])
+    assert out.loc[3, "funnel_stage"] == 1  # purchase precedes view: chain broken
+    assert pd.isna(out.loc[3, "t_purchase"])
+
+
+def test_funnel_same_timestamp_counts():
+    from sits_ray.stages.eventops import funnel_kernel
+
+    g = _g(
+        [7, 7, 7], [10 * US] * 3, [1, 2, 3],
+        event_type=["view", "click", "purchase"],
+    )
+    out = funnel_kernel(g).to_pandas()
+    assert out["funnel_stage"].iloc[0] == 3
+    assert (out[["t_view", "t_click", "t_purchase"]].iloc[0]
+            == pd.Timestamp(10 * US, unit="us")).all()
+
+
+def test_funnel_no_events_of_any_stage():
+    from sits_ray.stages.eventops import funnel_kernel
+
+    g = _g([4], [10 * US], [1], event_type=["error"])
+    out = funnel_kernel(g).to_pandas()
+    assert out["funnel_stage"].iloc[0] == 0
+    assert out[["t_view", "t_click", "t_purchase"]].isna().all().all()
