@@ -3601,6 +3601,107 @@ def funnel_stages(sf_dir):
     )
 
 
+@q(
+    "iqr_outliers",
+    """
+with q as (select user_id, quantile_disc(value, 0.25) as q1,
+                  quantile_disc(value, 0.75) as q3
+           from events group by 1)
+select e.user_id as conv_id, e.event_id, e.value, q.q1, q.q3,
+       (e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        or e.value < q.q1 - 1.5 * (q.q3 - q.q1)) as is_outlier
+from events e join q on e.user_id = q.user_id
+""",
+)
+def iqr_outliers(sf_dir):
+    """Per-conversation Tukey-fence outlier detection over event values
+    (robust anomaly flagging — the selection-based alternative to z-scores,
+    whose running variance would not be bit-reproducible cross-engine).
+    ONE part_id shuffle + whole-partition kernel
+    (stages/eventops.iqr_outlier_kernel); q1/q3 are nearest-rank
+    selections (quantile_disc contract), fences do identical float ops in
+    identical order both sides."""
+    from sits_ray.stages.eventops import iqr_outlier_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, iqr_outlier_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
+@q(
+    "activity_heatmap",
+    """
+with c as (select isodow(ts) as dow, hour(ts) as hod, user_id from events)
+select dow, hod,
+       cast(count(*) as bigint) as n_events,
+       cast(count(distinct user_id) as bigint) as n_users
+from c group by 1, 2
+""",
+)
+def activity_heatmap(sf_dir):
+    """Weekday x hour activity profile (usage heatmap): event counts and
+    distinct active users per calendar cell. Pre-aggregation pattern both
+    ways — per-batch partial (cell, user) dedup inside map_batches, then
+    two tiny groupbys over at most 168 x users rows; raw events never
+    shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cell = pd.DataFrame(
+            {
+                "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "hod": df["ts"].dt.hour.astype("int64"),
+                "user_id": df["user_id"],
+            }
+        )
+        g = cell.groupby(["dow", "hod", "user_id"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["dow", "hod", "user_id", "cnt"]
+        return out
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["dow", "hod", "user_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    out = per_user.groupby(["dow", "hod"]).aggregate(
+        Sum("cnt", alias_name="n_events"), Count(alias_name="n_users")
+    )
+    return out
+
+
+@q(
+    "percentile_rank_by_source",
+    """
+select doc_id, source, n_chars,
+       percent_rank() over (partition by source order by n_chars) as pct_rank
+from documents
+""",
+)
+def percentile_rank_by_source(sf_dir):
+    """Relative-quality rank features: each document's percentile rank of
+    n_chars WITHIN its source domain (curation's per-domain normalization).
+    percent_rank = (min-rank - 1) / (n - 1) — int/int in float64,
+    bit-exact. O(n_sources) map_groups after an O(sources) groupby; ties
+    share the min rank exactly as SQL rank() does."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r = g["n_chars"].rank(method="min").to_numpy()
+        g = g.copy()
+        g["pct_rank"] = (r - 1) / (n - 1) if n > 1 else np.zeros(n)
+        return g
+
+    return ds.groupby("source").map_groups(ranks, batch_format="pandas")
+
+
 # --- custom wide operators: as-of join, range window, cohorts, jaccard ----
 @q(
     "asof_attribution",

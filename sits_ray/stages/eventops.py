@@ -494,3 +494,46 @@ def funnel_kernel(g: pa.Table, stages: tuple[str, ...] = ("view", "click", "purc
         prev = t_k
     cols["funnel_stage"] = pa.array(reach)
     return pa.table(cols)
+
+
+def iqr_outlier_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation IQR outlier flags (Tukey fences): q1/q3 are
+    NEAREST-RANK selections (== SQL ``quantile_disc``, the repo-wide
+    quantile contract), fences ``q1 - 1.5*iqr`` / ``q3 + 1.5*iqr`` — the
+    only float arithmetic is one subtraction, one multiply and one add on
+    selected values, identical order both engines, bit-exact. Vectorized:
+    one (value, conv) lexsort + fancy-indexed rank picks for every
+    conversation of the partition at once."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "q1": pa.array([], pa.float64()),
+                "q3": pa.array([], pa.float64()),
+                "is_outlier": pa.array([], pa.bool_()),
+            }
+        )
+    v = ex["value"].astype(np.float64)
+    cnt = ends - starts
+    vs = v[np.lexsort((v, codes))]
+    k1 = starts + np.maximum(np.ceil(0.25 * cnt).astype(np.int64) - 1, 0)
+    k3 = starts + np.maximum(np.ceil(0.75 * cnt).astype(np.int64) - 1, 0)
+    q1, q3 = vs[k1], vs[k3]
+    iqr = q3 - q1
+    hi, lo = q3 + 1.5 * iqr, q1 - 1.5 * iqr
+    flag = (v > hi[codes]) | (v < lo[codes])
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes, pa.int64())),
+            "event_id": pa.array(order),
+            "value": pa.array(v),
+            "q1": pa.array(q1[codes]),
+            "q3": pa.array(q3[codes]),
+            "is_outlier": pa.array(flag),
+        }
+    )

@@ -236,3 +236,31 @@ def test_funnel_no_events_of_any_stage():
     out = funnel_kernel(g).to_pandas()
     assert out["funnel_stage"].iloc[0] == 0
     assert out[["t_view", "t_click", "t_purchase"]].isna().all().all()
+
+
+def test_iqr_outlier_kernel_bruteforce():
+    import math
+
+    from sits_ray.stages.eventops import iqr_outlier_kernel
+
+    rng = np.random.default_rng(7)
+    conv = np.repeat([1, 2, 3], [20, 5, 1])
+    vals = np.concatenate(
+        [rng.normal(10, 1, 19), [99.0], rng.normal(0, 1, 5), [42.0]]
+    )
+    g = _g(conv.tolist(), (np.arange(26) * US).tolist(),
+           list(range(26)), value=vals.tolist())
+    out = iqr_outlier_kernel(g).to_pandas()
+    for c in [1, 2, 3]:
+        sub = sorted(vals[conv == c])
+        n = len(sub)
+        q1 = sub[max(0, math.ceil(0.25 * n) - 1)]
+        q3 = sub[max(0, math.ceil(0.75 * n) - 1)]
+        hi, lo = q3 + 1.5 * (q3 - q1), q1 - 1.5 * (q3 - q1)
+        got = out[out["conv_id"] == c]
+        assert (got["q1"] == q1).all() and (got["q3"] == q3).all()
+        assert (got["is_outlier"] == ((got["value"] > hi) | (got["value"] < lo))).all()
+    # the planted spike is flagged, the singleton conv is not (iqr 0 -> only
+    # deviations flagged; a single value equals its own fences)
+    assert out.loc[out["value"] == 99.0, "is_outlier"].item()
+    assert not out.loc[out["value"] == 42.0, "is_outlier"].item()
