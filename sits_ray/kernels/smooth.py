@@ -130,3 +130,32 @@ def ewma(m: np.ndarray, alpha: float = 0.3) -> np.ndarray:
         s = alpha * m[:, t] + beta * s
         out[:, t] = s
     return out
+
+
+def cusum(m: np.ndarray, k: float = 1.0, ref: str = "first"):
+    """Two-sided CUSUM drift detector along time, vectorized across series
+    (rows): reference = each series' first value (``ref='first'``) or its
+    NEAREST-RANK median (``ref='median'``, == SQL quantile_disc — a pure
+    selection, so cross-engine exact); slack ``k``;
+    ``hi_t = max((hi_{t-1} + (x_t - ref)) - k, 0)`` and
+    ``lo_t = max((lo_{t-1} + (ref - x_t)) - k, 0)`` with hi_1 = lo_1 = 0.
+    The change-detection recursion of Page (1954), the streaming cousin of
+    bayts' sequential chain. Operand order is pinned exactly as written —
+    a SQL recursive CTE evaluating the same literal expressions is
+    bit-exact (the ewma/bayts walk trick). Returns (hi, lo) matrices."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    hi = np.zeros_like(m)
+    lo = np.zeros_like(m)
+    if ref == "median":
+        idx = max(0, int(np.ceil(0.5 * m.shape[1])) - 1)
+        ref = np.sort(m, axis=1)[:, idx].copy()
+    else:
+        ref = m[:, 0].copy()
+    sh = np.zeros(m.shape[0])
+    sl = np.zeros(m.shape[0])
+    for t in range(1, m.shape[1]):
+        sh = np.maximum((sh + (m[:, t] - ref)) - k, 0.0)
+        sl = np.maximum((sl + (ref - m[:, t])) - k, 0.0)
+        hi[:, t] = sh
+        lo[:, t] = sl
+    return hi, lo

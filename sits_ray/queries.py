@@ -2931,6 +2931,68 @@ from walk
 """
 
 
+def _cusum_sql(k: float = 1.0, h: float = 200.0) -> str:
+    """Recursive-CTE twin of kernels/smooth.cusum: two states carried
+    through the position-indexed walk; greatest(...)/literal slack in the
+    kernel's exact operand order."""
+    ks = f"{float(k):.17e}"
+    hs = f"{float(h):.17e}"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         quantile_disc(mean_latency, 0.5) as ref,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, tss, xs, ref,
+           0.0::DOUBLE as sh, 0.0::DOUBLE as sl
+    from ser
+    union all
+    select conv_id, i + 1, n, tss, xs, ref,
+           greatest((sh + (xs[i + 1] - ref)) - {ks}, 0.0::DOUBLE),
+           greatest((sl + (ref - xs[i + 1])) - {ks}, 0.0::DOUBLE)
+    from w where i < n)
+  select * from w)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency,
+       sh as cusum_hi, sl as cusum_lo,
+       (sh > {hs} or sl > {hs}) as alarm
+from walk
+"""
+
+
+@q("cusum_drift_daily", _cusum_sql(20000.0, 100000.0))
+def cusum_drift_daily(sf_dir):
+    """Two-sided CUSUM drift detection (Page 1954) over per-conv daily
+    mean-latency series: reference = the series' nearest-rank median,
+    slack k=20000 s (~ the corpus daily-latency MAD), alarm threshold
+    h=100000 s. The streaming change-monitor member of the detect-change
+    family (kernels/smooth.cusum; bayts does the probabilistic version).
+    Same vectorized nested-form map as ewma; SQL-exact via a two-state
+    recursive-CTE walk."""
+    from sits_ray.kernels.smooth import cusum
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    K, H = 20000.0, 100000.0
+    nested = _nested_tier(sf_dir, "1d")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = smooth_to_long(
+            b,
+            {
+                "cusum_hi": (lambda m: cusum(m, K, ref="median")[0], 1),
+                "cusum_lo": (lambda m: cusum(m, K, ref="median")[1], 1),
+            },
+        )
+        alarm = pc.or_(pc.greater(t["cusum_hi"], H),
+                       pc.greater(t["cusum_lo"], H))
+        return t.append_column("alarm", alarm)
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
 @q("ewma_daily", _ewma_sql())
 def ewma_daily(sf_dir):
     """Exponential moving average (alpha=0.3) of per-conv daily
@@ -3598,6 +3660,40 @@ def funnel_stages(sf_dir):
     return map_conv_partitions(
         ds, funnel_kernel, key="user_id", order_col="event_id",
         extra_cols=("event_type",),
+    )
+
+
+@q(
+    "type_transitions",
+    """
+with l as (
+  select user_id, event_type,
+         lag(event_type) over (partition by user_id order by ts, event_id) as prev
+  from events)
+select prev as prev_type, event_type as next_type,
+       cast(count(*) as bigint) as n_transitions
+from l where prev is not null
+group by 1, 2
+""",
+)
+def type_transitions(sf_dir):
+    """First-order Markov transition matrix of the event stream: counts of
+    adjacent (prev_type -> next_type) pairs within each conversation in
+    (ts, event_id) order (sequence-analysis op; the discrete cousin of
+    sits_patterns). Partition kernel emits per-partition PARTIALS
+    (stages/eventops.type_transition_kernel), the global matrix is a tiny
+    |types|^2 groupby-sum — raw events shuffle once."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.eventops import map_conv_partitions, type_transition_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    partials = map_conv_partitions(
+        ds, type_transition_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",),
+    )
+    return partials.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("cnt", alias_name="n_transitions")
     )
 
 

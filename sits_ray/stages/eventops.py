@@ -537,3 +537,34 @@ def iqr_outlier_kernel(g: pa.Table) -> pa.Table:
             "is_outlier": pa.array(flag),
         }
     )
+
+
+def type_transition_kernel(g: pa.Table) -> pa.Table:
+    """Per-partition PARTIAL counts of adjacent event-type transitions
+    (first-order Markov matrix of the event stream): pairs are adjacent in
+    (ts, order) within one conversation, never across conversations.
+    Emits (prev_type, next_type, cnt) partials — the global matrix is a
+    tiny |types|^2 groupby-sum downstream; raw events never shuffle
+    twice."""
+    import pandas as pd
+
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if codes.size < 2:
+        return empty
+    same = codes[1:] == codes[:-1]
+    if not same.any():
+        return empty
+    et = ex["event_type"]
+    pairs = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+    cnt = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index()
+    cnt.columns = ["prev_type", "next_type", "cnt"]
+    return pa.Table.from_pandas(cnt, preserve_index=False)

@@ -76,3 +76,32 @@ def test_ewma_recursion_and_vectorization():
     assert (ewma(m[1:2], alpha=0.3) == out[1:2]).all()
     # alpha=1 reproduces the input exactly
     assert (ewma(m, alpha=1.0) == m).all()
+
+
+def test_cusum_scalar_parity_and_median_ref():
+    from sits_ray.kernels.smooth import cusum
+
+    x = np.array([5.0, 9.0, 2.0, 14.0, 5.0, 5.0])
+    hi, lo = cusum(x[None, :], k=1.0, ref="median")
+    # scalar walk: ref = nearest-rank median (sorted[ceil(0.5*6)-1] = 5.0)
+    ref, sh, sl, ehi, elo = 5.0, 0.0, 0.0, [0.0], [0.0]
+    for t in range(1, 6):
+        sh = max((sh + (x[t] - ref)) - 1.0, 0.0)
+        sl = max((sl + (ref - x[t])) - 1.0, 0.0)
+        ehi.append(sh)
+        elo.append(sl)
+    assert hi[0].tolist() == ehi and lo[0].tolist() == elo
+    # a pure level shift alarms on the hi side only
+    y = np.concatenate([np.full(5, 1.0), np.full(5, 10.0)])
+    hi2, lo2 = cusum(y[None, :], k=1.0, ref="median")
+    assert hi2[0, -1] > 0 and lo2[0].max() == 0.0
+
+
+def test_cusum_rows_independent():
+    from sits_ray.kernels.smooth import cusum
+
+    a = np.array([[1.0, 5.0, 1.0], [100.0, 100.0, 100.0]])
+    hi, _ = cusum(a, k=0.5, ref="first")
+    single, _ = cusum(a[:1], k=0.5, ref="first")
+    assert np.array_equal(hi[0], single[0])
+    assert (hi[1] == 0).all()

@@ -264,3 +264,18 @@ def test_iqr_outlier_kernel_bruteforce():
     # deviations flagged; a single value equals its own fences)
     assert out.loc[out["value"] == 99.0, "is_outlier"].item()
     assert not out.loc[out["value"] == 42.0, "is_outlier"].item()
+
+
+def test_type_transition_kernel_boundaries():
+    from sits_ray.stages.eventops import type_transition_kernel
+
+    # conv 1: a->b->a ; conv 2: single event (no pair); pairs never cross convs
+    g = _g([1, 1, 1, 2], [US, 2 * US, 3 * US, 4 * US], [1, 2, 3, 4],
+           event_type=["a", "b", "a", "b"])
+    out = type_transition_kernel(g).to_pandas()
+    got = {(r.prev_type, r.next_type): r.cnt for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+    # equal timestamps: order column breaks the tie
+    g2 = _g([5, 5], [US, US], [2, 1], event_type=["x", "y"])
+    out2 = type_transition_kernel(g2).to_pandas()
+    assert {(r.prev_type, r.next_type) for r in out2.itertuples()} == {("y", "x")}
