@@ -3664,6 +3664,102 @@ def funnel_stages(sf_dir):
 
 
 @q(
+    "topk_events_per_conv",
+    """
+select user_id as conv_id, event_id, ts, value
+from events
+qualify row_number() over (partition by user_id
+                           order by value desc, event_id asc) <= 3
+""",
+)
+def topk_events_per_conv(sf_dir):
+    """Grouped top-k: each conversation's 3 highest-value events
+    (deterministic tiebreak value desc, event_id asc). ONE part_id
+    shuffle + whole-partition kernel — a single (conv, -value, id)
+    lexsort ranks every conversation of the partition at once; group
+    count stays O(n_parts), never O(conversations)."""
+    from sits_ray.stages.eventops import map_conv_partitions, topk_per_conv_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, lambda g: topk_per_conv_kernel(g, k=3), key="user_id",
+        order_col="event_id", extra_cols=("value",),
+    )
+
+
+@q(
+    "churned_users",
+    """
+select distinct user_id as conv_id from events
+where user_id not in (
+  select user_id from events
+  where event_type = 'purchase'
+    and ts >= (select max(ts) from events) - interval '7 days')
+order by conv_id
+""",
+)
+def churned_users(sf_dir):
+    """ANTI-join churn detection (the complement of sits_get_data's
+    semi-join): users active in the corpus but with NO purchase in the
+    final 7 days. The recent-purchaser id set is a small aggregate
+    broadcast once via ray.put and excluded inside map_batches — a
+    broadcast anti-join, no shuffle for the small side; the cutoff is one
+    tiny global max."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    cutoff = ds.max("ts") - pd.Timedelta(days=7)
+
+    def purchasers(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"),
+                    pc.greater_equal(t["ts"], pa.scalar(cutoff)))
+        return pa.table({"user_id": pc.unique(t["user_id"].filter(m))})
+
+    buyer_ids = ray.put(
+        np.asarray(ds.map_batches(purchasers, batch_format="pyarrow")
+                   .unique("user_id"))
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        ids = ray.get(buyer_ids)
+        mask = ~np.isin(t["user_id"].to_numpy(), ids)
+        return pa.table({"conv_id": t["user_id"].filter(pa.array(mask))})
+
+    out = (
+        ds.map_batches(anti, batch_format="pyarrow")
+        .groupby("conv_id").aggregate(Count(alias_name="_n"))
+        .select_columns(["conv_id"])
+    )
+    return out.sort("conv_id")
+
+
+@q(
+    "last_event_per_minute",
+    """
+select user_id as conv_id, date_trunc('minute', ts) as bucket_ts,
+       event_id, event_type, value
+from events
+qualify row_number() over (partition by user_id, date_trunc('minute', ts)
+                           order by ts desc, event_id desc) = 1
+""",
+)
+def last_event_per_minute(sf_dir):
+    """Upsert/CDC compaction: keep only the LAST event per (conversation,
+    minute) — latest ts, ties broken by max event_id (the changelog
+    dedup every incremental store needs). Whole-partition kernel: one
+    lexsort + segment-boundary pick, no per-conv Python."""
+    from sits_ray.stages.eventops import last_per_bucket_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts",
+                                  "event_type", "value"])
+    return map_conv_partitions(
+        ds, last_per_bucket_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type", "value"),
+    )
+
+
+@q(
     "type_transitions",
     """
 with l as (

@@ -568,3 +568,59 @@ def type_transition_kernel(g: pa.Table) -> pa.Table:
     cnt = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index()
     cnt.columns = ["prev_type", "next_type", "cnt"]
     return pa.Table.from_pandas(cnt, preserve_index=False)
+
+
+def topk_per_conv_kernel(g: pa.Table, k: int = 3) -> pa.Table:
+    """Each conversation's top-k events by value (ties: min event_id
+    first). ONE (conv, -value, order) lexsort ranks every conversation of
+    the partition at once; rank-within-segment is a cumcount against
+    segment starts — no per-conversation Python."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    v = ex["value"].astype(np.float64)
+    # resort: value desc within conv (codes asc), tie -> order asc
+    sel = np.lexsort((order, -v, codes))
+    c2, t2, o2, v2 = codes[sel], ts[sel], order[sel], v[sel]
+    st = _seg_starts(c2)
+    rank = np.arange(c2.size) - np.repeat(st, np.r_[st[1:], c2.size] - st)
+    keep = rank < k
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(c2[keep], pa.int64())),
+            "event_id": pa.array(o2[keep]),
+            "ts": pa.array(t2[keep].astype("datetime64[us]")),
+            "value": pa.array(v2[keep]),
+        }
+    )
+
+
+def last_per_bucket_kernel(g: pa.Table, bucket_us: int = 60_000_000) -> pa.Table:
+    """Changelog compaction: the LAST event (max ts, then max order) per
+    (conversation, bucket). Rows arrive (conv, ts, order)-sorted, so the
+    winner of each (conv, bucket) run is simply the run's final row —
+    one boundary diff, zero additional sorts."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type", "value")
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "bucket_ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    bucket = (ts // bucket_us) * bucket_us
+    last = np.r_[(codes[1:] != codes[:-1]) | (bucket[1:] != bucket[:-1]), True]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[last], pa.int64())),
+            "bucket_ts": pa.array(bucket[last].astype("datetime64[us]")),
+            "event_id": pa.array(order[last]),
+            "event_type": pa.array(ex["event_type"][last]),
+            "value": pa.array(ex["value"][last].astype(np.float64)),
+        }
+    )

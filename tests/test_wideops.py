@@ -279,3 +279,33 @@ def test_type_transition_kernel_boundaries():
     g2 = _g([5, 5], [US, US], [2, 1], event_type=["x", "y"])
     out2 = type_transition_kernel(g2).to_pandas()
     assert {(r.prev_type, r.next_type) for r in out2.itertuples()} == {("y", "x")}
+
+
+def test_topk_per_conv_kernel_ties_and_small_groups():
+    from sits_ray.stages.eventops import topk_per_conv_kernel
+
+    g = _g([1, 1, 1, 1, 2], [US, 2 * US, 3 * US, 4 * US, 5 * US],
+           [4, 3, 2, 1], value=[5.0, 5.0, 1.0, 9.0, 7.0]) if False else _g(
+        [1, 1, 1, 1, 2], [US, 2 * US, 3 * US, 4 * US, 5 * US],
+        [4, 3, 2, 1, 9], value=[5.0, 5.0, 1.0, 9.0, 7.0])
+    out = topk_per_conv_kernel(g, k=3).to_pandas()
+    c1 = out[out["conv_id"] == 1]
+    # 9.0 first, then the 5.0 tie broken by min event_id (3 before 4)
+    assert c1["value"].tolist() == [9.0, 5.0, 5.0]
+    assert c1["event_id"].tolist() == [1, 3, 4]
+    # conv with fewer than k events returns all of them
+    assert out[out["conv_id"] == 2]["value"].tolist() == [7.0]
+
+
+def test_last_per_bucket_kernel_compaction():
+    from sits_ray.stages.eventops import last_per_bucket_kernel
+
+    MIN = 60 * US
+    g = _g([1, 1, 1, 1], [MIN + US, MIN + 2 * US, MIN + 2 * US, 3 * MIN],
+           [1, 2, 7, 4], event_type=["a", "b", "c", "d"],
+           value=[1.0, 2.0, 3.0, 4.0])
+    out = last_per_bucket_kernel(g).to_pandas()
+    # bucket 1: max ts tie -> max event_id wins (id 7); bucket 3: singleton
+    assert out["event_id"].tolist() == [7, 4]
+    assert out["event_type"].tolist() == ["c", "d"]
+    assert (out["bucket_ts"] == pd.to_datetime([MIN, 3 * MIN], unit="us")).all()
