@@ -3759,6 +3759,126 @@ def last_event_per_minute(sf_dir):
     )
 
 
+def _hll_mix_np(uid: "np.ndarray") -> "np.ndarray":
+    """The shared integer avalanche: two multiply-mod-Mersenne31 rounds
+    with xor-shift folds between (sequential ids must not map to
+    structured registers — a plain LCG fails HLL's uniformity). Every op
+    is exact int64 and has a literal SQL twin in :func:`_hll_sql`."""
+    p = 2147483647
+    h = (uid.astype(np.int64) % p) * 747796405 + 2891336453
+    h = h % (1 << 31)
+    h = h ^ (h >> 13)
+    h = (h * 1000003) % p
+    h = h ^ (h >> 7)
+    return (h * 69621) % p
+
+
+def _hll_sql(m: int = 64, wbits: int = 25) -> str:
+    """DuckDB twin of the HLL register sweep: same avalanche hash
+    (multiply-mod + xor-shift rounds, all bigint-safe), register = h mod
+    m, rho = leading-zero rank of the remaining ``wbits``-bit word via a
+    generated chain of INTEGER comparisons (no libm — bit-exact by
+    construction)."""
+    cases = " ".join(
+        f"when w >= {1 << (bl - 1)} then {wbits + 1 - bl}"
+        for bl in range(wbits, 0, -1)
+    )
+    return f"""
+with h0 as (
+  select ((user_id % 2147483647) * 747796405 + 2891336453) % 2147483648 as a
+  from events),
+h1 as (select xor(a, a >> 13) as b from h0),
+h2 as (select xor((b * 1000003) % 2147483647,
+                  ((b * 1000003) % 2147483647) >> 7) as c from h1),
+h as (select (c * 69621) % 2147483647 as hv from h2),
+r as (select hv % {m} as register, hv // {m} as w from h),
+rho as (select register, case {cases} else {wbits + 1} end as rho from r)
+select register, cast(max(rho) as bigint) as max_rho
+from rho group by 1 order by 1
+"""
+
+
+@q("hll_registers", _hll_sql())
+def hll_registers(sf_dir):
+    """HyperLogLog register sweep over user ids — the MERGEABLE
+    distinct-count sketch (Flajolet et al. 2007): 64 registers, each the
+    max leading-zero rank seen. The registers (not the float estimate)
+    are the query output, so the result is pure-integer and SQL-exact;
+    the cardinality estimate derived from them is pinned in pytest
+    against the true distinct count. Scale shape: per-batch partial max
+    into a 64-slot array inside map_batches (np.maximum.at), then a tiny
+    64-row groupby-max — the exact reason HLL exists at 100 TB."""
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hll_mix_np(t["user_id"].to_numpy())
+        reg = h % 64
+        w = h // 64
+        bl = np.frexp(w.astype(np.float64))[1]  # bit_length, exact for ints
+        rho = np.where(w > 0, 26 - bl, 26).astype(np.int64)
+        acc = np.zeros(64, dtype=np.int64)
+        np.maximum.at(acc, reg, rho)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {"register": pa.array(nz), "max_rho": pa.array(acc[nz])}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .sort("register")
+    )
+
+
+@q(
+    "cross_sectional_percentiles_1h",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+r as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, count(*) as turn_count
+  from lagged group by 1, 2)
+select bucket_ts, cast(count(*) as bigint) as n_convs,
+       quantile_disc(turn_count, 0.5) as p50_turns,
+       quantile_disc(turn_count, 0.95) as p95_turns,
+       max(turn_count) as max_turns
+from r group by 1
+""",
+)
+def cross_sectional_percentiles_1h(sf_dir):
+    """Cross-sectional load profile: for every hourly bucket, the
+    DISTRIBUTION of per-conversation turn counts ACROSS conversations
+    (fleet monitoring's per-timestamp percentile bands — the transpose of
+    the per-series quantile family). Integer nearest-rank selections —
+    SQL-exact. Group count is calendar-bounded (hours), never
+    O(conversations)."""
+    long = _rollup_events(sf_dir, "1h", gapfill=False).select_columns(
+        ["bucket_ts", "turn_count"]
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        tc = np.sort(g["turn_count"].to_numpy())
+        n = tc.size
+        k50 = max(0, int(np.ceil(0.5 * n)) - 1)
+        k95 = max(0, int(np.ceil(0.95 * n)) - 1)
+        return pd.DataFrame(
+            {
+                "bucket_ts": [g["bucket_ts"].iloc[0]],
+                "n_convs": [n],
+                "p50_turns": [tc[k50]],
+                "p95_turns": [tc[k95]],
+                "max_turns": [tc[-1]],
+            }
+        )
+
+    return long.groupby("bucket_ts").map_groups(stats, batch_format="pandas")
+
+
 @q(
     "type_transitions",
     """

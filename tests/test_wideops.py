@@ -309,3 +309,28 @@ def test_last_per_bucket_kernel_compaction():
     assert out["event_id"].tolist() == [7, 4]
     assert out["event_type"].tolist() == ["c", "d"]
     assert (out["bucket_ts"] == pd.to_datetime([MIN, 3 * MIN], unit="us")).all()
+
+
+def test_hll_registers_estimate_accuracy():
+    """The registers the query emits yield a sane HLL cardinality
+    estimate (small-range linear counting when applicable)."""
+    df = pd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["user_id"])
+    from sits_ray.queries import _hll_mix_np
+
+    h = _hll_mix_np(df["user_id"].to_numpy())
+    reg, w = h % 64, h // 64
+    bl = np.frexp(w.astype(np.float64))[1]
+    rho = np.where(w > 0, 26 - bl, 26)
+    m = 64
+    M = np.zeros(m)
+    np.maximum.at(M, reg, rho)
+    alpha = 0.709  # alpha_64
+    E = alpha * m * m / np.sum(2.0 ** -M)
+    V = int((M == 0).sum())
+    if E < 2.5 * m and V > 0:
+        E = m * np.log(m / V)
+    true = df["user_id"].nunique()
+    assert abs(E - true) / true < 0.25
+    # and the rank field is consistent: every register rho within [1, 26]
+    assert M[M > 0].min() >= 1 and M.max() <= 26
