@@ -3664,6 +3664,78 @@ def funnel_stages(sf_dir):
 
 
 @q(
+    "props_k_stats",
+    """
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) as sum_k,
+       min(cast(json_extract(props, '$.k') as bigint)) as min_k,
+       max(cast(json_extract(props, '$.k') as bigint)) as max_k
+from events group by 1
+""",
+)
+def props_k_stats(sf_dir):
+    """Schema-on-read JSON projection: extract the integer payload field
+    from the semi-structured ``props`` column and aggregate per event
+    type (integer sums — exact). Engine side parses with ONE compiled
+    regex in C (pandas str.extract; no per-row json.loads) and
+    pre-aggregates inside map_batches before the tiny per-type groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", sort=False
+        )["k"]
+        out = g.agg(n="size", sum_k="sum", min_k="min", max_k="max").reset_index()
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+@q(
+    "time_weighted_avg",
+    """
+with l as (
+  select user_id, value,
+         epoch(lead(ts) over (partition by user_id order by ts, event_id) - ts) as dt
+  from events)
+select user_id as conv_id,
+       coalesce(sum(dt * value), 0.0) as weighted_sum,
+       coalesce(sum(dt), 0.0) as duration,
+       case when coalesce(sum(dt), 0.0) > 0.0
+            then sum(dt * value) / sum(dt) end as twa
+from l group by 1
+""",
+)
+def time_weighted_avg(sf_dir):
+    """Step-function time-weighted average per conversation (the tsdb
+    operator plain avg gets wrong under irregular sampling): each value
+    weighted by its holding time until the next event. Whole-partition
+    kernel; products and sums run IEEE-SEQUENTIAL in (ts, event_id) order
+    — the repo-wide bucket-sum contract — so the SQL twin is bit-exact."""
+    from sits_ray.stages.eventops import map_conv_partitions, twa_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, twa_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
+@q(
     "topk_events_per_conv",
     """
 select user_id as conv_id, event_id, ts, value

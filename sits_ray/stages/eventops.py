@@ -624,3 +624,42 @@ def last_per_bucket_kernel(g: pa.Table, bucket_us: int = 60_000_000) -> pa.Table
             "value": pa.array(ex["value"][last].astype(np.float64)),
         }
     )
+
+
+def twa_kernel(g: pa.Table) -> pa.Table:
+    """Step-function time-weighted average per conversation: value_i
+    weighted by its holding time dt_i = epoch(ts_{i+1} - ts_i) (day-split
+    epoch contract; the final event holds zero time, == SQL lead()'s NULL
+    dt). Products ``dt * value`` and the dt sums reduce IEEE-SEQUENTIAL
+    in (ts, order) — the pinned summation contract — via
+    _seq_segment_sums; no per-conversation Python."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    n = codes.size
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "weighted_sum": pa.array([], pa.float64()),
+                "duration": pa.array([], pa.float64()),
+                "twa": pa.array([], pa.float64()),
+            }
+        )
+    v = ex["value"].astype(np.float64)
+    dt = np.zeros(n)
+    if n > 1:
+        d = delta_us_to_seconds(ts[1:] - ts[:-1])
+        dt[:-1] = np.where(codes[1:] == codes[:-1], d, 0.0)
+    term = dt * v
+    ws = _seq_segment_sums(term, starts, ends)
+    dur = _seq_segment_sums(dt, starts, ends)
+    twa = np.where(dur > 0.0, ws / np.where(dur > 0.0, dur, 1.0), np.nan)
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[starts], pa.int64())),
+            "weighted_sum": pa.array(ws),
+            "duration": pa.array(dur),
+            "twa": pa.array(twa, pa.float64(), from_pandas=True),
+        }
+    )

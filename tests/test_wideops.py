@@ -334,3 +334,18 @@ def test_hll_registers_estimate_accuracy():
     assert abs(E - true) / true < 0.25
     # and the rank field is consistent: every register rho within [1, 26]
     assert M[M > 0].min() >= 1 and M.max() <= 26
+
+
+def test_twa_kernel_step_function():
+    from sits_ray.stages.eventops import twa_kernel
+
+    # conv 1: value 2 held 10s, value 10 held 30s, final event holds 0
+    g = _g([1, 1, 1, 2], [0, 10 * US, 40 * US, 5 * US], [1, 2, 3, 4],
+           value=[2.0, 10.0, 7.0, 3.0])
+    out = twa_kernel(g).to_pandas().set_index("conv_id")
+    assert out.loc[1, "weighted_sum"] == 2.0 * 10 + 10.0 * 30
+    assert out.loc[1, "duration"] == 40.0
+    assert out.loc[1, "twa"] == (2.0 * 10 + 10.0 * 30) / 40.0
+    # single-event conv: zero duration -> null twa
+    assert out.loc[2, "duration"] == 0.0
+    assert pd.isna(out.loc[2, "twa"])
