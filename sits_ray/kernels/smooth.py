@@ -159,3 +159,25 @@ def cusum(m: np.ndarray, k: float = 1.0, ref: str = "first"):
         hi[:, t] = sh
         lo[:, t] = sl
     return hi, lo
+
+
+def mann_kendall(m: np.ndarray):
+    """Mann-Kendall trend statistic S and Theil-Sen slope per series
+    (rows), over a REGULAR grid (slope denominators are integer position
+    gaps). S = sum over pairs i<j of sign(x_j - x_i) — pure integer,
+    cross-engine exact. The Theil-Sen slope is the NEAREST-RANK median
+    (== DuckDB quantile_disc / median-on-doubles: the lower-middle
+    selection) of the pairwise slopes (x_j - x_i) / (j - i) — a selection
+    over identically-computed divisions, bit-exact. Vectorized: one
+    triu_indices pair grid shared by every series of the length group."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    r, T = m.shape
+    if T < 2:
+        return np.zeros(r, dtype=np.int64), np.full(r, np.nan)
+    iu, ju = np.triu_indices(T, 1)
+    dv = m[:, ju] - m[:, iu]
+    s = np.sign(dv).sum(axis=1).astype(np.int64)
+    slopes = dv / (ju - iu).astype(np.float64)
+    srt = np.sort(slopes, axis=1)
+    k = max(0, int(np.ceil(0.5 * srt.shape[1])) - 1)
+    return s, srt[:, k]

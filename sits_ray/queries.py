@@ -2993,6 +2993,72 @@ def cusum_drift_daily(sf_dir):
     return nested.map_batches(per_batch, batch_format="pyarrow")
 
 
+@q(
+    "trend_mann_kendall",
+    _GAPFILL_1D_CTES
+    + """,
+pos as (
+  select conv_id, mean_latency as x,
+         row_number() over (partition by conv_id order by bucket_ts) as i
+  from filled_grid),
+pairs as (
+  select a.conv_id,
+         case when b.x > a.x then 1 when b.x < a.x then -1 else 0 end as sgn,
+         (b.x - a.x) / cast(b.i - a.i as double) as slope
+  from pos a join pos b on a.conv_id = b.conv_id and b.i > a.i),
+agg as (
+  select conv_id, cast(sum(sgn) as bigint) as s_stat,
+         quantile_disc(slope, 0.5) as theil_sen
+  from pairs group by 1),
+n as (select conv_id, cast(count(*) as bigint) as n_days
+      from filled_grid group by 1)
+select n.conv_id, n.n_days, coalesce(s_stat, 0) as s_stat, theil_sen,
+       case when s_stat > 0 then 'increasing'
+            when s_stat < 0 then 'decreasing'
+            else 'no_trend' end as trend
+from n left join agg using (conv_id)
+""",
+)
+def trend_mann_kendall(sf_dir):
+    """Robust trend analysis per conversation over the gap-filled daily
+    grid: Mann-Kendall S statistic (integer pair-sign sum — exact) and
+    Theil-Sen slope (nearest-rank median of pairwise slopes — a pure
+    selection, bit-exact; the sits trend-analysis analog that a
+    least-squares fit could not certify cross-engine). Vectorized: one
+    shared triu pair grid per length group (kernels/smooth.mann_kendall),
+    nested-form map, no extra shuffle."""
+    from sits_ray.kernels.smooth import mann_kendall
+    from sits_ray.stages.series_ops import series_features
+
+    nested = _nested_tier(sf_dir, "1d")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        def fn(m):
+            s, slope = mann_kendall(m)
+            return {"s_stat": s, "theil_sen": slope}
+
+        t = series_features(
+            b, fn, extra_builders={"n_days": lambda lens: lens.astype(np.int64)}
+        )
+        s = t["s_stat"].to_numpy()
+        trend = np.where(
+            s > 0, "increasing", np.where(s < 0, "decreasing", "no_trend")
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_days": t["n_days"],
+                "s_stat": t["s_stat"],
+                "theil_sen": pa.array(
+                    t["theil_sen"].to_numpy(), pa.float64(), from_pandas=True
+                ),
+                "trend": pa.array(trend),
+            }
+        )
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
 @q("ewma_daily", _ewma_sql())
 def ewma_daily(sf_dir):
     """Exponential moving average (alpha=0.3) of per-conv daily

@@ -105,3 +105,28 @@ def test_cusum_rows_independent():
     single, _ = cusum(a[:1], k=0.5, ref="first")
     assert np.array_equal(hi[0], single[0])
     assert (hi[1] == 0).all()
+
+
+def test_mann_kendall_known_trends():
+    from sits_ray.kernels.smooth import mann_kendall
+
+    m = np.array(
+        [[1.0, 2.0, 3.0, 4.0],        # strictly increasing: S = 6, slope 1
+         [4.0, 3.0, 2.0, 1.0],        # strictly decreasing
+         [1.0, 1.0, 1.0, 1.0],        # flat: all ties
+         [1.0, 3.0, 2.0, 4.0]]        # mixed
+    )
+    s, slope = mann_kendall(m)
+    assert s.tolist() == [6, -6, 0, 4]
+    assert slope[0] == 1.0 and slope[1] == -1.0 and slope[2] == 0.0
+    # mixed row: brute-force nearest-rank median of the 6 pairwise slopes
+    pairs = []
+    x = m[3]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            pairs.append((x[j] - x[i]) / (j - i))
+    pairs.sort()
+    assert slope[3] == pairs[int(np.ceil(0.5 * 6)) - 1]
+    # short series: no pairs -> S=0, NaN slope
+    s1, sl1 = mann_kendall(np.array([[5.0]]))
+    assert s1[0] == 0 and np.isnan(sl1[0])
