@@ -3729,6 +3729,22 @@ def funnel_stages(sf_dir):
     )
 
 
+@q("bpe_merges")
+def bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    first 10 merge rules learned from the corpus. Scale shape: the corpus
+    collapses once to a distributed (word, cnt) table (partial counts
+    inside map_batches; text never shuffles), then every merge round is
+    vocab-sized work: one pair-count partial + a tiny distinct-pair
+    groupby + a deterministic argmax (count desc, pair lex asc).
+    Rows-only driver check; the full merge sequence is pinned against the
+    textbook scalar algorithm in tests/test_bpe.py."""
+    from sits_ray.stages.bpe import bpe_train, word_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(word_counts(ds), n_merges=10)
+
+
 @q(
     "props_k_stats",
     """
@@ -4015,6 +4031,48 @@ def cross_sectional_percentiles_1h(sf_dir):
         )
 
     return long.groupby("bucket_ts").map_groups(stats, batch_format="pandas")
+
+
+@q(
+    "kendall_value_latency",
+    """
+with l as (
+  select user_id, event_id, value,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+v as (
+  select user_id, value as x, lat as y,
+         row_number() over (partition by user_id order by event_id) as i
+  from l where lat is not null),
+pairs as (
+  select a.user_id,
+         (case when b.x > a.x then 1 when b.x < a.x then -1 else 0 end)
+       * (case when b.y > a.y then 1 when b.y < a.y then -1 else 0 end) as sgn
+  from v a join v b on a.user_id = b.user_id and b.i > a.i),
+agg as (select user_id, cast(sum(sgn) as bigint) as s_xy from pairs group by 1),
+nn as (select user_id, cast(count(*) as bigint) as n from v group by 1)
+select u.user_id as conv_id, coalesce(nn.n, 0) as n,
+       coalesce(agg.s_xy, 0) as s_xy,
+       case when coalesce(nn.n, 0) >= 2
+            then coalesce(agg.s_xy, 0)
+                 / cast(nn.n * (nn.n - 1) // 2 as double) end as tau
+from (select distinct user_id from events) u
+left join nn using (user_id) left join agg using (user_id)
+""",
+)
+def kendall_value_latency(sf_dir):
+    """Kendall tau-a rank correlation per conversation between event value
+    and inter-event latency (robust dependence — Pearson's running float
+    sums could not be certified cross-engine; the pair-sign sum is pure
+    integer). Whole-partition kernel, conversations of equal effective n
+    share one triu pair grid (stages/eventops.kendall_kernel)."""
+    from sits_ray.stages.eventops import kendall_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, kendall_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
 
 
 @q(

@@ -663,3 +663,53 @@ def twa_kernel(g: pa.Table) -> pa.Table:
             "twa": pa.array(twa, pa.float64(), from_pandas=True),
         }
     )
+
+
+def kendall_kernel(g: pa.Table) -> pa.Table:
+    """Kendall tau-a rank correlation per conversation between event VALUE
+    and inter-event LATENCY (day-split epoch contract; first events have
+    no latency and are excluded, == SQL ``lat is not null``).
+    S = sum over pairs of sign(dx)*sign(dy) — pure integer;
+    tau = S / (n*(n-1)//2) — int/int in float64. Vectorized by the
+    length-group trick: conversations with equal effective n share ONE
+    triu pair grid (the mann_kendall shape generalized to two variables);
+    no per-conversation Python."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    ncv = len(conv_vals)
+    n_eff = np.zeros(ncv, dtype=np.int64)
+    s_xy = np.zeros(ncv, dtype=np.int64)
+    if codes.size:
+        v = ex["value"].astype(np.float64)
+        lat = np.full(codes.size, np.nan)
+        if codes.size > 1:
+            lat[1:] = delta_us_to_seconds(ts[1:] - ts[:-1])
+        lat[starts] = np.nan
+        valid = ~np.isnan(lat)
+        x, y, c = v[valid], lat[valid], codes[valid]
+        st = _seg_starts(c)
+        lens = np.r_[st[1:], c.size] - st
+        conv_of_seg = c[st]
+        n_eff[conv_of_seg] = lens
+        offs = np.r_[0, np.cumsum(lens)]
+        for length in np.unique(lens):
+            if length < 2:
+                continue
+            rows = np.flatnonzero(lens == length)
+            idx = offs[rows][:, None] + np.arange(length)
+            mx, my = x[idx], y[idx]
+            iu, ju = np.triu_indices(int(length), 1)
+            sg = (np.sign(mx[:, ju] - mx[:, iu])
+                  * np.sign(my[:, ju] - my[:, iu]))
+            s_xy[conv_of_seg[rows]] = sg.sum(axis=1).astype(np.int64)
+    npairs = n_eff * (n_eff - 1) // 2
+    tau = np.where(npairs > 0, s_xy / np.where(npairs > 0, npairs, 1), np.nan)
+    return pa.table(
+        {
+            "conv_id": conv_vals,
+            "n": pa.array(n_eff),
+            "s_xy": pa.array(s_xy),
+            "tau": pa.array(tau, pa.float64(), from_pandas=True),
+        }
+    )

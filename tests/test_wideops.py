@@ -349,3 +349,24 @@ def test_twa_kernel_step_function():
     # single-event conv: zero duration -> null twa
     assert out.loc[2, "duration"] == 0.0
     assert pd.isna(out.loc[2, "twa"])
+
+
+def test_kendall_kernel_bruteforce():
+    from sits_ray.stages.eventops import kendall_kernel
+
+    # conv 1: 5 events -> 4 latencies; conv 2: single event (n=0)
+    ts = [0, 10 * US, 15 * US, 45 * US, 50 * US, 7 * US]
+    conv = [1, 1, 1, 1, 1, 2]
+    vals = [5.0, 1.0, 4.0, 2.0, 9.0, 3.0]
+    g = _g(conv, ts, list(range(6)), value=vals)
+    out = kendall_kernel(g).to_pandas().set_index("conv_id")
+    # brute force: x = value[1:], y = latency diffs
+    x = vals[1:5]
+    y = [10.0, 5.0, 30.0, 5.0]
+    s = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            s += int(np.sign(x[j] - x[i]) * np.sign(y[j] - y[i]))
+    assert out.loc[1, "n"] == 4 and out.loc[1, "s_xy"] == s
+    assert out.loc[1, "tau"] == s / 6.0
+    assert out.loc[2, "n"] == 0 and pd.isna(out.loc[2, "tau"])
