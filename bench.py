@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "knn_cosine_top10",
     "topk_active_convs",
+    # round-3 curation / analytics families (one representative each:
+    # text-quality sweep, distributed tf/df join, sketch pre-aggregation,
+    # sequencing kernel, per-series pair-grid kernel)
+    "gopher_repetition",
+    "tfidf_top_terms",
+    "hll_registers",
+    "funnel_stages",
+    "trend_mann_kendall",
 ]
 
 
