@@ -4034,6 +4034,32 @@ def cross_sectional_percentiles_1h(sf_dir):
 
 
 @q(
+    "seasonal_residuals",
+    """
+with m as (select user_id, hour(ts) as hod, avg(value) as hod_mean
+           from events group by 1, 2)
+select e.user_id as conv_id, e.event_id, hour(e.ts) as hod, e.value,
+       m.hod_mean, e.value - m.hod_mean as residual
+from events e join m on e.user_id = m.user_id and hour(e.ts) = m.hod
+""",
+)
+def seasonal_residuals(sf_dir):
+    """Hour-of-day seasonal adjustment: every event's value minus its
+    conversation's hod mean (the deseasonalization step before any
+    anomaly/trend pass). ONE partition pass computes the (conv, hod)
+    means IEEE-sequentially in time order AND scatters them back —
+    no second shuffle, no O(conv x 24) groupby
+    (stages/eventops.seasonal_residual_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, seasonal_residual_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, seasonal_residual_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
+@q(
     "kendall_value_latency",
     """
 with l as (

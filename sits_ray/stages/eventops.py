@@ -713,3 +713,51 @@ def kendall_kernel(g: pa.Table) -> pa.Table:
             "tau": pa.array(tau, pa.float64(), from_pandas=True),
         }
     )
+
+
+def seasonal_residual_kernel(g: pa.Table) -> pa.Table:
+    """Calendar-seasonality adjustment per conversation: each event's
+    value minus its conversation's hour-of-day mean. Means reduce
+    IEEE-SEQUENTIAL in time order within each (conv, hod) group (a stable
+    key sort preserves the (ts, order) sequence inside equal keys — the
+    pinned summation contract, == DuckDB's scan-order grouped avg over
+    the ts-ordered file), then scatter back to every event. One partition
+    pass, no second shuffle."""
+    HOUR_US = 3_600_000_000
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "event_id": pa.array([], pa.int64()),
+                "hod": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "hod_mean": pa.array([], pa.float64()),
+                "residual": pa.array([], pa.float64()),
+            }
+        )
+    v = ex["value"].astype(np.float64)
+    hod = ((ts // HOUR_US) % 24).astype(np.int64)
+    key = codes.astype(np.int64) * 24 + hod
+    sel = np.argsort(key, kind="stable")  # time order preserved within key
+    ks, vs = key[sel], v[sel]
+    st = _seg_starts(ks)
+    en = np.r_[st[1:], ks.size]
+    sums = _seq_segment_sums(vs, st, en)
+    means = sums / (en - st)
+    mean_per_row = np.empty(codes.size)
+    grp = np.zeros(ks.size, dtype=np.int64)
+    grp[st] = 1
+    mean_per_row[sel] = means[np.cumsum(grp) - 1]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes, pa.int64())),
+            "event_id": pa.array(order),
+            "hod": pa.array(hod),
+            "value": pa.array(v),
+            "hod_mean": pa.array(mean_per_row),
+            "residual": pa.array(v - mean_per_row),
+        }
+    )

@@ -370,3 +370,18 @@ def test_kendall_kernel_bruteforce():
     assert out.loc[1, "n"] == 4 and out.loc[1, "s_xy"] == s
     assert out.loc[1, "tau"] == s / 6.0
     assert out.loc[2, "n"] == 0 and pd.isna(out.loc[2, "tau"])
+
+
+def test_seasonal_residual_kernel():
+    from sits_ray.stages.eventops import seasonal_residual_kernel
+
+    HOUR = 3600 * US
+    # conv 1: two events in hod 0 (values 2, 4 -> mean 3), one in hod 5
+    g = _g([1, 1, 1, 2], [0, 24 * HOUR, 5 * HOUR, HOUR],
+           [1, 2, 3, 4], value=[2.0, 4.0, 10.0, 7.0])
+    out = seasonal_residual_kernel(g).to_pandas().set_index("event_id")
+    assert out.loc[1, "hod_mean"] == 3.0 and out.loc[1, "residual"] == -1.0
+    assert out.loc[2, "hod_mean"] == 3.0 and out.loc[2, "residual"] == 1.0
+    assert out.loc[3, "hod_mean"] == 10.0 and out.loc[3, "residual"] == 0.0
+    # conv 2 isolated from conv 1's hour-1 mean
+    assert out.loc[4, "hod_mean"] == 7.0
