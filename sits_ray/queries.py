@@ -3729,6 +3729,108 @@ def funnel_stages(sf_dir):
     )
 
 
+@q(
+    "shingle_uniqueness",
+    """
+with sh as (
+  select doc_id, substr(text, i, 8) as g
+  from (select doc_id, text, unnest(generate_series(1, length(text) - 7)) as i
+        from documents where length(text) >= 8)),
+wc as (select g, cast(count(*) as bigint) as cnt, min(doc_id) as own
+       from sh group by 1),
+h as (select own as doc_id, cast(count(*) as bigint) as n_unique
+      from wc where cnt = 1 group by 1),
+ns as (select doc_id,
+              cast(greatest(length(text) - 7, 0) as bigint) as n_shingles
+       from documents)
+select ns.doc_id, ns.n_shingles, coalesce(h.n_unique, 0) as n_unique,
+       case when ns.n_shingles > 0
+            then coalesce(h.n_unique, 0) / cast(ns.n_shingles as double)
+            else 0.0 end as uniqueness
+from ns left join h using (doc_id)
+""",
+)
+def shingle_uniqueness(sf_dir):
+    """Content-uniqueness score per document: the fraction of its 8-char
+    shingle positions whose shingle occurs NOWHERE else in the corpus
+    (the inverse-boilerplate / rare-content curation signal; hapax
+    legomena generalized to shingles). The trick that keeps it ONE
+    corpus-wide exchange: a globally-unique shingle by definition lives
+    in exactly one document, so ``min(doc_id)`` carried through the
+    shingle-count aggregate IS the owner — per-doc unique counts fall out
+    of a vocab-sized groupby with no join back to the corpus. Shingling
+    is position-vectorized (one pandas C ``str.slice`` per offset, not
+    per doc x position Python)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    K = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"]
+        max_len = int(txt.str.len().max() or 0)
+        frames = []
+        for i in range(max(max_len - K + 1, 0)):
+            sub = txt.str.slice(i, i + K)
+            ok = sub.str.len() == K
+            if ok.any():
+                frames.append(
+                    pd.DataFrame({"g": sub[ok].to_numpy(),
+                                  "doc": df["doc_id"][ok].to_numpy()})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=str),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "own": pd.Series([], dtype="int64")}
+            )
+        allp = pd.concat(frames, ignore_index=True)
+        out = (
+            allp.groupby("g", sort=False)
+            .agg(cnt=("doc", "size"), own=("doc", "min"))
+            .reset_index()
+        )
+        return out
+
+    wc = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("cnt", alias_name="cnt"), Min("own", alias_name="own"))
+    )
+
+    def uniq_owner(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["cnt"], 1)
+        return pa.table({"doc_id": t["own"].filter(m)})
+
+    h = (
+        wc.map_batches(uniq_owner, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_unique"))
+    )
+
+    def nshingles(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.len() - (K - 1)).clip(lower=0).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "n_shingles": n})
+
+    ns = ds.map_batches(nshingles, batch_format="pandas")
+    joined = ns.join(h, join_type="left_outer", on=("doc_id",), num_partitions=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_u = pc.coalesce(t["n_unique"], pa.scalar(0, pa.int64()))
+        n_s = t["n_shingles"].to_numpy()
+        ratio = np.where(n_s > 0, n_u.to_numpy() / np.maximum(n_s, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": t["n_shingles"],
+                "n_unique": n_u,
+                "uniqueness": pa.array(ratio),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 @q("bpe_merges")
 def bpe_merges(sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
