@@ -4135,6 +4135,132 @@ def cross_sectional_percentiles_1h(sf_dir):
     return long.groupby("bucket_ts").map_groups(stats, batch_format="pandas")
 
 
+_LOG2_EDGES = [float(2 ** e) for e in range(0, 21)]  # 1s .. ~12 days
+
+
+@q(
+    "latency_log2_hist",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select cast(len(list_filter([{edges}], e -> e <= lat)) as bigint) as bin,
+       cast(count(*) as bigint) as n
+from lagged where lat is not null
+group by 1 order by 1
+""".format(edges=", ".join(repr(e) for e in _LOG2_EDGES)),
+)
+def latency_log2_hist(sf_dir):
+    """Log2-bucketed latency histogram (the observability histogram shape:
+    exponential bins, mergeable counts). Bin k = number of edges <= the
+    latency — a pure integer comparison count against LITERAL powers of
+    two, so no libm and cross-engine exact; bin 0 is the underflow bucket.
+    Per-batch partial bincount inside map_batches, 22-row global sum."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.eventops import latency_kernel, map_conv_partitions
+
+    edges = np.array(_LOG2_EDGES)
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    lats = map_conv_partitions(ds, latency_kernel, key="user_id",
+                               order_col="event_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lat = lat[~np.isnan(lat)]
+        bins = np.searchsorted(edges, lat, side="right")
+        cnt = np.bincount(bins, minlength=len(edges) + 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)),
+             "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    return (
+        lats.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("n", alias_name="n")).sort("bin")
+    )
+
+
+@q(
+    "slo_burn_1h",
+    """
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events)
+select date_trunc('hour', ts) as bucket_ts,
+       cast(count(lat) as bigint) as n,
+       cast(count(*) filter (where lat > 3600.0) as bigint) as n_violations,
+       case when count(lat) > 0
+            then count(*) filter (where lat > 3600.0)
+                 / cast(count(lat) as double) end as violation_rate,
+       case when count(lat) > 0
+            then (count(*) filter (where lat > 3600.0)
+                  / cast(count(lat) as double)) / 0.05 end as burn_rate
+from lagged
+group by 1
+""",
+)
+def slo_burn_1h(sf_dir):
+    """SLO burn-rate monitoring (the multi-window burn alert input of SRE
+    practice): per hour, the fraction of turn latencies violating the
+    1-hour objective, normalized by the 5% error budget. Counts and
+    int/int divisions only — SQL-exact. Partial per-batch counts inside
+    map_batches; calendar-bounded group count."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.eventops import map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def lat_with_hour(g: pa.Table):
+        from sits_ray.stages.eventops import _sorted_partition
+        from sits_ray.stages.regularize import delta_us_to_seconds
+
+        _, codes, ts, order, _, starts, ends = _sorted_partition(g)
+        lat = np.full(codes.size, np.nan)
+        if codes.size > 1:
+            lat[1:] = delta_us_to_seconds(ts[1:] - ts[:-1])
+        lat[starts] = np.nan
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        ok = ~np.isnan(lat)
+        viol = ok & (lat > 3600.0)
+        df = pd.DataFrame({"h": hour, "n": ok.astype(np.int64),
+                           "v": viol.astype(np.int64)})
+        agg = df.groupby("h", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "bucket_ts": pa.array(agg["h"].to_numpy().astype("datetime64[us]")),
+                "n": pa.array(agg["n"].to_numpy()),
+                "n_violations": pa.array(agg["v"].to_numpy()),
+            }
+        )
+
+    partials = map_conv_partitions(ds, lat_with_hour, key="user_id",
+                                   order_col="event_id")
+    agg = partials.groupby("bucket_ts").aggregate(
+        Sum("n", alias_name="n"), Sum("n_violations", alias_name="n_violations")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        v = t["n_violations"].to_numpy()
+        rate = np.where(n > 0, v / np.maximum(n, 1), np.nan)
+        return pa.table(
+            {
+                "bucket_ts": t["bucket_ts"],
+                "n": t["n"],
+                "n_violations": t["n_violations"],
+                "violation_rate": pa.array(rate, pa.float64(), from_pandas=True),
+                "burn_rate": pa.array(rate / 0.05, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 @q(
     "seasonal_residuals",
     """
