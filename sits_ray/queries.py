@@ -4262,6 +4262,71 @@ def slo_burn_1h(sf_dir):
 
 
 @q(
+    "type_runs",
+    """
+with s as (
+  select user_id, event_id, ts, event_type,
+         row_number() over (partition by user_id order by ts, event_id) as i,
+         row_number() over (partition by user_id, event_type
+                            order by ts, event_id) as j
+  from events),
+r as (select user_id, event_type, i - j as grp, min(ts) as start_ts,
+             max(ts) as end_ts, cast(count(*) as bigint) as run_len,
+             min(i) as mi
+      from s group by 1, 2, 3)
+select user_id as conv_id,
+       cast(row_number() over (partition by user_id order by mi) as bigint)
+         as run_idx,
+       event_type, start_ts, end_ts, run_len
+from r
+""",
+)
+def type_runs(sf_dir):
+    """Run-length encoding of consecutive same-type events per
+    conversation — the sequence-compression view behind pattern mining
+    (the discrete cousin of change_events' state segmentation). One
+    boundary diff over the sorted partition (gaps-and-islands without the
+    double row_number); SQL-exact."""
+    from sits_ray.stages.eventops import map_conv_partitions, type_runs_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    return map_conv_partitions(
+        ds, type_runs_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",),
+    )
+
+
+@q(
+    "type_gini",
+    """
+with c as (select user_id, event_type, cast(count(*) as bigint) as cnt
+           from events group by 1, 2),
+t as (select user_id, cast(sum(cnt) as double) as n,
+             list(cnt order by event_type) as cs
+      from c group by 1)
+select user_id as conv_id, cast(n as bigint) as n,
+       1.0 - list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(cs, x -> x / n)),
+               (a, b) -> a + b * b) as gini
+from t
+""",
+)
+def type_gini(sf_dir):
+    """Gini impurity of each conversation's event-type mix (behavioral
+    diversity). Entropy needs libm; Gini is mul/add only, and the fold
+    runs in pinned type-alphabetical order on BOTH engines (numpy
+    column-major accumulate == SQL list_reduce over an ordered list) —
+    bit-exact. Dense (conv x type) matrix via one np.add.at."""
+    from sits_ray.stages.eventops import map_conv_partitions, type_gini_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    return map_conv_partitions(
+        ds, type_gini_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",),
+    )
+
+
+@q(
     "seasonal_residuals",
     """
 with m as (select user_id, hour(ts) as hod, avg(value) as hod_mean

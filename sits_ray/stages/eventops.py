@@ -761,3 +761,82 @@ def seasonal_residual_kernel(g: pa.Table) -> pa.Table:
             "residual": pa.array(v - mean_per_row),
         }
     )
+
+
+def type_runs_kernel(g: pa.Table) -> pa.Table:
+    """Run-length encoding of consecutive same-type events per
+    conversation (gaps-and-islands): one boundary diff over the sorted
+    stream — no per-conversation Python. Emits (conv, run_idx, event_type,
+    start_ts, end_ts, run_len)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "run_idx": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "run_len": pa.array([], pa.int64()),
+            }
+        )
+    et = ex["event_type"]
+    new = np.r_[True, (codes[1:] != codes[:-1]) | (et[1:] != et[:-1])]
+    rb = np.flatnonzero(new)
+    re_ = np.r_[rb[1:], codes.size]
+    run_conv = codes[rb]
+    firsts = _seg_starts(run_conv)
+    per_conv = np.r_[firsts[1:], rb.size] - firsts
+    run_idx = np.arange(rb.size) - np.repeat(firsts, per_conv) + 1
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(run_conv, pa.int64())),
+            "run_idx": pa.array(run_idx.astype(np.int64)),
+            "event_type": pa.array(et[rb]),
+            "start_ts": pa.array(ts[rb].astype("datetime64[us]")),
+            "end_ts": pa.array(ts[re_ - 1].astype("datetime64[us]")),
+            "run_len": pa.array((re_ - rb).astype(np.int64)),
+        }
+    )
+
+
+def type_gini_kernel(g: pa.Table) -> pa.Table:
+    """Gini impurity of each conversation's event-type mix — the
+    diversity metric whose float chain is PINNED: ratios fold
+    left-to-right in type-ALPHABETICAL order (``s += r*r``), matching a
+    SQL list_reduce over ``list(ratio order by type)``; entropy would
+    need libm, Gini needs only mul/add. Dense (conv x type) count matrix
+    via np.add.at — no per-conversation Python."""
+    import pandas as pd
+
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    ncv = len(conv_vals)
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": conv_vals,
+                "n": pa.array([], pa.int64()),
+                "gini": pa.array([], pa.float64()),
+            }
+        )
+    et = pd.Series(ex["event_type"])
+    types = pd.Index(sorted(et.unique()))
+    tcode = types.get_indexer(et)
+    dense = np.zeros((ncv, len(types)), dtype=np.int64)
+    np.add.at(dense, (codes, tcode), 1)
+    n = dense.sum(axis=1).astype(np.float64)
+    s = np.zeros(ncv)
+    for j in range(len(types)):  # alphabetical fold, j-major, pinned
+        r = dense[:, j] / n
+        s = s + r * r
+    return pa.table(
+        {
+            "conv_id": conv_vals,
+            "n": pa.array(n.astype(np.int64)),
+            "gini": pa.array(1.0 - s),
+        }
+    )
