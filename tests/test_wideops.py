@@ -385,3 +385,31 @@ def test_seasonal_residual_kernel():
     assert out.loc[3, "hod_mean"] == 10.0 and out.loc[3, "residual"] == 0.0
     # conv 2 isolated from conv 1's hour-1 mean
     assert out.loc[4, "hod_mean"] == 7.0
+
+
+def test_type_runs_kernel():
+    from sits_ray.stages.eventops import type_runs_kernel
+
+    g = _g([1, 1, 1, 1, 1, 2], [US, 2 * US, 3 * US, 4 * US, 5 * US, US],
+           [1, 2, 3, 4, 5, 6],
+           event_type=["a", "a", "b", "a", "a", "b"])
+    out = type_runs_kernel(g).to_pandas()
+    c1 = out[out["conv_id"] == 1]
+    assert c1["event_type"].tolist() == ["a", "b", "a"]
+    assert c1["run_len"].tolist() == [2, 1, 2]
+    assert c1["run_idx"].tolist() == [1, 2, 3]
+    assert c1["start_ts"].iloc[2] == pd.Timestamp(4 * US, unit="us")
+    assert c1["end_ts"].iloc[0] == pd.Timestamp(2 * US, unit="us")
+    assert out[out["conv_id"] == 2]["run_len"].tolist() == [1]
+
+
+def test_type_gini_kernel():
+    from sits_ray.stages.eventops import type_gini_kernel
+
+    g = _g([1, 1, 1, 1, 2, 2], [US] * 6, [1, 2, 3, 4, 5, 6],
+           event_type=["a", "a", "b", "b", "a", "a"])
+    out = type_gini_kernel(g).to_pandas().set_index("conv_id")
+    # conv 1: 2/4 a, 2/4 b -> gini = 1 - (0.25 + 0.25) = 0.5
+    assert out.loc[1, "gini"] == 0.5 and out.loc[1, "n"] == 4
+    # conv 2: pure -> 0.0
+    assert out.loc[2, "gini"] == 0.0
