@@ -4119,7 +4119,7 @@ def hll_registers(sf_dir):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("register")
+        .groupby("register", num_partitions=2)
         .aggregate(Max("max_rho", alias_name="max_rho"))
         .sort("register")
     )
