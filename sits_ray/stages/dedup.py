@@ -505,8 +505,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, nlist: int | str = "auto",
     than materializing the assignment. The hyperplanes pass through the
     bucket centroid, so sub-buckets are ~balanced and near-identical
     vectors disagree on a bit only with p ≈ angle/pi (vanishing for true
-    near-dups); the split trades that bounded, documented recall factor
-    for bounded memory. Residual truncation inside a block is still
+    near-dups; a sign deadband keeps exact duplicates from splitting on
+    rounding noise); the split trades that bounded, documented recall
+    factor for bounded memory. Residual truncation inside a block is still
     reported via ``truncated``. Recall on planted duplicates pinned in
     tests (both the diverse-corpus and skewed-single-bucket shapes)."""
     import ray
@@ -559,7 +560,14 @@ def embedding_near_dups(ds, threshold: float = 0.95, nlist: int | str = "auto",
             # through the origin cannot split a cluster far from it),
             # while near-identical vectors still share every sign bit
             resid = m - c[bkt]
-            signs = ((resid @ h.T) > 0).astype(np.int64)  # (n, max_bits)
+            # deadband: unit vectors agreeing to ~1e-12 have residual
+            # projections at rounding-noise scale — a strict >0 sign would
+            # split EXACT duplicates on that noise (observed: a scalar-
+            # multiple corpus fanned into two sub-blocks). Genuine cluster
+            # spread produces projections orders of magnitude above 1e-10,
+            # so real splits are unaffected; degenerate clusters collapse
+            # to sub 0 and fall back to honest truncation.
+            signs = ((resid @ h.T) > 1e-10).astype(np.int64)  # (n, max_bits)
             codes = signs @ (1 << np.arange(max_split_bits, dtype=np.int64))
             for b, nb in bmap.items():
                 rows = bkt == b
