@@ -262,3 +262,65 @@ def simhash_poly_batch(texts: "pd.Series", bits: int = 16,
     pos = pd.Index(texts.index).get_indexer(doc[starts])
     sig[pos] = packed
     return pd.Series(sig, index=texts.index)
+
+
+def window_hash_scalar(tokens, w: int = 8, base: int = 1_000_003,
+                       mod: int = (1 << 31) - 1) -> list[int]:
+    """Scalar oracle twin of :func:`token_window_hashes`: per-token Horner
+    hash (the ``doc_fingerprints`` recurrence), then a second Horner fold
+    over each length-``w`` token window."""
+    ht = []
+    for t in tokens:
+        h = 0
+        for ch in t.encode("utf-8"):
+            h = (h * base + ch) % mod
+        ht.append(h)
+    out = []
+    for i in range(max(len(ht) - w + 1, 0)):
+        acc = 0
+        for j in range(w):
+            acc = (acc * base + ht[i + j]) % mod
+        out.append(acc)
+    return out
+
+
+def token_window_hashes(texts: "pd.Series", w: int = 8, base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1):
+    """Vectorized token-window Horner hashes for cross-document repeated-
+    passage detection: tokens = lowercase ``[a-z]+`` runs, per-token hash =
+    the ``doc_fingerprints`` Horner recurrence (one :func:`fingerprint_batch`
+    over the batch's UNIQUE tokens), window hash = a second Horner fold of
+    ``w`` consecutive token hashes (``w`` vectorized steps across every
+    window of the batch — no per-document Python). Intermediate products
+    stay < 2^51 (acc < 2^31, base < 2^20), so int64 arithmetic is exact.
+
+    Returns ``(doc_idx, win_hash)``: positional row index into ``texts``
+    plus the window hash, one row per window position; documents with
+    fewer than ``w`` tokens contribute no rows. DuckDB twin: nested
+    ``list_transform``/``list_reduce`` over ``list_slice`` (the
+    ``dup_passages`` oracle); scalar parity vs :func:`window_hash_scalar`
+    pinned in tests."""
+    import pandas as pd
+
+    lists = texts.str.lower().str.findall(r"[a-z]+")
+    lens = lists.str.len().to_numpy(dtype=np.int64)
+    nwin = np.maximum(lens - w + 1, 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ex = lists.explode().dropna()
+    toks = ex.to_numpy(dtype=object)
+    uniq, inv = np.unique(toks, return_inverse=True)
+    ht = fingerprint_batch(list(uniq), base=base, mod=mod)[inv]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), nwin)
+    # global flat-token index of each window's first token
+    win_start = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(nwin) - nwin, nwin)
+        + np.repeat(offs[:-1], nwin)
+    )
+    acc = np.zeros(total, dtype=np.int64)
+    for j in range(w):
+        acc = (acc * base + ht[win_start + j]) % mod
+    return doc_idx, acc

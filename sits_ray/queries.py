@@ -5203,3 +5203,254 @@ def curation_keep_docs(sf_dir):
         return pa.table({"doc_id": t.filter(pc.fill_null(keep, True))["doc_id"]})
 
     return joined.map_batches(keep_reps, batch_format="pyarrow")
+
+
+# --- distributed k-means over the embedding corpus --------------------------
+def _kmeans_sql(k: int = 4, dim: int = 64, seed: int = 41) -> str:
+    """DuckDB twin of stages/kmeans.assign_clusters: per-cluster score
+    ``v·c - 0.5||c||²`` as a LEFT-ASSOCIATED literal term chain (the
+    lsh_ann_topk contract — matches the engine's dim-by-dim sequential
+    accumulation bit-for-bit), first-max argmax, integer-exact counts."""
+    from sits_ray.stages.kmeans import half_norms, make_centroids
+
+    C = make_centroids(dim, k, seed)
+    hn = half_norms(C)
+    exprs = []
+    for j in range(k):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * {C[j, d]:.17e}" for d in range(dim)
+        )
+        exprs.append(f"({terms}) - {hn[j]:.17e} as s{j}")
+    conds = []
+    for j in range(k - 1):
+        cc = " and ".join(f"s{j} >= s{i}" for i in range(j + 1, k))
+        conds.append(f"when {cc} then {j}")
+    case = "case " + " ".join(conds) + f" else {k - 1} end"
+    sel = ",\n         ".join(exprs)
+    return f"""
+with s as (
+  select vec_id,
+         {sel}
+  from embeddings),
+a as (select vec_id, cast({case} as bigint) as cluster from s)
+select cluster, cast(count(*) as bigint) as n, min(vec_id) as min_vec_id
+from a group by 1
+"""
+
+
+@q("kmeans_assign", _kmeans_sql())
+def kmeans_assign(sf_dir):
+    """Nearest-centroid assignment pass of distributed k-means (seeded
+    literal centroids, one streaming map over the corpus, integer-exact
+    per-cluster counts). Certifies the Lloyd assignment kernel in the
+    gate; training itself is the rows-only `kmeans_lloyd`."""
+    from ray.data.aggregate import Count, Min
+
+    from sits_ray.stages.kmeans import assign_clusters, make_centroids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C = make_centroids(64, 4, seed=41)
+    return (
+        assign_clusters(ds, C)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"), Min("vec_id", alias_name="min_vec_id"))
+    )
+
+
+@q("kmeans_lloyd")
+def kmeans_lloyd(sf_dir):
+    """Distributed Lloyd k-means training: each round is ONE map_batches
+    pass emitting k mergeable partial rows per batch (count, per-dim sums,
+    inertia) combined on the driver, then a ray.put broadcast of the new
+    centroids — no shuffle anywhere. Rows-only (iterative float training);
+    convergence + exact-recovery pinned in tests/test_kmeans.py."""
+    from sits_ray.stages.kmeans import lloyd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C, sizes, inertia = lloyd(ds, k=8, iters=4, seed=7)
+    norms = np.sqrt(np.einsum("ij,ij->i", C, C))
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(8, dtype=np.int64),
+            "size": sizes,
+            "c_norm": norms,
+            "inertia": np.full(8, inertia),
+        }
+    )
+
+
+# --- cross-document repeated passages ---------------------------------------
+_DUP_PASSAGES_SQL = """
+with tok as (
+  select doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+      t -> list_reduce(list_prepend(cast(0 as bigint),
+             list_transform(regexp_extract_all(t, '.'),
+                            c -> cast(ascii(c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647)) as hts
+  from documents),
+win as (
+  select doc_id,
+    list_reduce(list_prepend(cast(0 as bigint), hts[i:i+7]),
+                (a, b) -> (a * 1000003 + b) % 2147483647) as wh
+  from tok, unnest(generate_series(1, len(hts) - 7)) as u(i)),
+dup as (select wh from win group by wh having count(distinct doc_id) >= 2),
+per as (
+  select doc_id,
+         cast(count(*) as bigint) as n_windows,
+         cast(count(*) filter (where wh in (select wh from dup)) as bigint)
+           as dup_windows
+  from win group by 1)
+select d.doc_id,
+       coalesce(p.n_windows, 0) as n_windows,
+       coalesce(p.dup_windows, 0) as dup_windows,
+       case when p.n_windows > 0
+            then cast(p.dup_windows as double) / cast(p.n_windows as double)
+            else 0.0 end as dup_ratio
+from documents d left join per p using (doc_id)
+"""
+
+
+@q("dup_passages", _DUP_PASSAGES_SQL)
+def dup_passages_q(sf_dir):
+    """Cross-document repeated-passage detection (boilerplate/templated-
+    span removal): token 8-gram windows hashed with the doc_fingerprints
+    Horner fold; a window in >= 2 distinct documents marks its occurrences
+    duplicated. Text never shuffles — only (doc_id, hash, cnt) rows move
+    (stages/dedup.dup_passages); the ratio is a single int/int divide so
+    the float column is bit-exact."""
+    from sits_ray.stages.dedup import dup_passages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_passages(ds, w=8)
+
+
+# --- deterministic hash-mod sampling ----------------------------------------
+@q(
+    "hash_mod_sample",
+    """
+select doc_id, lang, source from documents
+where list_reduce(
+        list_prepend(cast(0 as bigint),
+                     list_transform(regexp_extract_all(cast(doc_id as varchar), '.'),
+                                    c -> cast(ascii(c) as bigint))),
+        (h, c) -> (h * 1000003 + c) % 2147483647) % 10 < 2
+""",
+)
+def hash_mod_sample(sf_dir):
+    """Deterministic content-addressed sampling (the stable train/holdout
+    split of LLM data pipelines): keep a document iff the Horner hash of
+    its id string mod 10 falls under the rate — reproducible across runs,
+    engines and cluster sizes, no RNG state to checkpoint. One vectorized
+    fingerprint_batch per batch; embarrassingly parallel."""
+    from sits_ray.kernels.text import fingerprint_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = fingerprint_batch([str(i) for i in df["doc_id"]])
+        return df[(h % 10) < 2]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# --- temperature-weighted domain mixture ------------------------------------
+@q(
+    "temperature_mix",
+    """
+with s as (
+  select source, cast(count(*) as bigint) as n_docs
+  from documents group by 1),
+t as (
+  select list_reduce(
+           list_prepend(0.0, list(sqrt(cast(n_docs as double)) order by source)),
+           (a, b) -> a + b) as tot
+  from s)
+select s.source, s.n_docs,
+       sqrt(cast(s.n_docs as double)) / t.tot as weight,
+       cast(floor(1000.0 * (sqrt(cast(s.n_docs as double)) / t.tot)) as bigint)
+         as expected_docs
+from s, t
+""",
+)
+def temperature_mix(sf_dir):
+    """Temperature-based domain mixing (the multinomial-smoothing rule of
+    multilingual/multi-domain LLM corpora, alpha = 0.5): per-source doc
+    counts -> w_s = n_s^alpha / sum_t n_t^alpha -> expected docs from a
+    1000-doc budget. The normalizer is a SEQUENTIAL fold in source order
+    (SQL: list_reduce over list(... order by source)), so the float
+    weights match bit-for-bit. Counts aggregate distributed; the k-row
+    finish is driver-side."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    counts = (
+        ds.groupby("source").aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+    counts = counts.sort_values("source").reset_index(drop=True)
+    roots = np.sqrt(counts["n_docs"].to_numpy(dtype=np.float64))
+    tot = 0.0
+    for r in roots:  # sequential IEEE fold == the SQL list_reduce
+        tot = tot + r
+    w = roots / tot
+    return pd.DataFrame(
+        {
+            "source": counts["source"],
+            "n_docs": counts["n_docs"].astype(np.int64),
+            "weight": w,
+            "expected_docs": np.floor(1000.0 * w).astype(np.int64),
+        }
+    )
+
+
+# --- per-conversation context-window packing --------------------------------
+@q(
+    "pack_chunks",
+    """
+with c as (
+  select user_id as conv_id, ts, event_id,
+         cast(length(props) as bigint) as cost,
+         coalesce(sum(cast(length(props) as bigint)) over (
+             partition by user_id order by ts, event_id
+             rows between unbounded preceding and 1 preceding), 0) as excl
+  from events)
+select conv_id,
+       excl // 2048 as chunk_id,
+       cast(count(*) as bigint) as n_turns,
+       cast(sum(cost) as bigint) as chunk_cost
+from c group by 1, 2
+""",
+)
+def pack_chunks(sf_dir):
+    """Context-window packing for training-sequence prep: walk each
+    conversation in time order, assign every turn to chunk
+    ``floor(exclusive-prefix-cost / 2048)`` (cost = payload length).
+    All-integer output. Partition-vectorized: ONE part_id shuffle, chunk
+    boundaries found via change-point segmentation inside the kernel
+    (stages/eventops.pack_chunks_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, pack_chunks_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "props"])
+
+    def add_cost(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cost": pc.cast(pc.utf8_length(t["props"]), pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(add_cost, batch_format="pyarrow")
+    return map_conv_partitions(
+        prepped, pack_chunks_kernel, extra_cols=("cost",)
+    )

@@ -22,6 +22,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sits_ray.stages.regularize import part_of
 
@@ -813,3 +814,91 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         return t.rename_columns(["doc_id", "rep_id"])
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# --- cross-document repeated-passage detection -----------------------------
+def dup_passages(ds, w: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text", num_partitions: int | None = None):
+    """Repeated-passage (cross-document near-substring) detection — the
+    paragraph/passage-granularity cousin of exact dedup used to strip
+    boilerplate and templated spans from training corpora: a token
+    ``w``-gram window that appears in >= 2 DISTINCT documents marks every
+    one of its occurrences as duplicated text.
+
+    Scale shape: stage A ships only ``(doc_id, window_hash, cnt)`` rows
+    (text never shuffles; hashes are Horner folds a DuckDB oracle can
+    reproduce — kernels/text.token_window_hashes). One groupby(wh) Count
+    gives each hash's distinct-document count (hash-partitioned partial
+    combiners, no per-group materialization); a distributed hash join
+    flows that count back onto the per-doc rows; one groupby(doc_id) Sum
+    finishes. A per-doc sentinel row (wh = -1, cnt = 0) keeps documents
+    with < w tokens in the output without an outer join.
+
+    Output: (doc_id, n_windows, dup_windows, dup_ratio)."""
+    import ray.data  # noqa: F401  (Dataset API)
+    from ray.data.aggregate import Count, Sum
+
+    from sits_ray.kernels.text import token_window_hashes
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def win_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        di, wh = token_window_hashes(df[text_col], w=w)
+        ids = df[id_col].to_numpy()
+        out = pd.DataFrame({id_col: ids[di], "wh": wh})
+        g = (
+            out.groupby([id_col, "wh"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        sent = pd.DataFrame(
+            {id_col: ids, "wh": np.int64(-1), "cnt": np.int64(0)}
+        )
+        return pd.concat([g, sent], ignore_index=True)
+
+    pairs = ds.map_batches(win_rows, batch_format="pandas")
+    # (doc, wh) rows are distinct per doc -> Count == distinct documents
+    ndocs = pairs.groupby("wh").aggregate(Count(alias_name="n_docs"))
+    tagged = pairs.join(
+        ndocs, join_type="inner", num_partitions=num_partitions,
+        on=("wh",), right_on=("wh",),
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        dup = pc.and_(
+            pc.greater_equal(t["n_docs"], pa.scalar(2)),
+            pc.greater_equal(t["wh"], pa.scalar(0, pa.int64())),
+        )
+        dup_cnt = pc.if_else(dup, t["cnt"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {id_col: t[id_col], "cnt": t["cnt"], "dup_cnt": dup_cnt}
+        )
+
+    per_doc = (
+        tagged.map_batches(mark, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("cnt", alias_name="n_windows"),
+            Sum("dup_cnt", alias_name="dup_windows"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_windows"], pa.int64())
+        d = pc.cast(t["dup_windows"], pa.int64())
+        ratio = pc.if_else(
+            pc.greater(n, pa.scalar(0, pa.int64())),
+            pc.divide(pc.cast(d, pa.float64()), pc.cast(n, pa.float64())),
+            pa.scalar(0.0),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_windows": n,
+                "dup_windows": d,
+                "dup_ratio": ratio,
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

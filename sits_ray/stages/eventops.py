@@ -840,3 +840,50 @@ def type_gini_kernel(g: pa.Table) -> pa.Table:
             "gini": pa.array(1.0 - s),
         }
     )
+
+
+def pack_chunks_kernel(g: pa.Table, budget: int = 2048) -> pa.Table:
+    """Context-window packing (training-sequence prep): walk each
+    conversation in (ts, order) time order accumulating a per-turn integer
+    cost (e.g. payload length); a turn's chunk id is
+    ``floor(exclusive-prefix-cost / budget)`` — the deterministic
+    streaming packer whose SQL twin is a ROWS UNBOUNDED PRECEDING
+    EXCLUDING CURRENT window sum. All-integer output (chunk ids, turn
+    counts, chunk costs), so the oracle comparison is exact regardless of
+    float summation order.
+
+    Output: (conv_id, chunk_id, n_turns, chunk_cost) — one row per packed
+    chunk."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("cost",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "chunk_cost": pa.array([], pa.int64()),
+            }
+        )
+    cost = ex["cost"].astype(np.int64)
+    cum = np.cumsum(cost)
+    excl = cum - cost
+    seg = np.repeat(np.arange(starts.size), ends - starts)
+    excl_conv = excl - excl[starts][seg]
+    chunk = excl_conv // budget
+    # chunk ids are monotone within a conversation: chunk boundaries are
+    # exactly the (conv, chunk) change points of the sorted stream
+    new = np.r_[
+        True, (codes[1:] != codes[:-1]) | (chunk[1:] != chunk[:-1])
+    ]
+    cs = np.flatnonzero(new)
+    ce = np.r_[cs[1:], codes.size]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[cs], pa.int64())),
+            "chunk_id": pa.array(chunk[cs]),
+            "n_turns": pa.array((ce - cs).astype(np.int64)),
+            "chunk_cost": pa.array(np.add.reduceat(cost, cs)),
+        }
+    )

@@ -1,0 +1,146 @@
+"""Distributed k-means over an embedding column.
+
+Two pieces, mirroring the reference's cluster-then-label workflow
+(``/root/reference/R/sits_cluster.R`` builds cluster structure over
+sample series; we add the Lloyd variant the dendrogram path lacks,
+since partitional clustering is the scale path for 100 TB corpora):
+
+- :func:`assign_clusters` — one streaming pass that labels every vector
+  with its nearest centroid. Scores are LEFT-ASSOCIATED sequential
+  dot products (the ``lsh_ann_topk`` literal-accumulation contract), so
+  a DuckDB oracle with literal centroid terms reproduces assignments
+  bit-for-bit and the gate certifies integer cluster counts.
+- :func:`lloyd` — iterative training: each round is ONE ``map_batches``
+  pass emitting k partial rows per batch (count, per-dim sums, inertia)
+  that combine on the driver (k × dim doubles — tiny), then broadcast
+  of the new centroids via ``ray.put``. No shuffle at all: the classic
+  mergeable-aggregate shape, wall time = iters × one dataset scan.
+
+Scale notes: partials are O(k·dim) per batch regardless of batch size;
+centroids ship once per round through the object store; empty clusters
+keep their previous centroid (deterministic, no resampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from sits_ray.arrowutil import list_matrix
+
+
+def make_centroids(dim: int, k: int, seed: int = 7) -> np.ndarray:
+    """Deterministic seeded Gaussian centroids (the make_linear_model
+    pattern: inline-able as SQL double literals, no engine state)."""
+    return np.random.default_rng(seed).normal(0.0, 1.0, size=(k, dim))
+
+
+def seq_scores(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) nearest-centroid scores ``v·c - 0.5*||c||²`` with the
+    dot product accumulated dim-by-dim (left-associated — exactly the
+    fold a literal SQL expression chain evaluates)."""
+    n = V.shape[0]
+    k, dim = C.shape
+    S = np.zeros((n, k), dtype=np.float64)
+    for j in range(dim):
+        S += V[:, j : j + 1] * C[None, :, j]
+    return S - half_norms(C)[None, :]
+
+
+def half_norms(C: np.ndarray) -> np.ndarray:
+    """0.5*||c||² per centroid, accumulated dim-by-dim (matches the SQL
+    literal computed from the same fold)."""
+    k, dim = C.shape
+    acc = np.zeros(k, dtype=np.float64)
+    for j in range(dim):
+        acc += C[:, j] * C[:, j]
+    return 0.5 * acc
+
+
+def assign_clusters(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Label each vector with argmax (first-max) of :func:`seq_scores`."""
+    c_ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        V = list_matrix(t[vec_col])
+        a = np.argmax(seq_scores(V, C), axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col], "cluster": pa.array(a)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def farthest_point_init(X: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-center (greedy farthest-point) seeding over a
+    sample: start at row 0, repeatedly add the point farthest from the
+    chosen set. No RNG state — reproducible across runs and engines."""
+    idx = [0]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        i = int(d.argmax())
+        idx.append(i)
+        d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
+    return X[idx].astype(np.float64).copy()
+
+
+def lloyd(ds, k: int = 8, iters: int = 4, seed: int = 7,
+          vec_col: str = "embedding", sample_rows: int = 512):
+    """Distributed Lloyd iterations; returns (centroids, sizes, inertia).
+
+    Init: deterministic farthest-point seeding over the first
+    ``sample_rows`` vectors (``seed`` kept for API stability; unused by
+    the deterministic init). Per round: broadcast centroids, ONE pass of
+    per-batch partials (k rows: count, sum-vector, inertia partial),
+    driver combine. ``inertia`` is the end-of-round sum of squared
+    distances to the centroids that produced the assignment (reported
+    for the last round).
+    """
+    sample = ds.take(max(sample_rows, 4 * k))
+    S0 = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    dim = S0.shape[1]
+    C = farthest_point_init(S0, k)
+
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0.0
+    for _ in range(iters):
+        c_ref = ray.put(np.ascontiguousarray(C))
+
+        def partial(t: pa.Table, _c_ref=c_ref) -> pa.Table:
+            Cc = ray.get(_c_ref)
+            V = list_matrix(t[vec_col])
+            S = seq_scores(V, Cc)
+            a = np.argmax(S, axis=1)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, V.shape[1]), dtype=np.float64)
+            for j in range(k):  # k is tiny; masked sums beat np.add.at
+                m = a == j
+                if m.any():
+                    sums[j] = V[m].sum(axis=0)
+            # ||v - c||² = ||v||² - 2*(v·c - .5||c||²)
+            vv = np.einsum("ij,ij->i", V, V)
+            inert_k = np.bincount(
+                a, weights=vv - 2.0 * S[np.arange(V.shape[0]), a], minlength=k
+            )
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "s": pa.array(list(sums)),
+                    "inert": pa.array(inert_k),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        sizes = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for r in rows:
+            c = int(r["cluster"])
+            sizes[c] += int(r["n"])
+            sums[c] += np.asarray(r["s"], dtype=np.float64)
+            inertia += float(r["inert"])
+        nz = sizes > 0
+        C = np.where(nz[:, None], sums / np.maximum(sizes, 1)[:, None], C)
+    return C, sizes, inertia

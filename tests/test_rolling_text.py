@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pytest
 
 from sits_ray.kernels import rolling as R
@@ -210,3 +211,66 @@ def test_simhash_poly_batch_scalar_parity_and_stability():
          T.simhash_poly_batch(pd.Series(texts[2:]))]
     )
     assert half.tolist() == out.tolist()
+
+
+def test_token_window_hashes_scalar_parity():
+    import re
+
+    from sits_ray.kernels.text import token_window_hashes, window_hash_scalar
+
+    texts = pd.Series(
+        [
+            "Foo bar baz qux quux corge grault garply waldo fred",
+            "short one",
+            "",
+            "a b c d e f g h",  # exactly w tokens -> one window
+            "x1 y2 z3 mixed UPPER case tokens here and more words",
+        ]
+    )
+    di, wh = token_window_hashes(texts, w=8)
+    got = {}
+    for d, h in zip(di, wh):
+        got.setdefault(int(d), []).append(int(h))
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z]+", t.lower())
+        want = window_hash_scalar(toks, w=8)
+        assert got.get(i, []) == want, i
+
+
+def test_token_window_hashes_empty_batch():
+    from sits_ray.kernels.text import token_window_hashes
+
+    di, wh = token_window_hashes(pd.Series(["", "ab"]), w=8)
+    assert di.size == 0 and wh.size == 0
+
+
+def test_dup_passages_e2e(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.dedup import dup_passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"intro words here {shared} closing remarks now",
+                f"{shared} different tail tokens follow after this",
+                "completely unrelated text with enough tokens to form windows yes",
+                "tiny",  # < 8 tokens -> zero windows
+            ],
+        }
+    )
+    out = (
+        dup_passages(rd.from_pandas(docs), w=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    # docs 0 and 1 share the full 8-token run -> at least one dup window
+    assert out.loc[0, "dup_windows"] >= 1
+    assert out.loc[1, "dup_windows"] >= 1
+    assert out.loc[2, "dup_windows"] == 0
+    assert out.loc[3, "n_windows"] == 0 and out.loc[3, "dup_ratio"] == 0.0
+    assert (out["dup_windows"] <= out["n_windows"]).all()

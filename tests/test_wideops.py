@@ -413,3 +413,59 @@ def test_type_gini_kernel():
     assert out.loc[1, "gini"] == 0.5 and out.loc[1, "n"] == 4
     # conv 2: pure -> 0.0
     assert out.loc[2, "gini"] == 0.0
+
+
+# --- context-window packing --------------------------------------------------
+def test_pack_chunks_kernel_boundaries():
+    from sits_ray.stages.eventops import pack_chunks_kernel
+
+    # conv 1 costs [1000, 1000, 1000, 100] with budget 2048:
+    # excl prefix = [0, 1000, 2000, 3000] -> chunks [0, 0, 0, 1]
+    # conv 2 single huge turn (5000): excl 0 -> chunk 0 (never split)
+    g = _g(
+        [1, 1, 1, 1, 2],
+        [1 * US, 2 * US, 3 * US, 4 * US, 1 * US],
+        [1, 2, 3, 4, 1],
+        cost=np.array([1000, 1000, 1000, 100, 5000], dtype=np.int64),
+    )
+    out = (
+        pack_chunks_kernel(g, budget=2048)
+        .to_pandas()
+        .sort_values(["conv_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {
+        "conv_id": [1, 1, 2],
+        "chunk_id": [0, 1, 0],
+        "n_turns": [3, 1, 1],
+        "chunk_cost": [3000, 100, 5000],
+    }
+
+
+def test_pack_chunks_kernel_time_order_not_input_order():
+    from sits_ray.stages.eventops import pack_chunks_kernel
+
+    # rows arrive shuffled; packing must follow (ts, order)
+    g = _g(
+        [1, 1, 1],
+        [3 * US, 1 * US, 2 * US],
+        [3, 1, 2],
+        cost=np.array([10, 2000, 100], dtype=np.int64),
+    )
+    out = (
+        pack_chunks_kernel(g, budget=2048)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    # excl prefix in time order: [0, 2000, 2100] -> chunks [0, 0, 1]
+    assert out["chunk_id"].tolist() == [0, 1]
+    assert out["n_turns"].tolist() == [2, 1]
+    assert out["chunk_cost"].tolist() == [2100, 10]
+
+
+def test_pack_chunks_kernel_empty():
+    from sits_ray.stages.eventops import pack_chunks_kernel
+
+    g = _g([], [], [], cost=np.array([], dtype=np.int64))
+    assert pack_chunks_kernel(g).num_rows == 0
