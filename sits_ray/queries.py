@@ -5454,3 +5454,116 @@ def pack_chunks(sf_dir):
     return map_conv_partitions(
         prepped, pack_chunks_kernel, extra_cols=("cost",)
     )
+
+
+# --- bounded-state heavy hitters + vocabulary stats --------------------------
+@q(
+    "heavy_hitter_tokens",
+    """
+select t as token, cast(count(*) as bigint) as n
+from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as t
+      from documents)
+group by 1
+order by n desc, token asc
+limit 10
+""",
+)
+def heavy_hitter_tokens_q(sf_dir):
+    """EXACT corpus top-10 tokens via a bounded-state streaming sketch +
+    exact recount (stages/sketch.py): phase-1 state is capped at `cap`
+    rows per batch no matter the vocabulary (unlike vocab-sized partial
+    counts), the candidate cut is a provable superset of the true top-k,
+    and a second streaming pass recounts only candidates — so the output
+    is gate-certifiable against the plain SQL top-10."""
+    from sits_ray.stages.sketch import heavy_hitter_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitter_tokens(ds, k=10, cap=2048)
+
+
+@q(
+    "vocab_heaps",
+    """
+select source,
+       cast(count(distinct t) as bigint) as n_vocab,
+       cast(count(*) as bigint) as n_tokens
+from (select source, unnest(regexp_extract_all(lower(text), '[a-z]+')) as t
+      from documents)
+group by 1
+""",
+)
+def vocab_heaps(sf_dir):
+    """Per-source vocabulary statistics (Heaps-law inputs): distinct and
+    total token counts. Distinct pairs dedup inside each batch before the
+    (source, token) shuffle; totals are per-batch partial sums — text
+    never shuffles (stages/sketch.vocab_stats)."""
+    from sits_ray.stages.sketch import vocab_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return vocab_stats(ds)
+
+
+# --- agent-loop detection (repeated turn payloads) ---------------------------
+@q(
+    "loop_detection",
+    """
+with hsh as (
+  select user_id as conv_id, ts, event_id,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+                        list_transform(regexp_extract_all(props, '.'),
+                                       c -> cast(ascii(c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647) as h
+  from events),
+m as (
+  select conv_id, ts, event_id,
+         case when count(*) over (partition by conv_id, h
+                order by ts, event_id
+                rows between unbounded preceding and 1 preceding) > 0
+              then 1 else 0 end as rep
+  from hsh),
+r as (
+  select conv_id, rep,
+         row_number() over (partition by conv_id order by ts, event_id) as rn,
+         row_number() over (partition by conv_id, rep order by ts, event_id) as rr
+  from m),
+runs as (
+  select conv_id, rep, rn - rr as grp, cast(count(*) as bigint) as L
+  from r group by 1, 2, 3)
+select m2.conv_id,
+       cast(count(*) as bigint) as n_turns,
+       cast(sum(m2.rep) as bigint) as n_repeats,
+       coalesce((select max(L) from runs
+                 where runs.conv_id = m2.conv_id and runs.rep = 1), 0)
+         as max_burst
+from m m2
+group by m2.conv_id
+""",
+)
+def loop_detection(sf_dir):
+    """Degenerate-loop detection over agent transcripts: per conversation,
+    turns whose payload hash appeared earlier in the SAME conversation
+    (n_repeats) and the longest consecutive repeat burst (max_burst) —
+    the repetition filter for looping agents. All-integer; one part_id
+    shuffle, whole-partition kernel (stages/eventops.repeat_turns_kernel);
+    payload hashing = the doc_fingerprints Horner fold so both engines
+    agree on hash identity."""
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.eventops import map_conv_partitions, repeat_turns_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "props"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "ts": df["ts"],
+                "h": fingerprint_batch(list(df["props"])),
+            }
+        )
+
+    prepped = ds.map_batches(add_hash, batch_format="pandas")
+    return map_conv_partitions(prepped, repeat_turns_kernel, extra_cols=("h",))

@@ -887,3 +887,59 @@ def pack_chunks_kernel(g: pa.Table, budget: int = 2048) -> pa.Table:
             "chunk_cost": pa.array(np.add.reduceat(cost, cs)),
         }
     )
+
+
+def repeat_turns_kernel(g: pa.Table) -> pa.Table:
+    """Agent-loop detection: per conversation, count turns whose payload
+    hash already appeared EARLIER in the same conversation (time order) —
+    the degenerate-repetition signal used to filter looping agent
+    transcripts from training data. All-integer output; SQL twin is a
+    windowed prior-occurrence count over (conv, hash).
+
+    Output: (conv_id, n_turns, n_repeats, max_burst) where max_burst is
+    the longest run of consecutive repeat turns."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("h",)
+    )
+    n = codes.size
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type),
+                "n_turns": pa.array([], pa.int64()),
+                "n_repeats": pa.array([], pa.int64()),
+                "max_burst": pa.array([], pa.int64()),
+            }
+        )
+    h = ex["h"].astype(np.int64)
+    # "seen earlier in this conv": sort by (conv, hash, time-position) and
+    # mark every row that shares (conv, hash) with its predecessor
+    pos = np.arange(n)
+    sel = np.lexsort((pos, h, codes))
+    dup_sorted = np.r_[
+        False, (codes[sel][1:] == codes[sel][:-1]) & (h[sel][1:] == h[sel][:-1])
+    ]
+    rep = np.zeros(n, dtype=bool)
+    rep[sel] = dup_sorted
+    cnt = ends - starts
+    n_rep = np.add.reduceat(rep.astype(np.int64), starts)
+    # longest consecutive repeat run per conv: run-length encode the
+    # (conv, rep) stream and take the max over rep==True runs
+    chg = np.r_[True, (codes[1:] != codes[:-1]) | (rep[1:] != rep[:-1])]
+    rs = np.flatnonzero(chg)
+    rlen = np.diff(np.r_[rs, n])
+    rconv = codes[rs]
+    rrep = rep[rs]
+    burst = np.zeros(starts.size, dtype=np.int64)
+    if rrep.any():
+        # map each run to its conv's segment index
+        seg_of_run = np.searchsorted(starts, rs, side="right") - 1
+        np.maximum.at(burst, seg_of_run[rrep], rlen[rrep])
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[starts], pa.int64())),
+            "n_turns": pa.array(cnt.astype(np.int64)),
+            "n_repeats": pa.array(n_rep),
+            "max_burst": pa.array(burst),
+        }
+    )

@@ -469,3 +469,59 @@ def test_pack_chunks_kernel_empty():
 
     g = _g([], [], [], cost=np.array([], dtype=np.int64))
     assert pack_chunks_kernel(g).num_rows == 0
+
+
+# --- agent-loop detection ----------------------------------------------------
+def test_repeat_turns_kernel_counts_and_bursts():
+    from sits_ray.stages.eventops import repeat_turns_kernel
+
+    # conv 1 hashes: a b a a b c a  -> repeats at idx 2,3,4,6 (n=4);
+    # longest consecutive repeat burst = idx 2,3,4 -> 3
+    # conv 2: all distinct -> 0 repeats
+    h1 = [10, 20, 10, 10, 20, 30, 10]
+    g = _g(
+        [1] * 7 + [2] * 3,
+        [i * US for i in range(1, 8)] + [1 * US, 2 * US, 3 * US],
+        list(range(1, 8)) + [1, 2, 3],
+        h=np.array(h1 + [7, 8, 9], dtype=np.int64),
+    )
+    out = (
+        repeat_turns_kernel(g)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {
+        "conv_id": [1, 2],
+        "n_turns": [7, 3],
+        "n_repeats": [4, 2 - 2],
+        "max_burst": [3, 0],
+    }
+
+
+def test_repeat_turns_kernel_burst_not_crossing_convs():
+    from sits_ray.stages.eventops import repeat_turns_kernel
+
+    # conv 1 ends with a repeat, conv 2 starts with first occurrences:
+    # the repeat run must not bridge the boundary
+    g = _g(
+        [1, 1, 2, 2],
+        [1 * US, 2 * US, 1 * US, 2 * US],
+        [1, 2, 1, 2],
+        h=np.array([5, 5, 5, 5], dtype=np.int64),
+    )
+    out = (
+        repeat_turns_kernel(g)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_repeats"].tolist() == [1, 1]
+    assert out["max_burst"].tolist() == [1, 1]
+
+
+def test_repeat_turns_kernel_empty():
+    from sits_ray.stages.eventops import repeat_turns_kernel
+
+    g = _g([], [], [], h=np.array([], dtype=np.int64))
+    assert repeat_turns_kernel(g).num_rows == 0
