@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "hll_registers",
     "funnel_stages",
     "trend_mann_kendall",
+    # round-3b families: hash-keyed two-shuffle text op, pure-compute scan
+    "dup_passages",
+    "kmeans_assign",
 ]
 
 

@@ -5244,7 +5244,7 @@ def kmeans_assign(sf_dir):
     literal centroids, one streaming map over the corpus, integer-exact
     per-cluster counts). Certifies the Lloyd assignment kernel in the
     gate; training itself is the rows-only `kmeans_lloyd`."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     from sits_ray.stages.kmeans import assign_clusters, make_centroids
 
@@ -5252,10 +5252,22 @@ def kmeans_assign(sf_dir):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     C = make_centroids(64, 4, seed=41)
+
+    # pre-aggregate per batch: only k-row partials reach the groupby
+    # (Dataset.groupby over corpus-sized inputs is the measured ~10k rows/s
+    # pathology — stages/hashagg.py)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster", as_index=False).agg(
+            n=("vec_id", "size"), min_vec_id=("vec_id", "min")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
     return (
         assign_clusters(ds, C)
+        .map_batches(partial, batch_format="pandas")
         .groupby("cluster")
-        .aggregate(Count(alias_name="n"), Min("vec_id", alias_name="min_vec_id"))
+        .aggregate(Sum("n", alias_name="n"), Min("min_vec_id", alias_name="min_vec_id"))
     )
 
 
@@ -5389,11 +5401,23 @@ def temperature_mix(sf_dir):
     (SQL: list_reduce over list(... order by source)), so the float
     weights match bit-for-bit. Counts aggregate distributed; the k-row
     finish is driver-side."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    # per-batch partial counts -> only O(sources x batches) rows shuffle
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["source"].value_counts()
+        return pd.DataFrame(
+            {"source": vc.index.to_numpy(dtype=object),
+             "n_docs": vc.to_numpy(dtype=np.int64)}
+        )
+
     counts = (
-        ds.groupby("source").aggregate(Count(alias_name="n_docs")).to_pandas()
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
     )
     counts = counts.sort_values("source").reset_index(drop=True)
     roots = np.sqrt(counts["n_docs"].to_numpy(dtype=np.float64))

@@ -827,20 +827,24 @@ def dup_passages(ds, w: int = 8, id_col: str = "doc_id",
 
     Scale shape: stage A ships only ``(doc_id, window_hash, cnt)`` rows
     (text never shuffles; hashes are Horner folds a DuckDB oracle can
-    reproduce — kernels/text.token_window_hashes). One groupby(wh) Count
-    gives each hash's distinct-document count (hash-partitioned partial
-    combiners, no per-group materialization); a distributed hash join
-    flows that count back onto the per-doc rows; one groupby(doc_id) Sum
-    finishes. A per-doc sentinel row (wh = -1, cnt = 0) keeps documents
-    with < w tokens in the output without an outer join.
+    reproduce — kernels/text.token_window_hashes). Every wide step keeps
+    the group count at O(n_parts) (the CLAUDE.md invariant; plain
+    ``groupby(wh)`` at this cardinality is the measured 30x pathology —
+    stages/hashagg.py): ONE wh-partitioned pandas pass computes the
+    distinct-doc counts, the dup cut, the dup marks AND the per-doc
+    partial sums (all rows of a hash share a partition — no Dataset.join,
+    no broadcast, no driver state), and per-doc sums finish through a
+    second hash-partitioned aggregate keyed by doc id. A per-doc sentinel row (wh = -1, cnt = 0) keeps
+    documents with < w tokens in the output without an outer join.
 
     Output: (doc_id, n_windows, dup_windows, dup_ratio)."""
     import ray.data  # noqa: F401  (Dataset API)
-    from ray.data.aggregate import Count, Sum
 
     from sits_ray.kernels.text import token_window_hashes
+    from sits_ray.stages.hashagg import part_aggregate, part_of_values
 
     num_partitions = _join_partitions(num_partitions)
+    n_parts = max(num_partitions, 16)
 
     def win_rows(df: "pd.DataFrame") -> "pd.DataFrame":
         di, wh = token_window_hashes(df[text_col], w=w)
@@ -858,47 +862,40 @@ def dup_passages(ds, w: int = 8, id_col: str = "doc_id",
         return pd.concat([g, sent], ignore_index=True)
 
     pairs = ds.map_batches(win_rows, batch_format="pandas")
-    # (doc, wh) rows are distinct per doc -> Count == distinct documents
-    ndocs = pairs.groupby("wh").aggregate(Count(alias_name="n_docs"))
-    tagged = pairs.join(
-        ndocs, join_type="inner", num_partitions=num_partitions,
-        on=("wh",), right_on=("wh",),
-    )
 
-    def mark(t: pa.Table) -> pa.Table:
-        dup = pc.and_(
-            pc.greater_equal(t["n_docs"], pa.scalar(2)),
-            pc.greater_equal(t["wh"], pa.scalar(0, pa.int64())),
-        )
-        dup_cnt = pc.if_else(dup, t["cnt"], pa.scalar(0, pa.int64()))
-        return pa.table(
-            {id_col: t[id_col], "cnt": t["cnt"], "dup_cnt": dup_cnt}
-        )
-
-    per_doc = (
-        tagged.map_batches(mark, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(
-            Sum("cnt", alias_name="n_windows"),
-            Sum("dup_cnt", alias_name="dup_windows"),
-        )
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["n_windows"], pa.int64())
-        d = pc.cast(t["dup_windows"], pa.int64())
-        ratio = pc.if_else(
-            pc.greater(n, pa.scalar(0, pa.int64())),
-            pc.divide(pc.cast(d, pa.float64()), pc.cast(n, pa.float64())),
-            pa.scalar(0.0),
-        )
-        return pa.table(
+    # ONE wh-partitioned pass does everything hash-keyed: every row of a
+    # given wh lands in the same partition, so the distinct-doc count
+    # ((doc, wh) rows are pre-deduped per doc -> value_counts == distinct
+    # docs), the dup cut, the isin mark and the per-doc partial sums all
+    # complete inside the partition — no join, no second stream.
+    def mark_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.loc[g["wh"] >= 0, "wh"].value_counts()
+        dup_whs = vc.index[vc >= 2].to_numpy(dtype=np.int64)
+        dup_cnt = np.where(
+            g["wh"].isin(dup_whs), g["cnt"], 0
+        ).astype(np.int64)
+        part = pd.DataFrame(
             {
-                id_col: t[id_col],
+                id_col: g[id_col].to_numpy(),
+                "n_w": g["cnt"].to_numpy(dtype=np.int64),
+                "dup_w": dup_cnt,
+            }
+        )
+        return part.groupby(id_col, as_index=False, sort=False).sum()
+
+    partials = part_aggregate(pairs, mark_reduce, key_col="wh", n_parts=n_parts)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False, sort=False).sum()
+        n = out["n_w"].to_numpy(dtype=np.int64)
+        d = out["dup_w"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(),
                 "n_windows": n,
                 "dup_windows": d,
-                "dup_ratio": ratio,
+                "dup_ratio": np.where(n > 0, d / np.maximum(n, 1), 0.0),
             }
         )
 
-    return per_doc.map_batches(finish, batch_format="pyarrow")
+    return part_aggregate(partials, per_doc, key_col=id_col, n_parts=n_parts)

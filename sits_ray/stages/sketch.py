@@ -53,27 +53,65 @@ def _batch_sketch(texts: pd.Series, cap: int) -> pd.DataFrame:
 
 
 def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
-                        text_col: str = "text"):
+                        text_col: str = "text", n_parts: int = 32):
     """Exact top-``k`` tokens by corpus frequency via bounded-state
     sketch + exact recount (module docstring). Returns a pandas frame
-    (token, n) sorted by (n desc, token asc)."""
-    from ray.data.aggregate import Sum
+    (token, n) sorted by (n desc, token asc).
+
+    The sketch merge is a hash-partitioned pandas aggregate
+    (stages/hashagg.py — ``Dataset.groupby`` over the cap x n_batches
+    sketch rows is the measured ~10k rows/s pathology); the k-th-largest
+    cut ``L`` comes from per-block top-k rows (any global top-k token is
+    top-k within its own block), so the driver only ever sees
+    O(blocks x k) rows plus the candidate set."""
+    from sits_ray.stages.hashagg import part_aggregate
 
     sk = ds.map_batches(
         lambda df: _batch_sketch(df[text_col], cap), batch_format="pandas"
     )
-    merged = (
-        sk.groupby("token").aggregate(Sum("cnt", alias_name="kept")).to_pandas()
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["cnt"].sum()
+        out.columns = ["token", "kept"]
+        out["kept"] = out["kept"].astype(np.int64)
+        return out
+
+    # merged is consumed three times (E, L, candidate cut) — pin the
+    # vocab-sized result once instead of recomputing the sketch pass
+    merged = part_aggregate(
+        sk, merge_part, key_col="token", n_parts=n_parts
+    ).materialize()
+
+    # E: the error rows share one token, hence one partition — tiny filter
+    def err_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["token"] == _ERR_TOKEN]
+
+    errs = merged.map_batches(err_rows, batch_format="pandas").take_all()
+    E = int(sum(r["kept"] for r in errs))
+
+    # L: k-th largest global kept_sum, found from per-block top-k rows
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["token"] != _ERR_TOKEN]
+        return d.nlargest(k, "kept")
+
+    top = (
+        merged.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .nlargest(k, "kept")
     )
-    err = merged["token"] == _ERR_TOKEN
-    E = int(merged.loc[err, "kept"].sum())
-    merged = merged[~err]
-    if merged.empty:
+    if top.empty:
         return pd.DataFrame({"token": pd.Series(dtype=object),
                              "n": pd.Series(dtype=np.int64)})
-    kept = merged["kept"].to_numpy(dtype=np.int64)
-    L = int(np.sort(kept)[-k]) if len(kept) >= k else 0
-    cand = merged.loc[kept >= L - E, "token"]
+    L = int(top["kept"].iloc[-1]) if len(top) >= k else 0
+    cut = L - E
+
+    def cand_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["token"] != _ERR_TOKEN]
+        return d[d["kept"].to_numpy(dtype=np.int64) >= cut][["token"]]
+
+    cand = merged.map_batches(cand_rows, batch_format="pandas").to_pandas()[
+        "token"
+    ]
     cand_ref = ray.put(set(cand))
 
     def recount(df: pd.DataFrame) -> pd.DataFrame:
@@ -86,26 +124,34 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
              "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    exact = (
-        ds.map_batches(recount, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    exact["n"] = exact["n"].astype(np.int64)
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    exact = part_aggregate(
+        ds.map_batches(recount, batch_format="pandas"),
+        sum_part, key_col="token", n_parts=n_parts,
+    ).to_pandas()
     exact = exact.sort_values(
         ["n", "token"], ascending=[False, True]
     ).head(k)
     return exact.reset_index(drop=True)
 
 
-def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
+def vocab_stats(ds, text_col: str = "text", group_col: str = "source",
+                n_parts: int = 32):
     """Per-group vocabulary statistics (the Heaps-law inputs of corpus
     analysis): distinct-token count and total-token count per group.
-    Distinct pairs are pre-deduplicated inside each batch before the
-    (group, token) shuffle; totals ride a separate tiny partial-sum
-    aggregate — raw text never shuffles."""
-    from ray.data.aggregate import Count, Sum
+    Distinct pairs are pre-deduplicated inside each batch, then counted
+    through a token-hash-partitioned pandas aggregate (a (group, token)
+    pair lives wholly in one partition, so per-partition distinct counts
+    sum exactly; ``Dataset.groupby`` over vocab-sized rows is the
+    ~10k rows/s pathology — stages/hashagg.py); totals ride a tiny
+    partial-sum aggregate — raw text never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.hashagg import part_aggregate
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.lower().str.findall(r"[a-z]+")
@@ -121,12 +167,21 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
         out = pd.DataFrame({group_col: df[group_col], "t": n.astype(np.int64)})
         return out.groupby(group_col, as_index=False)["t"].sum()
 
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()  # batches may repeat a (group, token) pair
+        vc = d[group_col].value_counts()
+        return pd.DataFrame(
+            {group_col: vc.index.to_numpy(dtype=object),
+             "v": vc.to_numpy(dtype=np.int64)}
+        )
+
     distinct = (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby([group_col, "token"])
-        .aggregate(Count(alias_name="dup"))
+        part_aggregate(
+            ds.map_batches(pairs, batch_format="pandas"),
+            distinct_part, key_col="token", n_parts=n_parts,
+        )
         .groupby(group_col)
-        .aggregate(Count(alias_name="n_vocab"))
+        .aggregate(Sum("v", alias_name="n_vocab"))
         .to_pandas()
     )
     tot = (

@@ -274,3 +274,25 @@ def test_dup_passages_e2e(ray_session):
     assert out.loc[2, "dup_windows"] == 0
     assert out.loc[3, "n_windows"] == 0 and out.loc[3, "dup_ratio"] == 0.0
     assert (out["dup_windows"] <= out["n_windows"]).all()
+
+
+def test_dup_passages_text_never_shuffles(ray_session):
+    """Structural: everything after the first map ships only
+    (doc_id, hash, cnt) integers — no text column, no driver corpus
+    materialization inside the pipeline builder."""
+    import inspect
+
+    import ray.data as rd
+
+    from sits_ray.stages import dedup as m
+
+    src = inspect.getsource(m.dup_passages)
+    assert "to_pandas" not in src and "take_all" not in src
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d e f g h i", "a b c d e f g h j"]}
+    )
+    out = m.dup_passages(rd.from_pandas(docs), w=8)
+    # output schema carries no payload text
+    assert set(out.schema().names) == {
+        "doc_id", "n_windows", "dup_windows", "dup_ratio"
+    }
