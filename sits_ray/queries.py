@@ -1971,16 +1971,34 @@ def merge_bands_1h(sf_dir):
             }
         )
 
+    from sits_ray.stages.hashagg import part_aggregate
+
     base = ds.map_batches(bucketed, batch_format="pyarrow")
-    a = base.groupby(["user_id", "bucket_ts"]).aggregate(Count(alias_name="turn_count"))
-    b = (
-        base.map_batches(
-            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
-            batch_format="pyarrow",
+
+    # both band tables aggregate via user-hash partitions (a user's rows
+    # share a partition, so (user, bucket) groups are complete inside it;
+    # Dataset.groupby over the ~distinct-bucket-count rows is the measured
+    # pathology — stages/hashagg.py); the MERGE itself stays Dataset.join
+    # (this query is the sits_merge join showcase)
+    def agg_a(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["user_id", "bucket_ts"], sort=False)
+            .size()
+            .reset_index(name="turn_count")
         )
-        .groupby(["user_id", "bucket_ts"])
-        .aggregate(Max("value", alias_name="max_value"))
-    )
+        out["turn_count"] = out["turn_count"].astype(np.int64)
+        return out
+
+    def agg_b(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        return (
+            p.groupby(["user_id", "bucket_ts"], sort=False)["value"]
+            .max()
+            .reset_index(name="max_value")
+        )
+
+    a = part_aggregate(base, agg_a, key_col="user_id", n_parts=16)
+    b = part_aggregate(base, agg_b, key_col="user_id", n_parts=16)
     joined = a.join(b, join_type="inner", on=("user_id", "bucket_ts"), num_partitions=16)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -4525,11 +4543,14 @@ from c group by 1, 2
 )
 def activity_heatmap(sf_dir):
     """Weekday x hour activity profile (usage heatmap): event counts and
-    distinct active users per calendar cell. Pre-aggregation pattern both
-    ways — per-batch partial (cell, user) dedup inside map_batches, then
-    two tiny groupbys over at most 168 x users rows; raw events never
-    shuffle."""
-    from ray.data.aggregate import Count, Sum
+    distinct active users per calendar cell. Per-batch partial (cell,
+    user) dedup inside map_batches, then a USER-hash-partitioned pandas
+    aggregate (stages/hashagg.py — users are disjoint across partitions,
+    so per-cell event sums and distinct-user counts add exactly) and one
+    tiny 168-row groupby; raw events never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from sits_ray.stages.hashagg import part_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
 
@@ -4546,15 +4567,27 @@ def activity_heatmap(sf_dir):
         out.columns = ["dow", "hod", "user_id", "cnt"]
         return out
 
-    per_user = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["dow", "hod", "user_id"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    def cell_partials(g: pd.DataFrame) -> pd.DataFrame:
+        per = (
+            g.groupby(["dow", "hod", "user_id"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out = per.groupby(["dow", "hod"], sort=False).agg(
+            n_events=("cnt", "sum"), n_users=("user_id", "size")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = part_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        cell_partials, key_col="user_id", n_parts=16,
     )
-    out = per_user.groupby(["dow", "hod"]).aggregate(
-        Sum("cnt", alias_name="n_events"), Count(alias_name="n_users")
+    return partials.groupby(["dow", "hod"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_users", alias_name="n_users"),
     )
-    return out
 
 
 @q(
@@ -5093,9 +5126,8 @@ def top_bigrams(sf_dir):
     never shuffles; the final top-k is a sort over the distinct-ngram
     table, not the corpus. Deterministic tiebreak (count desc, ngram asc)
     keeps the k-boundary stable cross-engine."""
-    from ray.data.aggregate import Sum
-
     from sits_ray.kernels.text import bigram_counts
+    from sits_ray.stages.hashagg import part_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
@@ -5105,9 +5137,18 @@ def top_bigrams(sf_dir):
             {"ngram": vc.index.astype(str), "cnt": vc.to_numpy(dtype="int64")}
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ngram", as_index=False, sort=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        # a global top-50 ngram is top-50 within its own partition: emit
+        # only each partition's candidates, not the whole vocabulary
+        return out.sort_values(
+            ["cnt", "ngram"], ascending=[False, True]
+        ).head(50)
+
+    agg = part_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        merge, key_col="ngram", n_parts=16,
     )
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(50)
 

@@ -268,10 +268,15 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
     O(n^2) pairs and dominates the whole run. The kept ids are the
     ``max_bucket`` smallest (deterministic); documents beyond the cap in
     one band still pair through their other ``bands-1`` band buckets.
-    Distinct pairs come from a COUNT AGGREGATE over (doc_a, doc_b) (no
-    per-pair Python group call); ``n_bands`` = number of bands that fired.
-    """
-    from ray.data.aggregate import Count
+
+    Wide steps keep O(n_parts) groups (stages/hashagg.py — a map_groups
+    per (band_id, band_hash) bucket and a Dataset aggregate over the
+    distinct pairs were the measured high-volume groupby pathology):
+    buckets of one band_hash land in one hash partition, a python loop
+    over the partition's buckets emits capped triu pairs, and distinct
+    pairs (+ ``n_bands`` = bands fired) come from a pair-hash-partitioned
+    pandas count."""
+    from sits_ray.stages.hashagg import part_aggregate
 
     lsh = ds.map_batches(
         MinHashStage,
@@ -281,17 +286,63 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
         num_cpus=1,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        if ids.size > max_bucket:
-            ids = ids[:max_bucket]
-        iu, ju = np.triu_indices(ids.size, 1)
-        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["band_id", "band_hash", "doc_id"])
+        bid = gg["band_id"].to_numpy()
+        bh = gg["band_hash"].to_numpy()
+        did = gg["doc_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        )
+        ends = np.r_[starts[1:], did.size]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            ids = np.unique(did[s:e])
+            if ids.size < 2:
+                continue
+            if ids.size > max_bucket:
+                ids = ids[:max_bucket]
+            iu, ju = np.triu_indices(ids.size, 1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        p = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+        # partial dedup inside the partition before the pair shuffle
+        out = p.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    cand = lsh.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    bp = part_aggregate(lsh, bucket_pairs, key_col="band_hash", n_parts=32)
+
+    def addpk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        with np.errstate(over="ignore"):
+            df["pk"] = (
+                df["doc_a"].to_numpy(dtype=np.int64) * np.int64(1_000_003)
+                + df["doc_b"].to_numpy(dtype=np.int64)
+            )
+        return df
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_bands")
+        )
+        out["n_bands"] = out["n_bands"].astype(np.int64)
+        return out
+
+    return part_aggregate(
+        bp.map_batches(addpk, batch_format="pandas"),
+        merge_pairs, key_col="pk", n_parts=32,
+    )
 
 
 def _join_partitions(requested: int | None) -> int:
