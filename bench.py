@@ -220,13 +220,21 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     ).count()
     series_family_sec = time.perf_counter() - t0
 
+    # per-query protocol mirrors the flagship's: run twice, report the
+    # MIN, record both — single cold runs were dominated by session
+    # warm-up and the host's contention windows, not engine cost
     queries: dict[str, float] = {}
+    query_runs: dict[str, list] = {}
     from sits_ray.queries import QUERIES
 
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](sf_dir))
-        queries[name] = round(time.perf_counter() - t0, 3)
+        pair = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](sf_dir))
+            pair.append(round(time.perf_counter() - t0, 3))
+        query_runs[name] = pair
+        queries[name] = min(pair)
 
     phases = {
         **res.get("phases", {}),
@@ -248,6 +256,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         "points_per_sec": round(input_turns / flagship_sec),
         "tier_points": res["tiers"],
         "runs": runs,
+        "query_runs": query_runs,
         "cpu_efficiency": round(cpu_total / (flagship_sec * ncpu), 3) if cpu_total else None,
         "phases": phases,
         "series_family_rows_per_sec": round(smoothed_rows / series_family_sec),
