@@ -222,19 +222,21 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
     # per-query protocol mirrors the flagship's: run twice, report the
     # MIN, record both — single cold runs were dominated by session
-    # warm-up and the host's contention windows, not engine cost
+    # warm-up and the host's contention windows, not engine cost.
+    # The --scaling legs skip the block (their metric is the flagship).
     queries: dict[str, float] = {}
     query_runs: dict[str, list] = {}
-    from sits_ray.queries import QUERIES
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
+        from sits_ray.queries import QUERIES
 
-    for name in BENCH_QUERIES:
-        pair = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](sf_dir))
-            pair.append(round(time.perf_counter() - t0, 3))
-        query_runs[name] = pair
-        queries[name] = min(pair)
+        for name in BENCH_QUERIES:
+            pair = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _consume(QUERIES[name](sf_dir))
+                pair.append(round(time.perf_counter() - t0, 3))
+            query_runs[name] = pair
+            queries[name] = min(pair)
 
     phases = {
         **res.get("phases", {}),
@@ -267,7 +269,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
 def run_scaling(sf_dir: str) -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_QUERIES="0")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
