@@ -5652,3 +5652,36 @@ def loop_detection(sf_dir):
 
     prepped = ds.map_batches(add_hash, batch_format="pandas")
     return map_conv_partitions(prepped, repeat_turns_kernel, extra_cols=("h",))
+
+
+# --- per-conversation burstiness (Fano factor) -------------------------------
+@q(
+    "burstiness",
+    """
+with m as (
+  select user_id as conv_id, date_trunc('minute', ts) as mt,
+         cast(count(*) as bigint) as c
+  from events group by 1, 2),
+a as (
+  select conv_id,
+         cast(sum(c) as bigint) as n_events,
+         cast(sum(c*c) as bigint) as ssq,
+         cast(datediff('minute', min(mt), max(mt)) + 1 as bigint) as n_minutes
+  from m group by 1)
+select conv_id, n_minutes, n_events,
+       cast(n_minutes*ssq - n_events*n_events as double)
+         / cast(n_minutes*n_events as double) as fano
+from a
+""",
+)
+def burstiness(sf_dir):
+    """Per-conversation burstiness: Fano factor (variance/mean) of
+    per-minute event counts over the observed span — the dispersion
+    signal that separates steady agents (fano ~= 1, Poisson) from bursty
+    sessions (fano >> 1). Integer sums of counts and squared counts make
+    the float a single exact division (stages/eventops.fano_kernel; ONE
+    part_id shuffle)."""
+    from sits_ray.stages.eventops import fano_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    return map_conv_partitions(ds, fano_kernel)

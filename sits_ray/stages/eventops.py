@@ -943,3 +943,45 @@ def repeat_turns_kernel(g: pa.Table) -> pa.Table:
             "max_burst": pa.array(burst),
         }
     )
+
+
+def fano_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation burstiness: the Fano factor (variance/mean) of
+    per-minute event counts over the conversation's observed minute span
+    (zero minutes included via the span; they add nothing to the sums).
+    All sums are INTEGER (counts and squared counts), so
+    ``fano = (n_minutes*ssq - n_events²) / (n_minutes*n_events)`` is a
+    single exact-int-to-double division — bit-exact cross-engine.
+
+    Output: (conv_id, n_minutes, n_events, fano)."""
+    conv_vals, codes, ts, order, _, starts, ends = _sorted_partition(g)
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type),
+                "n_minutes": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "fano": pa.array([], pa.float64()),
+            }
+        )
+    minute = ts // 60_000_000
+    chg = np.r_[True, (codes[1:] != codes[:-1]) | (minute[1:] != minute[:-1])]
+    ms = np.flatnonzero(chg)
+    me = np.r_[ms[1:], codes.size]
+    c = (me - ms).astype(np.int64)
+    bconv = codes[ms]
+    cstart = np.flatnonzero(np.r_[True, bconv[1:] != bconv[:-1]])
+    ssq = np.add.reduceat(c * c, cstart)
+    s = (ends - starts).astype(np.int64)
+    n_min = (minute[ends - 1] - minute[starts] + 1).astype(np.int64)
+    fano = (n_min * ssq - s * s).astype(np.float64) / (
+        n_min * s
+    ).astype(np.float64)
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[starts], pa.int64())),
+            "n_minutes": pa.array(n_min),
+            "n_events": pa.array(s),
+            "fano": pa.array(fano),
+        }
+    )

@@ -525,3 +525,29 @@ def test_repeat_turns_kernel_empty():
 
     g = _g([], [], [], h=np.array([], dtype=np.int64))
     assert repeat_turns_kernel(g).num_rows == 0
+
+
+# --- burstiness ---------------------------------------------------------------
+def test_fano_kernel_poisson_vs_burst():
+    from sits_ray.stages.eventops import fano_kernel
+
+    # conv 1: 4 events in one minute -> span 1, fano = (1*16-16)/(1*4) = 0
+    # conv 2: events in minutes 0 and 4, counts [3, 1]: span 5, s=4, ssq=10
+    #         fano = (5*10 - 16) / (5*4) = 34/20 = 1.7
+    g = _g(
+        [1, 1, 1, 1, 2, 2, 2, 2],
+        [1, 2, 3, 4, 1, 2, 3, 4 * 60 * US],
+        [1, 2, 3, 4, 1, 2, 3, 4],
+    )
+    out = (
+        fano_kernel(g).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert out["n_minutes"].tolist() == [1, 5]
+    assert out["n_events"].tolist() == [4, 4]
+    assert out["fano"].tolist() == [0.0, 1.7]
+
+
+def test_fano_kernel_empty():
+    from sits_ray.stages.eventops import fano_kernel
+
+    assert fano_kernel(_g([], [], [])).num_rows == 0
