@@ -679,6 +679,10 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
     num_partitions = _join_partitions(num_partitions)
 
     def stats(t: pa.Table) -> pa.Table:
+        # per-doc set build measured FASTER than the "vectorized"
+        # (doc, shingle)-frame + drop_duplicates alternative at sf0.1
+        # (10M-row object dedup costs more than 10M set inserts) — keep
+        # the simple form; it is batch-parallel anyway
         blks, nshs, pids = [], [], []
         for s in t["text"].to_pylist():
             sh = char_shingles(s, k)

@@ -551,3 +551,28 @@ def test_fano_kernel_empty():
     from sits_ray.stages.eventops import fano_kernel
 
     assert fano_kernel(_g([], [], [])).num_rows == 0
+
+
+def test_charshingle_dedup_short_and_empty_docs(ray_session):
+    """Vectorized stats stage matches char_shingles semantics on edge
+    texts: empty (one '' shingle), shorter-than-k (whole text once),
+    exactly-k. Two empty docs are exact duplicates (jaccard 1)."""
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["", "", "abc", "abc", "abcde"],
+        }
+    )
+    out = (
+        charshingle_dedup(rd.from_pandas(docs), threshold=0.99, k=5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # two empty docs: identical single '' shingle
+    assert (2, 3) in pairs  # two short docs: identical whole-text shingle
+    for a, b in pairs:
+        assert out.loc[(out.doc_a == a) & (out.doc_b == b), "jaccard"].iloc[0] == 1.0
