@@ -4941,11 +4941,11 @@ def global_latency_quantiles(sf_dir):
     actual data elements and compare bit-exact. The global cousin of
     sits_reduce's per-series t_q* reducers (src/reduce_fns.cpp)."""
     from sits_ray.stages.eventops import latency_kernel, map_conv_partitions
-    from sits_ray.stages.quantile import exact_quantile
+    from sits_ray.stages.quantile import exact_quantiles
 
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
     lat = map_conv_partitions(ds, latency_kernel).materialize()
-    qs = {p: exact_quantile(lat, "lat", p) for p in (0.50, 0.95, 0.99)}
+    qs = exact_quantiles(lat, "lat", (0.50, 0.95, 0.99))
     return pd.DataFrame(
         {"p50_latency": [qs[0.50]], "p95_latency": [qs[0.95]],
          "p99_latency": [qs[0.99]]}

@@ -51,14 +51,35 @@ def exact_quantile(ds, col: str, q: float, bins: int = 1024,
     """Exact ``quantile_disc(col, q)`` over a Dataset: selection by
     histogram refinement (no sort, no full materialization). NaNs/nulls
     ignored, matching SQL aggregate semantics."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    return exact_quantiles(ds, col, (q,), bins=bins,
+                           max_collect=max_collect, max_rounds=max_rounds)[q]
+
+
+def exact_quantiles(ds, col: str, qs, bins: int = 1024,
+                    max_collect: int = 65536,
+                    max_rounds: int = 64) -> dict[float, float]:
+    """Several exact quantiles of one column: the cleaned value dataset is
+    materialized ONCE and its (count, min, max) stats computed once —
+    only the per-rank refinement passes repeat per quantile (3 quantiles
+    previously paid 3 clean+materialize+stats passes)."""
+    from ray.data.aggregate import Count, Max, Min
 
     vals = _clean_col(ds, col).materialize()
     stats = vals.aggregate(Count(col), Min(col), Max(col))
     n = int(stats[f"count({col})"])
     if n == 0:
-        return float("nan")
-    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+        return {q: float("nan") for q in qs}
+    lo0, hi0 = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    return {
+        q: _refine(vals, col, n, lo0, hi0, q, bins, max_collect, max_rounds)
+        for q in qs
+    }
+
+
+def _refine(vals, col: str, n: int, lo: float, hi: float, q: float,
+            bins: int, max_collect: int, max_rounds: int) -> float:
+    from ray.data.aggregate import Sum
+
     k = _rank(q, n)  # global 1-based rank; invariant: k-th value in [lo, hi]
 
     for _ in range(max_rounds):
