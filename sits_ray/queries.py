@@ -5685,3 +5685,22 @@ def burstiness(sf_dir):
 
     ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
     return map_conv_partitions(ds, fano_kernel)
+
+
+# --- LTTB display downsampling ------------------------------------------------
+@q("lttb_downsample")
+def lttb_downsample(sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling of the gap-filled 1h
+    tier to 20 representative points per conversation — the downsample
+    modality of the rollup/downsample/retention engine (points are actual
+    data elements preserving visual shape, not aggregates). Stateless
+    nested map after the one rollup shuffle (stages/series_ops.
+    lttb_to_long; kernel vectorized across series per length group).
+    Rows-only (the bucket-sequential selection is pinned against the
+    textbook scalar twin in tests/test_lttb.py)."""
+    from sits_ray.stages.series_ops import lttb_to_long
+
+    nested = _nested_tier(sf_dir, "1h", gapfill=True)
+    return nested.map_batches(
+        lambda b: lttb_to_long(b, n_out=20), batch_format="pyarrow"
+    )

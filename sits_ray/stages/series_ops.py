@@ -267,3 +267,56 @@ def change_events(
             "peak_posterior": pa.array(np.concatenate(out_p)),
         }
     )
+
+
+def lttb_to_long(
+    batch: pa.Table,
+    n_out: int = 20,
+    value_col: str = "mean_latency",
+    id_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+) -> pa.Table:
+    """Nested batch -> LTTB-downsampled long rows: per conversation the
+    ``n_out`` REPRESENTATIVE (ts, value) points (actual data elements)
+    that preserve the series' visual shape (kernels/lttb.py). Vectorized
+    across the batch's series per length group; series with <= n_out
+    points pass through whole. NaN values (all-gap series) are mapped to
+    0.0 before the area computation so both kernel twins agree."""
+    from sits_ray.kernels.lttb import lttb_indices_batch
+
+    flat_ts, lens, offs = ragged(batch[ts_col])
+    flat_v, _, _ = ragged(batch[value_col])
+    flat_ts = flat_ts.astype("datetime64[us]").astype(np.int64)
+    flat_v = np.nan_to_num(flat_v.astype(np.float64), nan=0.0)
+    out_conv, out_ts, out_val = [], [], []
+    for length, rows in _len_groups(lens):
+        if length == 0:
+            continue
+        X = _gather(flat_ts, offs, rows, length).astype(np.float64)
+        Y = _gather(flat_v, offs, rows, length)
+        idx = lttb_indices_batch(X, Y, n_out)
+        k = idx.shape[1]
+        gts = _gather(flat_ts, offs, rows, length)
+        picked_ts = np.take_along_axis(gts, idx, axis=1)
+        picked_v = np.take_along_axis(Y, idx, axis=1)
+        out_conv.append(np.repeat(rows, k))
+        out_ts.append(picked_ts.ravel())
+        out_val.append(picked_v.ravel())
+    if not out_conv:
+        return pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                ts_col: pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    rep = np.concatenate(out_conv)
+    return pa.table(
+        {
+            id_col: _take(batch[id_col], rep),
+            ts_col: pa.array(
+                np.concatenate(out_ts).astype("datetime64[us]")
+            ),
+            "value": pa.array(np.concatenate(out_val)),
+        }
+    )
