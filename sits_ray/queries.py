@@ -5704,3 +5704,46 @@ def lttb_downsample(sf_dir):
     return nested.map_batches(
         lambda b: lttb_to_long(b, n_out=20), batch_format="pyarrow"
     )
+
+
+# --- M4 visualization downsampling --------------------------------------------
+@q(
+    "m4_downsample",
+    """
+with r as (
+  select user_id as conv_id,
+         make_timestamp((epoch_us(ts) // 600000000) * 600000000) as bucket_ts,
+         value,
+         row_number() over (partition by user_id, epoch_us(ts) // 600000000
+                            order by ts, event_id) as rn,
+         count(*) over (partition by user_id, epoch_us(ts) // 600000000) as n
+  from events)
+select conv_id, bucket_ts,
+       cast(max(n) as bigint) as n,
+       max(case when rn = 1 then value end) as v_first,
+       max(case when rn = n then value end) as v_last,
+       min(value) as v_min,
+       max(value) as v_max
+from r group by 1, 2
+""",
+)
+def m4_downsample(sf_dir):
+    """M4 downsampling (first/last/min/max per conversation per 10-minute
+    pixel bucket — Jugel et al. VLDB 2014): the lossless-for-rendering
+    companion of LTTB. Pure selections (no float arithmetic) in (ts,
+    event_id) order, so the oracle is bit-exact; ONE part_id shuffle +
+    whole-partition kernel (stages/eventops.m4_kernel)."""
+    from sits_ray.stages.eventops import m4_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("bucket_ts"),
+            "bucket_ts",
+            pc.cast(t["bucket_ts"], pa.timestamp("us")),
+        )
+
+    return map_conv_partitions(
+        ds, m4_kernel, extra_cols=("value",)
+    ).map_batches(finish, batch_format="pyarrow")

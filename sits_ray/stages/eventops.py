@@ -985,3 +985,43 @@ def fano_kernel(g: pa.Table) -> pa.Table:
             "fano": pa.array(fano),
         }
     )
+
+
+def m4_kernel(g: pa.Table, bucket_us: int = 600_000_000) -> pa.Table:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    conversation per pixel bucket keep exactly the FIRST, LAST, MIN and
+    MAX values — the lossless-for-rendering aggregate used by every
+    time-series dashboard. Pure selections (no float arithmetic), so the
+    SQL twin is bit-exact; first/last follow (ts, order) order.
+
+    Output: (conv_id, bucket_ts, n, v_first, v_last, v_min, v_max)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type),
+                "bucket_ts": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+                "v_first": pa.array([], pa.float64()),
+                "v_last": pa.array([], pa.float64()),
+                "v_min": pa.array([], pa.float64()),
+                "v_max": pa.array([], pa.float64()),
+            }
+        )
+    v = ex["value"].astype(np.float64)
+    b = (ts // bucket_us) * bucket_us
+    bs = _seg_starts(codes, b)
+    be = np.r_[bs[1:], codes.size]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[bs], pa.int64())),
+            "bucket_ts": pa.array(b[bs].astype("datetime64[us]")),
+            "n": pa.array((be - bs).astype(np.int64)),
+            "v_first": pa.array(v[bs]),
+            "v_last": pa.array(v[be - 1]),
+            "v_min": pa.array(np.minimum.reduceat(v, bs)),
+            "v_max": pa.array(np.maximum.reduceat(v, bs)),
+        }
+    )

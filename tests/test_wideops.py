@@ -576,3 +576,44 @@ def test_charshingle_dedup_short_and_empty_docs(ray_session):
     assert (2, 3) in pairs  # two short docs: identical whole-text shingle
     for a, b in pairs:
         assert out.loc[(out.doc_a == a) & (out.doc_b == b), "jaccard"].iloc[0] == 1.0
+
+
+# --- M4 downsampling ------------------------------------------------------------
+def test_m4_kernel_selections():
+    from sits_ray.stages.eventops import m4_kernel
+
+    # one conv, one 10-min bucket: values in time order [5, 1, 9, 4]
+    g = _g(
+        [1, 1, 1, 1, 2],
+        [10 * US, 20 * US, 30 * US, 40 * US, 700 * US],
+        [1, 2, 3, 4, 1],
+        value=np.array([5.0, 1.0, 9.0, 4.0, 2.5]),
+    )
+    out = (
+        m4_kernel(g)
+        .to_pandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [4, 1]
+    assert out.loc[0, ["v_first", "v_last", "v_min", "v_max"]].tolist() == [
+        5.0, 4.0, 1.0, 9.0,
+    ]
+    # singleton bucket: all four selections are the same point
+    assert out.loc[1, ["v_first", "v_last", "v_min", "v_max"]].tolist() == [
+        2.5, 2.5, 2.5, 2.5,
+    ]
+
+
+def test_m4_kernel_bucket_split():
+    from sits_ray.stages.eventops import m4_kernel
+
+    # events straddling a bucket edge land in separate buckets
+    g = _g(
+        [1, 1],
+        [599 * US, 601 * US],
+        [1, 2],
+        value=np.array([1.0, 2.0]),
+    )
+    out = m4_kernel(g, bucket_us=600 * US).to_pandas()
+    assert len(out) == 2
