@@ -181,3 +181,29 @@ def mann_kendall(m: np.ndarray):
     srt = np.sort(slopes, axis=1)
     k = max(0, int(np.ceil(0.5 * srt.shape[1])) - 1)
     return s, srt[:, k]
+
+
+def holt(m: np.ndarray, alpha: float = 0.3, beta: float = 0.1) -> np.ndarray:
+    """Holt double-exponential (level + trend) smoothing along time,
+    vectorized across series (rows) — the trend-aware member of the
+    sits_filter recursive family (ewma's two-state extension):
+    ``s_1 = x_1``; ``b_1 = x_2 - x_1`` (0 for singleton series);
+    ``s_t = alpha*x_t + (1-alpha)*(s_{t-1} + b_{t-1})``;
+    ``b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}``.
+    Operand order is pinned exactly as written (literal a*x + (1-a)*(s+b)
+    and beta*(s'-s) + (1-beta)*b), so a SQL recursive CTE carrying (s, b)
+    and evaluating the same literal expressions is bit-exact. Returns the
+    level matrix."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    out = np.empty_like(m)
+    a, oma = alpha, 1.0 - alpha
+    g, omg = beta, 1.0 - beta
+    s = m[:, 0].copy()
+    b = (m[:, 1] - m[:, 0]) if m.shape[1] > 1 else np.zeros(m.shape[0])
+    out[:, 0] = s
+    for t in range(1, m.shape[1]):
+        s_new = a * m[:, t] + oma * (s + b)
+        b = g * (s_new - s) + omg * b
+        s = s_new
+        out[:, t] = s
+    return out

@@ -5747,3 +5747,54 @@ def m4_downsample(sf_dir):
     return map_conv_partitions(
         ds, m4_kernel, extra_cols=("value",)
     ).map_batches(finish, batch_format="pyarrow")
+
+
+def _holt_sql(alpha: float = 0.3, beta: float = 0.1) -> str:
+    """Recursive-CTE twin of kernels/smooth.holt: TWO states (level s,
+    trend b) carried through the position-indexed walk; the level
+    expression is repeated inside the trend update exactly as the kernel
+    computes it (same literal ops -> same float), the ewma/cusum trick."""
+    a = f"{float(alpha):.17e}"
+    oma = f"{1.0 - float(alpha):.17e}"
+    g = f"{float(beta):.17e}"
+    omg = f"{1.0 - float(beta):.17e}"
+    s_next = f"{a} * xs[i + 1] + {oma} * (s + b)"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, tss, xs,
+           xs[1] + 0.0 as s,
+           case when n > 1 then xs[2] - xs[1] else 0.0 end as b
+    from ser
+    union all
+    select conv_id, i + 1, n, tss, xs,
+           {s_next},
+           {g} * (({s_next}) - s) + {omg} * b
+    from w where i < n)
+  select * from w)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency, s as holt
+from walk
+"""
+
+
+@q("holt_daily", _holt_sql())
+def holt_daily(sf_dir):
+    """Holt double-exponential (level+trend) smoothing (alpha=0.3,
+    beta=0.1) of per-conv daily mean-latency series — the trend-aware
+    recursive smoother completing the ewma family. Same vectorized
+    nested-form map (no per-conv shuffle); SQL-exact via a two-state
+    recursive-CTE walk (kernels/smooth.holt)."""
+    from sits_ray.kernels.smooth import holt
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"holt": (holt, 1)}),
+        batch_format="pyarrow",
+    )

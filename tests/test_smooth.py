@@ -130,3 +130,36 @@ def test_mann_kendall_known_trends():
     # short series: no pairs -> S=0, NaN slope
     s1, sl1 = mann_kendall(np.array([[5.0]]))
     assert s1[0] == 0 and np.isnan(sl1[0])
+
+
+def test_holt_matches_scalar_recursion():
+    from sits_ray.kernels.smooth import holt
+
+    rng = np.random.default_rng(6)
+    m = rng.normal(size=(4, 25))
+    got = holt(m, alpha=0.3, beta=0.1)
+    for r in range(4):
+        x = m[r]
+        s, b = x[0], x[1] - x[0]
+        assert got[r, 0] == s
+        for t in range(1, x.size):
+            s_new = 0.3 * x[t] + 0.7 * (s + b)
+            b = 0.1 * (s_new - s) + 0.9 * b
+            s = s_new
+            assert got[r, t] == s, (r, t)
+
+
+def test_holt_tracks_linear_trend():
+    from sits_ray.kernels.smooth import holt
+
+    x = (3.0 * np.arange(60) + 5.0)[None, :]
+    out = holt(x, alpha=0.3, beta=0.1)
+    # on an exact line with b_1 = slope the smoother reproduces the line
+    np.testing.assert_allclose(out, x, rtol=1e-12)
+
+
+def test_holt_singleton_series():
+    from sits_ray.kernels.smooth import holt
+
+    out = holt(np.array([[4.2]]))
+    assert out.tolist() == [[4.2]]
