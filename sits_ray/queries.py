@@ -2654,8 +2654,8 @@ h as (
   select doc_id, cnt,
          list_reduce(
            list_prepend(cast(0 as bigint),
-                        list_transform(regexp_extract_all(w, '.'),
-                                       c -> cast(ascii(c) as bigint))),
+                        list_transform(regexp_extract_all(to_hex(encode(w)), '..'),
+                                       c -> cast(concat('0x', c) as bigint))),
            (h, c) -> (h * 1000003 + c) % 2147483647
          ) as hw
   from tok),
@@ -2743,8 +2743,8 @@ def simhash_signatures(sf_dir):
 select doc_id,
        list_reduce(
          list_prepend(cast(0 as bigint),
-                      list_transform(regexp_extract_all(text, '.'),
-                                     c -> cast(ascii(c) as bigint))),
+                      list_transform(regexp_extract_all(to_hex(encode(text)), '..'),
+                                     c -> cast(concat('0x', c) as bigint))),
          (h, c) -> (h * 1000003 + c) % 2147483647
        ) as fingerprint
 from documents
@@ -2755,7 +2755,9 @@ def doc_fingerprints(sf_dir):
     batch-vectorized: one reduceat computes every doc's hash
     (kernels/text.fingerprint_batch; scalar-parity pinned in tests).
     SQL-exact: the oracle folds the same Horner recurrence per character
-    with list_reduce (ASCII corpus: ascii(c) == utf-8 byte)."""
+    with list_reduce over the exact UTF-8 bytes
+    (to_hex(encode(text)) hex pairs -> byte values), so the contract
+    holds for arbitrary payloads including newlines and non-ASCII."""
     from sits_ray.kernels.text import fingerprint_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -5362,8 +5364,8 @@ with tok as (
   select doc_id,
     list_transform(regexp_extract_all(lower(text), '[a-z]+'),
       t -> list_reduce(list_prepend(cast(0 as bigint),
-             list_transform(regexp_extract_all(t, '.'),
-                            c -> cast(ascii(c) as bigint))),
+             list_transform(regexp_extract_all(to_hex(encode(t)), '..'),
+                            c -> cast(concat('0x', c) as bigint))),
            (h, c) -> (h * 1000003 + c) % 2147483647)) as hts
   from documents),
 win as (
@@ -5411,8 +5413,8 @@ def dup_passages_q(sf_dir):
 select doc_id, lang, source from documents
 where list_reduce(
         list_prepend(cast(0 as bigint),
-                     list_transform(regexp_extract_all(cast(doc_id as varchar), '.'),
-                                    c -> cast(ascii(c) as bigint))),
+                     list_transform(regexp_extract_all(to_hex(encode(cast(doc_id as varchar))), '..'),
+                                    c -> cast(concat('0x', c) as bigint))),
         (h, c) -> (h * 1000003 + c) % 2147483647) % 10 < 2
 """,
 )
@@ -5598,8 +5600,8 @@ with hsh as (
   select user_id as conv_id, ts, event_id,
          list_reduce(
            list_prepend(cast(0 as bigint),
-                        list_transform(regexp_extract_all(props, '.'),
-                                       c -> cast(ascii(c) as bigint))),
+                        list_transform(regexp_extract_all(to_hex(encode(props)), '..'),
+                                       c -> cast(concat('0x', c) as bigint))),
            (h, c) -> (h * 1000003 + c) % 2147483647) as h
   from events),
 m as (

