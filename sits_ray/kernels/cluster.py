@@ -16,11 +16,21 @@ import numpy as np
 
 
 def pairwise_euclidean(X: np.ndarray) -> np.ndarray:
+    """Pairwise Euclidean distances with a SEQUENTIAL accumulation over
+    the feature dimension (``acc += (x_d - y_d)^2`` one dim at a time,
+    vectorized across the n x n plane) instead of the BLAS dot-product
+    trick: BLAS uses blocked summation whose order SQL cannot replay,
+    while this order is exactly DuckDB's ``list_reduce`` left fold — the
+    bit-parity contract the ``cluster_dendro_embeddings`` oracle relies
+    on. Cost is O(n^2 d) either way; the sample side here is small by
+    design (the reference clusters a samples tibble)."""
     X = np.asarray(X, dtype=np.float64)
-    sq = (X**2).sum(axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
-    np.fill_diagonal(d2, 0.0)
-    return np.sqrt(np.maximum(d2, 0.0))
+    n, dim = X.shape
+    acc = np.zeros((n, n), dtype=np.float64)
+    for d in range(dim):
+        diff = X[:, d, None] - X[None, :, d]
+        acc += diff * diff
+    return np.sqrt(acc)
 
 
 def linkage_average(D: np.ndarray) -> np.ndarray:

@@ -1005,29 +1005,141 @@ def reduce_imbalance_smote(sf_dir):
 
 
 # --- §2.5 sits_cluster_dendro ----------------------------------------------
-@q("cluster_dendro_embeddings")
+_DENDRO_N, _DENDRO_K = 96, 8
+
+
+def _dendro_walk_sql(n: int, k: int, dim: int = 64) -> str:
+    """Recursive-CTE twin of kernels/cluster.cluster_dendro: the state of
+    iteration ``it`` is the ACTIVE canonical pair matrix (i<j, distance,
+    both cluster sizes); each step picks the argmin pair (order by d,i,j =
+    numpy's row-major first-min) and rewrites the touched pairs with the
+    Lance-Williams average-linkage update ``wi*d(i,k) + wj*d(j,k)`` — the
+    exact float expression the engine evaluates. Base distances fold
+    sequentially over the 64 dims (list_reduce left fold ==
+    pairwise_euclidean's dim-at-a-time accumulation), so every distance,
+    weight and merge decision is bit-identical. The merge sequence is
+    recovered post-hoc (argmin per iteration), replayed over the points,
+    and labels renumbered by first appearance (cut_tree semantics).
+    Returns the shared CTE prefix ending in ``lab(p, cluster)``."""
+    stop = n - k
+    return f"""
+with recursive
+pts as (
+  select row_number() over (order by vec_id) - 1 as p, vec_id,
+         embedding::DOUBLE[] as v
+  from (select vec_id, embedding from embeddings order by vec_id limit {n})
+),
+walk as (
+  select 0::BIGINT as it, a.p as i, b.p as j,
+         sqrt(list_reduce(
+            list_prepend(0.0,
+              list_transform(generate_series(1, {dim}),
+                q -> (a.v[q] - b.v[q]) * (a.v[q] - b.v[q]))),
+            (x, y) -> x + y)) as d,
+         1::BIGINT as si, 1::BIGINT as sj
+  from pts a join pts b on a.p < b.p
+  union all
+  select * from (
+    with m as (select i as pi, j as pj, si as psi, sj as psj
+               from walk order by d, i, j limit 1),
+    ar as (select w.it, w.i + w.j - m.pi as kk, w.d,
+                  m.pi, m.pj, m.psi, m.psj
+           from walk w, m where (w.i = m.pi or w.j = m.pi)
+             and w.i + w.j - m.pi <> m.pj),
+    br as (select w.i + w.j - m.pj as kk, w.d,
+                  case when w.i = m.pj then w.sj else w.si end as sk
+           from walk w, m where (w.i = m.pj or w.j = m.pj)
+             and w.i + w.j - m.pj <> m.pi)
+    select w.it + 1 as it, w.i, w.j, w.d, w.si, w.sj
+    from walk w, m
+    where w.i <> m.pi and w.i <> m.pj and w.j <> m.pi and w.j <> m.pj
+      and w.it < {stop}
+    union all
+    select a.it + 1 as it,
+           least(a.pi, a.kk) as i,
+           greatest(a.pi, a.kk) as j,
+           (a.psi::DOUBLE / (a.psi + a.psj)) * a.d
+             + (a.psj::DOUBLE / (a.psi + a.psj)) * b.d as d,
+           case when a.pi < a.kk then a.psi + a.psj else b.sk end as si,
+           case when a.pi < a.kk then b.sk else a.psi + a.psj end as sj
+    from ar a join br b using (kk)
+    where a.it < {stop}
+  )
+),
+merges as (
+  select it, i as pi, j as pj
+  from walk
+  where it < {stop}
+  qualify row_number() over (partition by it order by d, i, j) = 1
+),
+assign as (
+  select 0::BIGINT as it, p, p as slot from pts
+  union all
+  select a.it + 1, a.p,
+         case when a.slot = m.pj then m.pi else a.slot end
+  from assign a join merges m on m.it = a.it
+  where a.it < {stop}
+),
+fin as (select p, slot from assign where it = {stop}),
+lab as (
+  select p, dense_rank() over (order by minp) - 1 as cluster
+  from (select p, slot, min(p) over (partition by slot) as minp from fin)
+)"""
+
+
+def _dendro_sql(n: int = _DENDRO_N, k: int = _DENDRO_K) -> str:
+    return _dendro_walk_sql(n, k) + """
+select pts.vec_id, lab.cluster
+from pts join lab using (p)
+"""
+
+
+def _cluster_clean_sql(n: int = _DENDRO_N, k: int = _DENDRO_K) -> str:
+    """Majority rule on top of the dendro walk: per cluster the winning
+    label is (count desc, label asc) — pandas idxmax first-occurrence over
+    the ascending crosstab index — and only rows carrying it survive."""
+    return _dendro_walk_sql(n, k) + f"""
+, rows_l as (
+  select e.vec_id, e.label, lab.cluster
+  from pts join lab using (p)
+  join embeddings e on e.vec_id = pts.vec_id),
+major as (
+  select cluster, label as maj
+  from (select cluster, label, count(*) as cnt from rows_l group by 1, 2)
+  qualify row_number() over (partition by cluster
+                             order by cnt desc, label asc) = 1)
+select r.vec_id, r.label, r.cluster
+from rows_l r join major m
+  on r.cluster = m.cluster and r.label = m.maj
+"""
+
+
+@q("cluster_dendro_embeddings", _dendro_sql())
 def cluster_dendro_embeddings(sf_dir):
     """sits_cluster_dendro (R/sits_cluster.R:59-177): average-linkage
-    dendrogram over a 256-row sample of the embeddings, cut at k=8;
+    dendrogram over a 96-row sample of the embeddings, cut at k=8;
     output (vec_id, cluster). The sample is the small side (the reference
-    clusters the samples tibble). Rows-only; blob-recovery pinned in
+    clusters the samples tibble). SQL-exact vs a recursive-CTE
+    Lance-Williams walk (sequential-fold distances, argmin tie-break,
+    first-appearance relabel all bit-matched); blob-recovery pinned in
     tests/test_sampling_cluster.py."""
     import pyarrow.parquet as pq
 
     from sits_ray.kernels.cluster import cluster_dendro
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.slice(0, 256)
+    t = t.slice(0, _DENDRO_N)
     X = list_matrix(t["embedding"])
-    labels, _ = cluster_dendro(X, k=8)
+    labels, _ = cluster_dendro(X, k=_DENDRO_K)
     return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(labels)})
 
 
-@q("cluster_clean_embeddings")
+@q("cluster_clean_embeddings", _cluster_clean_sql())
 def cluster_clean_embeddings(sf_dir):
     """sits_cluster_clean (R/sits_cluster.R:177-201): dendro-cluster the
     labeled sample, keep only rows whose label is their cluster's
-    majority. Rows-only; majority rule pinned in
+    majority. SQL-exact (dendro walk twin + majority-rule tie-break =
+    pandas idxmax first occurrence); majority rule also pinned in
     tests/test_sampling_cluster.py."""
     import pyarrow.parquet as pq
 
@@ -1035,9 +1147,9 @@ def cluster_clean_embeddings(sf_dir):
 
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
-    ).slice(0, 256)
+    ).slice(0, _DENDRO_N)
     X = list_matrix(t["embedding"])
-    labels, _ = cluster_dendro(X, k=8)
+    labels, _ = cluster_dendro(X, k=_DENDRO_K)
     df = pd.DataFrame(
         {
             "vec_id": t["vec_id"].to_numpy(),
