@@ -2009,25 +2009,82 @@ def change_events_daily(sf_dir):
 
 
 # --- similarity: IVF approximate ANN (scale path) --------------------------
-@q("ivf_ann_topk")
+def _ivf_sql(k: int = 10, nlist: int = 16, nprobe: int = 3, dim: int = 64,
+             seed: int = 11, qids=(0, 1, 2)) -> str:
+    """SQL twin of stages/similarity.ivf_topk_seeded: per-centroid literal
+    dot-product chains (sequential-fold contract), first-max argmax bucket
+    assignment, probe ranking (dot desc, centroid asc), exact cosine
+    within the probed union — the kmeans_assign technique applied to the
+    whole IVF probe path (VERDICT r3 next #1)."""
+    from sits_ray.stages.similarity import seed_centroids
+
+    C = seed_centroids(nlist, dim, seed)
+    exprs = []
+    for j in range(nlist):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * {C[j, d]:.17e}" for d in range(dim)
+        )
+        exprs.append(f"({terms}) as s{j}")
+    conds = []
+    for j in range(nlist - 1):
+        cc = " and ".join(f"s{j} >= s{i}" for i in range(j + 1, nlist))
+        conds.append(f"when {cc} then {j}")
+    case = "case " + " ".join(conds) + f" else {nlist - 1} end"
+    sel = ",\n       ".join(exprs)
+    ql = ", ".join(str(int(x)) for x in qids)
+    unp = "\n  union all\n".join(
+        f"  select query_id, qe, {j} as cidx, s{j} as s from q"
+        for j in range(nlist)
+    )
+    return f"""
+with s as (
+  select vec_id, embedding,
+       {sel}
+  from embeddings),
+a as (select vec_id, embedding, cast({case} as bigint) as bucket from s),
+q as (select vec_id as query_id, embedding as qe, * exclude (vec_id, embedding)
+      from s where vec_id in ({ql})),
+qs as (
+{unp}),
+probed as (
+  select query_id, qe, cidx as bucket
+  from (select query_id, qe, cidx, s,
+               row_number() over (partition by query_id
+                                  order by s desc, cidx) as rn
+        from qs)
+  where rn <= {nprobe}),
+ranked as (
+  select p.query_id, a.vec_id,
+         row_number() over (partition by p.query_id
+            order by list_cosine_similarity(a.embedding, p.qe) desc,
+                     a.vec_id asc) as rn
+  from probed p join a on a.bucket = p.bucket)
+select query_id, vec_id from ranked where rn <= {k}
+"""
+
+
+@q("ivf_ann_topk", _ivf_sql())
 def ivf_ann_topk(sf_dir):
     """IVF-flat approximate cosine top-10 for 3 query vectors against a
     MATERIALIZED bucket-partitioned index (built once per sf dir under
-    /tmp, probes prune at the read — stages/similarity.ivf_build/query).
-    Bucket count scales with the corpus (nlist="auto" √n rule — VERDICT
-    r2 next #3). Rows-only check; recall vs brute force pinned in tests."""
+    /tmp, probes prune at the read — stages/similarity.ivf_topk_seeded).
+    The coarse quantizer is a FIXED seeded centroid set, so the whole
+    probe path — bucket argmax, probe choice, in-bucket ranking — is
+    SQL-exact (VERDICT r3 next #1); the k-means-trained quantizer
+    (ivf_build/ivf_topk, auto √n nlist) keeps its recall + pruned-read
+    tests in tests/test_similarity_bayes.py."""
     import hashlib as _hl
     import pyarrow.parquet as pq
 
-    from sits_ray.stages.similarity import ivf_topk
+    from sits_ray.stages.similarity import ivf_topk_seeded
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_vecs = list_matrix(t["embedding"])[:3]
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    return ivf_topk(
-        ds, q_vecs, k=10, nlist="auto", nprobe=3,
-        index_dir=f"/tmp/sits_ray_ivf/{tag}_auto",
+    return ivf_topk_seeded(
+        ds, q_vecs, k=10, nlist=16, nprobe=3, seed=11,
+        index_dir=f"/tmp/sits_ray_ivf/{tag}_seeded",
     )
 
 

@@ -284,6 +284,140 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10,
                      vec_col=vec_col, id_col=id_col)
 
 
+def seed_centroids(nlist: int, dim: int, seed: int = 11) -> np.ndarray:
+    """FIXED seeded coarse-quantizer centroids (unit-normalized random
+    directions) — the SQL-mechanizable IVF variant (VERDICT r3 next #1):
+    with centroids as literals, bucket assignment is a first-max argmax
+    over literal dot-product chains, exactly like kmeans_assign. Trained
+    (k-means) centroids remain available via :func:`ivf_build`'s default
+    path; recall of both is pinned in tests/test_similarity_bayes.py."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim))
+    return c / np.sqrt((c * c).sum(axis=1))[:, None]
+
+
+def seq_dots(m: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Dot products of every row of ``m`` against every centroid with a
+    SEQUENTIAL left-fold over dimensions (vectorized across rows) — the
+    same float order as a left-associated SQL literal chain
+    ``v[1]*c1 + v[2]*c2 + ...`` (the hyperplane_buckets contract)."""
+    n, d = m.shape
+    out = np.empty((n, C.shape[0]), dtype=np.float64)
+    for i in range(C.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            acc = acc + m[:, j] * C[i, j]
+        out[:, i] = acc
+    return out
+
+
+def ivf_topk_seeded(ds, query_vecs: np.ndarray, k: int = 10,
+                    nlist: int = 16, nprobe: int = 3, seed: int = 11,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    index_dir: str | None = None):
+    """IVF-flat ANN against FIXED seeded centroids — same materialized
+    bucket-partitioned index + probe-pruned read as :func:`ivf_topk`, but
+    the coarse quantizer is :func:`seed_centroids`, so bucket assignment
+    (first-max argmax of sequential raw dots; positive scaling never
+    changes the argmax, so skipping row normalization is exact) and probe
+    choice (dots desc, centroid index asc) are DuckDB-mechanizable. The
+    gate certifies the whole probe+rank path bit-for-bit; k-means-trained
+    IVF keeps its recall tests. Returns (query_id, vec_id) like lsh_topk
+    (sim floats differ across engines by summation order, ids do not)."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    dim = int(np.asarray(query_vecs).shape[-1])
+    C = seed_centroids(nlist, dim, seed)
+    c_ref = ray.put(C)
+    if index_dir is None:
+        index_dir = os.path.join(tempfile.mkdtemp(prefix="ivfs_"), "index")
+
+    fp = dataset_id_fingerprint(ds, id_col)
+    fp.update(nlist=int(nlist), seed=int(seed), quantizer="seeded")
+    fp_path = os.path.join(index_dir, "fingerprint.json")
+    reuse = False
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            reuse = json.load(fh) == fp
+    if not reuse:
+        import shutil
+
+        def assign(t: pa.Table) -> pa.Table:
+            cc = ray.get(c_ref)
+            m = list_matrix(t[vec_col])
+            b = np.argmax(seq_dots(m, cc), axis=1).astype(np.int64)
+            return t.append_column("bucket", pa.array(b)).append_column(
+                "b", pa.array(b)
+            )
+
+        staging = index_dir.rstrip("/") + ".building"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            os.path.join(staging, "vectors"), partition_cols=["bucket"]
+        )
+        with open(os.path.join(staging, "fingerprint.json"), "w") as fh:
+            json.dump(fp, fh)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(index_dir.rstrip("/")) or ".", exist_ok=True)
+        os.replace(staging, index_dir)
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qdots = seq_dots(q, C)
+    # probe order = dots desc with centroid-index-asc ties (stable argsort
+    # on the negated scores — the SQL row_number(order by s desc, c asc))
+    probes = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+    buckets = sorted({int(b) for row in probes for b in row})
+    paths = []
+    for b in buckets:
+        d = os.path.join(index_dir, "vectors", f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    import pandas as pd
+
+    if not paths:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64")})
+    qn = _normalize(q)
+    q_ref = ray.put((qn, [set(p.tolist()) for p in probes]))
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col, "b"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qm, psets = ray.get(q_ref)
+        m = _normalize(list_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy()
+        bcol = t["b"].to_numpy().astype(np.int64)
+        out_q, out_id, out_sim = [], [], []
+        for j, pset in enumerate(psets):
+            mask = np.isin(bcol, list(pset))
+            if not mask.any():
+                continue
+            sims = m[mask] @ qm[j]
+            sel = ids[mask]
+            kk = min(k, sel.size)
+            part = np.argpartition(sims, -kk)[-kk:]
+            out_q.extend([j] * kk)
+            out_id.extend(sel[part].tolist())
+            out_sim.extend(sims[part].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "sim": pa.array(out_sim, pa.float64())}
+        )
+
+    pdf = pruned.map_batches(score, batch_format="pyarrow").to_pandas()
+    pdf = (
+        pdf.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pdf[["query_id", id_col]]
+
+
 def hyperplane_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Sign-bit LSH bucket per row: bit i = (m . planes[i]) > 0. The dot
     product accumulates SEQUENTIALLY over dimensions (vectorized across

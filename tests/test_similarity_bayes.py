@@ -176,3 +176,32 @@ def test_lsh_topk_recall_vs_brute(ray_session, vec_df):
         if mine:
             recalls.append(len(mine & truth) / min(len(truth), 5))
     assert recalls and np.mean(recalls) >= 0.5
+
+
+def test_ivf_seeded_recall_and_reuse(ray_session, vec_df, tmp_path):
+    """Seeded-quantizer IVF (SQL-exact gate path): sane recall on
+    clustered data, deterministic across runs, and fingerprint-gated
+    index reuse (second call must not rebuild)."""
+    import os
+
+    from sits_ray.stages.similarity import brute_force_topk, ivf_topk_seeded
+
+    df, vecs = vec_df
+    q = vecs[5:8]
+    idx = str(tmp_path / "ivfs")
+    exact = brute_force_topk(rd.from_pandas(df), q, k=10)
+    got = ivf_topk_seeded(rd.from_pandas(df), q, k=10, nlist=8, nprobe=4,
+                          index_dir=idx)
+    assert list(got.columns) == ["query_id", "vec_id"]
+    recalls = []
+    for j in range(3):
+        e = set(exact[exact.query_id == j].vec_id)
+        a = set(got[got.query_id == j].vec_id)
+        assert len(a) == 10
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # random directions, 4/8 probes
+    mtime = os.path.getmtime(os.path.join(idx, "fingerprint.json"))
+    again = ivf_topk_seeded(rd.from_pandas(df), q, k=10, nlist=8, nprobe=4,
+                            index_dir=idx)
+    assert os.path.getmtime(os.path.join(idx, "fingerprint.json")) == mtime
+    pd.testing.assert_frame_equal(got, again)
