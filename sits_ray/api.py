@@ -114,6 +114,20 @@ from sits_ray.stages.train import (  # noqa: F401
 # --- §2.6 joins / lookups ---------------------------------------------------
 from sits_ray.kernels.bayes import bayts_change as sits_detect_change  # noqa: F401
 
+
+def sits_segment(nested_ds, value_col: str = "turn_count", depth: int = 2):
+    """Episode segmentation of every series of a nested tier Dataset —
+    the 1-D analog of ``sits_segment``/``sits_slic``
+    (``R/sits_segmentation.R:2,52``): top-down binary segmentation at
+    maximal SSE reduction (stages/series_ops.binary_segment), one
+    stateless map_batches over nested rows."""
+    from sits_ray.stages.series_ops import binary_segment
+
+    return nested_ds.map_batches(
+        lambda b: binary_segment(b, value_col=value_col, depth=depth),
+        batch_format="pyarrow",
+    )
+
 # --- §2.8 sampling / dedup --------------------------------------------------
 from sits_ray.stages.dedup import (  # noqa: F401
     embedding_near_dups,

@@ -2008,6 +2008,103 @@ def change_events_daily(sf_dir):
     )
 
 
+# --- §2.5-analog: sits_segment / sits_slic (1-D episode segmentation) ------
+def _seg_pick_sql(par: str, out: str) -> str:
+    """One binary-segmentation level: per parent segment (conv, a, b) the
+    candidate split t maximizing the SSE-reduction gain (identical float
+    expression to stages/series_ops.binary_segment: each SSE term is
+    ``(ssb - ssa) - ((sb - sa)*(sb - sa))/(b - a)`` and the three-term
+    subtraction associates left), first-max tie-break (gain desc, t asc),
+    kept only when gain > 0."""
+    return f"""
+{out} as (
+  select conv_id, a, b, t from (
+    select c.conv_id, c.a, c.b, c.t,
+           ((c.ssb - c.ssa) - ((c.sb - c.sa) * (c.sb - c.sa)) / (c.b - c.a))
+             - ((c.sst - c.ssa) - ((c.st - c.sa) * (c.st - c.sa)) / (c.t - c.a))
+             - ((c.ssb - c.sst) - ((c.sb - c.st) * (c.sb - c.st)) / (c.b - c.t))
+             as gain
+    from (
+      select par.conv_id, par.a, par.b, p.rn as t,
+             coalesce(pa.s, 0.0) as sa, coalesce(pa.ss, 0.0) as ssa,
+             pb.s as sb, pb.ss as ssb, p.s as st, p.ss as sst
+      from {par} par
+      join pre p on p.conv_id = par.conv_id and p.rn > par.a and p.rn < par.b
+      left join pre pa on pa.conv_id = par.conv_id and pa.rn = par.a
+      join pre pb on pb.conv_id = par.conv_id and pb.rn = par.b) c)
+  where gain > 0
+  qualify row_number() over (partition by conv_id, a order by gain desc, t) = 1)"""
+
+
+_SEGMENT_SQL = f"""
+with roll as (
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
+         cast(count(*) as double) as v
+  from events group by 1, 2),
+pre as (
+  select conv_id, bucket_ts, v,
+         row_number() over (partition by conv_id order by bucket_ts) as rn,
+         count(*) over (partition by conv_id) as n,
+         sum(v) over w2 as s,
+         sum(v * v) over w2 as ss
+  from roll
+  window w2 as (partition by conv_id order by bucket_ts
+                rows between unbounded preceding and current row)),
+tot as (select conv_id, n from pre where rn = n),
+par1 as (select conv_id, 0::BIGINT as a, n as b from tot),
+{_seg_pick_sql('par1', 's1')},
+par2 as (
+  select conv_id, a, t as b from s1
+  union all
+  select conv_id, t as a, b from s1),
+{_seg_pick_sql('par2', 's2')},
+bounds as (
+  select conv_id, 0::BIGINT as bd from tot
+  union
+  select conv_id, t from s1
+  union
+  select conv_id, t from s2
+  union
+  select conv_id, n from tot),
+eps as (
+  select conv_id, bd as a,
+         lead(bd) over (partition by conv_id order by bd) as b2
+  from bounds),
+seg as (
+  select conv_id, a, b2,
+         row_number() over (partition by conv_id order by a) - 1 as seg_id
+  from eps where b2 is not null)
+select seg.conv_id, seg.seg_id,
+       pst.bucket_ts as start_ts, pen.bucket_ts as end_ts,
+       (seg.b2 - seg.a) as n_pts,
+       (pen.s - coalesce(pa.s, 0.0)) / (seg.b2 - seg.a) as seg_mean
+from seg
+join pre pst on pst.conv_id = seg.conv_id and pst.rn = seg.a + 1
+join pre pen on pen.conv_id = seg.conv_id and pen.rn = seg.b2
+left join pre pa on pa.conv_id = seg.conv_id and pa.rn = seg.a
+"""
+
+
+@q("segment_activity_1d", _SEGMENT_SQL)
+def segment_activity_1d(sf_dir):
+    """sits_segment / sits_slic analog (R/sits_segmentation.R:2,52 —
+    partition a scene into homogeneous segments): top-down binary
+    segmentation of each conversation's DAILY activity series into <= 4
+    homogeneous episodes (split at maximal SSE reduction, keep only
+    gain > 0 splits). Nested-form map_batches — one part_id shuffle from
+    the rollup, then vectorized across conversations per length group
+    (stages/series_ops.binary_segment); SQL-exact vs a pure window-SQL
+    twin (integer metric -> exact prefix sums, identical gain expression
+    and tie-break)."""
+    from sits_ray.stages.series_ops import binary_segment
+
+    nested = _nested_tier(sf_dir, "1d", gapfill=False)
+    return nested.map_batches(
+        lambda b: binary_segment(b, value_col="turn_count"),
+        batch_format="pyarrow",
+    )
+
+
 # --- similarity: IVF approximate ANN (scale path) --------------------------
 def _ivf_sql(k: int = 10, nlist: int = 16, nprobe: int = 3, dim: int = 64,
              seed: int = 11, qids=(0, 1, 2)) -> str:

@@ -269,6 +269,116 @@ def change_events(
     )
 
 
+def binary_segment(
+    batch: pa.Table,
+    depth: int = 2,
+    value_col: str = "turn_count",
+    id_col: str = "conv_id",
+    ts_col: str = "bucket_ts",
+) -> pa.Table:
+    """Per-series episode segmentation — the 1-D analog of the reference's
+    object-based segmentation family (``sits_segment`` / ``sits_slic``,
+    ``R/sits_segmentation.R:2,52``: partition a scene into homogeneous
+    segments; here a conversation's activity series into homogeneous
+    episodes). Top-down BINARY SEGMENTATION: each level splits a segment
+    at the position of maximal SSE reduction
+    (``gain = SSE(a,b) - SSE(a,t) - SSE(t,b)``, SSE from prefix sums),
+    keeping the split only when gain > 0 — a constant series never
+    splits. ``depth=2`` yields at most 4 episodes.
+
+    SQL-mechanizable by construction: the metric is an integer count, so
+    every prefix sum is exact in float64 regardless of summation order,
+    and the gain expression / first-max tie-break (order by gain desc, t
+    asc) is written identically in the DuckDB oracle. Vectorized across
+    all conversations of a batch per length group (no groupby(conv))."""
+    flat, lens, offs = ragged(batch[value_col])
+    flat = np.asarray(flat, dtype=np.float64)
+    ts_flat = pc.list_flatten(batch[ts_col]).to_numpy().astype("datetime64[us]")
+    out_conv, out_seg, out_s, out_e, out_n, out_m = [], [], [], [], [], []
+    for length, rows in _len_groups(lens):
+        if length == 0:
+            continue
+        m = _gather(flat, offs, rows, length)  # (r, L)
+        r = rows.size
+        s = np.zeros((r, length + 1))
+        s[:, 1:] = np.cumsum(m, axis=1)
+        ss = np.zeros((r, length + 1))
+        ss[:, 1:] = np.cumsum(m * m, axis=1)
+        tt = np.arange(1, length, dtype=np.int64)  # candidate splits
+
+        def split(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            """First-max argmax of the SSE-reduction gain over a < t < b
+            per row; -1 where no valid t or best gain <= 0."""
+            if tt.size == 0:
+                return np.full(r, -1, dtype=np.int64)
+            ar = np.arange(r)
+            sa, sb = s[ar, a][:, None], s[ar, b][:, None]
+            ssa, ssb = ss[ar, a][:, None], ss[ar, b][:, None]
+            st, sst = s[:, 1:length], ss[:, 1:length]
+            tf = tt[None, :].astype(np.float64)
+            af = a[:, None].astype(np.float64)
+            bf = b[:, None].astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sse_ab = (ssb - ssa) - ((sb - sa) * (sb - sa)) / (bf - af)
+                sse_at = (sst - ssa) - ((st - sa) * (st - sa)) / (tf - af)
+                sse_tb = (ssb - sst) - ((sb - st) * (sb - st)) / (bf - tf)
+                gain = sse_ab - sse_at - sse_tb
+            valid = (tt[None, :] > a[:, None]) & (tt[None, :] < b[:, None])
+            gain = np.where(valid, gain, -np.inf)
+            best = np.argmax(gain, axis=1)
+            bg = gain[np.arange(r), best]
+            return np.where(bg > 0.0, tt[best], -1).astype(np.int64)
+
+        zero = np.zeros(r, dtype=np.int64)
+        full = np.full(r, length, dtype=np.int64)
+        t1 = split(zero, full)
+        t1v = np.maximum(t1, 0)
+        has1 = t1 > 0
+        t2l = np.where(has1, split(zero, t1v), 0)
+        t2l = np.maximum(t2l, 0)
+        t2r = np.where(has1, split(t1v, full), -1)
+        t2r = np.where(t2r > 0, t2r, t1v)
+        # nondecreasing boundary grid; zero-width pairs are dropped below
+        bounds = np.stack([zero, t2l, t1v, t2r, full], axis=1)  # (r, 5)
+        for kseg in range(4):
+            a, b = bounds[:, kseg], bounds[:, kseg + 1]
+            keep = b > a
+            if not keep.any():
+                continue
+            rk = np.flatnonzero(keep)
+            ak, bk = a[rk], b[rk]
+            seg_id = (bounds[:, 1:] > bounds[:, :-1])[:, :kseg + 1].sum(axis=1)[rk] - 1
+            g0 = offs[rows[rk]]
+            out_conv.append(rows[rk])
+            out_seg.append(seg_id.astype(np.int64))
+            out_s.append(ts_flat[g0 + ak])
+            out_e.append(ts_flat[g0 + bk - 1])
+            out_n.append((bk - ak).astype(np.int64))
+            out_m.append((s[rk, bk] - s[rk, ak]) / (bk - ak).astype(np.float64))
+    if not out_conv:
+        return pa.table(
+            {
+                id_col: batch[id_col].slice(0, 0),
+                "seg_id": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "n_pts": pa.array([], pa.int64()),
+                "seg_mean": pa.array([], pa.float64()),
+            }
+        )
+    conv_rows = np.concatenate(out_conv)
+    return pa.table(
+        {
+            id_col: _take(batch[id_col], conv_rows),
+            "seg_id": pa.array(np.concatenate(out_seg)),
+            "start_ts": pa.array(np.concatenate(out_s)),
+            "end_ts": pa.array(np.concatenate(out_e)),
+            "n_pts": pa.array(np.concatenate(out_n)),
+            "seg_mean": pa.array(np.concatenate(out_m)),
+        }
+    )
+
+
 def lttb_to_long(
     batch: pa.Table,
     n_out: int = 20,

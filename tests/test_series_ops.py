@@ -323,3 +323,73 @@ def test_change_events_hand_fixture():
     assert str(b.start_ts) == "2024-01-08 00:00:00"
     assert str(b.end_ts) == "2024-01-10 00:00:00"
     assert b.n_buckets == 3 and b.peak_posterior == 0.95
+
+
+def test_binary_segment_step_series():
+    """Clear two-level structure: [1×6, 9×6] splits at the step; a second
+    level refines only where it reduces SSE; constants never split."""
+    import pandas as pd
+
+    from sits_ray.stages.series_ops import binary_segment
+
+    ts = np.arange("2024-01-01", "2024-01-13", dtype="datetime64[D]").astype(
+        "datetime64[us]"
+    )
+    step = [1.0] * 6 + [9.0] * 6          # one clean change point at t=6
+    const = [4.0] * 12                     # gain == 0 -> single episode
+    two_steps = [1.0] * 4 + [5.0] * 4 + [9.0] * 4  # splits at 4 and 8
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["s", "c", "t"]),
+            "bucket_ts": pa.array([list(ts)] * 3, pa.list_(pa.timestamp("us"))),
+            "turn_count": pa.array(
+                [step, const, two_steps], pa.list_(pa.float64())
+            ),
+        }
+    )
+    out = binary_segment(batch).to_pandas()
+    c = out[out.conv_id == "c"]
+    assert len(c) == 1 and c.iloc[0].n_pts == 12 and c.iloc[0].seg_mean == 4.0
+    s = out[out.conv_id == "s"]
+    assert list(s.n_pts)[:2] == [6, 6] or {tuple(x) for x in s[["seg_id", "n_pts"]].to_numpy()} >= {(0, 6)}
+    # the first split of the step series is exactly at the step
+    assert s.iloc[0].n_pts == 6 and s.iloc[0].seg_mean == 1.0
+    t = out[out.conv_id == "t"]
+    assert list(t.seg_mean) == [1.0, 5.0, 9.0]
+    assert list(t.n_pts) == [4, 4, 4]
+    # seg_ids are 0..k-1 in time order and timestamps tile the series
+    for cid, g in out.groupby("conv_id"):
+        assert list(g.seg_id) == list(range(len(g)))
+        assert g.iloc[0].start_ts == pd.Timestamp("2024-01-01")
+        assert g.iloc[-1].end_ts == pd.Timestamp("2024-01-12")
+
+
+def test_binary_segment_singleton_and_parity():
+    """Length-1 series -> one episode; batch-vectorized result equals
+    per-series calls (ragged length groups)."""
+    from sits_ray.stages.series_ops import binary_segment
+
+    rng = np.random.default_rng(3)
+    series = [rng.integers(1, 20, size=n).astype(np.float64)
+              for n in (1, 5, 9, 9, 17)]
+    t0 = np.datetime64("2024-02-01", "us")
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(series))]),
+            "bucket_ts": pa.array(
+                [list(t0 + np.arange(len(v)) * np.timedelta64(86400_000_000, "us"))
+                 for v in series],
+                pa.list_(pa.timestamp("us")),
+            ),
+            "turn_count": pa.array([list(v) for v in series], pa.list_(pa.float64())),
+        }
+    )
+    full = binary_segment(batch).to_pandas().sort_values(["conv_id", "seg_id"])
+    assert len(full[full.conv_id == "c0"]) == 1
+    parts = []
+    for i in range(len(series)):
+        parts.append(binary_segment(batch.slice(i, 1)).to_pandas())
+    import pandas as pd
+
+    solo = pd.concat(parts).sort_values(["conv_id", "seg_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), solo)
