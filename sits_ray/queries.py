@@ -2409,6 +2409,19 @@ def train_then_classify_rfor(sf_dir):
     return _classify_trained(sf_dir, sits_rfor_lite(n_trees=10, max_depth=3))
 
 
+@q("train_then_classify_tempcnn")
+def train_then_classify_tempcnn(sf_dir):
+    """Same pipeline with the from-scratch temporal-CNN factory
+    (stages/train.sits_tempcnn_lite; reference sits_tempcnn,
+    R/sits_tempcnn.R:102 — 1-D conv -> ReLU -> global average pool ->
+    softmax, full-batch numpy backprop, VERDICT r3 next #4). Rows-only
+    driver check; learning curve + actor-pool parity pinned in
+    tests/test_train.py."""
+    from sits_ray.stages.train import sits_tempcnn_lite
+
+    return _classify_trained(sf_dir, sits_tempcnn_lite(iters=120))
+
+
 def _accuracy_sql(n_labels: int = 4) -> str:
     """Confusion-matrix metrics of the seeded scorer on the held-out 20%
     against the coarse reference partition label%4. Every ratio is ONE

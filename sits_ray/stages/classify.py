@@ -47,10 +47,11 @@ class SeriesScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = list_matrix(batch[self.vec_col])
-        if "trees" in self.model:  # rfor_lite: forest leaf frequencies
-            from sits_ray.stages.train import forest_probs
+        if "trees" in self.model or "conv_K" in self.model:
+            # rfor_lite forest / tempcnn_lite conv net: model-kind forward
+            from sits_ray.stages.train import predict_probs
 
-            probs = forest_probs(self.model, m)
+            probs = predict_probs(self.model, m)
         else:
             probs = softmax(m @ self.model["W"] + self.model["b"])
         label_idx = label_max_prob(probs)  # 1-based, NaN-aware

@@ -166,3 +166,93 @@ def test_tuning_orders_by_val_accuracy(ray_session):
         trials=5,
     )
     assert [r["params"] for r in res2] == [r["params"] for r in res]
+
+
+def _temporal_two_class(n_per=80, T=32, seed=9):
+    """Classes distinguished by WHERE a bump sits in the series — linearly
+    messy, trivially separable for a conv + pooling net."""
+    rng = np.random.default_rng(seed)
+    X, y = [], []
+    for cls, lo, hi in ((0, 2, 8), (1, 20, 26)):
+        for _ in range(n_per):
+            v = rng.normal(0, 0.3, size=T)
+            p = rng.integers(lo, hi)
+            v[p:p + 4] += 3.0
+            X.append(v)
+            y.append(cls)
+    return np.array(X), np.array(y), ["early", "late"]
+
+
+def test_tempcnn_learns_and_loss_decreases():
+    from sits_ray.stages.train import predict_probs, sits_tempcnn_lite, tempcnn_loss
+
+    X, y, labels = _temporal_two_class()
+    short = train(X, np.array(labels)[y], sits_tempcnn_lite(iters=10))
+    model = train(X, np.array(labels)[y], sits_tempcnn_lite(iters=200))
+    assert tempcnn_loss(model, X, y) < tempcnn_loss(short, X, y)
+    acc = (predict_probs(model, X).argmax(axis=1) == y).mean()
+    assert acc >= 0.95
+    # deterministic across retrains
+    again = train(X, np.array(labels)[y], sits_tempcnn_lite(iters=200))
+    np.testing.assert_array_equal(model["conv_K"], again["conv_K"])
+
+
+def test_tempcnn_gradient_check():
+    """Analytic conv-filter gradient vs central differences."""
+    from sits_ray.kernels.ml import softmax as _sm
+    from sits_ray.stages.train import _conv_cols
+
+    rng = np.random.default_rng(4)
+    n, T, F, w, k = 6, 12, 3, 4, 2
+    X = rng.normal(0, 1, size=(n, T))
+    y = rng.integers(0, k, size=n)
+    Tm = T - w + 1
+    K = rng.normal(0, 0.5, size=(F, w))
+    c = rng.normal(0, 0.1, size=F)
+    W = rng.normal(0, 0.5, size=(F * Tm, k))
+    b = np.zeros(k)
+    Y = np.zeros((n, k)); Y[np.arange(n), y] = 1.0
+    Xcol = _conv_cols(X, w)
+
+    def loss(Kv):
+        Z = np.einsum("ntw,fw->nft", Xcol, Kv) + c[None, :, None]
+        g = np.maximum(Z, 0.0).reshape(n, F * Tm)
+        P = _sm(g @ W + b)
+        return -np.log(P[np.arange(n), y]).mean()
+
+    Z = np.einsum("ntw,fw->nft", Xcol, K) + c[None, :, None]
+    g = np.maximum(Z, 0.0).reshape(n, F * Tm)
+    P = _sm(g @ W + b)
+    dZ = (((P - Y) / n) @ W.T).reshape(n, F, Tm) * (Z > 0.0)
+    dK = np.einsum("nft,ntw->fw", dZ, Xcol)
+    eps = 1e-6
+    for f in range(F):
+        for j in range(w):
+            Kp, Km = K.copy(), K.copy()
+            Kp[f, j] += eps
+            Km[f, j] -= eps
+            num = (loss(Kp) - loss(Km)) / (2 * eps)
+            assert abs(num - dK[f, j]) < 1e-6, (f, j, num, dK[f, j])
+
+
+def test_tempcnn_in_actor_pool(ray_session):
+    """Trained tempcnn dict scores identically through the broadcast
+    actor pool and the direct forward."""
+    from sits_ray.stages.classify import classify
+    from sits_ray.stages.train import predict_probs, sits_tempcnn_lite
+
+    X, y, labels = _temporal_two_class(n_per=30)
+    model = train(X, np.array(labels)[y], sits_tempcnn_lite(iters=60))
+    df = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    out = (
+        classify(rd.from_pandas(df), model, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    direct = predict_probs(model, X)
+    got_labels = out["pred_label"].to_numpy()
+    exp_labels = np.array(labels)[direct.argmax(axis=1)]
+    assert (got_labels == exp_labels).all()
+    np.testing.assert_allclose(
+        out[[f"prob_{l}" for l in labels]].to_numpy(), direct, rtol=0, atol=0
+    )
