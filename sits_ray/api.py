@@ -105,10 +105,14 @@ from sits_ray.stages.som import (  # noqa: F401
 )
 from sits_ray.stages.train import (  # noqa: F401
     kfold_validate as sits_kfold_validate,
+    export_model as sits_model_export,
+    import_model as sits_model_import,
     sits_mlr,
     sits_rfor_lite as sits_rfor,
+    sits_tempcnn_lite as sits_tempcnn,
     train as sits_train,
     tuning as sits_tuning,
+    validate as sits_validate,
 )
 
 # --- §2.6 joins / lookups ---------------------------------------------------

@@ -2008,6 +2008,76 @@ def change_events_daily(sf_dir):
     )
 
 
+# --- sits_geo_dist analog: nearest-neighbor distance diagnostic ------------
+_GEO_N = 64
+
+
+def _geo_dist_sql(n: int = _GEO_N, dim: int = 64) -> str:
+    """Literal twin of the sample/prediction nearest-distance histogram:
+    the distance is the same sequential-fold sqrt used by the dendro
+    oracle (== kernels/cluster.pairwise_euclidean), min per sample vec,
+    unit-width integer bins."""
+    d_expr = """sqrt(list_reduce(
+            list_prepend(0.0,
+              list_transform(generate_series(1, {dim}),
+                q -> (a.v[q] - b.v[q]) * (a.v[q] - b.v[q]))),
+            (x, y) -> x + y))""".format(dim=dim)
+    return f"""
+with s as (select vec_id, embedding::DOUBLE[] as v from embeddings
+           where vec_id < {n}),
+p as (select vec_id, embedding::DOUBLE[] as v from embeddings
+      where vec_id >= {n} and vec_id < {2 * n}),
+dss as (select a.vec_id, min({d_expr}) as d
+        from s a join s b on a.vec_id <> b.vec_id group by 1),
+dsp as (select a.vec_id, min({d_expr}) as d
+        from s a cross join p b group by 1)
+select 'sample-sample' as kind, cast(floor(d * 4.0) as bigint) as bin,
+       cast(count(*) as bigint) as n
+from dss group by 2
+union all
+select 'sample-pred' as kind, cast(floor(d * 4.0) as bigint) as bin,
+       cast(count(*) as bigint) as n
+from dsp group by 2
+"""
+
+
+@q("geo_dist_hist", _geo_dist_sql())
+def geo_dist_hist(sf_dir):
+    """sits_geo_dist analog (R/sits_geo_dist.R:61: histograms of
+    sample-to-sample vs sample-to-prediction distances — the spatial
+    independence diagnostic): per sample vector the nearest-neighbor
+    distance within the sample and to the prediction set, quarter-unit
+    bins (floor(d*4)).
+    The sample is the small side by design (the reference samples both
+    sets); distances use the sequential-fold pairwise_euclidean so the
+    DuckDB twin is bit-exact, and floor-binning makes the output
+    integer-robust."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.kernels.cluster import pairwise_euclidean
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    Xs = list_matrix(t.filter(pa.array(vid < _GEO_N))["embedding"])
+    Xp = list_matrix(
+        t.filter(pa.array((vid >= _GEO_N) & (vid < 2 * _GEO_N)))["embedding"]
+    )
+    D = pairwise_euclidean(np.vstack([Xs, Xp]))
+    ns = Xs.shape[0]
+    ss = D[:ns, :ns].copy()
+    np.fill_diagonal(ss, np.inf)
+    d_ss = ss.min(axis=1)
+    d_sp = D[:ns, ns:].min(axis=1)
+    rows = []
+    for kind, d in (("sample-sample", d_ss), ("sample-pred", d_sp)):
+        bins, counts = np.unique(
+            np.floor(d * 4.0).astype(np.int64), return_counts=True
+        )
+        for bn, c in zip(bins, counts):
+            rows.append({"kind": kind, "bin": int(bn), "n": int(c)})
+    return pd.DataFrame(rows)
+
+
 # --- §2.5-analog: sits_segment / sits_slic (1-D episode segmentation) ------
 def _seg_pick_sql(par: str, out: str) -> str:
     """One binary-segmentation level: per parent segment (conv, a, b) the
@@ -2540,6 +2610,28 @@ def kfold_validate_mlr(sf_dir):
     ]
     rows.append({"fold": -1, "accuracy": res["accuracy"], "kappa": res["kappa"]})
     return pd.DataFrame(rows)
+
+
+@q("validate_mlr")
+def validate_mlr(sf_dir):
+    """sits_validate (R/sits_validate.R:139): single held-out 20% split
+    of the labeled embeddings — train mlr on the rest, score the held
+    fraction (stages/train.validate; the one-split sibling of
+    kfold_validate). Rows-only check; metric math pinned in
+    tests/test_train.py."""
+    import pyarrow.parquet as pq
+
+    from sits_ray.stages.train import sits_mlr, validate
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    res = validate(
+        list_matrix(t["embedding"]), np.asarray(t["label"].to_pylist()),
+        ml_method=sits_mlr(iters=150), validation_split=0.2,
+    )
+    return pd.DataFrame(
+        [{"n_train": res["n_train"], "n_val": res["n_val"],
+          "accuracy": res["accuracy"], "kappa": res["kappa"]}]
+    )
 
 
 @q("tuning_random_search")

@@ -360,6 +360,84 @@ def tuning(X, labels_col, method_factory, param_space: dict, trials: int = 8,
     return sorted(out, key=lambda r: (-r["val_accuracy"], r["trial"]))
 
 
+def validate(X, labels_col, ml_method=None, validation_split: float = 0.2,
+             seed: int = 7) -> dict:
+    """``sits_validate`` (``R/sits_validate.R:139``): ONE held-out split —
+    train on (1 - split), score the held fraction, return the same
+    metrics bundle as :func:`kfold_validate` (confusion, overall
+    accuracy, kappa). Seeded shuffled split, deterministic."""
+    from sits_ray.kernels.ml import accuracy_metrics, confusion_matrix
+
+    if ml_method is None:
+        ml_method = sits_mlr()
+    X = np.asarray(X, dtype=np.float64)
+    y, labels = _encode_labels(labels_col)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    val = np.zeros(n, dtype=bool)
+    val[rng.permutation(n)[: max(1, int(round(n * validation_split)))]] = True
+    model = ml_method(X[~val], y[~val], labels)
+    pred = predict_probs(model, X[val]).argmax(axis=1)
+    cm = confusion_matrix(y[val], pred, len(labels))
+    m = accuracy_metrics(cm)
+    return {
+        "labels": labels,
+        "n_train": int((~val).sum()),
+        "n_val": int(val.sum()),
+        "confusion": cm,
+        "accuracy": m["overall"],
+        "kappa": m["kappa"],
+    }
+
+
+# --- model export / import (sits_model_export, R/sits_model_export.R) -------
+
+def _to_jsonable(o):
+    if isinstance(o, np.ndarray):
+        return {"__nd__": o.dtype.str, "shape": list(o.shape),
+                "data": o.ravel().tolist()}
+    if isinstance(o, dict):
+        return {k: _to_jsonable(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_to_jsonable(v) for v in o]
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    return o
+
+
+def _from_jsonable(o):
+    if isinstance(o, dict):
+        if "__nd__" in o:
+            return np.array(o["data"], dtype=np.dtype(o["__nd__"])).reshape(
+                o["shape"]
+            )
+        return {k: _from_jsonable(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_from_jsonable(v) for v in o]
+    return o
+
+
+def export_model(model: dict, path: str) -> str:
+    """``sits_model_export`` (``R/sits_model_export.R``): serialize any
+    trained model dict (linear / forest / tempcnn — plain data + numpy
+    arrays) to portable JSON; exact round-trip via :func:`import_model`
+    (float64 values survive bit-for-bit through repr-precision JSON)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(_to_jsonable(model), fh)
+    return path
+
+
+def import_model(path: str) -> dict:
+    import json
+
+    with open(path) as fh:
+        return _from_jsonable(json.load(fh))
+
+
 def train(X: np.ndarray, labels_col, ml_method=None) -> dict:
     """``sits_train`` analog: predictor matrix + label column -> model dict.
 

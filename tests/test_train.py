@@ -256,3 +256,44 @@ def test_tempcnn_in_actor_pool(ray_session):
     np.testing.assert_allclose(
         out[[f"prob_{l}" for l in labels]].to_numpy(), direct, rtol=0, atol=0
     )
+
+
+def test_validate_single_split():
+    from sits_ray.stages.train import sits_mlr, validate
+
+    X, y, labels = _blobs()
+    res = validate(X, np.array(labels)[y], sits_mlr(iters=200),
+                   validation_split=0.25)
+    assert res["n_train"] + res["n_val"] == len(X)
+    assert res["n_val"] == round(len(X) * 0.25)
+    assert res["accuracy"] >= 0.95 and 0 <= res["kappa"] <= 1
+    again = validate(X, np.array(labels)[y], sits_mlr(iters=200),
+                     validation_split=0.25)
+    assert res["accuracy"] == again["accuracy"]  # seeded split, deterministic
+
+
+def test_model_export_roundtrip(tmp_path):
+    """All three model kinds survive JSON export bit-for-bit (predictions
+    identical)."""
+    from sits_ray.stages.train import (
+        export_model,
+        import_model,
+        predict_probs,
+        sits_mlr,
+        sits_rfor_lite,
+        sits_tempcnn_lite,
+    )
+
+    X, y, labels = _blobs(n_per=30)
+    for i, method in enumerate(
+        (sits_mlr(iters=50), sits_rfor_lite(n_trees=5, max_depth=3),
+         sits_tempcnn_lite(iters=20))
+    ):
+        model = train(X, np.array(labels)[y], method)
+        p = str(tmp_path / f"m{i}.json")
+        export_model(model, p)
+        back = import_model(p)
+        np.testing.assert_array_equal(
+            predict_probs(model, X), predict_probs(back, X)
+        )
+        assert back["labels"] == labels
