@@ -40,8 +40,16 @@ def lttb_indices_scalar(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
             ns, ne = int(starts[b + 1]), int(ends[b + 1])
         else:
             ns, ne = n - 1, n
-        avg_x = x[ns:ne].mean()
-        avg_y = y[ns:ne].mean()
+        # sequential accumulation (not .mean()'s pairwise sum): the float
+        # order a SQL ordered-window running sum replays exactly — the
+        # lttb_downsample oracle contract
+        sx = np.float64(0.0)
+        sy = np.float64(0.0)
+        for j in range(ns, ne):
+            sx = sx + x[j]
+            sy = sy + y[j]
+        avg_x = sx / (ne - ns)
+        avg_y = sy / (ne - ns)
         best, best_area = s, -1.0
         for i in range(s, e):
             area = abs(
@@ -77,8 +85,15 @@ def lttb_indices_batch(X: np.ndarray, Y: np.ndarray, n_out: int) -> np.ndarray:
             ns, ne = int(starts[b + 1]), int(ends[b + 1])
         else:
             ns, ne = n - 1, n
-        avg_x = X[:, ns:ne].mean(axis=1)
-        avg_y = Y[:, ns:ne].mean(axis=1)
+        # sequential over the bucket, vectorized across series (the SQL
+        # running-sum order — see scalar twin)
+        acc_x = np.zeros(m, dtype=np.float64)
+        acc_y = np.zeros(m, dtype=np.float64)
+        for j in range(ns, ne):
+            acc_x = acc_x + X[:, j]
+            acc_y = acc_y + Y[:, j]
+        avg_x = acc_x / (ne - ns)
+        avg_y = acc_y / (ne - ns)
         xs = X[:, s:e]
         ys = Y[:, s:e]
         area = np.abs(

@@ -6061,16 +6061,89 @@ def burstiness(sf_dir):
 
 
 # --- LTTB display downsampling ------------------------------------------------
-@q("lttb_downsample")
+def _lttb_sql(n_out: int = 20) -> str:
+    """Recursive-CTE twin of the LTTB walk over the gap-filled 1h grid:
+    bucket edges by the same integer floor formula, next-bucket averages
+    as ordered running sums (== the kernel's sequential accumulation),
+    the triangle-area expression copied term-for-term, first-max
+    tie-break (area desc, rn asc), 18 lockstep iterations across every
+    conversation. Series with <= n_out points pass through whole."""
+    nb = n_out - 2
+    return _GAPFILL_1H_CTES.replace("with lagged", "with recursive lagged", 1) + f""",
+rows_l as (
+  select conv_id, bucket_ts,
+         cast(epoch_us(bucket_ts) as double) as x,
+         coalesce(mean_latency, 0.0) as y,
+         row_number() over (partition by conv_id order by bucket_ts) as rn,
+         count(*) over (partition by conv_id) as n
+  from filled_grid),
+tot as (select distinct conv_id, n from rows_l),
+big as (select conv_id, n from tot where n > {n_out}),
+bks as (
+  select big.conv_id, b.b,
+         1 + (b.b * (big.n - 2)) // {nb} as s,
+         1 + ((b.b + 1) * (big.n - 2)) // {nb} as e
+  from big, (select unnest(generate_series(0, {nb - 1})) as b) b),
+bsum as (
+  select conv_id, b, run_x / cnt as ax, run_y / cnt as ay
+  from (
+    select r.conv_id, bk.b,
+           sum(r.x) over w as run_x,
+           sum(r.y) over w as run_y,
+           row_number() over w2 as k,
+           count(*) over (partition by r.conv_id, bk.b) as cnt
+    from rows_l r join bks bk
+      on r.conv_id = bk.conv_id and r.rn - 1 >= bk.s and r.rn - 1 < bk.e
+    window w as (partition by r.conv_id, bk.b order by r.rn
+                 rows between unbounded preceding and current row),
+           w2 as (partition by r.conv_id, bk.b order by r.rn))
+  where k = cnt),
+navg as (
+  select conv_id, b - 1 as b, ax, ay from bsum where b >= 1
+  union all
+  select r.conv_id, {nb - 1} as b, r.x as ax, r.y as ay
+  from rows_l r join big using (conv_id) where r.rn = r.n),
+walk as (
+  select conv_id, 0::BIGINT as b, 1::BIGINT as a_rn from big
+  union all
+  select conv_id, b + 1, rn from (
+    select w.conv_id, w.b, r.rn,
+           abs((pa.x - nx.ax) * (r.y - pa.y)
+               - (pa.x - r.x) * (nx.ay - pa.y)) as area
+    from walk w
+    join bks bk on bk.conv_id = w.conv_id and bk.b = w.b
+    join rows_l r on r.conv_id = w.conv_id
+      and r.rn - 1 >= bk.s and r.rn - 1 < bk.e
+    join rows_l pa on pa.conv_id = w.conv_id and pa.rn = w.a_rn
+    join navg nx on nx.conv_id = w.conv_id and nx.b = w.b
+    where w.b < {nb})
+  qualify row_number() over (partition by conv_id, b
+                             order by area desc, rn) = 1),
+sel as (
+  select conv_id, 1::BIGINT as rn from big
+  union all
+  select conv_id, a_rn as rn from walk where b >= 1
+  union all
+  select conv_id, n as rn from big
+  union all
+  select r.conv_id, r.rn from rows_l r
+  join (select conv_id from tot where n <= {n_out}) sm using (conv_id))
+select r.conv_id, r.bucket_ts, r.y as value
+from sel join rows_l r using (conv_id, rn)
+"""
+
+
+@q("lttb_downsample", _lttb_sql())
 def lttb_downsample(sf_dir):
     """Largest-Triangle-Three-Buckets downsampling of the gap-filled 1h
     tier to 20 representative points per conversation — the downsample
     modality of the rollup/downsample/retention engine (points are actual
     data elements preserving visual shape, not aggregates). Stateless
     nested map after the one rollup shuffle (stages/series_ops.
-    lttb_to_long; kernel vectorized across series per length group).
-    Rows-only (the bucket-sequential selection is pinned against the
-    textbook scalar twin in tests/test_lttb.py)."""
+    lttb_to_long; kernel vectorized across series per length group,
+    bucket averages sequentially accumulated). SQL-exact vs a
+    recursive-CTE walk twin; also pinned against the textbook scalar twin
+    in tests/test_lttb.py."""
     from sits_ray.stages.series_ops import lttb_to_long
 
     nested = _nested_tier(sf_dir, "1h", gapfill=True)

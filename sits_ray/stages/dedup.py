@@ -38,12 +38,15 @@ def shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa, sb = shingles(a, k), shingles(b, k)
+def jaccard_sets(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    return jaccard_sets(shingles(a, k), shingles(b, k))
 
 
 # fixed odd multipliers, one per shingle token position (k <= 8)
@@ -416,9 +419,23 @@ def minhash_dedup(ds, threshold: float = 0.8, n_perm=64, bands=16, k=3,
     ).map_batches(rename({"text": "text_b"}), batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # docs recur across candidate pairs: build each doc's shingle set
+        # ONCE per batch (keyed by doc id), then the per-pair work is a
+        # C-level set intersection — outputs bit-identical to
+        # ngram_jaccard (VERDICT r3 next #8)
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = shingles(text, k)
+            return s
+
         jac = [
-            ngram_jaccard(a, b, k)
-            for a, b in zip(batch["text_a"], batch["text_b"])
+            jaccard_sets(sh(ia, a), sh(ib, b))
+            for ia, ib, a, b in zip(
+                batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+            )
         ]
         batch = batch.assign(jaccard=jac)
         return batch.loc[batch["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
@@ -782,10 +799,23 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
     ).map_batches(rename({"text": "text_b"}), batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-unique-doc shingle sets (docs recur across pairs), C-level
+        # set intersections per pair — bit-identical (VERDICT r3 next #8)
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = char_shingles(text, k)
+            return s
+
         inter = np.fromiter(
             (
-                len(char_shingles(a, k) & char_shingles(b, k))
-                for a, b in zip(batch["text_a"], batch["text_b"])
+                len(sh(ia, a) & sh(ib, b))
+                for ia, ib, a, b in zip(
+                    batch["doc_a"], batch["doc_b"],
+                    batch["text_a"], batch["text_b"],
+                )
             ),
             dtype=np.int64, count=len(batch),
         )
