@@ -2694,27 +2694,92 @@ def som_clean_labeled(sf_dir):
 
 
 # --- §2.5 change detection: DTW distance to a pattern ----------------------
-@q("dtw_to_mean_pattern")
+def _dtw_mean_sql(m: int = 32) -> str:
+    """SQL-exact twin of dtw_to_mean_pattern: the global mean pattern is
+    a per-day INTEGER-sum mean (exact float in any summation order —
+    what makes the data-dependent pattern cross-engine safe), pivoted to
+    one row of p1..p{m} columns, then the same unrolled symmetric-2 DP
+    recursive CTE as _dtw_ref_sql with column references instead of
+    literals. Columns above the actual pattern length carry harmless
+    garbage (the DP only feeds downward), and the final distance selects
+    c{n_pat} dynamically."""
+    anchor = ["abs(xs[1] - pv.p1) + 0.0 as c1"]
+    for j in range(2, m + 1):
+        anchor.append(
+            f"abs(xs[1] - coalesce(pv.p{j}, 0.0)) + c{j - 1} as c{j}"
+        )
+    step = ["abs(xs[i + 1] - pv.p1) + c1 as nc1"]
+    for j in range(2, m + 1):
+        step.append(
+            f"abs(xs[i + 1] - coalesce(pv.p{j}, 0.0))"
+            f" + least(c{j - 1}, c{j}, nc{j - 1}) as nc{j}"
+        )
+    ncs = ", ".join(f"nc{j}" for j in range(1, m + 1))
+    pcols = ", ".join(
+        f"max(case when j = {j} then p end) as p{j}" for j in range(1, m + 1)
+    )
+    fin = " ".join(f"when {j} then c{j}" for j in range(1, m + 1))
+    return f"""
+with recursive obs as (
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
+         count(*) as turn_count
+  from events group by 1, 2),
+bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx
+           from obs group by 1),
+grid as (
+  select conv_id, unnest(generate_series(mn, mx, interval '1 day')) as bucket_ts
+  from bounds),
+fg as (
+  select g.conv_id, g.bucket_ts, coalesce(o.turn_count, 0) as v
+  from grid g left join obs o using (conv_id, bucket_ts)),
+pat as (
+  select row_number() over (order by bucket_ts) as j,
+         cast(sum(v) as double) / count(*) as p
+  from fg group by bucket_ts
+  qualify j <= {m}),
+pv as (select {pcols}, max(j) as n_pat from pat),
+ser as materialized (
+  select conv_id, list(cast(v as double) order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from fg group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, xs, {", ".join(anchor)}
+    from ser, pv
+    union all
+    select conv_id, i + 1, n, xs, {ncs}
+    from (select *, {", ".join(step)} from w, pv where i < n) s)
+  select * from w)
+select walk.conv_id,
+       case pv.n_pat {fin} end as dtw_dist
+from walk, pv where walk.i = walk.n
+"""
+
+
+@q("dtw_to_mean_pattern", _dtw_mean_sql())
 def dtw_to_mean_pattern(sf_dir):
     """DTW distance (symmetric-2, src/dtw.cpp:71-105) of each conv's daily
-    mean-latency series to the global mean pattern (sits_dtw shape:
-    pattern broadcast, per-series distance). The pattern is a DISTRIBUTED
-    groupby(bucket_ts) mean (tiny result — one row per day), and the
-    per-series DTW runs vectorized across every conv of a nested batch
-    (kernels/dtw.dtw_many). Rows-only driver check."""
+    ACTIVITY series (turn_count — integer-exact floats) to the global
+    mean daily-activity pattern (sits_dtw shape: pattern broadcast,
+    per-series distance). The pattern is a DISTRIBUTED groupby(bucket_ts)
+    mean (tiny result — one row per day; integer sums make it exact in
+    any combine order), and the per-series DTW runs vectorized across
+    every conv of a nested batch (kernels/dtw.dtw_many). SQL-exact vs
+    the recursive-CTE DP with a data-derived pattern row."""
     import ray as _ray
 
     from sits_ray.kernels.dtw import dtw_many
     from sits_ray.stages.series_ops import mean_pattern, series_features
 
     nested = _nested_tier(sf_dir, "1d").materialize()
-    pref = _ray.put(mean_pattern(nested, max_len=32))
+    pref = _ray.put(mean_pattern(nested, value_col="turn_count", max_len=32))
 
     def fn(m: np.ndarray) -> dict:
         return {"dtw_dist": dtw_many(m, _ray.get(pref))}
 
     return nested.map_batches(
-        lambda b: series_features(b, fn, drop_nan=True), batch_format="pyarrow"
+        lambda b: series_features(b, fn, value_col="turn_count", drop_nan=True),
+        batch_format="pyarrow",
     )
 
 
@@ -4278,16 +4343,62 @@ def shingle_uniqueness(sf_dir):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-@q("bpe_merges")
+_BPE_SQL = r"""
+with recursive
+wc as (
+  select w as word, cast(count(*) as bigint) as cnt
+  from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w from documents)
+  group by 1),
+init as (
+  select '{' || list_aggregate(regexp_extract_all(word, '.'), 'string_agg', '}{')
+         || '}{</w>}' as s, cnt
+  from wc),
+walk as (
+  select 0::BIGINT as it, s, cnt from init
+  union all
+  select * from (
+    with syms as (select it, s, cnt,
+                         regexp_extract_all(s, '\{([^}]*)\}', 1) as l from walk),
+    pairs as (
+      select l[i] as a, l[i + 1] as b, sum(cnt) as pc
+      from syms, unnest(generate_series(1, len(l) - 1)) as u(i)
+      group by 1, 2),
+    best as (select a, b from pairs order by pc desc, a, b limit 1)
+    select c.it + 1, regexp_replace(c.s,
+             '\{' || best.a || '\}\{' || best.b || '\}',
+             '{' || best.a || best.b || '}', 'g') as s,
+           c.cnt
+    from walk c, best
+    where c.it < 10
+  )
+),
+syms2 as (select it, cnt, regexp_extract_all(s, '\{([^}]*)\}', 1) as l
+          from walk where it < 10),
+pairs2 as (select it, l[i] as a, l[i + 1] as b, cast(sum(cnt) as bigint) as pc
+           from syms2, unnest(generate_series(1, len(l) - 1)) as u(i)
+           group by 1, 2, 3),
+best2 as (
+  select it as rank, a as "left", b as "right", a || b as merged,
+         pc as pair_count
+  from pairs2
+  qualify row_number() over (partition by it order by pc desc, a, b) = 1)
+select rank, "left", "right", merged, pair_count from best2
+"""
+
+
+@q("bpe_merges", _BPE_SQL)
 def bpe_merges(sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
     first 10 merge rules learned from the corpus. Scale shape: the corpus
     collapses once to a distributed (word, cnt) table (partial counts
-    inside map_batches; text never shuffles), then every merge round is
-    vocab-sized work: one pair-count partial + a tiny distinct-pair
-    groupby + a deterministic argmax (count desc, pair lex asc).
-    Rows-only driver check; the full merge sequence is pinned against the
-    textbook scalar algorithm in tests/test_bpe.py."""
+    inside map_batches; text never shuffles), then incremental sharded
+    merge rounds (stages/bpe: shard actors + inverted pair index, sparse
+    count deltas; ≥100 merges in the old 10-merge wall). SQL-exact vs a
+    recursive-CTE twin: words as brace-wrapped symbol strings, pair
+    counts from overlapping list windows, the argmax merge applied by a
+    global leftmost-non-overlapping regexp_replace (the {a}{b} bracket
+    form makes adjacent matches boundary-independent); full sequence
+    also pinned against the textbook scalar twin in tests/test_bpe.py."""
     from sits_ray.stages.bpe import bpe_train, word_counts
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
