@@ -2479,6 +2479,27 @@ def train_then_classify_rfor(sf_dir):
     return _classify_trained(sf_dir, sits_rfor_lite(n_trees=10, max_depth=3))
 
 
+@q("train_then_classify_mlp")
+def train_then_classify_mlp(sf_dir):
+    """Same pipeline with the one-hidden-layer MLP factory
+    (stages/train.sits_mlp_lite; reference sits_mlp, R/sits_mlp.R via
+    torch — from-scratch numpy backprop). Rows-only driver check."""
+    from sits_ray.stages.train import sits_mlp_lite
+
+    return _classify_trained(sf_dir, sits_mlp_lite(iters=120))
+
+
+@q("train_then_classify_svm")
+def train_then_classify_svm(sf_dir):
+    """Same pipeline with the one-vs-rest linear SVM factory
+    (stages/train.sits_svm_lite; reference sits_svm,
+    R/sits_machine_learning.R:303 via e1071 — squared-hinge subgradient
+    descent). Rows-only driver check."""
+    from sits_ray.stages.train import sits_svm_lite
+
+    return _classify_trained(sf_dir, sits_svm_lite(iters=200))
+
+
 @q("train_then_classify_tempcnn")
 def train_then_classify_tempcnn(sf_dir):
     """Same pipeline with the from-scratch temporal-CNN factory

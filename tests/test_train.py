@@ -297,3 +297,38 @@ def test_model_export_roundtrip(tmp_path):
             predict_probs(model, X), predict_probs(back, X)
         )
         assert back["labels"] == labels
+
+
+def test_mlp_and_svm_learn_separable():
+    from sits_ray.stages.train import predict_probs, sits_mlp_lite, sits_svm_lite
+
+    X, y, labels = _blobs()
+    for method in (sits_mlp_lite(iters=150), sits_svm_lite(iters=200)):
+        model = train(X, np.array(labels)[y], method)
+        acc = (predict_probs(model, X).argmax(axis=1) == y).mean()
+        assert acc >= 0.95, model["kind"]
+        again = train(X, np.array(labels)[y], method)
+        np.testing.assert_array_equal(
+            predict_probs(model, X), predict_probs(again, X)
+        )
+
+
+def test_mlp_beats_linear_on_xor():
+    """A hidden layer is actually used: XOR-ish blobs that a linear
+    model cannot separate."""
+    from sits_ray.stages.train import predict_probs, sits_mlp_lite, sits_mlr
+
+    rng = np.random.default_rng(8)
+    quads = [(1, 1, 0), (-1, -1, 0), (1, -1, 1), (-1, 1, 1)]
+    X = np.vstack([
+        np.array([qx * 2.0, qy * 2.0]) + rng.normal(0, 0.4, size=(50, 2))
+        for qx, qy, _ in quads
+    ])
+    y = np.repeat([q[2] for q in quads], 50)
+    labels = np.array(["a", "b"])[y]
+    mlp = train(X, labels, sits_mlp_lite(hidden=16, iters=400, lr=0.5))
+    lin = train(X, labels, sits_mlr(iters=400))
+    acc_mlp = (predict_probs(mlp, X).argmax(axis=1) == y).mean()
+    acc_lin = (predict_probs(lin, X).argmax(axis=1) == y).mean()
+    assert acc_mlp >= 0.9
+    assert acc_mlp > acc_lin + 0.2
