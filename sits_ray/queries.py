@@ -2500,6 +2500,18 @@ def train_then_classify_svm(sf_dir):
     return _classify_trained(sf_dir, sits_svm_lite(iters=200))
 
 
+@q("train_then_classify_boost")
+def train_then_classify_boost(sf_dir):
+    """Same pipeline with the gradient-boosted-stumps factory
+    (stages/train.sits_boost_lite; reference sits_xgboost/sits_lightgbm,
+    R/sits_machine_learning.R:158-300 — XGBoost second-order split gain
+    and leaf values, depth-1 trees, deterministic). Rows-only driver
+    check."""
+    from sits_ray.stages.train import sits_boost_lite
+
+    return _classify_trained(sf_dir, sits_boost_lite(n_rounds=25))
+
+
 @q("train_then_classify_tempcnn")
 def train_then_classify_tempcnn(sf_dir):
     """Same pipeline with the from-scratch temporal-CNN factory

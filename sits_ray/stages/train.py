@@ -166,6 +166,72 @@ def sits_rfor_lite(n_trees: int = 20, max_depth: int = 4, min_leaf: int = 5,
     return trainer
 
 
+# --- boost-lite (sits_xgboost / sits_lightgbm analog) -------------------------
+
+def boost_probs(model: dict, X: np.ndarray) -> np.ndarray:
+    """Additive stump scores -> softmax."""
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    k = len(model["labels"])
+    F = np.zeros((n, k))
+    for r in model["stumps"]:
+        for j, (f, t, wl, wr) in enumerate(r):
+            F[:, j] += np.where(X[:, int(f)] <= t, wl, wr)
+    return softmax(F)
+
+
+def sits_boost_lite(n_rounds: int = 40, lr: float = 0.3, lam: float = 1.0):
+    """Factory: multiclass gradient-boosted STUMPS on softmax
+    cross-entropy — the second-order (gradient/hessian) split-gain and
+    leaf-value rules of XGBoost (Chen & Guestrin 2016) with depth-1
+    trees and quartile candidate thresholds (the reference's
+    ``sits_xgboost`` / ``sits_lightgbm``,
+    ``R/sits_machine_learning.R:158-300``; from-scratch numpy here).
+    Deterministic (no RNG: greedy gain argmax, first-max ties)."""
+
+    def trainer(X: np.ndarray, y: np.ndarray, labels: list[str]) -> dict:
+        X = np.asarray(X, dtype=np.float64)
+        n, d = X.shape
+        k = len(labels)
+        Y = np.zeros((n, k))
+        Y[np.arange(n), y] = 1.0
+        # candidate thresholds: per-feature quartiles (computed once)
+        cand = [np.unique(np.quantile(X[:, f], [0.25, 0.5, 0.75]))
+                for f in range(d)]
+        F = np.zeros((n, k))
+        stumps = []
+        for _ in range(n_rounds):
+            P = softmax(F)
+            G = P - Y          # gradient per class
+            H = P * (1.0 - P)  # hessian per class
+            rnd = []
+            for j in range(k):
+                g, h = G[:, j], H[:, j]
+                gs, hs = g.sum(), h.sum()
+                best = (0, cand[0][0] if cand[0].size else 0.0, -np.inf)
+                for f in range(d):
+                    v = X[:, f]
+                    for t in cand[f]:
+                        left = v <= t
+                        gl, hl = g[left].sum(), h[left].sum()
+                        gr, hr = gs - gl, hs - hl
+                        gain = gl * gl / (hl + lam) + gr * gr / (hr + lam) \
+                            - gs * gs / (hs + lam)
+                        if gain > best[2]:
+                            best = (f, float(t), gain)
+                f, t, _ = best
+                left = X[:, f] <= t
+                gl, hl = g[left].sum(), h[left].sum()
+                wl = -lr * gl / (hl + lam)
+                wr = -lr * (gs - gl) / ((hs - hl) + lam)
+                F[:, j] += np.where(left, wl, wr)
+                rnd.append((int(f), float(t), float(wl), float(wr)))
+            stumps.append(rnd)
+        return {"stumps": stumps, "labels": list(labels), "kind": "boost_lite"}
+
+    return trainer
+
+
 # --- mlp-lite (sits_mlp analog) ----------------------------------------------
 
 def mlp_probs(model: dict, X: np.ndarray) -> np.ndarray:
@@ -348,6 +414,8 @@ def predict_probs(model: dict, X: np.ndarray) -> np.ndarray:
         return tempcnn_probs(model, X)
     if "W1" in model:
         return mlp_probs(model, X)
+    if "stumps" in model:
+        return boost_probs(model, X)
     return softmax(X @ model["W"] + model["b"])
 
 

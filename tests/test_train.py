@@ -332,3 +332,27 @@ def test_mlp_beats_linear_on_xor():
     acc_lin = (predict_probs(lin, X).argmax(axis=1) == y).mean()
     assert acc_mlp >= 0.9
     assert acc_mlp > acc_lin + 0.2
+
+
+def test_boost_lite_learns_and_beats_few_rounds():
+    from sits_ray.stages.train import predict_probs, sits_boost_lite
+
+    X, y, labels = _blobs()
+    short = train(X, np.array(labels)[y], sits_boost_lite(n_rounds=2))
+    model = train(X, np.array(labels)[y], sits_boost_lite(n_rounds=40))
+    acc_s = (predict_probs(short, X).argmax(axis=1) == y).mean()
+    acc = (predict_probs(model, X).argmax(axis=1) == y).mean()
+    assert acc >= 0.95 and acc >= acc_s
+    again = train(X, np.array(labels)[y], sits_boost_lite(n_rounds=40))
+    np.testing.assert_array_equal(
+        predict_probs(model, X), predict_probs(again, X)
+    )
+    # export round-trip (stumps are plain tuples)
+    import tempfile, os
+    from sits_ray.stages.train import export_model, import_model
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "b.json")
+        export_model(model, p)
+        np.testing.assert_array_equal(
+            predict_probs(model, X), predict_probs(import_model(p), X)
+        )
