@@ -5921,6 +5921,48 @@ def dup_passages_q(sf_dir):
     return dup_passages(ds, w=8)
 
 
+# --- deterministic frequency capping (per-source doc caps) -------------------
+@q(
+    "source_cap_sample",
+    """
+select source, doc_id from (
+  select source, doc_id,
+         row_number() over (partition by source order by fp, doc_id) as rk
+  from (select source, doc_id,
+               list_reduce(
+                 list_prepend(cast(0 as bigint),
+                   list_transform(
+                     regexp_extract_all(
+                       to_hex(encode(cast(doc_id as varchar))), '..'),
+                     c -> cast(concat('0x', c) as bigint))),
+                 (h, c) -> (h * 1000003 + c) % 2147483647) as fp
+        from documents))
+where rk <= 20
+""",
+)
+def source_cap_sample(sf_dir):
+    """Frequency capping (the per-domain document caps of LLM data
+    curation): keep at most 20 documents per source, chosen by the
+    deterministic Horner content hash of the doc id — reproducible
+    across runs, engines and cluster sizes. Per-batch partial top-k per
+    source, driver merge over bounded candidates
+    (stages/sampling.cap_per_group); SQL-exact."""
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.sampling import cap_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["fp"] = fingerprint_batch([str(i) for i in df["doc_id"]])
+        return df
+
+    out = cap_per_group(
+        ds.map_batches(add_fp, batch_format="pandas"), k=20
+    )
+    return out[["source", "doc_id"]]
+
+
 # --- deterministic hash-mod sampling ----------------------------------------
 @q(
     "hash_mod_sample",

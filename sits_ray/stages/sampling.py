@@ -275,6 +275,33 @@ def topm_by_score(ds, m: int, score_col: str = "entropy",
     )
 
 
+def cap_per_group(ds, k: int, group_col: str = "source",
+                  id_col: str = "doc_id", rank_col: str = "fp") -> pd.DataFrame:
+    """Frequency capping: keep at most ``k`` rows per group, chosen by a
+    DETERMINISTIC content-addressed rank (the per-domain / per-source
+    document caps of LLM data curation — reproducible across runs and
+    cluster sizes, no RNG). Per-batch partial top-k per group (mergeable
+    — smallest (rank, id) survive any merge order), then one driver
+    merge over the O(batches x groups x k) candidate rows — never the
+    corpus. Group cardinality is assumed small (domains/sources); for
+    corpus-cardinality groups route through hashagg.part_aggregate."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([group_col, rank_col, id_col])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        pdf.sort_values([group_col, rank_col, id_col])
+        .groupby(group_col, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def fetch_rows_by_id(ds, ids, id_col: str = "vec_id") -> pd.DataFrame:
     """Semi-join fetch of a SMALL id set's rows: the ids are broadcast
     once (``ray.put``), every batch filters against them — only matching

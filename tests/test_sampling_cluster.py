@@ -275,3 +275,32 @@ def test_mindist_query_no_driver_corpus():
     # no bare full-dataset to_pandas: every to_pandas in this query flows
     # through the bounded helpers
     assert ".to_pandas()" not in src
+
+
+def test_cap_per_group_deterministic_and_capped(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.sampling import cap_per_group
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": rng.choice(["a", "b", "c"], size=n),
+            "fp": rng.integers(0, 1 << 30, size=n),
+        }
+    )
+    out = cap_per_group(rd.from_pandas(df), k=10)
+    assert (out.groupby("source").size() <= 10).all()
+    # winners are exactly the k smallest (fp, doc_id) per group
+    exp = (
+        df.sort_values(["source", "fp", "doc_id"])
+        .groupby("source", sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # independent of partitioning
+    out2 = cap_per_group(rd.from_pandas(df).repartition(7), k=10)
+    pd.testing.assert_frame_equal(out2, exp)
