@@ -393,3 +393,60 @@ def test_binary_segment_singleton_and_parity():
 
     solo = pd.concat(parts).sort_values(["conv_id", "seg_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(full.reset_index(drop=True), solo)
+
+
+def test_binary_segment_matches_bruteforce_twin():
+    """Vectorized kernel == a literal per-series SSE recursion (different
+    code path: explicit loops, np.var-free prefix math)."""
+    from sits_ray.stages.series_ops import binary_segment
+
+    def sse(v, a, b):
+        s = 0.0
+        ss = 0.0
+        for x in v[a:b]:
+            s += x
+            ss += x * x
+        return ss - (s * s) / (b - a)
+
+    def best_split(v, a, b):
+        best_t, best_g = -1, 0.0
+        parent = sse(v, a, b)
+        for t in range(a + 1, b):
+            g = parent - sse(v, a, t) - sse(v, t, b)
+            if g > best_g:
+                best_t, best_g = t, g
+        return best_t
+
+    def episodes(v):
+        n = len(v)
+        t1 = best_split(v, 0, n)
+        bounds = {0, n}
+        if t1 > 0:
+            bounds.add(t1)
+            for lo, hi in ((0, t1), (t1, n)):
+                t2 = best_split(v, lo, hi)
+                if t2 > 0:
+                    bounds.add(t2)
+        bs = sorted(bounds)
+        return [(bs[i], bs[i + 1]) for i in range(len(bs) - 1)]
+
+    rng = np.random.default_rng(11)
+    series = [np.round(rng.normal(5, 3, size=n)).clip(0).astype(np.float64)
+              for n in (3, 7, 12, 12, 25, 40)]
+    t0 = np.datetime64("2024-03-01", "us")
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(series))]),
+            "bucket_ts": pa.array(
+                [list(t0 + np.arange(len(v)) * np.timedelta64(86400_000_000, "us"))
+                 for v in series],
+                pa.list_(pa.timestamp("us")),
+            ),
+            "turn_count": pa.array([list(v) for v in series], pa.list_(pa.float64())),
+        }
+    )
+    out = binary_segment(batch).to_pandas()
+    for i, v in enumerate(series):
+        got = out[out.conv_id == f"c{i}"].sort_values("seg_id")
+        exp = episodes(v)
+        assert list(zip(got.n_pts.cumsum() - got.n_pts, got.n_pts.cumsum())) == exp
