@@ -5921,6 +5921,46 @@ def dup_passages_q(sf_dir):
     return dup_passages(ds, w=8)
 
 
+# --- unigram-LM quality scoring (CCNet-style) -------------------------------
+@q(
+    "unigram_nll_scores",
+    """
+with tok as (
+  select doc_id, i, l[i] as w
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents),
+       unnest(generate_series(1, len(l))) as u(i)),
+cnt as (select w, count(*)::BIGINT as c from tok group by 1),
+tot as (select sum(c)::BIGINT as t from cnt),
+lp as (select tok.doc_id, tok.i, -ln(cnt.c::DOUBLE / tot.t) as nl
+       from tok join cnt using (w), tot),
+agg as (
+  select doc_id, count(*)::BIGINT as n,
+         list_reduce(list_prepend(0.0, list(nl order by i)),
+                     (a, b) -> a + b) as s
+  from lp group by doc_id)
+select doc_id, n as n_tokens, s / n as nll from agg
+""",
+)
+def unigram_nll_scores(sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, unigram
+    variant): per-document mean negative log-likelihood under the
+    corpus's own unigram distribution — the cheap outlier/quality signal
+    of pretraining-data curation. One streaming count pass
+    (hash-partitioned aggregate), vocab-sized ray.put broadcast, one
+    scoring pass with SEQUENTIAL per-doc accumulation in token order
+    (stages/lmscore.py). SQL-exact: an ORDERED list_reduce fold replays
+    the accumulation (DuckDB's windowed cumulative sum combines in
+    blocks — measured 1-ulp off a strict fold — so the oracle folds an
+    order-pinned list instead); ln is libm on both sides (math.log, not
+    numpy's SIMD log, which diverges from libm in ~20% of inputs)."""
+    from sits_ray.stages.lmscore import corpus_unigram_counts, unigram_nll
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts, total = corpus_unigram_counts(ds)
+    return unigram_nll(ds, counts, total)
+
+
 # --- deterministic frequency capping (per-source doc caps) -------------------
 @q(
     "source_cap_sample",

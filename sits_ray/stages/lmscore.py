@@ -1,0 +1,106 @@
+"""Unigram language-model quality scoring (CCNet-style): score every
+document by its per-token negative log-likelihood under the corpus's own
+unigram distribution — the classic cheap quality / outlier signal for
+pretraining-data curation (Wenzek et al. 2020 score documents with a
+KenLM; the unigram variant keeps the same pipeline shape with an
+SQL-certifiable kernel).
+
+Scale shape: token counts come from one streaming pass with per-batch
+partial counts + the hash-partitioned aggregate (corpus-cardinality
+keys — stages/hashagg.py); the resulting (token -> count) table is
+vocab-sized and broadcast once with ``ray.put`` (bounded: natural-language
+vocabularies plateau by Heaps' law; cap with a min-count floor at true
+corpus scale). Scoring is one stateless ``map_batches`` pass.
+
+Float contract: per-document NLL accumulates SEQUENTIALLY in token order
+(vectorized across equal-token-count docs, the series_ops length-group
+pattern), so a DuckDB ordered-window running sum replays it bit-for-bit;
+``ln(count/total)`` agrees across engines because the operand is an exact
+integer ratio and both sides call the platform libm (the contract the
+entropy oracles already pin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+_TOKEN_RE = r"[a-z]+"
+
+
+def corpus_unigram_counts(ds, text_col: str = "text", n_parts: int = 32):
+    """Distributed (token, cnt) table + total count."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].str.lower().str.findall(_TOKEN_RE).explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=str),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        vc = ex.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "cnt": vc.to_numpy(dtype="int64")}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    pdf = part_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), merge,
+        key_col="token", n_parts=n_parts,
+    ).to_pandas()
+    return pdf, int(pdf["cnt"].sum())
+
+
+def unigram_nll(ds, counts: pd.DataFrame, total: int,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean negative log-likelihood under the broadcast
+    unigram model. Documents with zero tokens are dropped (no defined
+    score) — mirrored by the SQL twin's inner join."""
+    # math.log (libm), NOT np.log: numpy's SIMD log diverges from libm in
+    # the last ulp on ~20% of inputs (measured), and DuckDB ln == libm —
+    # the vocab-sized model table is driver-side, so the scalar loop is free
+    import math
+
+    logp = {
+        t: math.log(c / total)
+        for t, c in zip(counts["token"], counts["cnt"].to_numpy(dtype=np.float64))
+    }
+    ref = ray.put(logp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
+        ids = df[id_col].to_numpy()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        keep = lens > 0
+        out_id = ids[keep]
+        out_n = lens[keep]
+        # flat -log p stream + sequential per-doc accumulation, vectorized
+        # across docs of equal token count (the SQL running-sum order)
+        seqs = toks.to_numpy()[keep]
+        flat = np.fromiter(
+            (lut[t] for s in seqs for t in s), dtype=np.float64,
+            count=int(out_n.sum()),
+        )
+        offs = np.concatenate([[0], np.cumsum(out_n)])
+        nll = np.empty(out_n.size, dtype=np.float64)
+        for length in np.unique(out_n):
+            rows = np.flatnonzero(out_n == length)
+            idx = offs[rows][:, None] + np.arange(length)
+            m = flat[idx]  # (r, length)
+            acc = np.zeros(rows.size, dtype=np.float64)
+            for j in range(int(length)):
+                acc = acc + (-m[:, j])
+            nll[rows] = acc / np.float64(length)
+        return pd.DataFrame(
+            {id_col: out_id, "n_tokens": out_n, "nll": nll}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -42,7 +42,10 @@ def main():
         try:
             res = fn(sf_dir)
             # consume lazily-built Datasets so the timing is real
-            n = res.count() if hasattr(res, "count") and not hasattr(res, "columns") else len(res)
+            try:
+                n = res.count()
+            except (TypeError, AttributeError):
+                n = len(res)
             err = None
         except Exception as e:  # noqa: BLE001
             n, err = -1, f"{type(e).__name__}: {e}"
