@@ -6311,19 +6311,17 @@ bks as (
          1 + ((b.b + 1) * (big.n - 2)) // {nb} as e
   from big, (select unnest(generate_series(0, {nb - 1})) as b) b),
 bsum as (
-  select conv_id, b, run_x / cnt as ax, run_y / cnt as ay
-  from (
-    select r.conv_id, bk.b,
-           sum(r.x) over w as run_x,
-           sum(r.y) over w as run_y,
-           row_number() over w2 as k,
-           count(*) over (partition by r.conv_id, bk.b) as cnt
-    from rows_l r join bks bk
-      on r.conv_id = bk.conv_id and r.rn - 1 >= bk.s and r.rn - 1 < bk.e
-    window w as (partition by r.conv_id, bk.b order by r.rn
-                 rows between unbounded preceding and current row),
-           w2 as (partition by r.conv_id, bk.b order by r.rn))
-  where k = cnt),
+  -- strict-sequential bucket means: ordered list_reduce fold (DuckDB's
+  -- windowed cumulative sum combines in blocks, 1-ulp off the kernel's
+  -- left fold — CLAUDE.md r4 gotcha)
+  select r.conv_id, bk.b,
+         list_reduce(list_prepend(0.0, list(r.x order by r.rn)),
+                     (p, q) -> p + q) / count(*) as ax,
+         list_reduce(list_prepend(0.0, list(r.y order by r.rn)),
+                     (p, q) -> p + q) / count(*) as ay
+  from rows_l r join bks bk
+    on r.conv_id = bk.conv_id and r.rn - 1 >= bk.s and r.rn - 1 < bk.e
+  group by r.conv_id, bk.b),
 navg as (
   select conv_id, b - 1 as b, ax, ay from bsum where b >= 1
   union all
