@@ -107,10 +107,12 @@ from sits_ray.stages.train import (  # noqa: F401
     kfold_validate as sits_kfold_validate,
     export_model as sits_model_export,
     import_model as sits_model_import,
+    sits_boost_lite as sits_xgboost,
     sits_mlp_lite as sits_mlp,
     sits_mlr,
     sits_rfor_lite as sits_rfor,
     sits_svm_lite as sits_svm,
+    sits_tae_lite as sits_tae,
     sits_tempcnn_lite as sits_tempcnn,
     train as sits_train,
     tuning as sits_tuning,

@@ -2500,6 +2500,18 @@ def train_then_classify_svm(sf_dir):
     return _classify_trained(sf_dir, sits_svm_lite(iters=200))
 
 
+@q("train_then_classify_tae")
+def train_then_classify_tae(sf_dir):
+    """Same pipeline with the temporal-attention-encoder factory
+    (stages/train.sits_tae_lite; reference sits_tae/sits_lighttae,
+    R/sits_tae.R / R/sits_lighttae.R via torch — sinusoidal positional
+    encodings + learned attention-query pooling, numpy backprop).
+    Rows-only driver check."""
+    from sits_ray.stages.train import sits_tae_lite
+
+    return _classify_trained(sf_dir, sits_tae_lite(iters=150))
+
+
 @q("train_then_classify_boost")
 def train_then_classify_boost(sf_dir):
     """Same pipeline with the gradient-boosted-stumps factory

@@ -48,8 +48,9 @@ class SeriesScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = list_matrix(batch[self.vec_col])
         if ("trees" in self.model or "conv_K" in self.model
-                or "W1" in self.model or "stumps" in self.model):
-            # forest / tempcnn / mlp / boosted stumps: model-kind forward
+                or "W1" in self.model or "stumps" in self.model
+                or "q" in self.model):
+            # forest / tempcnn / mlp / boosted stumps / tae: model-kind forward
             from sits_ray.stages.train import predict_probs
 
             probs = predict_probs(self.model, m)

@@ -166,6 +166,84 @@ def sits_rfor_lite(n_trees: int = 20, max_depth: int = 4, min_leaf: int = 5,
     return trainer
 
 
+# --- tae-lite (sits_tae / sits_lighttae analog) --------------------------------
+
+def _pos_encoding(T: int, d: int) -> np.ndarray:
+    """Fixed sinusoidal positional encoding (Vaswani et al. 2017)."""
+    pos = np.arange(T, dtype=np.float64)[:, None]
+    i = np.arange(d, dtype=np.float64)[None, :]
+    ang = pos / np.power(10000.0, (2.0 * np.floor(i / 2.0)) / d)
+    out = np.where(i % 2 == 0, np.sin(ang), np.cos(ang))
+    return out
+
+
+def tae_probs(model: dict, X: np.ndarray) -> np.ndarray:
+    """Forward: per-timestep embedding (value projection + positional
+    encoding) -> attention pooling with a learned query -> dense softmax."""
+    X = np.asarray(X, dtype=np.float64)
+    Xs = (X - model["mu"]) / model["sd"]
+    v, qv, W, b = model["v"], model["q"], model["W"], model["b"]
+    d = v.size
+    P = _pos_encoding(X.shape[1], d)
+    E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]  # (n, T, d)
+    s = (E @ qv) / np.sqrt(d)                               # (n, T)
+    a = softmax(s)
+    z = np.einsum("nt,ntd->nd", a, E)
+    return softmax(z @ W + b)
+
+
+def sits_tae_lite(d: int = 16, iters: int = 300, lr: float = 0.5,
+                  reg: float = 1e-4, seed: int = 31):
+    """Factory: from-scratch numpy analog of the reference's
+    temporal-attention-encoder classifiers (``sits_tae`` /
+    ``sits_lighttae``, ``R/sits_tae.R`` / ``R/sits_lighttae.R`` via torch;
+    Garnot & Landrieu 2020): sinusoidal position encodings, one learned
+    attention query pooling the sequence, dense softmax head — full-batch
+    backprop, seeded deterministic. Same model-dict/actor-scorer contract
+    as the other factories."""
+
+    def trainer(X: np.ndarray, y: np.ndarray, labels: list[str]) -> dict:
+        X = np.asarray(X, dtype=np.float64)
+        n, T = X.shape
+        k = len(labels)
+        mu = float(X.mean())
+        sd = float(X.std()) or 1.0
+        Xs = (X - mu) / sd
+        rng = np.random.default_rng(seed)
+        v = rng.normal(0, 1.0, size=d)
+        qv = rng.normal(0, 1.0, size=d)
+        W = rng.normal(0, 0.01, size=(d, k))
+        b = np.zeros(k)
+        P = _pos_encoding(T, d)
+        Y = np.zeros((n, k))
+        Y[np.arange(n), y] = 1.0
+        sq = np.sqrt(d)
+        for _ in range(iters):
+            E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]
+            s = (E @ qv) / sq
+            a = softmax(s)
+            z = np.einsum("nt,ntd->nd", a, E)
+            Pr = softmax(z @ W + b)
+            dL = (Pr - Y) / n
+            dW = z.T @ dL + reg * W
+            db = dL.sum(axis=0)
+            dz = dL @ W.T                                   # (n, d)
+            da = np.einsum("nd,ntd->nt", dz, E)
+            dE = a[:, :, None] * dz[:, None, :]
+            ds = a * (da - (a * da).sum(axis=1, keepdims=True))
+            dE += ds[:, :, None] * qv[None, None, :] / sq
+            dq = np.einsum("nt,ntd->d", ds, E) / sq
+            dv = np.einsum("ntd,nt->d", dE, Xs) + reg * v
+            W -= lr * dW
+            b -= lr * db
+            qv -= lr * dq
+            v -= lr * dv
+        return {"v": v, "q": qv, "W": W, "b": b, "mu": mu, "sd": sd,
+                "labels": list(labels), "kind": "tae_lite"}
+
+    return trainer
+
+
 # --- boost-lite (sits_xgboost / sits_lightgbm analog) -------------------------
 
 def boost_probs(model: dict, X: np.ndarray) -> np.ndarray:
@@ -416,6 +494,8 @@ def predict_probs(model: dict, X: np.ndarray) -> np.ndarray:
         return mlp_probs(model, X)
     if "stumps" in model:
         return boost_probs(model, X)
+    if "q" in model:
+        return tae_probs(model, X)
     return softmax(X @ model["W"] + model["b"])
 
 

@@ -356,3 +356,59 @@ def test_boost_lite_learns_and_beats_few_rounds():
         np.testing.assert_array_equal(
             predict_probs(model, X), predict_probs(import_model(p), X)
         )
+
+
+def test_tae_lite_learns_position_patterns():
+    """Attention + positional encodings separate early-vs-late bumps (the
+    task GAP cannot see); gradient check on the attention query."""
+    from sits_ray.stages.train import predict_probs, sits_tae_lite
+
+    X, y, labels = _temporal_two_class(n_per=60)
+    model = train(X, np.array(labels)[y], sits_tae_lite(iters=300))
+    acc = (predict_probs(model, X).argmax(axis=1) == y).mean()
+    assert acc >= 0.9
+    again = train(X, np.array(labels)[y], sits_tae_lite(iters=300))
+    np.testing.assert_array_equal(
+        predict_probs(model, X), predict_probs(again, X)
+    )
+
+
+def test_tae_gradient_check_query():
+    from sits_ray.kernels.ml import softmax as _sm
+    from sits_ray.stages.train import _pos_encoding
+
+    rng = np.random.default_rng(6)
+    n, T, d, k = 5, 9, 4, 3
+    Xs = rng.normal(0, 1, size=(n, T))
+    y = rng.integers(0, k, size=n)
+    v = rng.normal(0, 1, size=d)
+    qv = rng.normal(0, 1, size=d)
+    W = rng.normal(0, 0.5, size=(d, k))
+    b = np.zeros(k)
+    P = _pos_encoding(T, d)
+    Y = np.zeros((n, k)); Y[np.arange(n), y] = 1.0
+    sq = np.sqrt(d)
+
+    def loss(qq):
+        E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]
+        a = _sm((E @ qq) / sq)
+        z = np.einsum("nt,ntd->nd", a, E)
+        Pr = _sm(z @ W + b)
+        return -np.log(Pr[np.arange(n), y]).mean()
+
+    E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]
+    a = _sm((E @ qv) / sq)
+    z = np.einsum("nt,ntd->nd", a, E)
+    Pr = _sm(z @ W + b)
+    dL = (Pr - Y) / n
+    dz = dL @ W.T
+    da = np.einsum("nd,ntd->nt", dz, E)
+    ds = a * (da - (a * da).sum(axis=1, keepdims=True))
+    dq = np.einsum("nt,ntd->d", ds, E) / sq
+    eps = 1e-6
+    for j in range(d):
+        qp, qm = qv.copy(), qv.copy()
+        qp[j] += eps
+        qm[j] -= eps
+        num = (loss(qp) - loss(qm)) / (2 * eps)
+        assert abs(num - dq[j]) < 1e-6, (j, num, dq[j])
