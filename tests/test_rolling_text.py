@@ -296,3 +296,34 @@ def test_dup_passages_text_never_shuffles(ray_session):
     assert set(out.schema().names) == {
         "doc_id", "n_windows", "dup_windows", "dup_ratio"
     }
+
+
+def test_unigram_nll_matches_scalar_and_drops_empty(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from sits_ray.stages.lmscore import corpus_unigram_counts, unigram_nll
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["the cat sat", "the the the", "", "cat cat sat dog"],
+        }
+    )
+    ds = rd.from_pandas(df)
+    counts, total = corpus_unigram_counts(ds)
+    assert total == 10
+    out = unigram_nll(ds, counts, total).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [0, 1, 3]  # empty doc dropped
+    cnt = dict(zip(counts["token"], counts["cnt"]))
+    for _, row in out.iterrows():
+        toks = df.loc[df.doc_id == row.doc_id, "text"].iloc[0].split()
+        acc = np.float64(0.0)
+        for t in toks:
+            acc = acc + np.float64(-math.log(cnt[t] / total))
+        assert row.nll == acc / np.float64(len(toks))
+        assert row.n_tokens == len(toks)
+    # repeated-word doc scores lower NLL than rare-word doc
+    nll = dict(zip(out.doc_id, out.nll))
+    assert nll[1] < nll[3]
