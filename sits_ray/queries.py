@@ -4133,6 +4133,27 @@ def multimodal_features(sf_dir):
     return out.select_columns(["media_id", "mime", "mean_intensity", "std_intensity"])
 
 
+@q("video_frame_sample")
+def video_frame_sample(sf_dir):
+    """Frame sampling over video payloads (the frame-sample stage of a
+    multimodal training pipeline): concatenated-PPM clips, frame offsets
+    parsed WITHOUT decoding rasters, uniform deterministic pick of <= 4
+    frames per clip, sampled frames decoded -> grayscale -> resized
+    features in an actor pool (stages/multimodal.FrameSampler).
+    Deterministic synthetic clips per sf (no external data). Rows-only
+    check; codec/offset/pick rules pinned in tests/test_multimodal.py."""
+    from sits_ray.stages.multimodal import sample_frames, synth_video_table
+
+    sf = _sf_of_dir(sf_dir)
+    n = max(16, int(sf * 1600))
+    tbl = synth_video_table(n=n, seed=9)
+    out = sample_frames(rd.from_arrow(tbl), n_sample=4, batch_size=16,
+                        concurrency=(1, 2))
+    return out.select_columns(
+        ["media_id", "frame_idx", "n_frames", "mean_intensity"]
+    )
+
+
 @q("compress_roundtrip")
 def compress_roundtrip(sf_dir):
     """Gorilla tier blocks: per (conv, tier) compressed sizes + verified

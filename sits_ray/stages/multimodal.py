@@ -283,6 +283,140 @@ def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     )
 
 
+def encode_ppm_video(frames: list[np.ndarray]) -> bytes:
+    """Naive video container: concatenated binary PPM (P6) frames — each
+    frame is self-describing, so the stream parses without an index."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def _ppm_frame_len(payload: bytes, start: int) -> tuple[int, int, int]:
+    """(header_end, w, h) of the PPM frame starting at ``start``."""
+    parts = []
+    i = start + 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1
+    w, h, _ = parts
+    return i, w, h
+
+
+def video_frame_offsets(payload: bytes) -> list[tuple[int, int, int]]:
+    """Parse the concatenated-PPM stream WITHOUT decoding rasters: returns
+    one (raster_offset, w, h) per frame — what makes sampled decode
+    cheap (only the selected frames' bytes are touched)."""
+    out = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        data_start, w, h = _ppm_frame_len(payload, pos)
+        out.append((data_start, w, h))
+        pos = data_start + w * h * 3
+    return out
+
+
+def decode_video_frame(payload: bytes, offset: tuple[int, int, int]) -> np.ndarray:
+    data_start, w, h = offset
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=data_start)
+    return raster.reshape(h, w, 3)
+
+
+def sample_frame_indices(n_frames: int, n_sample: int) -> np.ndarray:
+    """Deterministic uniform frame pick: ``floor(linspace)`` over the
+    frame axis (first frame always kept; all frames when the clip is
+    short)."""
+    if n_frames <= n_sample:
+        return np.arange(n_frames, dtype=np.int64)
+    return np.unique(
+        np.floor(np.linspace(0, n_frames - 1, n_sample)).astype(np.int64)
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> one row per SAMPLED frame
+    (media_id, frame_idx, n_frames, mean/std intensity + resized-gray
+    feature). Frame offsets parse without decoding, so only the sampled
+    frames' bytes are read — the plumbing contract for real codecs where
+    seeking beats full decode (the reference's block-window reads,
+    R/api_raster.R chunk access, applied to the time axis of media)."""
+
+    def __init__(self, n_sample: int = 4, out_hw=(8, 8)):
+        self.n_sample = n_sample
+        self.out_hw = out_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nfr, means, stds, feats = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            offs = video_frame_offsets(payload)
+            take = sample_frame_indices(len(offs), self.n_sample)
+            for t in take:
+                img = decode_video_frame(payload, offs[int(t)]).mean(axis=2)
+                f = resize_bilinear(img, self.out_hw).reshape(-1).astype(np.float32)
+                ids.append(mid)
+                fidx.append(int(t))
+                nfr.append(len(offs))
+                means.append(float(f.mean()))
+                stds.append(float(f.std()))
+                feats.append(f.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int64()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "std_intensity": pa.array(stds, pa.float64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def sample_frames(ds, n_sample: int = 4, out_hw=(8, 8),
+                  batch_size: int = 16, concurrency=(1, 2)):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(n_sample=n_sample, out_hw=out_hw),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_video_table(n: int = 16, seed: int = 9) -> pa.Table:
+    """Deterministic 'video' table: concatenated-PPM clips of varying
+    frame counts and sizes."""
+    rng = np.random.default_rng(seed)
+    payloads, counts = [], []
+    for _ in range(n):
+        k = int(rng.integers(2, 12))
+        w, h = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(k)
+        ]
+        payloads.append(encode_ppm_video(frames))
+        counts.append(k)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["video/x-ppm-stream"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(np.array(counts, dtype=np.int32)),
+        }
+    )
+
+
 def fake_decode(payload: bytes, mime: str, out_hw: tuple[int, int] = (8, 8)) -> np.ndarray:
     """Deterministic stand-in decode: payload bytes -> pseudo-pixel grid
     seeded by the payload digest (stable across runs/workers)."""

@@ -161,3 +161,52 @@ def test_media_features_png_path(ray_session):
     assert len(out) == 24
     png_rows = out[out["mime"] == "image/png"]
     assert len(png_rows) > 0 and png_rows["std_intensity"].gt(0).all()
+
+
+def test_video_roundtrip_and_offsets():
+    import numpy as np
+
+    from sits_ray.stages.multimodal import (
+        decode_video_frame,
+        encode_ppm_video,
+        video_frame_offsets,
+    )
+
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+              for h, w in ((8, 10), (8, 10), (5, 7))]
+    payload = encode_ppm_video(frames)
+    offs = video_frame_offsets(payload)
+    assert len(offs) == 3
+    for f, o in zip(frames, offs):
+        np.testing.assert_array_equal(decode_video_frame(payload, o), f)
+
+
+def test_sample_frame_indices_rules():
+    import numpy as np
+
+    from sits_ray.stages.multimodal import sample_frame_indices
+
+    np.testing.assert_array_equal(sample_frame_indices(3, 4), [0, 1, 2])
+    idx = sample_frame_indices(11, 4)
+    assert idx[0] == 0 and idx[-1] == 10 and len(idx) == 4
+    assert (np.diff(idx) > 0).all()
+
+
+def test_frame_sampler_actor_pool(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sits_ray.stages.multimodal import sample_frames, synth_video_table
+
+    tbl = synth_video_table(n=10, seed=9)
+    out = sample_frames(rd.from_arrow(tbl), n_sample=3).to_pandas()
+    # per clip: min(n_frames, 3) rows, frame 0 always present, idx < n
+    exp = dict(zip(tbl["media_id"].to_pylist(), tbl["n_frames"].to_pylist()))
+    for mid, g in out.groupby("media_id"):
+        n = exp[mid]
+        assert len(g) == min(n, 3)
+        assert 0 in set(g.frame_idx)
+        assert (g.frame_idx < n).all()
+        assert (g.n_frames == n).all()
+        assert (g.feature.str.len() == 64).all()
