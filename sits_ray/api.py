@@ -111,6 +111,7 @@ from sits_ray.stages.train import (  # noqa: F401
     sits_mlp_lite as sits_mlp,
     sits_mlr,
     sits_rfor_lite as sits_rfor,
+    sits_resnet_lite as sits_resnet,
     sits_svm_lite as sits_svm,
     sits_tae_lite as sits_tae,
     sits_tempcnn_lite as sits_tempcnn,

@@ -2500,6 +2500,17 @@ def train_then_classify_svm(sf_dir):
     return _classify_trained(sf_dir, sits_svm_lite(iters=200))
 
 
+@q("train_then_classify_resnet")
+def train_then_classify_resnet(sf_dir):
+    """Same pipeline with the residual-MLP factory
+    (stages/train.sits_resnet_lite; reference sits_resnet, R/sits_resnet.R
+    via torch — one identity-skip ReLU block, numpy backprop). Rows-only
+    driver check."""
+    from sits_ray.stages.train import sits_resnet_lite
+
+    return _classify_trained(sf_dir, sits_resnet_lite(iters=120))
+
+
 @q("train_then_classify_tae")
 def train_then_classify_tae(sf_dir):
     """Same pipeline with the temporal-attention-encoder factory

@@ -49,8 +49,8 @@ class SeriesScorer:
         m = list_matrix(batch[self.vec_col])
         if ("trees" in self.model or "conv_K" in self.model
                 or "W1" in self.model or "stumps" in self.model
-                or "q" in self.model):
-            # forest / tempcnn / mlp / boosted stumps / tae: model-kind forward
+                or "q" in self.model or "R1" in self.model):
+            # forest/tempcnn/mlp/stumps/tae/resnet: model-kind forward
             from sits_ray.stages.train import predict_probs
 
             probs = predict_probs(self.model, m)

@@ -362,6 +362,73 @@ def sits_mlp_lite(hidden: int = 32, iters: int = 200, lr: float = 0.3,
     return trainer
 
 
+# --- resnet-lite (sits_resnet analog) ------------------------------------------
+
+def resnet_probs(model: dict, X: np.ndarray) -> np.ndarray:
+    """Forward: hidden ReLU layer -> residual ReLU block -> softmax."""
+    X = np.asarray(X, dtype=np.float64)
+    Xs = (X - model["mu"]) / model["sd"]
+    H1 = np.maximum(Xs @ model["R1"] + model["c1"], 0.0)
+    H2 = np.maximum(H1 @ model["R2"] + model["c2"], 0.0) + H1  # residual
+    return softmax(H2 @ model["W"] + model["b"])
+
+
+def sits_resnet_lite(hidden: int = 32, iters: int = 200, lr: float = 0.2,
+                     reg: float = 1e-4, seed: int = 37):
+    """Factory: residual-MLP analog of the reference's ``sits_resnet``
+    (``R/sits_resnet.R`` via torch — Wang et al. 2017 ResNet-for-TSC,
+    distilled to one identity-skip block in from-scratch numpy). The skip
+    connection is the architectural point: gradients reach the first
+    layer through the identity path. Deterministic; shared
+    model-dict/actor-scorer contract."""
+
+    def trainer(X: np.ndarray, y: np.ndarray, labels: list[str]) -> dict:
+        X = np.asarray(X, dtype=np.float64)
+        n, d = X.shape
+        k = len(labels)
+        mu = X.mean(axis=0)
+        sd = X.std(axis=0)
+        sd[sd == 0] = 1.0
+        Xs = (X - mu) / sd
+        rng = np.random.default_rng(seed)
+        R1 = rng.normal(0, np.sqrt(2.0 / d), size=(d, hidden))
+        c1 = np.zeros(hidden)
+        R2 = rng.normal(0, np.sqrt(2.0 / hidden), size=(hidden, hidden))
+        c2 = np.zeros(hidden)
+        W = rng.normal(0, 0.01, size=(hidden, k))
+        b = np.zeros(k)
+        Y = np.zeros((n, k))
+        Y[np.arange(n), y] = 1.0
+        for _ in range(iters):
+            Z1 = Xs @ R1 + c1
+            H1 = np.maximum(Z1, 0.0)
+            Z2 = H1 @ R2 + c2
+            H2 = np.maximum(Z2, 0.0) + H1
+            P = softmax(H2 @ W + b)
+            dL = (P - Y) / n
+            dW = H2.T @ dL + reg * W
+            db = dL.sum(axis=0)
+            dH2 = dL @ W.T
+            dZ2 = dH2 * (Z2 > 0.0)
+            dR2 = H1.T @ dZ2 + reg * R2
+            dc2 = dZ2.sum(axis=0)
+            dH1 = dZ2 @ R2.T + dH2  # residual path adds the identity grad
+            dZ1 = dH1 * (Z1 > 0.0)
+            dR1 = Xs.T @ dZ1 + reg * R1
+            dc1 = dZ1.sum(axis=0)
+            W -= lr * dW
+            b -= lr * db
+            R2 -= lr * dR2
+            c2 -= lr * dc2
+            R1 -= lr * dR1
+            c1 -= lr * dc1
+        return {"R1": R1, "c1": c1, "R2": R2, "c2": c2, "W": W, "b": b,
+                "mu": mu, "sd": sd, "labels": list(labels),
+                "kind": "resnet_lite"}
+
+    return trainer
+
+
 # --- svm-lite (sits_svm analog) ------------------------------------------------
 
 def sits_svm_lite(iters: int = 300, lr: float = 0.5, reg: float = 1e-3,
@@ -496,6 +563,8 @@ def predict_probs(model: dict, X: np.ndarray) -> np.ndarray:
         return boost_probs(model, X)
     if "q" in model:
         return tae_probs(model, X)
+    if "R1" in model:
+        return resnet_probs(model, X)
     return softmax(X @ model["W"] + model["b"])
 
 

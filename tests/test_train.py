@@ -412,3 +412,22 @@ def test_tae_gradient_check_query():
         qm[j] -= eps
         num = (loss(qp) - loss(qm)) / (2 * eps)
         assert abs(num - dq[j]) < 1e-6, (j, num, dq[j])
+
+
+def test_resnet_lite_learns_and_roundtrips(tmp_path):
+    from sits_ray.stages.train import (
+        export_model,
+        import_model,
+        predict_probs,
+        sits_resnet_lite,
+    )
+
+    X, y, labels = _blobs()
+    model = train(X, np.array(labels)[y], sits_resnet_lite(iters=150))
+    acc = (predict_probs(model, X).argmax(axis=1) == y).mean()
+    assert acc >= 0.95
+    p = str(tmp_path / "r.json")
+    export_model(model, p)
+    np.testing.assert_array_equal(
+        predict_probs(model, X), predict_probs(import_model(p), X)
+    )
