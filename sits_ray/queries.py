@@ -134,7 +134,7 @@ def _rollup_sql(trunc: str) -> str:
     # (lag semantics == the engine's first-turn-NULL rule)
     return f"""
 with lagged as (
-  select user_id, event_type, ts,
+  select user_id, event_type, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events)
 select user_id as conv_id,
@@ -142,8 +142,12 @@ select user_id as conv_id,
        count(*) as turn_count,
        count(*) filter (where event_type = 'click') as tool_calls,
        count(lat) as n_latency,
-       coalesce(sum(lat), 0.0) as sum_latency,
-       avg(lat) as mean_latency,
+       case when count(lat) = 0 then 0.0 else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) end as sum_latency,
+       case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as mean_latency,
        quantile_disc(lat, 0.95) as p95_latency,
        min(lat) as min_latency,
        max(lat) as max_latency
@@ -173,12 +177,14 @@ def rollup_1d(sf_dir):
 # oracles compose on top of it)
 _GAPFILL_1H_CTES = """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 obs as (
   select user_id as conv_id, date_trunc('hour', ts) as bucket_ts,
-         count(*) as turn_count, avg(lat) as mean_latency
+         count(*) as turn_count, case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as mean_latency
   from lagged group by 1, 2),
 bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx from obs group by 1),
 grid as (
@@ -292,12 +298,14 @@ def timeline_during(sf_dir):
     "apply_across_wmean",
     """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 tier as (
   select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
-         avg(lat) as mean_latency, quantile_disc(lat, 0.95) as p95_latency,
+         case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as mean_latency, quantile_disc(lat, 0.95) as p95_latency,
          min(lat) as min_latency, max(lat) as max_latency
   from lagged group by 1, 2)
 select conv_id, bucket_ts,
@@ -1394,21 +1402,33 @@ def knn_cosine_top10(sf_dir):
     "predictor_matrix_4w",
     """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 slotted as (
-  select user_id,
+  select user_id, ts, event_id,
          cast(floor((epoch(ts) - (select epoch(min(ts)) from events))
               / ((select epoch(max(ts)) - epoch(min(ts)) + 1 from events) / 4.0)) as bigint) as slot,
          lat
   from lagged),
-clamped as (select user_id, least(slot, 3) as slot, lat from slotted)
+clamped as (select user_id, ts, event_id, least(slot, 3) as slot, lat from slotted)
 select user_id as conv_id,
-       avg(lat) filter (where slot = 0) as lat_t0,
-       avg(lat) filter (where slot = 1) as lat_t1,
-       avg(lat) filter (where slot = 2) as lat_t2,
-       avg(lat) filter (where slot = 3) as lat_t3,
+       case when count(lat) filter (where slot = 0) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id)
+             filter (where slot = 0 and lat is not null)),
+         (p, q) -> p + q) / (count(lat) filter (where slot = 0)) end as lat_t0,
+       case when count(lat) filter (where slot = 1) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id)
+             filter (where slot = 1 and lat is not null)),
+         (p, q) -> p + q) / (count(lat) filter (where slot = 1)) end as lat_t1,
+       case when count(lat) filter (where slot = 2) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id)
+             filter (where slot = 2 and lat is not null)),
+         (p, q) -> p + q) / (count(lat) filter (where slot = 2)) end as lat_t2,
+       case when count(lat) filter (where slot = 3) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id)
+             filter (where slot = 3 and lat is not null)),
+         (p, q) -> p + q) / (count(lat) filter (where slot = 3)) end as lat_t3,
        count(*) as n
 from clamped group by 1
 """,
@@ -1779,12 +1799,14 @@ def combine_predictions_uncert(sf_dir):
 # day granularity) — shared by the bayes-smooth and bayts oracles
 _GAPFILL_1D_CTES = """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 obs as (
   select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
-         count(*) as turn_count, avg(lat) as mean_latency
+         count(*) as turn_count, case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as mean_latency
   from lagged group by 1, 2),
 bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx from obs group by 1),
 grid as (
@@ -3813,11 +3835,14 @@ def texture_daily(sf_dir):
     "texture_cooccurrence_1d",
     """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 tier as (
-  select user_id as conv_id, date_trunc('day', ts) as bucket_ts, avg(lat) as x
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
+         case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as x
   from lagged group by 1, 2),
 stats as (
   select conv_id, min(x) as lo, max(x) as hi
@@ -4027,19 +4052,23 @@ def mixture_model_unmix(sf_dir):
     "cascade_1m_to_1h",
     """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events),
 obs_1m as (
   select user_id as conv_id, date_trunc('minute', ts) as m_ts,
-         count(*) as tc, count(lat) as nl, coalesce(sum(lat), 0.0) as sl
+         count(*) as tc, count(lat) as nl, case when count(lat) = 0 then 0.0 else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) end as sl
   from lagged group by 1, 2),
 obs as (
   -- hourly re-aggregate of the minute tier: sums of counts, sequential
   -- sum of minute sums in time order, mean = sum/n (cascade semantics)
   select conv_id, date_trunc('hour', m_ts) as bucket_ts,
          cast(sum(tc) as bigint) as turn_count,
-         case when sum(nl) > 0 then sum(sl order by m_ts) / sum(nl) end as mean_latency
+         case when sum(nl) > 0
+              then list_reduce(list_prepend(0.0, list(sl order by m_ts)),
+                               (p, q) -> p + q) / sum(nl) end as mean_latency
   from obs_1m group by 1, 2),
 bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx from obs group by 1),
 grid as (
@@ -4216,12 +4245,14 @@ def compress_roundtrip(sf_dir):
     "compress_decode_1h",
     """
 with lagged as (
-  select user_id, ts,
+  select user_id, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events)
 select user_id as conv_id,
        date_trunc('hour', ts) as bucket_ts,
-       coalesce(sum(lat), 0.0) as sum_latency
+       case when count(lat) = 0 then 0.0 else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) end as sum_latency
 from lagged
 group by 1, 2
 """,
@@ -4528,15 +4559,25 @@ def props_k_stats(sf_dir):
     "time_weighted_avg",
     """
 with l as (
-  select user_id, value,
+  select user_id, value, ts, event_id,
          epoch(lead(ts) over (partition by user_id order by ts, event_id) - ts) as dt
-  from events)
+  from events),
+f as (
+  select user_id,
+         case when count(dt) = 0 then 0.0 else
+           list_reduce(list_prepend(0.0,
+             list(dt * value order by ts, event_id)
+               filter (where dt is not null)), (p, q) -> p + q) end as ws,
+         case when count(dt) = 0 then 0.0 else
+           list_reduce(list_prepend(0.0,
+             list(dt order by ts, event_id)
+               filter (where dt is not null)), (p, q) -> p + q) end as dur
+  from l group by 1)
 select user_id as conv_id,
-       coalesce(sum(dt * value), 0.0) as weighted_sum,
-       coalesce(sum(dt), 0.0) as duration,
-       case when coalesce(sum(dt), 0.0) > 0.0
-            then sum(dt * value) / sum(dt) end as twa
-from l group by 1
+       ws as weighted_sum,
+       dur as duration,
+       case when dur > 0.0 then ws / dur end as twa
+from f
 """,
 )
 def time_weighted_avg(sf_dir):
@@ -5520,7 +5561,7 @@ _RETENTION_CUTOFF = "2024-01-16 00:00:00"
     "retention_expire_1m",
     """
 with lagged as (
-  select user_id, event_type, ts,
+  select user_id, event_type, ts, event_id,
          epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
   from events)
 select cast(user_id as varchar) as conv_id,
@@ -5528,8 +5569,12 @@ select cast(user_id as varchar) as conv_id,
        count(*) as turn_count,
        count(*) filter (where event_type = 'click') as tool_calls,
        count(lat) as n_latency,
-       coalesce(sum(lat), 0.0) as sum_latency,
-       avg(lat) as mean_latency,
+       case when count(lat) = 0 then 0.0 else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) end as sum_latency,
+       case when count(lat) = 0 then null else list_reduce(list_prepend(0.0,
+           list(lat order by ts, event_id) filter (where lat is not null)),
+         (p, q) -> p + q) / count(lat) end as mean_latency,
        quantile_disc(lat, 0.95) as p95_latency,
        min(lat) as min_latency,
        max(lat) as max_latency
