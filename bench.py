@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     # round-3b families: hash-keyed two-shuffle text op, pure-compute scan
     "dup_passages",
     "kmeans_assign",
+    # round-4 families: nested-series change-point kernel, recursive-walk
+    # display downsample, corpus-LM scoring (broadcast model)
+    "segment_activity_1d",
+    "lttb_downsample",
+    "unigram_nll_scores",
 ]
 
 
