@@ -82,12 +82,14 @@ def unigram_nll(ds, counts: pd.DataFrame, total: int,
         keep = lens > 0
         out_id = ids[keep]
         out_n = lens[keep]
-        # flat -log p stream + sequential per-doc accumulation, vectorized
-        # across docs of equal token count (the SQL running-sum order)
-        seqs = toks.to_numpy()[keep]
-        flat = np.fromiter(
-            (lut[t] for s in seqs for t in s), dtype=np.float64,
-            count=int(out_n.sum()),
+        # flat log-p stream via one C-speed hash map over the exploded
+        # tokens (explode preserves doc order then in-doc order), then
+        # sequential per-doc accumulation vectorized across docs of equal
+        # token count (the SQL ordered-fold order)
+        flat = (
+            toks[keep].explode().map(lut).to_numpy(dtype=np.float64)
+            if keep.any()
+            else np.empty(0, dtype=np.float64)
         )
         offs = np.concatenate([[0], np.cumsum(out_n)])
         nll = np.empty(out_n.size, dtype=np.float64)
