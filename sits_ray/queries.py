@@ -3220,6 +3220,89 @@ def minhash_near_dups(sf_dir):
     return pdf
 
 
+def _minhash_poly_sql(n_perm: int = 16, bands: int = 4, k: int = 3,
+                      max_bucket: int = 128, seed: int = 11) -> str:
+    """DuckDB twin of stages/dedup.poly_band_rows + band_pairs: Horner
+    token hash (the doc_fingerprints fold), Horner k-window shingle hash,
+    affine min-perms with the engine's seeded constants as literal VALUES
+    rows, Horner band hashes, row_number bucket cap, self-join pairs —
+    every intermediate < 2^62 so plain BIGINT arithmetic is exact."""
+    from sits_ray.stages.dedup import poly_perm_constants
+
+    a, b = poly_perm_constants(n_perm, seed)
+    vals = ", ".join(
+        f"({j}, cast({int(a[j])} as bigint), cast({int(b[j])} as bigint))"
+        for j in range(n_perm)
+    )
+    r = n_perm // bands
+    win = "hl[i]"
+    for i in range(1, k):
+        win = f"({win} * 1000003 + hl[i + {i}]) % 2147483647"
+    return f"""
+with hs as (
+  select doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+           w -> list_reduce(
+                  list_prepend(cast(0 as bigint),
+                    list_transform(regexp_extract_all(to_hex(encode(w)), '..'),
+                                   c -> cast(concat('0x', c) as bigint))),
+                  (h, c) -> (h * 1000003 + c) % 2147483647)) as hl
+  from documents),
+sh as (
+  select doc_id, unnest(
+    case when len(hl) = 0 then cast([] as bigint[])
+         when len(hl) < {k} then [list_reduce(
+             list_prepend(cast(0 as bigint), hl),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647)]
+         else list_transform(range(1, len(hl) - {k - 2}), i -> {win})
+    end) as s
+  from hs),
+perm(perm_id, a, b) as (select * from (values {vals}) v),
+sig0 as (
+  select doc_id, perm_id, min((a * s + b) % 2147483647) as sig
+  from sh cross join perm group by 1, 2),
+sigf as (
+  select d.doc_id, p.perm_id, coalesce(s0.sig, 2147483647) as sig
+  from documents d cross join perm p
+  left join sig0 s0 on s0.doc_id = d.doc_id and s0.perm_id = p.perm_id),
+bandh as (
+  select doc_id, perm_id // {r} as band_id,
+         list_reduce(list_prepend(cast(0 as bigint), list(sig order by perm_id)),
+                     (acc, h) -> (acc * 1000003 + h) % 2147483647) as band_hash
+  from sigf group by doc_id, band_id),
+capped as (
+  select * from (
+    select band_id, band_hash, doc_id,
+           row_number() over (partition by band_id, band_hash
+                              order by doc_id) as rn
+    from bandh)
+  where rn <= {max_bucket})
+select x.doc_id as doc_a, y.doc_id as doc_b,
+       cast(count(*) as bigint) as n_bands
+from capped x join capped y
+  on x.band_id = y.band_id and x.band_hash = y.band_hash
+     and x.doc_id < y.doc_id
+group by 1, 2
+"""
+
+
+@q("minhash_poly_pairs", _minhash_poly_sql())
+def minhash_poly_pairs(sf_dir):
+    """SQL-mechanizable MinHash+LSH candidate pairs (gate-certifies the
+    full minhash pipeline shape — shingle window hash -> affine min-perms
+    -> band hash -> capped bucket pairs — the way simhash_poly certifies
+    SimHash and charshingle_near_dups certifies the verify step): 16
+    perms / 4 bands over polynomial token hashes. The production 64-bit
+    blake2b path stays in stages/dedup.MinHashStage (rows-only
+    minhash_near_dups). Same scale shape as the production path: text
+    never shuffles, O(n_parts) groups via band_pairs/hashagg."""
+    from sits_ray.stages.dedup import band_pairs, poly_band_rows
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lsh = ds.map_batches(poly_band_rows, batch_format="pandas")
+    return band_pairs(lsh).select_columns(["doc_a", "doc_b", "n_bands"])
+
+
 @q("embedding_near_dups")
 def embedding_near_dups_q(sf_dir):
     """Embedding-cosine near-duplicate pairs (fifth dedup modality):

@@ -264,7 +264,20 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
                        max_bucket: int = 128):
     """Dataset[doc_id,text] -> Dataset[doc_a, doc_b] candidate near-dup pairs
     (unverified). groupby((band_id, band_hash)) is the only shuffle and its
-    rows are tiny (ids + 2 ints) — text never moves.
+    rows are tiny (ids + 2 ints) — text never moves."""
+    lsh = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, k=k),
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return band_pairs(lsh, max_bucket=max_bucket)
+
+
+def band_pairs(lsh, max_bucket: int = 128, n_parts: int = 32):
+    """Dataset[doc_id, band_id, band_hash] -> Dataset[doc_a, doc_b,
+    n_bands] candidate pairs (shared tail of every LSH family).
 
     Degenerate LSH buckets (boilerplate shingles hashing together) are
     CAPPED at ``max_bucket`` ids — without a cap one hot bucket emits
@@ -280,14 +293,6 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
     pairs (+ ``n_bands`` = bands fired) come from a pair-hash-partitioned
     pandas count."""
     from sits_ray.stages.hashagg import part_aggregate
-
-    lsh = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, k=k),
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.sort_values(["band_id", "band_hash", "doc_id"])
@@ -322,7 +327,7 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    bp = part_aggregate(lsh, bucket_pairs, key_col="band_hash", n_parts=32)
+    bp = part_aggregate(lsh, bucket_pairs, key_col="band_hash", n_parts=n_parts)
 
     def addpk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
@@ -344,7 +349,123 @@ def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
 
     return part_aggregate(
         bp.map_batches(addpk, batch_format="pandas"),
-        merge_pairs, key_col="pk", n_parts=32,
+        merge_pairs, key_col="pk", n_parts=n_parts,
+    )
+
+
+# --- SQL-mechanizable polynomial MinHash (gate twin of the blake2b path) ----
+# Everything below 2^31 so every intermediate fits BIGINT in DuckDB:
+# token hash = Horner over UTF-8 bytes mod 2^31-1 (kernels/text.
+# fingerprint_batch, already gate-pinned by simhash_poly/doc_fingerprints),
+# shingle hash = Horner over the window's token hashes, affine perms mod
+# 2^31-1, band hash = Horner over the band's signature words.
+_POLY_P = (1 << 31) - 1
+_POLY_B = 1_000_003
+_POLY_TOKEN = re.compile(r"[a-z]+")  # the langid/simhash_poly tokenizer
+
+
+def poly_perm_constants(n_perm: int = 16, seed: int = 11):
+    """Deterministic affine-permutation constants, shared verbatim by the
+    engine stage and the generated SQL oracle (literal VALUES rows)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _POLY_P, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, _POLY_P, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def poly_minhash_signature(text: str, n_perm: int = 16, k: int = 3,
+                           seed: int = 11) -> np.ndarray:
+    """Scalar twin of :func:`poly_band_rows`' signature path (parity
+    pinned in tests/test_dedup.py). Empty docs -> all-sentinel (P)."""
+    from sits_ray.kernels.text import rolling_fingerprint
+
+    a, b = poly_perm_constants(n_perm, seed)
+    toks = _POLY_TOKEN.findall(text.lower())
+    if not toks:
+        return np.full(n_perm, _POLY_P, dtype=np.int64)
+    th = [rolling_fingerprint(t, base=_POLY_B, mod=_POLY_P) for t in toks]
+    if len(th) < k:
+        windows = [th]
+    else:
+        windows = [th[i : i + k] for i in range(len(th) - k + 1)]
+    sh = []
+    for w in windows:
+        acc = 0
+        for h in w:
+            acc = (acc * _POLY_B + h) % _POLY_P
+        sh.append(acc)
+    s = np.asarray(sh, dtype=np.int64)
+    return np.array(
+        [int(((a[j] * s + b[j]) % _POLY_P).min()) for j in range(n_perm)],
+        dtype=np.int64,
+    )
+
+
+def poly_band_rows(batch: pd.DataFrame, n_perm: int = 16, bands: int = 4,
+                   k: int = 3, seed: int = 11, id_col: str = "doc_id",
+                   text_col: str = "text") -> pd.DataFrame:
+    """Vectorized batch map: text -> (doc_id, band_id, band_hash) LSH rows
+    in SQL-replayable mod-2^31-1 arithmetic. Same flat-stream window
+    trick as :meth:`MinHashStage._signatures` (only the batch's UNIQUE
+    tokens are hashed, via one fingerprint_batch call); the whole path is
+    int64 with interleaved mods so no value ever exceeds 2^62."""
+    from sits_ray.kernels.text import fingerprint_batch
+
+    a, b = poly_perm_constants(n_perm, seed)
+    P = np.int64(_POLY_P)
+    B = np.int64(_POLY_B)
+    texts = batch[text_col]
+    docs = [_POLY_TOKEN.findall(t.lower()) for t in texts]
+    n = len(docs)
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n)
+    sigs = np.full((n, n_perm), _POLY_P, dtype=np.int64)
+    N = int(lens.sum())
+    if N:
+        flat = np.empty(N, dtype=object)
+        pos = 0
+        for d in docs:
+            flat[pos : pos + len(d)] = d
+            pos += len(d)
+        codes, uniq = pd.factorize(flat)
+        th = fingerprint_batch(list(uniq), base=_POLY_B, mod=_POLY_P)[codes]
+        counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+        total = int(counts.sum())
+        sh = np.empty(total, dtype=np.int64)
+        long_docs = lens >= k
+        mask_long_out = np.repeat(long_docs, counts)
+        if N >= k and long_docs.any():
+            acc = th[: N - k + 1].copy()
+            for i in range(1, k):
+                acc = (acc * B + th[i : N - k + 1 + i]) % P
+            rep = np.repeat(np.arange(n), lens)
+            valid = rep[: N - k + 1] == rep[k - 1 :]
+            sh[mask_long_out] = acc[valid]
+        out_offs = np.concatenate([[0], np.cumsum(counts)])
+        toff = np.concatenate([[0], np.cumsum(lens)])
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        for L in np.unique(lens[short]) if short.size else ():
+            dsel = short[lens[short] == L]
+            acc = th[toff[dsel]].copy()
+            for i in range(1, int(L)):
+                acc = (acc * B + th[toff[dsel] + i]) % P
+            sh[out_offs[dsel]] = acc
+        nz = counts > 0
+        starts = out_offs[:-1][nz]
+        rows = np.flatnonzero(nz)
+        for j in range(n_perm):
+            v = (a[j] * sh + b[j]) % P
+            sigs[rows, j] = np.minimum.reduceat(v, starts)
+    r = n_perm // bands
+    cube = sigs.reshape(n, bands, r)
+    bh = np.zeros((n, bands), dtype=np.int64)
+    for i in range(r):
+        bh = (bh * B + cube[:, :, i]) % P
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(batch[id_col].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1),
+        }
     )
 
 

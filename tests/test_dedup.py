@@ -273,3 +273,61 @@ def test_connected_components_long_chain_and_empty(ray_session):
     )
     eds = connected_components(empty)
     assert eds.schema().names == ["doc_id", "rep_id"] and eds.count() == 0
+
+
+def test_poly_minhash_batch_matches_scalar(ray_session):
+    """poly_band_rows (vectorized, SQL-replayable mod-2^31-1 path) must
+    reproduce the scalar poly_minhash_signature + Horner band fold on
+    every edge shape: empty doc, shorter-than-k, exactly-k, long, and
+    mixed-case/unicode text (tokenizer is [a-z]+ on lower())."""
+    from sits_ray.stages.dedup import (
+        _POLY_B,
+        _POLY_P,
+        poly_band_rows,
+        poly_minhash_signature,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        "one",
+        "two words",
+        "a b c",
+        "Ünïcode MiXED case 123 tokens!",
+        "repeat repeat repeat repeat repeat",
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    rows = poly_band_rows(df)
+    assert len(rows) == len(texts) * 4
+    for i, t in enumerate(texts):
+        sig = poly_minhash_signature(t)
+        expect = []
+        for band in range(4):
+            acc = 0
+            for w in sig[band * 4 : (band + 1) * 4]:
+                acc = (acc * _POLY_B + int(w)) % _POLY_P
+            expect.append(acc)
+        got = rows[rows.doc_id == i].sort_values("band_id")["band_hash"].tolist()
+        assert got == expect, f"doc {i}"
+
+
+def test_poly_minhash_near_dups_collide(ray_session):
+    """Near-identical docs must share at least one poly band bucket and
+    surface as a band_pairs candidate; unrelated docs must not."""
+    from sits_ray.stages.dedup import band_pairs, poly_band_rows
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [base, base + " mu", "totally different words entirely here now"],
+        }
+    )
+    ds = rd.from_pandas(df).map_batches(poly_band_rows, batch_format="pandas")
+    pairs = band_pairs(ds).to_pandas()
+    keys = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys
