@@ -6021,6 +6021,77 @@ def kmeans_assign(sf_dir):
     )
 
 
+def _kmeans_lloyd_int_sql(k: int = 4, dim: int = 64, iters: int = 3,
+                          seed: int = 17) -> str:
+    """DuckDB recursive-CTE twin of stages/kmeans.lloyd_int: the WHOLE
+    iterative training replays in SQL — quantize (identical double ops),
+    equi-keyed distance join (CLAUDE.md recursive-join rule), window-min
+    first-min assignment, order-free integer sums, exact floor-division
+    centroid requantization, empty clusters keep their previous centroid.
+    Every intermediate fits BIGINT (dist <= 64 * (2.1e4)^2 ~ 2.8e10)."""
+    from sits_ray.stages.kmeans import make_int_centroids
+
+    C0 = make_int_centroids(dim, k, seed)
+    vals = ", ".join(
+        f"({j}, {d + 1}, {int(C0[j, d])})"
+        for j in range(k)
+        for d in range(dim)
+    )
+    return f"""
+with recursive
+x as (
+  select vec_id, d, cast(floor(v * 10000 + 0.5) as bigint) as xv
+  from (select vec_id, unnest(embedding) as v,
+               generate_subscripts(embedding, 1) as d
+        from embeddings)),
+init(cluster, d, c) as (select * from (values {vals}) v0),
+cent(it, cluster, d, c, n) as (
+  select 0, cluster, d, cast(c as bigint), cast(0 as bigint) from init
+  union all
+  (with dist as (
+     select x.vec_id, ct.cluster, ct.it,
+            sum((x.xv - ct.c) * (x.xv - ct.c)) as dd
+     from x join cent ct on ct.d = x.d
+     group by 1, 2, 3),
+   asg as (
+     select vec_id, min(cluster) as cluster
+     from (select vec_id, cluster, dd,
+                  min(dd) over (partition by vec_id) as mind
+           from dist)
+     where dd = mind group by vec_id),
+   sums as (
+     select a.cluster, x.d, sum(x.xv) as s, cast(count(*) as bigint) as n
+     from asg a join x on x.vec_id = a.vec_id
+     group by 1, 2)
+   select ct.it + 1, ct.cluster, ct.d,
+          case when s.n is null then ct.c
+               else ((2*s.s + s.n)
+                     - ((((2*s.s + s.n) % (2*s.n)) + 2*s.n) % (2*s.n)))
+                    // (2*s.n)
+          end,
+          coalesce(s.n, 0)
+   from cent ct left join sums s on s.cluster = ct.cluster and s.d = ct.d
+   where ct.it < {iters}))
+select cluster, d, c, n from cent where it = {iters}
+"""
+
+
+@q("kmeans_lloyd_int", _kmeans_lloyd_int_sql())
+def kmeans_lloyd_int(sf_dir):
+    """Integer-exact distributed Lloyd training, bit-exact vs a DuckDB
+    recursive CTE that replays the ENTIRE training loop from the same
+    parquet (not just one assignment pass like kmeans_assign): quantized
+    vectors, order-free int64 partial sums, exact integer round-half-up
+    centroid requantization. Zero shuffles: per round one map_batches
+    partial pass + driver combine of k x dim ints + ray.put broadcast."""
+    from sits_ray.stages.kmeans import lloyd_int
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lloyd_int(ds, k=4, iters=3, seed=17)
+
+
 @q("kmeans_lloyd")
 def kmeans_lloyd(sf_dir):
     """Distributed Lloyd k-means training: each round is ONE map_batches

@@ -144,3 +144,97 @@ def lloyd(ds, k: int = 8, iters: int = 4, seed: int = 7,
         nz = sizes > 0
         C = np.where(nz[:, None], sums / np.maximum(sizes, 1)[:, None], C)
     return C, sizes, inertia
+
+
+# --- integer-exact Lloyd (SQL-replayable training) ---------------------------
+# The float lloyd() above is the production path; lloyd_int is its
+# gate-certifiable twin: vectors quantized to integers (floor(x*1e4 + .5),
+# identical IEEE double ops in numpy and DuckDB), per-cluster sums in
+# int64 (ORDER-FREE exact — the dtw_to_mean_pattern integer-sum trick,
+# CLAUDE.md float contracts), centroids re-quantized each round by exact
+# integer round-half-up division, assignment by exact integer squared
+# distance with first-min tiebreak. The ENTIRE training loop therefore
+# replays as a DuckDB recursive CTE (queries._kmeans_lloyd_int_sql) —
+# data-dependent iterative ML verified bit-exactly, not just one
+# assignment pass.
+
+QUANT_SCALE = 10_000
+
+
+def make_int_centroids(dim: int, k: int, seed: int = 17) -> np.ndarray:
+    """Seeded integer init centroids in quantized units (SQL literals)."""
+    C = np.random.default_rng(seed).normal(0.0, 0.2, size=(k, dim))
+    return np.floor(C * QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def quantize_batch(V: np.ndarray) -> np.ndarray:
+    """float (n, dim) -> int64 quantized units; double math identical to
+    DuckDB ``floor(embedding[d] * 10000 + 0.5)``."""
+    return np.floor(V.astype(np.float64) * QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def _fld(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Exact floor division via positive-mod subtraction — the formula the
+    SQL twin uses verbatim (DuckDB ``//`` truncates toward zero, numpy
+    floors; subtracting the positive mod first makes both exact)."""
+    pmod = ((num % den) + den) % den
+    return (num - pmod) // den
+
+
+def lloyd_int(ds, k: int = 4, iters: int = 3, seed: int = 17,
+              vec_col: str = "embedding"):
+    """Integer-exact distributed Lloyd: per round ONE map_batches pass of
+    k-row integer partials (count, per-dim sums), driver combine (tiny,
+    order-free), broadcast of re-quantized integer centroids. Returns a
+    long-form (cluster, d, c, n) table after ``iters`` rounds — d is
+    1-based to match SQL list subscripts. Same zero-shuffle scale shape
+    as :func:`lloyd`."""
+    import pandas as pd
+
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    C = make_int_centroids(dim, k, seed)
+    sizes = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        c_ref = ray.put(np.ascontiguousarray(C))
+
+        def partial(t: pa.Table, _c_ref=c_ref) -> pa.Table:
+            Cc = ray.get(_c_ref)
+            X = quantize_batch(list_matrix(t[vec_col]))
+            diff = X[:, None, :] - Cc[None, :, :]
+            dd = np.einsum("nkd,nkd->nk", diff, diff)
+            a = np.argmin(dd, axis=1)  # first-min == SQL min-cluster tiebreak
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    sums[j] = X[m].sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "s": pa.array(list(sums)),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        sizes = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            c = int(r["cluster"])
+            sizes[c] += int(r["n"])
+            sums[c] += np.asarray(r["s"], dtype=np.int64)
+        nz = sizes > 0
+        upd = _fld(2 * sums + sizes[:, None], 2 * np.maximum(sizes, 1)[:, None])
+        C = np.where(nz[:, None], upd, C)
+
+    return pd.DataFrame(
+        {
+            "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "d": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+            "c": C.reshape(-1),
+            "n": np.repeat(sizes, dim),
+        }
+    )

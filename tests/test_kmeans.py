@@ -120,3 +120,58 @@ def test_lloyd_matches_scalar_lloyd(ray_session):
     # cluster indexing is shared (same init, same first-max rule)
     np.testing.assert_array_equal(sizes, cnt)
     np.testing.assert_allclose(C, Cs, rtol=1e-9)
+
+
+def test_lloyd_int_matches_scalar_twin(ray_session):
+    """Distributed integer Lloyd must equal a driver-side scalar replay
+    (quantize -> exact int distances -> first-min -> int sums -> exact
+    round-half-up division), independent of batching/parallelism —
+    integer sums are order-free so this MUST hold exactly."""
+    import ray.data as rd
+
+    from sits_ray.stages.kmeans import (
+        _fld,
+        lloyd_int,
+        make_int_centroids,
+        quantize_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(0, 0.3, size=(60, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(60), "embedding": list(V)})
+    ds = rd.from_pandas(df).repartition(7)  # odd batching on purpose
+    got = lloyd_int(ds, k=3, iters=4, seed=17)
+
+    # scalar replay
+    X = quantize_batch(np.asarray(V, dtype=np.float64))
+    C = make_int_centroids(8, 3, 17)
+    for _ in range(4):
+        diff = X[:, None, :] - C[None, :, :]
+        dd = (diff * diff).sum(axis=2)
+        a = dd.argmin(axis=1)
+        sizes = np.bincount(a, minlength=3)
+        sums = np.zeros((3, 8), dtype=np.int64)
+        for j in range(3):
+            if (a == j).any():
+                sums[j] = X[a == j].sum(axis=0)
+        upd = _fld(2 * sums + sizes[:, None], 2 * np.maximum(sizes, 1)[:, None])
+        C = np.where((sizes > 0)[:, None], upd, C)
+    expect = pd.DataFrame(
+        {
+            "cluster": np.repeat(np.arange(3, dtype=np.int64), 8),
+            "d": np.tile(np.arange(1, 9, dtype=np.int64), 3),
+            "c": C.reshape(-1),
+            "n": np.repeat(sizes.astype(np.int64), 8),
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["cluster", "d"]).reset_index(drop=True), expect
+    )
+
+
+def test_fld_matches_floor_division():
+    from sits_ray.stages.kmeans import _fld
+
+    num = np.array([-7, 7, -8, 8, 0, -1, 5], dtype=np.int64)
+    den = np.array([2, 2, 4, 4, 3, 3, 5], dtype=np.int64)
+    assert (_fld(num, den) == num // den).all()  # numpy // is floor
