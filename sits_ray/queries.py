@@ -6092,6 +6092,98 @@ def kmeans_lloyd_int(sf_dir):
     return lloyd_int(ds, k=4, iters=3, seed=17)
 
 
+def _som_batch_int_sql(xdim: int = 3, ydim: int = 3, dim: int = 64,
+                       iters: int = 3, seed: int = 23) -> str:
+    """DuckDB recursive-CTE twin of stages/som.som_batch_int: the whole
+    batch-SOM training loop — quantize, equi-keyed BMU distance join,
+    window-min first-min assignment, order-free integer sums, integer
+    neighborhood mixing with the shrinking-radius schedule as literal
+    (it, j, j2, h) rows, exact floor-division requantization."""
+    from sits_ray.stages.kmeans import make_int_centroids
+    from sits_ray.stages.som import som_neighborhood
+
+    m = xdim * ydim
+    W0 = make_int_centroids(dim, m, seed)
+    radii = tuple(max(0, (iters - 1 - i)) for i in range(iters))
+    init_vals = ", ".join(
+        f"({j}, {d + 1}, {int(W0[j, d])})"
+        for j in range(m)
+        for d in range(dim)
+    )
+    nbr_rows = []
+    for it, r in enumerate(radii):
+        H = som_neighborhood(xdim, ydim, r)
+        for j in range(m):
+            for j2 in range(m):
+                if H[j, j2]:
+                    nbr_rows.append(f"({it}, {j}, {j2}, {int(H[j, j2])})")
+    nbr_vals = ", ".join(nbr_rows)
+    return f"""
+with recursive
+x as (
+  select vec_id, d, cast(floor(v * 10000 + 0.5) as bigint) as xv
+  from (select vec_id, unnest(embedding) as v,
+               generate_subscripts(embedding, 1) as d
+        from embeddings)),
+init(unit, d, w) as (select * from (values {init_vals}) v0),
+nbr(it, j, j2, h) as (select * from (values {nbr_vals}) v1),
+cent(it, unit, d, w, n) as (
+  select 0, unit, d, cast(w as bigint), cast(0 as bigint) from init
+  union all
+  (with dist as (
+     select x.vec_id, ct.unit, ct.it,
+            sum((x.xv - ct.w) * (x.xv - ct.w)) as dd
+     from x join cent ct on ct.d = x.d
+     group by 1, 2, 3),
+   asg as (
+     select vec_id, min(it) as it, min(unit) as unit
+     from (select vec_id, unit, it, dd,
+                  min(dd) over (partition by vec_id) as mind
+           from dist)
+     where dd = mind group by vec_id),
+   sums as (
+     select a.unit as u2, a.it, x.d, sum(x.xv) as s,
+            cast(count(*) as bigint) as cnt
+     from asg a join x on x.vec_id = a.vec_id
+     group by 1, 2, 3),
+   mixed as (
+     select nb.j as unit, s.d,
+            sum(nb.h * s.s) as ns, sum(nb.h * s.cnt) as nn
+     from sums s join nbr nb on nb.j2 = s.u2 and nb.it = s.it
+     group by 1, 2),
+   bmu as (select u2 as unit, min(cnt) as bn from sums group by 1)
+   select ct.it + 1, ct.unit, ct.d,
+          case when m2.nn is null or m2.nn = 0 then ct.w
+               else ((2*m2.ns + m2.nn)
+                     - ((((2*m2.ns + m2.nn) % (2*m2.nn)) + 2*m2.nn) % (2*m2.nn)))
+                    // (2*m2.nn)
+          end,
+          coalesce(b.bn, 0)
+   from cent ct
+   left join mixed m2 on m2.unit = ct.unit and m2.d = ct.d
+   left join bmu b on b.unit = ct.unit
+   where ct.it < {iters}))
+select unit, d, w, n from cent where it = {iters}
+"""
+
+
+@q("som_batch_int", _som_batch_int_sql())
+def som_batch_int_q(sf_dir):
+    """Integer-exact Kohonen batch-SOM training (sits_som analog's
+    training dynamic, gate-certified end to end): BMU assignment, grid
+    neighborhood mixing with a shrinking-radius schedule, exact integer
+    requantization — bit-exact vs a DuckDB recursive CTE replaying every
+    round from the same parquet. Zero shuffles (per-round m-row integer
+    partials + ray.put broadcast); the production float SOM stays in
+    stages/som.SOM (rows-only som_embeddings)."""
+    from sits_ray.stages.som import som_batch_int
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return som_batch_int(ds, xdim=3, ydim=3, iters=3, seed=23)
+
+
 @q("kmeans_lloyd")
 def kmeans_lloyd(sf_dir):
     """Distributed Lloyd k-means training: each round is ONE map_batches

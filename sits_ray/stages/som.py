@@ -263,3 +263,90 @@ def som_map(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow"), som
+
+
+# --- integer-exact batch SOM (SQL-replayable training) -----------------------
+def som_neighborhood(xdim: int, ydim: int, radius: int) -> np.ndarray:
+    """(m, m) integer neighborhood weights on the rectangular grid:
+    2 for the unit itself, 1 for units within Manhattan distance
+    ``radius``, 0 beyond. Unit index j = y * xdim + x."""
+    m = xdim * ydim
+    xs = np.arange(m) % xdim
+    ys = np.arange(m) // xdim
+    man = np.abs(xs[:, None] - xs[None, :]) + np.abs(ys[:, None] - ys[None, :])
+    H = (man <= radius).astype(np.int64)
+    np.fill_diagonal(H, 2)
+    return H
+
+
+def som_batch_int(ds, xdim: int = 3, ydim: int = 3, iters: int = 3,
+                  seed: int = 23, radii: tuple[int, ...] | None = None,
+                  vec_col: str = "embedding"):
+    """Integer-exact Kohonen BATCH SOM (Kohonen 1998 batch rule with an
+    integer neighborhood kernel and a shrinking-radius schedule): per
+    round ONE map_batches pass of m-row integer partials (BMU counts +
+    per-dim sums), driver-side neighborhood mixing ``H @ S / H @ n``
+    (exact int64 matmuls), exact round-half-up requantization, ray.put
+    broadcast — zero shuffles, the lloyd_int scale shape. Unlike
+    lloyd_int the update couples units through the grid, so the gate
+    certifies a genuinely different training dynamic. Returns long-form
+    (unit, d, w, n) after ``iters`` rounds; the whole loop replays as a
+    DuckDB recursive CTE (queries._som_batch_int_sql)."""
+    import pandas as pd
+
+    from sits_ray.stages.kmeans import _fld, make_int_centroids, quantize_batch
+
+    m = xdim * ydim
+    if radii is None:
+        radii = tuple(max(0, (iters - 1 - i)) for i in range(iters))
+    assert len(radii) == iters
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    W = make_int_centroids(dim, m, seed)
+    sizes = np.zeros(m, dtype=np.int64)
+
+    for it in range(iters):
+        w_ref = ray.put(np.ascontiguousarray(W))
+
+        def partial(t: pa.Table, _w_ref=w_ref) -> pa.Table:
+            Wc = ray.get(_w_ref)
+            X = quantize_batch(list_matrix(t[vec_col]))
+            diff = X[:, None, :] - Wc[None, :, :]
+            dd = np.einsum("nkd,nkd->nk", diff, diff)
+            a = np.argmin(dd, axis=1)  # first-min == SQL min-unit tiebreak
+            cnt = np.bincount(a, minlength=m).astype(np.int64)
+            sums = np.zeros((m, X.shape[1]), dtype=np.int64)
+            for j in range(m):
+                sel = a == j
+                if sel.any():
+                    sums[j] = X[sel].sum(axis=0)
+            return pa.table(
+                {
+                    "unit": pa.array(np.arange(m, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "s": pa.array(list(sums)),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        S = np.zeros((m, dim), dtype=np.int64)
+        sizes = np.zeros(m, dtype=np.int64)
+        for r in rows:
+            j = int(r["unit"])
+            sizes[j] += int(r["n"])
+            S[j] += np.asarray(r["s"], dtype=np.int64)
+        H = som_neighborhood(xdim, ydim, radii[it])
+        NS = H @ S
+        NN = H @ sizes
+        nz = NN > 0
+        upd = _fld(2 * NS + NN[:, None], 2 * np.maximum(NN, 1)[:, None])
+        W = np.where(nz[:, None], upd, W)
+
+    return pd.DataFrame(
+        {
+            "unit": np.repeat(np.arange(m, dtype=np.int64), dim),
+            "d": np.tile(np.arange(1, dim + 1, dtype=np.int64), m),
+            "w": W.reshape(-1),
+            "n": np.repeat(sizes, dim),
+        }
+    )

@@ -209,3 +209,61 @@ def test_image_texture_stage(ray_session):
     assert set(out["direction"]) == {"h", "v"}
     assert (out["asm"] > 0).all() and (out["asm"] <= 1).all()
     assert np.allclose(out["energy"], np.sqrt(out["asm"]))
+
+
+def test_som_neighborhood_shapes():
+    from sits_ray.stages.som import som_neighborhood
+
+    H0 = som_neighborhood(3, 3, 0)
+    assert (H0 == 2 * np.eye(9, dtype=np.int64)).all()  # radius 0 = self only
+    H1 = som_neighborhood(3, 3, 1)
+    # center unit (1,1) -> index 4: itself + 4 Manhattan-1 neighbors
+    assert H1[4].sum() == 2 + 4
+    # corner unit (0,0) -> index 0: itself + 2 neighbors
+    assert H1[0].sum() == 2 + 2
+    assert (H1 == H1.T).all()
+
+
+def test_som_batch_int_matches_scalar_twin(ray_session):
+    """Distributed integer batch-SOM must equal a driver-side scalar
+    replay regardless of batching (order-free integer sums), and the
+    shrinking-radius schedule must move non-BMU units early (radius>0)
+    but only BMU-hit units in the final radius-0 round."""
+    import ray.data as rd
+
+    from sits_ray.stages.kmeans import _fld, make_int_centroids, quantize_batch
+    from sits_ray.stages.som import som_batch_int, som_neighborhood
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(0, 0.3, size=(50, 6)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(V)})
+    ds = rd.from_pandas(df).repartition(6)
+    got = som_batch_int(ds, xdim=2, ydim=2, iters=3, seed=23)
+
+    X = quantize_batch(np.asarray(V, dtype=np.float64))
+    W = make_int_centroids(6, 4, 23)
+    radii = (2, 1, 0)
+    for it in range(3):
+        diff = X[:, None, :] - W[None, :, :]
+        dd = (diff * diff).sum(axis=2)
+        a = dd.argmin(axis=1)
+        sizes = np.bincount(a, minlength=4).astype(np.int64)
+        S = np.zeros((4, 6), dtype=np.int64)
+        for j in range(4):
+            if (a == j).any():
+                S[j] = X[a == j].sum(axis=0)
+        H = som_neighborhood(2, 2, radii[it])
+        NS, NN = H @ S, H @ sizes
+        upd = _fld(2 * NS + NN[:, None], 2 * np.maximum(NN, 1)[:, None])
+        W = np.where((NN > 0)[:, None], upd, W)
+    expect = pd.DataFrame(
+        {
+            "unit": np.repeat(np.arange(4, dtype=np.int64), 6),
+            "d": np.tile(np.arange(1, 7, dtype=np.int64), 4),
+            "w": W.reshape(-1),
+            "n": np.repeat(sizes.astype(np.int64), 6),
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["unit", "d"]).reset_index(drop=True), expect
+    )
