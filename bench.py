@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "segment_activity_1d",
     "lttb_downsample",
     "unigram_nll_scores",
+    # round-4b family: iterative distributed training (broadcast state,
+    # zero-shuffle integer partials per round)
+    "kmeans_lloyd_int",
 ]
 
 

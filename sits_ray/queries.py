@@ -3202,6 +3202,45 @@ def simhash_poly(sf_dir):
     return ds.map_batches(sh, batch_format="pandas")
 
 
+def _curriculum_sql(n_buckets: int = 4) -> str:
+    """DuckDB twin of stages/curriculum.curriculum_order: quantile_disc
+    bucket thresholds (the stages/quantile nearest-rank contract),
+    bucket = count of strictly-exceeded thresholds, interleaved position
+    via row_number within bucket — all integers, bit-exact."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    tsel = ", ".join(
+        f"quantile_disc(n_tokens, {q}) as q{i}" for i, q in enumerate(qs)
+    )
+    bexpr = " + ".join(
+        f"case when n_tokens > t.q{i} then 1 else 0 end" for i in range(len(qs))
+    )
+    return f"""
+with s as (
+  select doc_id,
+         cast(len(regexp_extract_all(lower(text), '[a-z]+')) as bigint) as n_tokens
+  from documents),
+t as (select {tsel} from s),
+b as (select doc_id, n_tokens, cast({bexpr} as bigint) as bucket from s, t)
+select doc_id, n_tokens, bucket,
+       (row_number() over (partition by bucket order by n_tokens, doc_id) - 1)
+         * {n_buckets} + bucket as pos
+from b
+"""
+
+
+@q("curriculum_order", _curriculum_sql())
+def curriculum_order_q(sf_dir):
+    """Curriculum ordering of the corpus (length-quartile round-robin
+    interleave): exact GLOBAL rank with NO global sort — driver-side
+    bounded histogram for thresholds + base offsets, one hash exchange
+    keyed on token count for tie ranking. Bit-exact vs the DuckDB
+    row_number twin."""
+    from sits_ray.stages.curriculum import curriculum_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curriculum_order(ds, n_buckets=4)
+
+
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
 @q("minhash_near_dups")
 def minhash_near_dups(sf_dir):

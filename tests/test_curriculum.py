@@ -1,0 +1,58 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_ray.stages.curriculum import (
+    curriculum_order,
+    nearest_rank_thresholds,
+)
+
+
+def test_nearest_rank_thresholds_from_histogram():
+    # values: 1 x3, 5 x2, 9 x5  (N=10); ceil(q*N) ranks: 3 -> 1, 5 -> 5, 8 -> 9
+    hist = pd.Series({1: 3, 5: 2, 9: 5})
+    assert nearest_rank_thresholds(hist, [0.25, 0.5, 0.75]) == [1, 5, 9]
+    assert nearest_rank_thresholds(hist, [0.0, 1.0]) == [1, 9]
+
+
+def test_curriculum_order_interleaves(ray_session):
+    """pos must be a permutation of 0..n-1 whose residue mod n_buckets
+    equals the bucket, with (n_tokens, doc_id) order inside a bucket —
+    the round-robin interleave contract."""
+    rng = np.random.default_rng(9)
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(1, 40, size=80)]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    out = (
+        curriculum_order(rd.from_pandas(df).repartition(5), n_buckets=4)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 80
+    assert sorted(out["pos"]) != list(out["pos"])[:0]  # non-empty
+    # positions are unique and residues equal buckets
+    assert out["pos"].is_unique
+    assert (out["pos"] % 4 == out["bucket"]).all()
+    # within a bucket, pos order == (n_tokens, doc_id) order
+    for b, g in out.groupby("bucket"):
+        gg = g.sort_values("pos")
+        assert (
+            gg[["n_tokens", "doc_id"]].values.tolist()
+            == gg.sort_values(["n_tokens", "doc_id"])[["n_tokens", "doc_id"]]
+            .values.tolist()
+        )
+
+
+def test_curriculum_all_ties_single_bucket(ray_session):
+    """Identical lengths: everything lands in bucket 0 ordered by id."""
+    df = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "text": ["a b c"] * 10}
+    )
+    out = (
+        curriculum_order(rd.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["bucket"] == 0).all()
+    assert out["pos"].tolist() == [i * 4 for i in range(10)]
