@@ -58,8 +58,11 @@ def token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _histogram(nds) -> pd.Series:
-    """Driver-side {n_tokens: rows} fold of per-batch value_counts
-    partials (each partial is at most |distinct counts in batch| rows)."""
+    """{n_tokens: rows} histogram: per-batch value_counts partials, then
+    ONE tiny-row hash exchange (stages/hashagg — at 100-TB block counts
+    the raw partial stream is blocks x per-batch-distinct rows, too many
+    to fold on the driver) so only O(distinct counts) rows come back."""
+    from sits_ray.stages.hashagg import part_aggregate
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["n_tokens"].value_counts()
@@ -68,8 +71,15 @@ def _histogram(nds) -> pd.Series:
              "cnt": vc.to_numpy(dtype=np.int64)}
         )
 
-    parts = nds.map_batches(part, batch_format="pandas").to_pandas()
-    return parts.groupby("n_tokens")["cnt"].sum().sort_index()
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_tokens", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    partials = nds.map_batches(part, batch_format="pandas")
+    folded = part_aggregate(partials, merge, key_col="n_tokens", n_parts=16)
+    parts = folded.to_pandas()
+    return parts.set_index("n_tokens")["cnt"].sort_index()
 
 
 def nearest_rank_thresholds(hist: pd.Series, qs) -> list[int]:
