@@ -3241,6 +3241,30 @@ def curriculum_order_q(sf_dir):
     return curriculum_order(ds, n_buckets=4)
 
 
+@q(
+    "shuffle_order_docs",
+    """
+with m as (
+  select doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 as mix
+  from documents)
+select doc_id, mix,
+       (row_number() over (order by mix, doc_id) - 1) as pos
+from m
+""",
+)
+def shuffle_order_docs(sf_dir):
+    """Deterministic reproducible global shuffle permutation of the
+    corpus (training-export shuffling) with NO Dataset.random_shuffle
+    all-to-all and NO global sort: multiplicative-hash key, bounded
+    bucket histogram + cumulative base offsets, one hash exchange for
+    in-bucket ranking. Bit-exact vs the DuckDB row_number twin."""
+    from sits_ray.stages.curriculum import shuffle_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_order(ds, id_col="doc_id", bucket_bits=12)
+
+
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
 @q("minhash_near_dups")
 def minhash_near_dups(sf_dir):

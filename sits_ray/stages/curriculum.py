@@ -57,29 +57,30 @@ def token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(counts, batch_format="pandas")
 
 
-def _histogram(nds) -> pd.Series:
-    """{n_tokens: rows} histogram: per-batch value_counts partials, then
+def _histogram(nds, col: str = "n_tokens") -> pd.Series:
+    """{col value: rows} histogram: per-batch value_counts partials, then
     ONE tiny-row hash exchange (stages/hashagg — at 100-TB block counts
     the raw partial stream is blocks x per-batch-distinct rows, too many
-    to fold on the driver) so only O(distinct counts) rows come back."""
+    to fold on the driver) so only O(distinct values) rows come back.
+    Requires bounded distinct cardinality (token counts, bucket ids)."""
     from sits_ray.stages.hashagg import part_aggregate
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["n_tokens"].value_counts()
+        vc = df[col].value_counts()
         return pd.DataFrame(
-            {"n_tokens": vc.index.to_numpy(dtype=np.int64),
+            {col: vc.index.to_numpy(dtype=np.int64),
              "cnt": vc.to_numpy(dtype=np.int64)}
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("n_tokens", sort=False)["cnt"].sum().reset_index()
+        out = g.groupby(col, sort=False)["cnt"].sum().reset_index()
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
     partials = nds.map_batches(part, batch_format="pandas")
-    folded = part_aggregate(partials, merge, key_col="n_tokens", n_parts=16)
+    folded = part_aggregate(partials, merge, key_col=col, n_parts=16)
     parts = folded.to_pandas()
-    return parts.set_index("n_tokens")["cnt"].sort_index()
+    return parts.set_index(col)["cnt"].sort_index()
 
 
 def nearest_rank_thresholds(hist: pd.Series, qs) -> list[int]:
@@ -139,3 +140,70 @@ def curriculum_order(ds, n_buckets: int = 4, id_col: str = "doc_id",
         )
 
     return part_aggregate(nds, rank_part, key_col="n_tokens", n_parts=32)
+
+
+# --- deterministic global shuffle order --------------------------------------
+_MIX_MULT = 2654435761          # Knuth multiplicative constant
+_MIX_MOD = 1 << 32
+
+
+def mix_ids(ids: np.ndarray) -> np.ndarray:
+    """SQL-replayable multiplicative id mixing. The id is capped to
+    2^31 first so the int64 product ``(id % 2^31) * 2654435761`` stays
+    below 2^63 — exact in both numpy int64 and DuckDB BIGINT."""
+    return ((ids % np.int64(1 << 31)) * np.int64(_MIX_MULT)) % np.int64(_MIX_MOD)
+
+
+def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 12):
+    """Dataset[id, ...] -> Dataset[id, mix, pos]: a DETERMINISTIC,
+    reproducible global shuffle permutation (``pos`` = rank under
+    (mix(id), id) order) with NO all-to-all ``random_shuffle`` and NO
+    global sort.
+
+    Training-data exports need a reproducible corpus shuffle;
+    ``Dataset.random_shuffle`` is a full materializing exchange and is
+    non-reproducible across runs/cluster shapes. Here the shuffle key is
+    a multiplicative hash of the id, and the rank is computed with the
+    curriculum_order machinery on the key's TOP ``bucket_bits`` bits:
+    the 2^bucket_bits bucket histogram is driver-bounded, base offsets
+    come from the cumulative bucket counts (bucket order == key-prefix
+    order), and ONE hash exchange co-locates each bucket for local
+    (mix, id) tie ranking. Bit-exact vs the DuckDB
+    ``row_number() over (order by mix, id)`` twin."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    shift = np.int64(32 - bucket_bits)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        m = mix_ids(ids)
+        return pd.DataFrame(
+            {id_col: ids, "mix": m, "bucket": (m >> shift).astype(np.int64)}
+        )
+
+    kds = ds.map_batches(keyed, batch_format="pandas")
+    hist = _histogram(kds, col="bucket")
+    if hist.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "mix": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64)}
+            )
+        )
+    buckets = hist.index.to_numpy(dtype=np.int64)   # ascending == key-prefix order
+    cnts = hist.to_numpy(dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    state = ray.put((buckets, base))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        b_, base_ = ray.get(state)
+        gg = g.sort_values(["mix", id_col])
+        idx = np.searchsorted(b_, gg["bucket"].to_numpy())
+        tie = gg.groupby("bucket", sort=False).cumcount().to_numpy()
+        return pd.DataFrame(
+            {id_col: gg[id_col].to_numpy(), "mix": gg["mix"].to_numpy(),
+             "pos": base_[idx] + tie}
+        )
+
+    return part_aggregate(kds, rank_part, key_col="bucket", n_parts=32)

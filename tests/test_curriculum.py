@@ -56,3 +56,28 @@ def test_curriculum_all_ties_single_bucket(ray_session):
     )
     assert (out["bucket"] == 0).all()
     assert out["pos"].tolist() == [i * 4 for i in range(10)]
+
+
+def test_shuffle_order_is_permutation(ray_session):
+    """pos must be a bijection onto 0..n-1, identical across batching
+    shapes (reproducibility contract), and ordered by (mix, id)."""
+    from sits_ray.stages.curriculum import mix_ids, shuffle_order
+
+    ids = np.arange(1000, dtype=np.int64) * 7 + 3
+    df = pd.DataFrame({"doc_id": ids})
+    out1 = (
+        shuffle_order(rd.from_pandas(df).repartition(9), bucket_bits=6)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    out2 = (
+        shuffle_order(rd.from_pandas(df).repartition(2), bucket_bits=6)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out2)  # batching-independent
+    assert sorted(out1["pos"]) == list(range(1000))
+    ordered = out1.sort_values("pos")
+    key = list(zip(ordered["mix"], ordered["doc_id"]))
+    assert key == sorted(key)
+    # and it actually shuffles: not the identity order
+    assert ordered["doc_id"].tolist() != sorted(ordered["doc_id"])
+    assert (out1["mix"] == mix_ids(out1["doc_id"].to_numpy())).all()
