@@ -3366,6 +3366,81 @@ def minhash_poly_pairs(sf_dir):
     return band_pairs(lsh).select_columns(["doc_a", "doc_b", "n_bands"])
 
 
+def _simhash_poly_dups_sql(bits: int = 32, bands: int = 4, radius: int = 3,
+                           max_bucket: int = 128) -> str:
+    """DuckDB twin of stages/dedup.simhash_poly_dups: the simhash_poly
+    signature CTE widened to 32 bits, 8-bit chunk buckets, row_number
+    cap, self-join pairs, xor/bit_count Hamming verify."""
+    rb = bits // bands
+    mask = (1 << rb) - 1
+    sums = ",\n  ".join(
+        f"sum(case when (hw >> {j}) & 1 = 1 then cnt else -cnt end) as b{j}"
+        for j in range(bits)
+    )
+    pack = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)" for j in range(bits)
+    )
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+with tok as (
+  select doc_id, w, cast(count(*) as bigint) as cnt
+  from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)
+  group by 1, 2),
+h as (
+  select doc_id, cnt,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+                        list_transform(regexp_extract_all(to_hex(encode(w)), '..'),
+                                       c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647
+         ) as hw
+  from tok),
+bs as (select doc_id,
+  {sums}
+  from h group by 1),
+sigs as (
+  select d.doc_id, cast(coalesce({pack}, 0) as bigint) as sig
+  from documents d left join bs using (doc_id)),
+chunks as (
+  select doc_id, band_id, (sig >> ({rb} * band_id)) & {mask} as band_hash
+  from sigs cross join (values {band_vals}) b(band_id)),
+capped as (
+  select * from (
+    select band_id, band_hash, doc_id,
+           row_number() over (partition by band_id, band_hash
+                              order by doc_id) as rn
+    from chunks)
+  where rn <= {max_bucket}),
+cand as (
+  select x.doc_id as doc_a, y.doc_id as doc_b,
+         cast(count(*) as bigint) as n_bands
+  from capped x join capped y
+    on x.band_id = y.band_id and x.band_hash = y.band_hash
+       and x.doc_id < y.doc_id
+  group by 1, 2)
+select c.doc_a, c.doc_b, c.n_bands,
+       cast(bit_count(xor(sa.sig, sb.sig)) as bigint) as hamming
+from cand c join sigs sa on sa.doc_id = c.doc_a
+            join sigs sb on sb.doc_id = c.doc_b
+where bit_count(xor(sa.sig, sb.sig)) <= {radius}
+"""
+
+
+@q("simhash_poly_dups", _simhash_poly_dups_sql())
+def simhash_poly_dups_q(sf_dir):
+    """SQL-mechanizable SimHash near-dup PAIRS (completes the dedup
+    family's gate story: simhash_poly certifies signatures, this
+    certifies bucketing + Hamming verify): 32-bit polynomial SimHash,
+    4 x 8-bit chunk LSH (pigeonhole-complete for radius < bands),
+    capped buckets, distributed signature joins, popcount-LUT verify.
+    Production 64-bit blake2b SimHash stays rows-only."""
+    from sits_ray.stages.dedup import simhash_poly_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_poly_dups(ds, radius=3, bits=32, bands=4)
+
+
 @q("embedding_near_dups")
 def embedding_near_dups_q(sf_dir):
     """Embedding-cosine near-duplicate pairs (fifth dedup modality):

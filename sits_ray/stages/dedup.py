@@ -30,6 +30,12 @@ _WORD = re.compile(r"\w+")
 
 _MERSENNE = (1 << 61) - 1
 
+# 16-bit popcount LUT (built once at import; Hamming verify is two
+# lookups + an add per pair — no per-row Python)
+_POP16 = np.unpackbits(
+    np.arange(1 << 16, dtype=np.uint16).view(np.uint8)
+).reshape(-1, 16).sum(axis=1).astype(np.int64)
+
 
 def shingles(text: str, k: int = 3) -> set[str]:
     toks = _WORD.findall(text.lower())
@@ -467,6 +473,92 @@ def poly_band_rows(batch: pd.DataFrame, n_perm: int = 16, bands: int = 4,
             "band_hash": bh.reshape(-1),
         }
     )
+
+
+def simhash_poly_dups(ds, radius: int = 3, bits: int = 32, bands: int = 4,
+                      max_bucket: int = 128, num_partitions: int | None = None,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """SQL-mechanizable SimHash near-dup PAIRS: 32-bit polynomial SimHash
+    (kernels/text.simhash_poly_batch), 4 x 8-bit chunk LSH (pigeonhole:
+    any pair within Hamming radius < bands shares a chunk), capped bucket
+    pairs via :func:`band_pairs`, then exact Hamming verify by joining
+    signatures back through DISTRIBUTED hash joins (the minhash_dedup
+    join shape — only candidate-id sets touch the driver). Returns
+    (doc_a, doc_b, n_bands, hamming) for hamming <= radius; bit-exact
+    vs the DuckDB xor/bit_count twin (queries._simhash_poly_dups_sql)."""
+    from sits_ray.kernels.text import simhash_poly_batch
+
+    assert bits % bands == 0
+    rb = bits // bands
+    mask = (1 << rb) - 1
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(),
+             "sig": simhash_poly_batch(df[text_col], bits=bits).to_numpy()}
+        )
+
+    sigs = ds.map_batches(sig_batch, batch_format="pandas").materialize()
+
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df["sig"].to_numpy(dtype=np.int64)
+        n = len(df)
+        bh = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            bh[:, b] = (sig >> (rb * b)) & mask
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df[id_col].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1),
+            }
+        )
+
+    lsh = sigs.map_batches(chunk_rows, batch_format="pandas")
+    cand = band_pairs(lsh, max_bucket=max_bucket).materialize()
+    if cand.count() == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n_bands": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
+    num_partitions = _join_partitions(num_partitions)
+
+    def rename(cols: dict):
+        def do(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+
+        return do
+
+    j1 = cand.join(
+        sigs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=(id_col,),
+    ).map_batches(rename({"sig": "sig_a"}), batch_format="pyarrow")
+    j2 = j1.join(
+        sigs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=(id_col,),
+    ).map_batches(rename({"sig": "sig_b"}), batch_format="pyarrow")
+
+    def verify(t: pa.Table) -> pa.Table:
+        x = np.bitwise_xor(
+            t["sig_a"].to_numpy().astype(np.int64),
+            t["sig_b"].to_numpy().astype(np.int64),
+        )
+        ham = _POP16[x & 0xFFFF] + _POP16[(x >> 16) & 0xFFFF]
+        keep = ham <= radius
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy()[keep]),
+                "doc_b": pa.array(t["doc_b"].to_numpy()[keep]),
+                "n_bands": pa.array(t["n_bands"].to_numpy()[keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def _join_partitions(requested: int | None) -> int:

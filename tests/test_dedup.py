@@ -331,3 +331,26 @@ def test_poly_minhash_near_dups_collide(ray_session):
     keys = set(zip(pairs.doc_a, pairs.doc_b))
     assert (1, 2) in keys
     assert (1, 3) not in keys and (2, 3) not in keys
+
+
+def test_simhash_poly_dups_recall(ray_session):
+    """Near-identical docs (one token changed) must surface within
+    Hamming radius; unrelated docs must not pair with them."""
+    from sits_ray.stages.dedup import simhash_poly_dups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    other = ("completely different content about weather patterns and "
+             "ocean currents flowing through narrow channels") * 3
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [base, base.replace("kappa", "kxppa"), other],
+        }
+    )
+    out = simhash_poly_dups(rd.from_pandas(df), radius=3).to_pandas()
+    keys = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys
+    row = out[(out.doc_a == 1) & (out.doc_b == 2)].iloc[0]
+    assert 0 <= row.hamming <= 3 and 1 <= row.n_bands <= 4
