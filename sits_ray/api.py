@@ -99,9 +99,18 @@ from sits_ray.kernels.ml import (  # noqa: F401
 from sits_ray.kernels.nnls import unmix as sits_mixture_model  # noqa: F401
 from sits_ray.stages.classify import classify as sits_classify  # noqa: F401
 from sits_ray.stages.som import (  # noqa: F401
+    som_batch_int as sits_som_batch,
     som_clean_samples as sits_som_clean_samples,
     som_evaluate_cluster as sits_som_evaluate_cluster,
     som_map as sits_som_map,
+)
+from sits_ray.stages.kmeans import (  # noqa: F401
+    lloyd as sits_kmeans,
+    lloyd_int as sits_kmeans_int,
+)
+from sits_ray.stages.curriculum import (  # noqa: F401
+    curriculum_order as sits_curriculum_order,
+    shuffle_order as sits_shuffle_order,
 )
 from sits_ray.stages.train import (  # noqa: F401
     kfold_validate as sits_kfold_validate,
@@ -143,6 +152,7 @@ from sits_ray.stages.dedup import (  # noqa: F401
     exact_dedup as sits_dedup,
     minhash_dedup,
     simhash64,
+    simhash_poly_dups,
 )
 from sits_ray.stages.sampling import (  # noqa: F401
     reduce_imbalance as sits_reduce_imbalance,
