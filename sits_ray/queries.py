@@ -3246,7 +3246,10 @@ def curriculum_order_q(sf_dir):
     """
 with m as (
   select doc_id,
-         ((doc_id % 2147483648) * 2654435761) % 4294967296 as mix
+         -- positive mod (DuckDB % truncates; numpy % floors) so the
+         -- twin holds for signed ids too
+         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+          * 2654435761) % 4294967296 as mix
   from documents)
 select doc_id, mix,
        (row_number() over (order by mix, doc_id) - 1) as pos
@@ -6178,7 +6181,7 @@ def _kmeans_lloyd_int_sql(k: int = 4, dim: int = 64, iters: int = 3,
     return f"""
 with recursive
 x as (
-  select vec_id, d, cast(floor(v * 10000 + 0.5) as bigint) as xv
+  select vec_id, d, cast(floor(cast(v as double) * 10000 + 0.5) as bigint) as xv
   from (select vec_id, unnest(embedding) as v,
                generate_subscripts(embedding, 1) as d
         from embeddings)),
@@ -6259,7 +6262,7 @@ def _som_batch_int_sql(xdim: int = 3, ydim: int = 3, dim: int = 64,
     return f"""
 with recursive
 x as (
-  select vec_id, d, cast(floor(v * 10000 + 0.5) as bigint) as xv
+  select vec_id, d, cast(floor(cast(v as double) * 10000 + 0.5) as bigint) as xv
   from (select vec_id, unnest(embedding) as v,
                generate_subscripts(embedding, 1) as d
         from embeddings)),

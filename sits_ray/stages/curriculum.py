@@ -103,7 +103,10 @@ def curriculum_order(ds, n_buckets: int = 4, id_col: str = "doc_id",
     a bucket). See module docstring for the no-sort plan."""
     from sits_ray.stages.hashagg import part_aggregate
 
-    nds = token_counts(ds, id_col=id_col, text_col=text_col)
+    # materialize: the (id, n_tokens) table is tiny and is consumed
+    # TWICE (histogram pass + rank pass) — without this the lazy
+    # pipeline re-reads and re-tokenizes the whole corpus per pass
+    nds = token_counts(ds, id_col=id_col, text_col=text_col).materialize()
     hist = _histogram(nds)
     if hist.empty:
         return ray.data.from_pandas(
@@ -148,10 +151,13 @@ _MIX_MOD = 1 << 32
 
 
 def mix_ids(ids: np.ndarray) -> np.ndarray:
-    """SQL-replayable multiplicative id mixing. The id is capped to
-    2^31 first so the int64 product ``(id % 2^31) * 2654435761`` stays
-    below 2^63 — exact in both numpy int64 and DuckDB BIGINT."""
-    return ((ids % np.int64(1 << 31)) * np.int64(_MIX_MULT)) % np.int64(_MIX_MOD)
+    """SQL-replayable multiplicative id mixing. The id is first reduced
+    to a POSITIVE residue mod 2^31 (numpy ``%`` floors, DuckDB ``%``
+    truncates — the SQL twin applies the explicit positive-mod fold so
+    both agree for signed ids too), then the int64 product
+    ``residue * 2654435761`` stays below 2^63 — exact in both engines."""
+    r = ids % np.int64(1 << 31)  # numpy floored mod is already >= 0
+    return (r * np.int64(_MIX_MULT)) % np.int64(_MIX_MOD)
 
 
 def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 12):
@@ -181,7 +187,8 @@ def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 12):
             {id_col: ids, "mix": m, "bucket": (m >> shift).astype(np.int64)}
         )
 
-    kds = ds.map_batches(keyed, batch_format="pandas")
+    # consumed twice (bucket histogram + rank pass) — see curriculum_order
+    kds = ds.map_batches(keyed, batch_format="pandas").materialize()
     hist = _histogram(kds, col="bucket")
     if hist.empty:
         return ray.data.from_pandas(

@@ -37,6 +37,16 @@ _POP16 = np.unpackbits(
 ).reshape(-1, 16).sum(axis=1).astype(np.int64)
 
 
+def _rename_cols(cols: dict):
+    """map_batches fn renaming columns per ``cols`` (shared by the
+    join-based verify pipelines)."""
+
+    def do(t: pa.Table) -> pa.Table:
+        return t.rename_columns([cols.get(c, c) for c in t.column_names])
+
+    return do
+
+
 def shingles(text: str, k: int = 3) -> set[str]:
     toks = _WORD.findall(text.lower())
     if len(toks) < k:
@@ -527,20 +537,14 @@ def simhash_poly_dups(ds, radius: int = 3, bits: int = 32, bands: int = 4,
         )
     num_partitions = _join_partitions(num_partitions)
 
-    def rename(cols: dict):
-        def do(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(c, c) for c in t.column_names])
-
-        return do
-
     j1 = cand.join(
         sigs, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),
-    ).map_batches(rename({"sig": "sig_a"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"sig": "sig_a"}), batch_format="pyarrow")
     j2 = j1.join(
         sigs, join_type="inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=(id_col,),
-    ).map_batches(rename({"sig": "sig_b"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"sig": "sig_b"}), batch_format="pyarrow")
 
     def verify(t: pa.Table) -> pa.Table:
         x = np.bitwise_xor(
@@ -615,21 +619,15 @@ def minhash_dedup(ds, threshold: float = 0.8, n_perm=64, bands=16, k=3,
 
     texts = ds.map_batches(prune, batch_format="pyarrow")
 
-    def rename(cols: dict):
-        def do(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(c, c) for c in t.column_names])
-
-        return do
-
     # hash-join text for each side of the pair (text moves shard-to-shard)
     j1 = cand.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(rename({"text": "text_a"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"text": "text_a"}), batch_format="pyarrow")
     j2 = j1.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(rename({"text": "text_b"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"text": "text_b"}), batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # docs recur across candidate pairs: build each doc's shingle set
@@ -996,20 +994,14 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
 
     texts = ds.map_batches(prune, batch_format="pyarrow")
 
-    def rename(cols: dict):
-        def do(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(c, c) for c in t.column_names])
-
-        return do
-
     j1 = cand.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(rename({"text": "text_a"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"text": "text_a"}), batch_format="pyarrow")
     j2 = j1.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(rename({"text": "text_b"}), batch_format="pyarrow")
+    ).map_batches(_rename_cols({"text": "text_b"}), batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # per-unique-doc shingle sets (docs recur across pairs), C-level

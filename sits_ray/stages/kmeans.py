@@ -192,6 +192,13 @@ def lloyd_int(ds, k: int = 4, iters: int = 3, seed: int = 17,
     import pandas as pd
 
     first = ds.take(1)
+    if not first:
+        return pd.DataFrame(
+            {"cluster": pd.Series([], dtype=np.int64),
+             "d": pd.Series([], dtype=np.int64),
+             "c": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64)}
+        )
     dim = len(first[0][vec_col])
     C = make_int_centroids(dim, k, seed)
     sizes = np.zeros(k, dtype=np.int64)

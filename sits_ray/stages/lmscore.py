@@ -86,11 +86,19 @@ def unigram_nll(ds, counts: pd.DataFrame, total: int,
         # tokens (explode preserves doc order then in-doc order), then
         # sequential per-doc accumulation vectorized across docs of equal
         # token count (the SQL ordered-fold order)
-        flat = (
-            toks[keep].explode().map(lut).to_numpy(dtype=np.float64)
-            if keep.any()
-            else np.empty(0, dtype=np.float64)
-        )
+        if keep.any():
+            flat = toks[keep].explode().map(lut).to_numpy(dtype=np.float64)
+            # Series.map(dict) yields NaN on misses — keep the old
+            # fromiter KeyError loudness for out-of-vocabulary tokens
+            # (a counts table from a different corpus must not silently
+            # poison nll)
+            if np.isnan(flat).any():
+                oov = toks[keep].explode()[np.isnan(flat)].unique()
+                raise KeyError(
+                    f"tokens missing from counts table: {list(oov[:5])!r}"
+                )
+        else:
+            flat = np.empty(0, dtype=np.float64)
         offs = np.concatenate([[0], np.cumsum(out_n)])
         nll = np.empty(out_n.size, dtype=np.float64)
         for length in np.unique(out_n):

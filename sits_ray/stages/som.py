@@ -301,6 +301,13 @@ def som_batch_int(ds, xdim: int = 3, ydim: int = 3, iters: int = 3,
         radii = tuple(max(0, (iters - 1 - i)) for i in range(iters))
     assert len(radii) == iters
     first = ds.take(1)
+    if not first:
+        return pd.DataFrame(
+            {"unit": pd.Series([], dtype=np.int64),
+             "d": pd.Series([], dtype=np.int64),
+             "w": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64)}
+        )
     dim = len(first[0][vec_col])
     W = make_int_centroids(dim, m, seed)
     sizes = np.zeros(m, dtype=np.int64)

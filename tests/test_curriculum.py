@@ -81,3 +81,16 @@ def test_shuffle_order_is_permutation(ray_session):
     # and it actually shuffles: not the identity order
     assert ordered["doc_id"].tolist() != sorted(ordered["doc_id"])
     assert (out1["mix"] == mix_ids(out1["doc_id"].to_numpy())).all()
+
+
+def test_mix_ids_negative_ids_nonnegative():
+    """numpy floored mod keeps negative ids non-negative — the SQL twin
+    applies an explicit positive-mod fold to agree."""
+    from sits_ray.stages.curriculum import mix_ids
+
+    ids = np.array([-5, -1, 0, 7, -(1 << 40)], dtype=np.int64)
+    m = mix_ids(ids)
+    assert (m >= 0).all() and (m < (1 << 32)).all()
+    # matches the explicit positive-mod formula the oracle uses
+    pm = (((ids % (1 << 31)) + (1 << 31)) % (1 << 31))
+    assert (m == (pm * 2654435761) % (1 << 32)).all()

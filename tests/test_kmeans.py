@@ -175,3 +175,17 @@ def test_fld_matches_floor_division():
     num = np.array([-7, 7, -8, 8, 0, -1, 5], dtype=np.int64)
     den = np.array([2, 2, 4, 4, 3, 3, 5], dtype=np.int64)
     assert (_fld(num, den) == num // den).all()  # numpy // is floor
+
+
+def test_lloyd_int_empty_dataset(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.kmeans import lloyd_int
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                      "embedding": pd.Series([], dtype=object)})
+    )
+    out = lloyd_int(empty, k=3, iters=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["cluster", "d", "c", "n"]

@@ -327,3 +327,17 @@ def test_unigram_nll_matches_scalar_and_drops_empty(ray_session):
     # repeated-word doc scores lower NLL than rare-word doc
     nll = dict(zip(out.doc_id, out.nll))
     assert nll[1] < nll[3]
+
+
+def test_unigram_nll_oov_raises(ray_session):
+    """Out-of-vocabulary tokens must fail loudly, not NaN-poison nll."""
+    import ray.data as rd
+
+    from sits_ray.stages.lmscore import unigram_nll
+
+    counts = pd.DataFrame({"token": ["alpha", "beta"], "cnt": [3, 1]})
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma"]})
+    )
+    with pytest.raises(Exception, match="gamma"):
+        unigram_nll(docs, counts, total=4).to_pandas()
