@@ -2561,7 +2561,7 @@ def train_then_classify_boost(sf_dir):
 def train_then_classify_tempcnn(sf_dir):
     """Same pipeline with the from-scratch temporal-CNN factory
     (stages/train.sits_tempcnn_lite; reference sits_tempcnn,
-    R/sits_tempcnn.R:102 — 1-D conv -> ReLU -> global average pool ->
+    R/sits_tempcnn.R:102 — 1-D conv -> ReLU -> flattened temporal features ->
     softmax, full-batch numpy backprop, VERDICT r3 next #4). Rows-only
     driver check; learning curve + actor-pool parity pinned in
     tests/test_train.py."""

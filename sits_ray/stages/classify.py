@@ -46,16 +46,13 @@ class SeriesScorer:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = list_matrix(batch[self.vec_col])
-        if ("trees" in self.model or "conv_K" in self.model
-                or "W1" in self.model or "stumps" in self.model
-                or "q" in self.model or "R1" in self.model):
-            # forest/tempcnn/mlp/stumps/tae/resnet: model-kind forward
-            from sits_ray.stages.train import predict_probs
+        # predict_probs owns the model-kind dispatch for ALL families
+        # (its fallback is the plain softmax(X@W+b) linear scorer) —
+        # one dispatch table, not two drifting copies
+        from sits_ray.stages.train import predict_probs
 
-            probs = predict_probs(self.model, m)
-        else:
-            probs = softmax(m @ self.model["W"] + self.model["b"])
+        m = list_matrix(batch[self.vec_col])
+        probs = predict_probs(self.model, m)
         label_idx = label_max_prob(probs)  # 1-based, NaN-aware
         ent = entropy_probs(probs)
         marg = margin_probs(probs)

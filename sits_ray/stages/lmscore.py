@@ -29,6 +29,13 @@ import ray
 
 _TOKEN_RE = r"[a-z]+"
 
+_LUT_CACHE: dict = {}
+
+
+def _lut_cache() -> dict:
+    """Per-worker-process cache of deserialized log-p tables."""
+    return _LUT_CACHE
+
 
 def corpus_unigram_counts(ds, text_col: str = "text", n_parts: int = 32):
     """Distributed (token, cnt) table + total count."""
@@ -75,7 +82,15 @@ def unigram_nll(ds, counts: pd.DataFrame, total: int,
     ref = ray.put(logp)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
+        # dict deserialization is NOT zero-copy (unlike numpy): cache the
+        # materialized lut per worker process keyed by the object ref so
+        # each worker pays the vocab unpickle once, not once per batch
+        cache = _lut_cache()
+        key = ref.hex()
+        lut = cache.get(key)
+        if lut is None:
+            cache.clear()  # one live model table per worker
+            lut = cache[key] = ray.get(ref)
         toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
         ids = df[id_col].to_numpy()
         lens = toks.str.len().to_numpy(dtype=np.int64)

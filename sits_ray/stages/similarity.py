@@ -54,7 +54,10 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
         kk = min(k, ids.size)
         out_q, out_id, out_sim = [], [], []
         for j in range(qm.shape[0]):
-            part = np.argpartition(sims[:, j], -kk)[-kk:]
+            # tie-aware partial top-k under the oracle's total order
+            # (sim desc, id asc) — argpartition keeps an arbitrary tied
+            # candidate at the k-boundary
+            part = np.lexsort((ids, -sims[:, j]))[:kk]
             out_q.extend([j] * kk)
             out_id.extend(ids[part].tolist())
             out_sim.extend(sims[part, j].tolist())
@@ -230,7 +233,8 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, k: int = 10,
             sims = m[mask] @ qm[j]
             sel_ids = ids[mask]
             kk = min(k, sel_ids.size)
-            part = np.argpartition(sims, -kk)[-kk:]
+            # tie-aware (see brute_force_topk)
+            part = np.lexsort((sel_ids, -sims))[:kk]
             out_q.extend([j] * kk)
             out_id.extend(sel_ids[part].tolist())
             out_sim.extend(sims[part].tolist())
@@ -398,10 +402,14 @@ def ivf_topk_seeded(ds, query_vecs: np.ndarray, k: int = 10,
             sims = m[mask] @ qm[j]
             sel = ids[mask]
             kk = min(k, sel.size)
-            part = np.argpartition(sims, -kk)[-kk:]
+            # tie-aware partial top-k: the SQL-exact oracle pins
+            # (sim desc, id asc); a bare argpartition keeps an ARBITRARY
+            # member of a tie straddling the k-boundary, dropping the
+            # id the final driver-side sort would have chosen
+            order = np.lexsort((sel, -sims))[:kk]
             out_q.extend([j] * kk)
-            out_id.extend(sel[part].tolist())
-            out_sim.extend(sims[part].tolist())
+            out_id.extend(sel[order].tolist())
+            out_sim.extend(sims[order].tolist())
         return pa.table(
             {"query_id": pa.array(out_q, pa.int64()),
              id_col: pa.array(out_id, pa.int64()),
@@ -480,7 +488,8 @@ def lsh_topk(ds, query_ids, k: int = 5, nbits: int = 4, seed: int = 29,
             sims = m[mask] @ qmat[qi]
             cand = ids[mask]
             kk = min(k, cand.size)
-            part = np.argpartition(sims, -kk)[-kk:]
+            # tie-aware (see brute_force_topk)
+            part = np.lexsort((cand, -sims))[:kk]
             out_q.extend([int(ids_q[qi])] * kk)
             out_id.extend(cand[part].tolist())
             out_sim.extend(sims[part].tolist())

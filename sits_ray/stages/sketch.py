@@ -117,7 +117,10 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
                              "n": pd.Series(dtype=np.int64)})
     L = int(top["kept"].iloc[-1]) if len(top) >= k else 0
     cut = L - E
-    if cut <= 0:
+    if cut <= 0 and len(top) >= k and E > 0:
+        # only a real degeneracy warrants the warning: with fewer than k
+        # kept tokens (tiny corpus) or zero sketch error, the
+        # full-candidate recount is trivially bounded and expected
         import warnings
 
         warnings.warn(

@@ -495,7 +495,9 @@ def sits_tempcnn_lite(filters: int = 8, width: int = 5, iters: int = 150,
     """Factory: from-scratch numpy analog of the reference's temporal CNN
     classifier family (``sits_tempcnn``, ``R/sits_tempcnn.R:102``; Pelletier
     et al. 2019 — torch is outside this container, so the 1-D-conv ->
-    ReLU -> global-average-pool -> softmax network and its full-batch
+    ReLU -> flattened-temporal-feature softmax head (position-aware; see
+    tempcnn_probs — no global pooling, the model is length-dependent by
+    design) and its full-batch
     backprop are implemented directly; VERDICT r3 next #4). Deterministic
     (seeded init, fixed iteration count); the model dict plugs into the
     same broadcast actor-pool scorer as sits_mlr/sits_rfor_lite via

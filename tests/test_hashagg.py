@@ -1,6 +1,6 @@
 """part_aggregate: exactness vs a plain pandas groupby (the helper must
 be a pure execution-strategy change), key routing stability, and dtype
-coverage (int keys via modulo, string keys via stable hash)."""
+coverage (int keys via splitmix64 bit mixing, string keys via stable hash)."""
 
 import numpy as np
 import pandas as pd

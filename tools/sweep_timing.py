@@ -41,11 +41,13 @@ def main():
         t0 = time.time()
         try:
             res = fn(sf_dir)
-            # consume lazily-built Datasets so the timing is real
-            try:
-                n = res.count()
-            except (TypeError, AttributeError):
-                n = len(res)
+            # consume lazily-built Datasets so the timing is real.
+            # pandas DataFrame.count() is a per-column Series, not a row
+            # count — only call .count() on ray Datasets; everything
+            # else (DataFrame, pa.Table) supports len()
+            import ray.data as _rd
+
+            n = res.count() if isinstance(res, _rd.Dataset) else len(res)
             err = None
         except Exception as e:  # noqa: BLE001
             n, err = -1, f"{type(e).__name__}: {e}"
