@@ -6162,14 +6162,16 @@ def kmeans_assign(sf_dir):
     )
 
 
-def _kmeans_lloyd_int_sql(k: int = 4, dim: int = 64, iters: int = 3,
-                          seed: int = 17) -> str:
+def _kmeans_cte(k: int = 4, dim: int = 64, iters: int = 3,
+                seed: int = 17) -> str:
     """DuckDB recursive-CTE twin of stages/kmeans.lloyd_int: the WHOLE
     iterative training replays in SQL — quantize (identical double ops),
     equi-keyed distance join (CLAUDE.md recursive-join rule), window-min
     first-min assignment, order-free integer sums, exact floor-division
     centroid requantization, empty clusters keep their previous centroid.
-    Every intermediate fits BIGINT (dist <= 64 * (2.1e4)^2 ~ 2.8e10)."""
+    Every intermediate fits BIGINT (dist <= 64 * (2.1e4)^2 ~ 2.8e10).
+    Returns a template with a ``{final}`` slot so the silhouette
+    diagnostic can reuse the identical training walk."""
     from sits_ray.stages.kmeans import make_int_centroids
 
     C0 = make_int_centroids(dim, k, seed)
@@ -6213,8 +6215,48 @@ cent(it, cluster, d, c, n) as (
           coalesce(s.n, 0)
    from cent ct left join sums s on s.cluster = ct.cluster and s.d = ct.d
    where ct.it < {iters}))
-select cluster, d, c, n from cent where it = {iters}
+{{final}}
 """
+
+
+def _kmeans_lloyd_int_sql(k: int = 4, dim: int = 64, iters: int = 3,
+                          seed: int = 17) -> str:
+    return _kmeans_cte(k, dim, iters, seed).format(
+        final=f"select cluster, d, c, n from cent where it = {iters}"
+    )
+
+
+def _silhouette_sql(k: int = 4, dim: int = 64, iters: int = 3,
+                    seed: int = 17) -> str:
+    """Simplified (centroid-based) silhouette per vector on top of the
+    integer-exact Lloyd CTE: a2/b2 are exact integer squared distances to
+    the own / nearest-other FINAL centroid, sil = (sqrt(b2)-sqrt(a2)) /
+    max(sqrt(a2), sqrt(b2)) — deterministic correctly-rounded double ops
+    on exact ints, so the whole diagnostic stays bit-exact."""
+    final = f"""
+, fin as (select cluster, d, c from cent where it = {iters}),
+dd2 as (
+  select x.vec_id, f.cluster,
+         sum((x.xv - f.c) * (x.xv - f.c)) as dd
+  from x join fin f on f.d = x.d
+  group by 1, 2),
+own as (
+  select vec_id, min(cluster) as cluster, min(dd) as a2
+  from (select vec_id, cluster, dd,
+               min(dd) over (partition by vec_id) as mind from dd2)
+  where dd = mind group by vec_id),
+oth as (
+  select d2.vec_id, min(d2.dd) as b2
+  from dd2 d2 join own o on o.vec_id = d2.vec_id and d2.cluster != o.cluster
+  group by 1)
+select o.vec_id, o.cluster, o.a2, t.b2,
+       case when greatest(o.a2, t.b2) = 0 then 0.0
+            else (sqrt(cast(t.b2 as double)) - sqrt(cast(o.a2 as double)))
+                 / greatest(sqrt(cast(o.a2 as double)), sqrt(cast(t.b2 as double)))
+       end as sil
+from own o join oth t on t.vec_id = o.vec_id
+"""
+    return _kmeans_cte(k, dim, iters, seed).format(final=final)
 
 
 @q("kmeans_lloyd_int", _kmeans_lloyd_int_sql())
@@ -6323,6 +6365,22 @@ def som_batch_int_q(sf_dir):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return som_batch_int(ds, xdim=3, ydim=3, iters=3, seed=23)
+
+
+@q("silhouette_kmeans", _silhouette_sql())
+def silhouette_kmeans(sf_dir):
+    """Cluster-validation diagnostic (the sits_som_evaluate_cluster role
+    on the partitional path): per-vector simplified silhouette against
+    the integer-exact Lloyd centroids — exact integer squared distances,
+    correctly-rounded sqrt/divide, bit-exact vs the SQL twin that reuses
+    the identical recursive-CTE training walk. Training + one broadcast
+    map pass; zero shuffles."""
+    from sits_ray.stages.kmeans import silhouette_int
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return silhouette_int(ds, k=4, iters=3, seed=17)
 
 
 @q("kmeans_lloyd")

@@ -245,3 +245,60 @@ def lloyd_int(ds, k: int = 4, iters: int = 3, seed: int = 17,
             "n": np.repeat(sizes, dim),
         }
     )
+
+
+def silhouette_int(ds, k: int = 4, iters: int = 3, seed: int = 17,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Simplified (centroid-based) silhouette diagnostic over the
+    integer-exact Lloyd result (the sits cluster-validation role of
+    ``sits_som_evaluate_cluster``, on the partitional path): per vector,
+    a2/b2 = exact integer squared distance to the own / nearest-other
+    FINAL centroid, sil = (sqrt(b2)-sqrt(a2))/max(sqrt(a2),sqrt(b2)).
+    sqrt and the division are correctly-rounded IEEE ops on exact
+    integers, so the whole output is bit-exact vs the SQL twin
+    (queries._silhouette_sql). One broadcast + one streaming map pass
+    after training — zero shuffles."""
+    import pandas as pd
+
+    cent = lloyd_int(ds, k=k, iters=iters, seed=seed, vec_col=vec_col)
+    if cent.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "cluster": pd.Series([], dtype=np.int64),
+                 "a2": pd.Series([], dtype=np.int64),
+                 "b2": pd.Series([], dtype=np.int64),
+                 "sil": pd.Series([], dtype=np.float64)}
+            )
+        )
+    dim = int(cent["d"].max())
+    C = (
+        cent.sort_values(["cluster", "d"])["c"]
+        .to_numpy(dtype=np.int64)
+        .reshape(k, dim)
+    )
+    c_ref = ray.put(np.ascontiguousarray(C))
+
+    def sil(t: pa.Table) -> pa.Table:
+        Cc = ray.get(c_ref)
+        X = quantize_batch(list_matrix(t[vec_col]))
+        diff = X[:, None, :] - Cc[None, :, :]
+        dd = np.einsum("nkd,nkd->nk", diff, diff)
+        a_idx = np.argmin(dd, axis=1)  # first-min == SQL tiebreak
+        rows = np.arange(dd.shape[0])
+        a2 = dd[rows, a_idx]
+        masked = dd.copy()
+        masked[rows, a_idx] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        sa, sb = np.sqrt(a2.astype(np.float64)), np.sqrt(b2.astype(np.float64))
+        mx = np.maximum(sa, sb)
+        s = np.where(mx == 0, 0.0, (sb - sa) / np.where(mx == 0, 1.0, mx))
+        return pa.table(
+            {id_col: t[id_col],
+             "cluster": pa.array(a_idx.astype(np.int64)),
+             "a2": pa.array(a2),
+             "b2": pa.array(b2),
+             "sil": pa.array(s)}
+        )
+
+    return ds.map_batches(sil, batch_format="pyarrow")

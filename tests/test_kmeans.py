@@ -189,3 +189,24 @@ def test_lloyd_int_empty_dataset(ray_session):
     out = lloyd_int(empty, k=3, iters=2)
     assert len(out) == 0
     assert list(out.columns) == ["cluster", "d", "c", "n"]
+
+
+def test_silhouette_int_properties(ray_session):
+    """Well-separated blobs: own-cluster members score high positive sil;
+    a2 <= b2 always (own centroid is the argmin); sil in [-1, 1]."""
+    import ray.data as rd
+
+    from sits_ray.stages.kmeans import silhouette_int
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(0.4, 0.01, size=(30, 8)).astype(np.float32)
+    B = rng.normal(-0.4, 0.01, size=(30, 8)).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": list(np.vstack([A, B]))}
+    )
+    out = silhouette_int(rd.from_pandas(df).repartition(4), k=2, iters=4).to_pandas()
+    assert len(out) == 60
+    assert (out["a2"] <= out["b2"]).all()
+    assert out["sil"].between(-1.0, 1.0).all()
+    assert (out["sil"] > 0.8).mean() > 0.9  # tight separated blobs
