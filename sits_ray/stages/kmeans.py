@@ -260,6 +260,11 @@ def silhouette_int(ds, k: int = 4, iters: int = 3, seed: int = 17,
     after training — zero shuffles."""
     import pandas as pd
 
+    if k < 2:
+        # b2 (nearest-OTHER centroid) is undefined at k=1: the masked
+        # argmin would leak its int64-max sentinel and the SQL twin's
+        # cluster != own join returns zero rows — refuse loudly instead
+        raise ValueError("silhouette requires k >= 2")
     cent = lloyd_int(ds, k=k, iters=iters, seed=seed, vec_col=vec_col)
     if cent.empty:
         return ray.data.from_pandas(

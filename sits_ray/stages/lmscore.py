@@ -89,8 +89,9 @@ def unigram_nll(ds, counts: pd.DataFrame, total: int,
         key = ref.hex()
         lut = cache.get(key)
         if lut is None:
-            cache.clear()  # one live model table per worker
-            lut = cache[key] = ray.get(ref)
+            while len(cache) >= 4:  # bound worker memory without
+                cache.pop(next(iter(cache)))  # thrashing when two model
+            lut = cache[key] = ray.get(ref)  # tables alternate on a worker
         toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
         ids = df[id_col].to_numpy()
         lens = toks.str.len().to_numpy(dtype=np.int64)

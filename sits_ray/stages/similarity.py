@@ -38,6 +38,20 @@ def auto_nlist(n_rows: int, lo: int = 4, hi: int = 4096) -> int:
     return int(np.clip(int(round(np.sqrt(max(n_rows, 1)))), lo, hi))
 
 
+def _topk_tie_aware(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top ``kk`` under (sim desc, id asc) — the oracle's
+    total order. O(m) argpartition prunes to the at-most-kk-plus-ties
+    slice, then only that slice pays the lexsort (review finding: a full
+    per-query lexsort multiplied the ANN inner loops by log m)."""
+    m = sims.size
+    if m > kk:
+        kth = np.partition(sims, m - kk)[m - kk]
+        keep = np.flatnonzero(sims >= kth)
+        order = np.lexsort((ids[keep], -sims[keep]))[:kk]
+        return keep[order]
+    return np.lexsort((ids, -sims))[:kk]
+
+
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact cosine top-k for each query row: per-batch matmul + partial
@@ -55,9 +69,8 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
         out_q, out_id, out_sim = [], [], []
         for j in range(qm.shape[0]):
             # tie-aware partial top-k under the oracle's total order
-            # (sim desc, id asc) — argpartition keeps an arbitrary tied
-            # candidate at the k-boundary
-            part = np.lexsort((ids, -sims[:, j]))[:kk]
+            # (sim desc, id asc)
+            part = _topk_tie_aware(sims[:, j], ids, kk)
             out_q.extend([j] * kk)
             out_id.extend(ids[part].tolist())
             out_sim.extend(sims[part, j].tolist())
@@ -233,8 +246,7 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, k: int = 10,
             sims = m[mask] @ qm[j]
             sel_ids = ids[mask]
             kk = min(k, sel_ids.size)
-            # tie-aware (see brute_force_topk)
-            part = np.lexsort((sel_ids, -sims))[:kk]
+            part = _topk_tie_aware(sims, sel_ids, kk)
             out_q.extend([j] * kk)
             out_id.extend(sel_ids[part].tolist())
             out_sim.extend(sims[part].tolist())
@@ -404,9 +416,8 @@ def ivf_topk_seeded(ds, query_vecs: np.ndarray, k: int = 10,
             kk = min(k, sel.size)
             # tie-aware partial top-k: the SQL-exact oracle pins
             # (sim desc, id asc); a bare argpartition keeps an ARBITRARY
-            # member of a tie straddling the k-boundary, dropping the
-            # id the final driver-side sort would have chosen
-            order = np.lexsort((sel, -sims))[:kk]
+            # member of a tie straddling the k-boundary
+            order = _topk_tie_aware(sims, sel, kk)
             out_q.extend([j] * kk)
             out_id.extend(sel[order].tolist())
             out_sim.extend(sims[order].tolist())
@@ -488,8 +499,7 @@ def lsh_topk(ds, query_ids, k: int = 5, nbits: int = 4, seed: int = 29,
             sims = m[mask] @ qmat[qi]
             cand = ids[mask]
             kk = min(k, cand.size)
-            # tie-aware (see brute_force_topk)
-            part = np.lexsort((cand, -sims))[:kk]
+            part = _topk_tie_aware(sims, cand, kk)
             out_q.extend([int(ids_q[qi])] * kk)
             out_id.extend(cand[part].tolist())
             out_sim.extend(sims[part].tolist())

@@ -117,10 +117,11 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
                              "n": pd.Series(dtype=np.int64)})
     L = int(top["kept"].iloc[-1]) if len(top) >= k else 0
     cut = L - E
-    if cut <= 0 and len(top) >= k and E > 0:
+    if cut <= 0 and len(top) >= k:
         # only a real degeneracy warrants the warning: with fewer than k
-        # kept tokens (tiny corpus) or zero sketch error, the
-        # full-candidate recount is trivially bounded and expected
+        # kept tokens (tiny corpus) the full-candidate recount is
+        # trivially bounded and expected (len(top) >= k already implies
+        # E >= L >= 1 here, so no separate zero-error clause)
         import warnings
 
         warnings.warn(

@@ -205,3 +205,23 @@ def test_ivf_seeded_recall_and_reuse(ray_session, vec_df, tmp_path):
                             index_dir=idx)
     assert os.path.getmtime(os.path.join(idx, "fingerprint.json")) == mtime
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_topk_tie_aware_matches_full_sort():
+    """The pruned tie-slice top-k must equal a full (sim desc, id asc)
+    sort on tie-heavy data — including all-tied and kk >= m edges."""
+    from sits_ray.stages.similarity import _topk_tie_aware
+
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        m = int(rng.integers(1, 40))
+        kk = int(min(rng.integers(1, 10), m))
+        sims = rng.integers(0, 3, size=m).astype(np.float64)
+        ids = rng.permutation(m).astype(np.int64)
+        got = _topk_tie_aware(sims, ids, kk)
+        ref = np.lexsort((ids, -sims))[:kk]
+        assert (ids[got] == ids[ref]).all()
+    # all-tied: smallest kk ids win
+    sims = np.zeros(7)
+    ids = np.array([5, 2, 9, 1, 7, 3, 8], dtype=np.int64)
+    assert list(ids[_topk_tie_aware(sims, ids, 3)]) == [1, 2, 3]
