@@ -59,10 +59,21 @@ def run_flagship(
     ``.jobs_optimal_block`` rule). NOTE: resume compares per-partition
     fingerprints, so a changed n_parts re-keys every partition — pass an
     explicit count when appending to an existing store."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
     phases: dict[str, float] = {}
     result: dict = {"tiers": {}, "phases": phases}
+    # transform-config fingerprint (r4 review): outputs built under
+    # different settings must rebuild even when the INPUT fingerprint
+    # matches — e.g. write_blocks False->True or a dedup flip
+    config_fp = json.dumps(
+        {"tiers": list(tiers), "gapfill": gapfill, "dedup": dedup,
+         "write_blocks": write_blocks,
+         "salt": [salt_turn_threshold, salt_window_us]},
+        sort_keys=True,
+    )
 
     paths = (
         sorted(glob.glob(os.path.join(input_path, "*.parquet")))
@@ -81,7 +92,10 @@ def run_flagship(
                input_chk_by_part: dict[int, int] | None = None) -> set[int]:
         done: set[int] = set()
         if resume:
-            done = manifest.done_parts(input_rows_by_part, tiers, input_chk_by_part)
+            done = manifest.done_parts(
+                input_rows_by_part, tiers, input_chk_by_part,
+                config_fp=config_fp,
+            )
         todo = set(input_rows_by_part) - done
         # stale or partial outputs for rebuilt partitions are removed first
         manifest.invalidate(todo, tiers)
@@ -94,13 +108,44 @@ def run_flagship(
             e.part_id for e in manifest.entries() if e.tier in tiers
         } - set(input_rows_by_part)
         if ghost:
-            manifest.invalidate(ghost, tiers)
+            # dirs FIRST, ledger last (r4 review): ghost detection is
+            # derived from the ledger, so deleting entries before dirs
+            # leaves orphaned data forever if we crash in between;
+            # this order is self-healing (entries still present -> ghost
+            # recomputed -> dirs re-cleaned on the next run)
             clean_partition_dirs(os.path.join(out_dir, "long"), tiers, ghost)
             clean_partition_dirs(os.path.join(out_dir, "blocks"), tiers, ghost)
+            manifest.invalidate(ghost, tiers)
         state["done"] = done
         state["todo"] = todo
         state["chk"] = input_chk_by_part or {}
+        state["rows"] = dict(input_rows_by_part)
         return todo
+
+    def commit_part(rows: list[dict]) -> None:
+        # called by the exchange the moment one partition's files are on
+        # disk (r4 review): a driver crash or a failed sibling partition
+        # costs ONE partition of resume credit, not the whole run
+        for s2 in rows:
+            tier, part_id = s2["tier"], int(s2["part_id"])
+            files_dir = os.path.join(
+                out_dir, "long", f"tier={tier}", f"part_id={part_id}"
+            )
+            files = sorted(
+                f for f in os.listdir(files_dir) if f.endswith(".parquet")
+            ) if os.path.isdir(files_dir) else []
+            manifest.put(
+                PartEntry(
+                    tier=tier,
+                    part_id=part_id,
+                    input_rows=state.get("rows", {}).get(part_id, 0),
+                    output_rows=int(s2["n_rows"]),
+                    n_convs=int(s2["n_series"]),
+                    files=files,
+                    input_checksum=int(state.get("chk", {}).get(part_id, 0)),
+                    config_fp=config_fp,
+                )
+            )
 
     t0 = time.perf_counter()
     stats_rows, input_rows_by_part, cpu_meta = rollup_exchange_fused(
@@ -116,6 +161,7 @@ def run_flagship(
         salt_turn_threshold=salt_turn_threshold,
         salt_window_us=salt_window_us,
         stage2_num_cpus=stage2_num_cpus,
+        on_part_done=commit_part,
     )
     phases["exchange_fused"] = round(time.perf_counter() - t0, 2)
     phases.update(cpu_meta)  # per-stage worker CPU seconds (scaling audit)
@@ -126,23 +172,8 @@ def run_flagship(
         parts_built=len(state["todo"]),
     )
 
-    for s in stats_rows:
-        tier, part_id = s["tier"], int(s["part_id"])
-        files_dir = os.path.join(out_dir, "long", f"tier={tier}", f"part_id={part_id}")
-        files = sorted(
-            f for f in os.listdir(files_dir) if f.endswith(".parquet")
-        ) if os.path.isdir(files_dir) else []
-        manifest.put(
-            PartEntry(
-                tier=tier,
-                part_id=part_id,
-                input_rows=input_rows_by_part.get(part_id, 0),
-                output_rows=int(s["n_rows"]),
-                n_convs=int(s["n_series"]),
-                files=files,
-                input_checksum=int(state["chk"].get(part_id, 0)),
-            )
-        )
+    for s in stats_rows:  # manifests were committed per-partition above
+        tier = s["tier"]
         result["tiers"].setdefault(tier, 0)
         result["tiers"][tier] += int(s["n_rows"])
     # include rows of partitions that were skipped via resume in the totals

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -195,12 +196,30 @@ def _split_one(
     counts = np.bincount(pid, minlength=n_parts).astype(np.int64)
     # order-independent per-partition content checksum (count+hash input
     # fingerprint, SURVEY.md §7.5 / VERDICT r1 #10: same-count late data
-    # must invalidate): commutative uint64 sum of a (ts, order) mix
+    # must invalidate): commutative uint64 sum of a (conv, ts, order,
+    # is_tool) mix. conv_id and is_tool are part of the mix (r4 review:
+    # a same-count correction that reassigns a turn between co-partition
+    # conversations, or flips a tool flag, must not be skipped by
+    # resume); conv hashes once per distinct conversation via the
+    # dictionary trick.
+    import zlib as _zlib
+
     ts_mix = prep["ts"].to_numpy().astype("datetime64[us]").astype(np.int64).view(np.uint64)
     ord_mix = prep["order"].to_numpy().view(np.uint64)
-    mix = ts_mix * np.uint64(0x9E3779B97F4A7C15) ^ (
-        ord_mix * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1)
+    cd = pc.dictionary_encode(prep["conv_id"].combine_chunks())
+    conv_uniq = np.array(
+        [_zlib.crc32(c.encode()) for c in cd.dictionary.to_pylist()],
+        dtype=np.uint64,
     )
+    conv_mix = conv_uniq[np.asarray(cd.indices)]
+    tool_mix = prep["is_tool"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mix = (
+            ts_mix * np.uint64(0x9E3779B97F4A7C15)
+            ^ (ord_mix * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1))
+            ^ (conv_mix * np.uint64(0x165667B19E3779F9))
+            ^ (tool_mix * np.uint64(0x27D4EB2F165667C5))
+        )
     chk = np.zeros(n_parts, dtype=np.uint64)
     np.add.at(chk, pid, mix)
     offsets = np.concatenate([[0], np.cumsum(counts)])
@@ -348,6 +367,67 @@ def _call_decide(decide_parts, input_rows_by_part, input_chk_by_part):
     return decide_parts(input_rows_by_part)
 
 
+def _durable_publish(tmp: str, dst: str) -> None:
+    """fsync-then-rename-then-fsync-dir: os.replace alone is atomic but
+    NOT durable — on ext4/xfs a crash after the rename can persist the
+    name with truncated contents, which resume would then trust (r4
+    review). The extra fsyncs are per PARTITION file, not per batch."""
+    import os
+
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    from sits_ray.state.manifest import _fsync_dir
+
+    _fsync_dir(os.path.dirname(dst))
+
+
+def _stage1(
+    paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
+    decide_parts, only_parts, salt_turn_threshold, salt_window_us,
+    heavy_info,
+):
+    """Shared stage-1 orchestration for BOTH exchange variants (r4
+    review: the fused and unfused paths had drifted copies — one
+    fingerprint/salting fix must land in both by construction). Returns
+    ``(refmat, input_rows_by_part, input_chk_by_part, parts,
+    stage1_cpu_ms)``."""
+    import ray as _ray
+
+    _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
+    if columns is None:
+        cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
+    else:
+        cols = columns
+    if salt_turn_threshold and heavy_info is None:
+        heavy_info = detect_heavy_convs(
+            paths, salt_turn_threshold, key=key, ts_col=ts_col,
+            window_us=salt_window_us,
+        )
+    heavy_ref = _ray.put(heavy_info) if heavy_info is not None else None
+    split = _ray.remote(num_returns=n_parts + 2)(_split_one)
+    refmat = [
+        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
+                     salt_turn_threshold, salt_window_us, heavy_ref)
+        for p in paths
+    ]
+    counts_raw = np.stack(_ray.get([r[n_parts] for r in refmat]))
+    stage1_cpu_ms = int(counts_raw[:, n_parts].sum())
+    counts = counts_raw[:, :n_parts].sum(axis=0)
+    chks = np.sum(
+        np.stack(_ray.get([r[n_parts + 1] for r in refmat])),
+        axis=0, dtype=np.uint64,
+    )
+    input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
+    input_chk_by_part = {p: int(chks[p]) for p in input_rows_by_part}
+    if decide_parts is not None:
+        only_parts = _call_decide(decide_parts, input_rows_by_part, input_chk_by_part)
+    parts = sorted(
+        p for p in input_rows_by_part if only_parts is None or p in only_parts
+    )
+    return refmat, input_rows_by_part, input_chk_by_part, parts, stage1_cpu_ms
+
+
 def _build_part(tiers, gapfill, dedup, *chunks):
     tables = [c for c in chunks if c.num_rows]
     if not tables:
@@ -390,13 +470,13 @@ def _build_write_part(
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, "part-0.parquet.tmp")
         pq.write_table(long_tbl.drop_columns(["tier", "part_id"]), tmp)
-        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        _durable_publish(tmp, os.path.join(d, "part-0.parquet"))
         if enc is not None:
             bd = os.path.join(out_dir, "blocks", f"tier={tier}", f"part_id={part_id}")
             os.makedirs(bd, exist_ok=True)
             btmp = os.path.join(bd, "part-0.parquet.tmp")
             pq.write_table(enc(sub), btmp)
-            os.replace(btmp, os.path.join(bd, "part-0.parquet"))
+            _durable_publish(btmp, os.path.join(bd, "part-0.parquet"))
         stats["tier"].append(tier)
         stats["part_id"].append(part_id)
         stats["n_series"].append(sub.num_rows)
@@ -425,6 +505,7 @@ def rollup_exchange_fused(
     salt_window_us: int = 7 * 86_400_000_000,
     stage2_num_cpus: float = 1,
     heavy_info=None,
+    on_part_done=None,
 ):
     """Fused exchange: stage 1 split, stage 2 build+encode+write per
     partition. Returns ``(stats_rows, input_rows_by_part)`` where
@@ -438,40 +519,11 @@ def rollup_exchange_fused(
     bring bandwidth per node, so the default stays 1."""
     import ray as _ray
 
-    _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
-    if columns is None:
-        cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
-    else:
-        cols = columns
-    if salt_turn_threshold and heavy_info is None:
-        heavy_info = detect_heavy_convs(
-            paths, salt_turn_threshold, key=key, ts_col=ts_col,
-            window_us=salt_window_us,
-        )
-    heavy_ref = _ray.put(heavy_info) if heavy_info is not None else None
-    split = _ray.remote(num_returns=n_parts + 2)(_split_one)
+    refmat, input_rows_by_part, input_chk_by_part, parts, stage1_cpu_ms = _stage1(
+        paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
+        decide_parts, None, salt_turn_threshold, salt_window_us, heavy_info,
+    )
     build = _ray.remote(num_cpus=stage2_num_cpus)(_build_write_part)
-
-    refmat = [
-        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
-                     salt_turn_threshold, salt_window_us, heavy_ref)
-        for p in paths
-    ]
-    counts_raw = np.stack(_ray.get([r[n_parts] for r in refmat]))
-    stage1_cpu_ms = int(counts_raw[:, n_parts].sum())
-    counts = counts_raw[:, :n_parts].sum(axis=0)
-    chks = np.sum(
-        np.stack(_ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
-    )
-    input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
-    input_chk_by_part = {p: int(chks[p]) for p in input_rows_by_part}
-
-    only_parts = None
-    if decide_parts is not None:
-        only_parts = _call_decide(decide_parts, input_rows_by_part, input_chk_by_part)
-    parts = sorted(
-        p for p in input_rows_by_part if only_parts is None or p in only_parts
-    )
     stat_refs = [
         build.remote(
             tiers, gapfill, dedup, out_dir, write_blocks,
@@ -480,9 +532,23 @@ def rollup_exchange_fused(
         for p in parts
     ]
     stats_rows: list[dict] = []
-    for t in _ray.get(stat_refs):
-        if t is not None:
-            stats_rows.extend(t.to_pylist())
+    # ray.wait loop, NOT one bulk ray.get: each partition's manifest can
+    # be committed the moment its files are on disk (on_part_done), so a
+    # failure in partition N or a driver crash costs ONE partition of
+    # resume credit, not all of them (r4 review; the per-asset resume
+    # granularity the reference has)
+    remaining = list(stat_refs)
+    while remaining:
+        ready, remaining = _ray.wait(remaining, num_returns=1)
+        t = _ray.get(ready[0])
+        if t is None:
+            continue
+        rows = t.to_pylist()
+        stats_rows.extend(rows)
+        if on_part_done is not None:
+            on_part_done(
+                [{k: v for k, v in r.items() if k != "cpu_ms"} for r in rows]
+            )
     stage2_cpu_ms = sum(r.get("cpu_ms", 0) for r in stats_rows)
     for r in stats_rows:
         r.pop("cpu_ms", None)
@@ -517,38 +583,12 @@ def rollup_exchange(
     ``decide_parts(input_rows_by_part) -> set[int]`` is called between the
     stages for the same purpose when the fingerprint must inform the
     decision (manifest diff)."""
-    _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
-    if columns is None:
-        cols = [key, ts_col, order_col] + ([tool_col] if tool_col else [])
-    else:
-        cols = columns
-    if salt_turn_threshold and heavy_info is None:
-        heavy_info = detect_heavy_convs(
-            paths, salt_turn_threshold, key=key, ts_col=ts_col,
-            window_us=salt_window_us,
-        )
-    heavy_ref = ray.put(heavy_info) if heavy_info is not None else None
-    split = ray.remote(num_returns=n_parts + 2)(_split_one)
+    refmat, input_rows_by_part, input_chk_by_part, parts, _cpu_ms = _stage1(
+        paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
+        decide_parts, only_parts, salt_turn_threshold, salt_window_us,
+        heavy_info,
+    )
     build = ray.remote(_build_part)
-
-    refmat = [
-        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
-                     salt_turn_threshold, salt_window_us, heavy_ref)
-        for p in paths
-    ]
-    count_refs = [r[n_parts] for r in refmat]
-    counts = np.sum(ray.get(count_refs), axis=0)[:n_parts]
-    chks = np.sum(
-        np.stack(ray.get([r[n_parts + 1] for r in refmat])), axis=0, dtype=np.uint64
-    )
-    input_rows_by_part = {p: int(c) for p, c in enumerate(counts) if c > 0}
-    input_chk_by_part = {p: int(chks[p]) for p in input_rows_by_part}
-
-    if decide_parts is not None:
-        only_parts = _call_decide(decide_parts, input_rows_by_part, input_chk_by_part)
-    parts = sorted(
-        p for p in input_rows_by_part if only_parts is None or p in only_parts
-    )
     # every scheduled part has input rows (parts ⊆ input_rows_by_part), so
     # no build returns an empty/None table
     nested_refs = [

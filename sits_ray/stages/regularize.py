@@ -228,11 +228,17 @@ def _part_series(
         # sort means this covers byte-identical replays only — a replayed
         # turn re-logged with a DIFFERENT timestamp (same turn_idx) is kept
         # as a distinct observation by design (its ts is new information).
+        # LIVE rows only (r4 review): a donor carries the turn_idx of the
+        # previous window's last turn, so a live replay of that turn at a
+        # new ts can sort adjacent to it — dropping the live row would
+        # lose a real observation while keeping the weighted-out donor.
+        # Donor duplicates are handled by the dedicated donor-drop below.
         keep = np.r_[
             True,
             (conv_codes[1:] != conv_codes[:-1])
             | (salt[1:] != salt[:-1])
-            | (order[1:] != order[:-1]),
+            | (order[1:] != order[:-1])
+            | ~(live[1:] & live[:-1]),
         ]
         conv_codes, ts, order, is_tool, salt, live = (
             conv_codes[keep], ts[keep], order[keep], is_tool[keep],

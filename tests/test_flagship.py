@@ -127,3 +127,66 @@ def test_flagship_auto_n_parts(ray_session, tmp_path):
         part_budget_bytes=1 << 30, write_blocks=False,
     )
     assert res["n_parts"] >= 1 and res["tiers"]["1h"] > 0
+
+
+def test_resume_rebuilds_on_config_change(ray_session, transcripts_dir, tmp_path):
+    """Identical input but a changed transform config (gapfill flip) must
+    NOT be skipped by resume (r4 review: PartEntry.config_fp)."""
+    out = str(tmp_path / "cfg")
+    run_flagship(transcripts_dir, out, tiers=("1h",), n_parts=4, gapfill=True)
+    res2 = run_flagship(
+        transcripts_dir, out, tiers=("1h",), n_parts=4, gapfill=False
+    )
+    assert res2["parts_skipped"] == 0 and res2["parts_built"] > 0
+    # and same-config re-run skips again
+    res3 = run_flagship(
+        transcripts_dir, out, tiers=("1h",), n_parts=4, gapfill=False
+    )
+    assert res3["parts_built"] == 0
+
+
+def test_corrupt_manifest_entry_rebuilds_not_crashes(
+    ray_session, transcripts_dir, tmp_path
+):
+    """A truncated ledger file (crash window) is treated as absent: the
+    partition rebuilds and the run succeeds (r4 review)."""
+    out = str(tmp_path / "corrupt")
+    run_flagship(transcripts_dir, out, tiers=("1h",), n_parts=4)
+    ledger = sorted(
+        f for f in os.listdir(os.path.join(out, "_manifests"))
+        if f.endswith(".json")
+    )
+    with open(os.path.join(out, "_manifests", ledger[0]), "w"):
+        pass  # truncate to zero bytes
+    res = run_flagship(transcripts_dir, out, tiers=("1h",), n_parts=4)
+    assert res["parts_built"] == 1  # exactly the corrupted one
+    res2 = run_flagship(transcripts_dir, out, tiers=("1h",), n_parts=4)
+    assert res2["parts_built"] == 0
+
+
+def test_checksum_detects_tool_flip_same_count(ray_session, tmp_path):
+    """Same-count late data that only flips a tool flag must invalidate
+    the partition (r4 review: conv_id/is_tool are in the checksum mix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = tmp_path / "in"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 30, "s") for i in range(40)]
+
+    def write(tool_val):
+        tbl = pa.table(
+            {"conv_id": pa.array(["c0"] * 40),
+             "turn_idx": pa.array(list(range(40)), pa.int32()),
+             "tool": pa.array([tool_val] * 40),
+             "ts": pa.array(ts, pa.timestamp("us"))}
+        )
+        pq.write_table(tbl, str(d / "f0.parquet"))
+
+    out = str(tmp_path / "outc")
+    write("")
+    run_flagship(str(d), out, tiers=("1h",), n_parts=2)
+    write("search")  # same rows/timestamps, only the tool flag changed
+    res = run_flagship(str(d), out, tiers=("1h",), n_parts=2)
+    assert res["parts_built"] == 1 and res["parts_skipped"] == 0

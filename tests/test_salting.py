@@ -168,3 +168,45 @@ def test_crossfile_straggler_rows_consistent(ray_session, tmp_path):
         plain.drop(columns=["part_id"]).sort_values(SORT).reset_index(drop=True),
         salted.drop(columns=["part_id"]).sort_values(SORT).reset_index(drop=True),
     )
+
+
+def test_dedup_never_drops_live_row_shadowed_by_donor(ray_session, tmp_path):
+    """A live replay sharing the donor's turn_idx in a salted window must
+    survive dedup=True — only live-vs-live byte-identical replays dedup
+    (r4 review: the donor would otherwise shadow-delete the live turn)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(HOUR_US, "us")
+    # conv c0: 120 turns in hour-window 0 (heavy at threshold 100), then
+    # in window 1 a REPLAY of the last turn (turn_idx 119) at a NEW ts
+    # plus one normal turn
+    ts = [base + np.timedelta64(i * 20, "s") for i in range(120)]
+    idx = list(range(120))
+    ts += [base + h + np.timedelta64(60, "s"), base + h + np.timedelta64(120, "s")]
+    idx += [119, 120]  # replayed turn_idx at a new ts, then a new turn
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c0"] * len(ts)),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "tool": pa.array([""] * len(ts)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(d / "f0.parquet"))
+    nested, _ = rollup_exchange(
+        [str(d / "f0.parquet")],
+        tiers=("1h",),
+        gapfill=False,
+        dedup=True,
+        n_parts=4,
+        salt_turn_threshold=100,
+        salt_window_us=HOUR_US,
+    )
+    out = nested_to_long(nested).to_pandas()
+    w1 = out[out.bucket_ts == pd.Timestamp("2024-01-01 01:00:00")]
+    # both live rows of window 1 must be counted (the donor is weighted out)
+    assert int(w1["turn_count"].iloc[0]) == 2
