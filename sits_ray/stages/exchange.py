@@ -207,19 +207,23 @@ def _split_one(
     ts_mix = prep["ts"].to_numpy().astype("datetime64[us]").astype(np.int64).view(np.uint64)
     ord_mix = prep["order"].to_numpy().view(np.uint64)
     cd = pc.dictionary_encode(prep["conv_id"].combine_chunks())
-    conv_uniq = np.array(
-        [_zlib.crc32(c.encode()) for c in cd.dictionary.to_pylist()],
-        dtype=np.uint64,
-    )
-    conv_mix = conv_uniq[np.asarray(cd.indices)]
-    tool_mix = prep["is_tool"].to_numpy(zero_copy_only=False).astype(np.uint64)
     with np.errstate(over="ignore"):
-        mix = (
-            ts_mix * np.uint64(0x9E3779B97F4A7C15)
-            ^ (ord_mix * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1))
-            ^ (conv_mix * np.uint64(0x165667B19E3779F9))
-            ^ (tool_mix * np.uint64(0x27D4EB2F165667C5))
-        )
+        # multiply on the UNIQUES (vocab-sized), fan out pre-multiplied;
+        # in-place xors + a where-add for the tool bit keep the extra
+        # full-row passes to one fresh array (first-touch pages are the
+        # measured cost on this host, CLAUDE.md environment facts)
+        conv_uniq = np.array(
+            [_zlib.crc32(c.encode()) for c in cd.dictionary.to_pylist()],
+            dtype=np.uint64,
+        ) * np.uint64(0x165667B19E3779F9)
+        mix = conv_uniq[np.asarray(cd.indices)]
+        t = ord_mix * np.uint64(0xC2B2AE3D27D4EB4F)
+        t += np.uint64(1)
+        np.bitwise_xor(mix, t, out=mix)
+        np.multiply(ts_mix, np.uint64(0x9E3779B97F4A7C15), out=t)
+        np.bitwise_xor(mix, t, out=mix)
+        tool = prep["is_tool"].to_numpy(zero_copy_only=False)
+        np.add(mix, np.uint64(0x27D4EB2F165667C5), out=mix, where=tool)
     chk = np.zeros(n_parts, dtype=np.uint64)
     np.add.at(chk, pid, mix)
     offsets = np.concatenate([[0], np.cumsum(counts)])
