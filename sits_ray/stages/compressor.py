@@ -34,8 +34,9 @@ class GorillaEncode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from sits_ray.kernels.compress_batch import (
-            encode_timestamps_batch,
-            encode_values_batch,
+            _Layout,
+            encode_timestamps_arrow,
+            encode_values_arrow,
         )
 
         def flat(col):
@@ -45,24 +46,22 @@ class GorillaEncode:
 
         ts_flat, offs = flat("bucket_ts")
         ts_flat = ts_flat.astype("datetime64[us]").astype(np.int64)
-        ts_blocks = encode_timestamps_batch(ts_flat, offs)
-        filled_blocks = encode_values_batch(
-            flat("filled")[0].astype(np.float64), offs
-        )
-        val_blocks = {
-            m: encode_values_batch(flat(m)[0].astype(np.float64), offs)
-            for m in self.metrics
-        }
+        # every metric shares the batch's series layout — build it once
+        layout = _Layout(offs)
         cols = {
             "conv_id": batch["conv_id"],
             "tier": batch["tier"],
             "part_id": batch["part_id"],
             "n_points": batch["n_buckets"],
-            "ts_block": pa.array(ts_blocks, pa.binary()),
-            "filled_block": pa.array(filled_blocks, pa.binary()),
+            "ts_block": encode_timestamps_arrow(ts_flat, offs, layout),
+            "filled_block": encode_values_arrow(
+                flat("filled")[0].astype(np.float64), offs, layout
+            ),
         }
         for m in self.metrics:
-            cols[f"val_{m}"] = pa.array(val_blocks[m], pa.binary())
+            cols[f"val_{m}"] = encode_values_arrow(
+                flat(m)[0].astype(np.float64), offs, layout
+            )
         return pa.table(cols)
 
 
@@ -88,14 +87,12 @@ class GorillaDecode:
         lens = batch["n_points"].to_numpy()
         offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
 
-        def blocks(col):
-            arr = batch[col].combine_chunks()
-            return [arr[i].as_py() for i in range(len(arr))]
-
-        ts_flat, _ = decode_timestamps_batch(blocks("ts_block"))
-        filled_flat, _ = decode_values_batch(blocks("filled_block"))
+        # Arrow binary columns decode directly (offsets + values buffer);
+        # no per-row as_py materialization
+        ts_flat, _ = decode_timestamps_batch(batch["ts_block"])
+        filled_flat, _ = decode_values_batch(batch["filled_block"])
         v_flats = {
-            m: decode_values_batch(blocks(f"val_{m}"))[0] for m in self.metrics
+            m: decode_values_batch(batch[f"val_{m}"])[0] for m in self.metrics
         }
 
         def lst(flat, typ):
