@@ -32,15 +32,15 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Exact bit_length for uint64 via float exponent + rounding fix."""
     f = x.astype(np.float64)
     # frexp: f = m * 2**e with 0.5 <= m < 1  ->  e == bit_length normally
-    _, e = np.frexp(f)
-    e = e.astype(np.int64)
-    # float rounding may push x up across a power of two: correct down
-    over = np.zeros_like(e, dtype=bool)
-    nz = x != 0
-    em1 = np.clip(e - 1, 0, 63).astype(np.uint64)
-    over[nz] = (x[nz] >> em1[nz]) == 0
+    _, e32 = np.frexp(f)
+    e = e32.astype(np.int64)
+    # float rounding may push x up across a power of two: correct down.
+    # For x==0 frexp gives e==0, so e-1 clamps to 0 and the shift test
+    # (0 >> 0 == 0) would flag it — but e[x==0] is forced to 0 anyway.
+    em1 = np.minimum(np.maximum(e - 1, 0), 63).view(np.uint64)
+    over = (x >> em1) == 0
     e[over] -= 1
-    e[~nz] = 0
+    e[x == 0] = 0
     # values near 2**64 round up to 2**64 in float (e=65) but bl is 64
     return np.minimum(e, 64)
 
@@ -113,7 +113,15 @@ def _assemble(
     (:func:`_to_binary_array`)."""
     n_series = counts.size
     bit_sum = np.zeros(n_series, dtype=np.int64)
-    np.add.at(bit_sum, coded_series, nbits)
+    if coded_series.size:
+        # coded_series is sorted: per-series runs are contiguous, so one
+        # reduceat replaces the unbuffered add.at
+        fm = np.empty(coded_series.size, dtype=bool)
+        fm[0] = True
+        np.not_equal(coded_series[1:], coded_series[:-1], out=fm[1:])
+        first_idx = np.flatnonzero(fm)
+        sid = coded_series[first_idx]
+        bit_sum[sid] = np.add.reduceat(nbits, first_idx)
     byte_len = 16 + (bit_sum + 7) // 8
     empty = counts == 0
     byte_len[empty] = 8  # only the count header
@@ -123,19 +131,18 @@ def _assemble(
     n_words = (total_bytes + 7) // 8
     words = np.zeros(n_words, dtype=np.uint64)
     if coded_series.size:
-        # absolute bit position of each code: series payload start + running
-        # sum of earlier codes in the same series
-        within = np.cumsum(nbits) - nbits
-        series_first_within = np.zeros(n_series, dtype=np.int64)
-        first_idx = np.flatnonzero(
-            np.r_[True, coded_series[1:] != coded_series[:-1]]
-        )
-        series_first_within[coded_series[first_idx]] = within[first_idx]
-        rel = within - series_first_within[coded_series]
-        pos = (start_byte[coded_series] + 16) * 8 + rel
+        # absolute bit position of each code: fold the per-series payload
+        # start and the first-code cumsum correction into ONE per-series
+        # base so the hot path is a single gather + add
+        within = np.cumsum(nbits)
+        within -= nbits
+        series_base = np.zeros(n_series, dtype=np.int64)
+        series_base[sid] = (start_byte[sid] + 16) * 8 - within[first_idx]
+        pos = series_base[coded_series] + within
         _scatter_codes(words, pos, hi, hi_len, lo, lo_len)
 
-    out = np.frombuffer(words.byteswap().tobytes(), dtype=np.uint8)[:total_bytes].copy()
+    words.byteswap(inplace=True)  # big-endian wire order, no extra copy
+    out = words.view(np.uint8)[:total_bytes]
     # headers: big-endian u64 count (+ u64 first value when nonempty)
     sh = np.arange(56, -8, -8, dtype=np.uint64)
     hdr_pos = start_byte[:-1][:, None] + np.arange(8)[None, :]
@@ -221,22 +228,24 @@ def _encode_values_core(
 
     nonzero = xc != 0
     bl = _bit_length_u64(xc)
-    ctz = np.where(nonzero, _ctz_u64(np.where(nonzero, xc, _U1)), 0)
-    lead = np.where(nonzero, 64 - bl, 0).astype(np.int64)
-    lead = np.minimum(lead, 63)
-    mlen = np.where(nonzero, 64 - lead - ctz, 0).astype(np.int64)
+    # ctz of 1 is 0, so substituting 1 for the zero entries yields ctz==0
+    # there with no outer select; lead/mlen for zero entries are never
+    # emitted (hi==0, lo_len==0), so they need no masking either
+    ctz = _ctz_u64(np.where(nonzero, xc, _U1))
+    lead = np.minimum(64 - bl, 63)
+    mlen = 64 - lead - ctz
 
-    nbits = np.where(nonzero, 14 + mlen, 1).astype(np.int64)
+    nbits = np.where(nonzero, 14 + mlen, 1)
     hi = np.where(
         nonzero,
         (np.uint64(0b11) << np.uint64(12))
-        | (lead.astype(np.uint64) << np.uint64(6))
-        | np.maximum(mlen - 1, 0).astype(np.uint64),
+        | (lead.view(np.uint64) << np.uint64(6))
+        | np.maximum(mlen - 1, 0).view(np.uint64),
         np.uint64(0),
     )
-    hi_len = np.where(nonzero, 14, 1).astype(np.int64)
-    lo = np.where(nonzero, xc >> ctz.astype(np.uint64), np.uint64(0))
-    lo_len = np.where(nonzero, mlen, 0).astype(np.int64)
+    hi_len = np.where(nonzero, 14, 1)
+    lo = np.where(nonzero, xc >> ctz.view(np.uint64), np.uint64(0))
+    lo_len = np.where(nonzero, mlen, 0)
 
     return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)
 
@@ -256,6 +265,11 @@ def encode_values_arrow(
 
 
 _DOD_BOUNDS = np.array([0, 64, 256, 2048], dtype=np.int64)
+# per-class code tables: [zero, 7-bit, 9-bit, 12-bit, raw-64]
+_TS_HI_LEN = np.array([1, 2, 3, 4, 4], dtype=np.int64)
+_TS_HI = np.array([0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)
+_TS_LO_LEN = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+_TS_BIAS = np.array([0, 63, 255, 2047, 0], dtype=np.int64)
 
 
 def _encode_timestamps_core(
@@ -293,21 +307,19 @@ def _encode_timestamps_core(
     cs = layout.cs
     dc = dod[layout.coded_mask]
 
-    zero = dc == 0
-    c1 = ~zero & (dc >= -63) & (dc <= 64)
-    c2 = ~zero & ~c1 & (dc >= -255) & (dc <= 256)
-    c3 = ~zero & ~c1 & ~c2 & (dc >= -2047) & (dc <= 2048)
-    c4 = ~zero & ~c1 & ~c2 & ~c3
-
-    hi_len = np.select([zero, c1, c2, c3, c4], [1, 2, 3, 4, 4]).astype(np.int64)
-    hi = np.select(
-        [zero, c1, c2, c3, c4], [0, 0b10, 0b110, 0b1110, 0b1111]
-    ).astype(np.uint64)
-    lo_len = np.select([zero, c1, c2, c3, c4], [0, 7, 9, 12, 64]).astype(np.int64)
-    biased = np.select(
-        [c1, c2, c3], [dc + 63, dc + 255, dc + 2047], default=0
-    ).astype(np.int64)
-    lo = np.where(c4, dc.view(np.uint64), biased.astype(np.uint64))
+    # class id 0..4 by dod magnitude (one comparison chain, then small
+    # lookup tables indexed by class — cheaper than five np.select passes)
+    cls = (
+        (dc != 0).astype(np.int8)
+        + ((dc < -63) | (dc > 64))
+        + ((dc < -255) | (dc > 256))
+        + ((dc < -2047) | (dc > 2048))
+    )
+    hi_len = _TS_HI_LEN[cls]
+    hi = _TS_HI[cls]
+    lo_len = _TS_LO_LEN[cls]
+    bias = _TS_BIAS[cls]
+    lo = np.where(cls == 4, dc.view(np.uint64), (dc + bias).view(np.uint64))
     nbits = hi_len + lo_len
 
     return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)
