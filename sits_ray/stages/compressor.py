@@ -44,6 +44,12 @@ class GorillaEncode:
             offs = arr.offsets.to_numpy().astype(np.int64)
             return arr.flatten().to_numpy(zero_copy_only=False), offs - offs[0]
 
+        def as_f64(a):
+            # skip the copy when the column is already float64 (the four
+            # latency metrics) — astype always copies, and first-touch
+            # pages are the binding cost on this host
+            return a if a.dtype == np.float64 else a.astype(np.float64)
+
         ts_flat, offs = flat("bucket_ts")
         ts_flat = ts_flat.astype("datetime64[us]").astype(np.int64)
         # every metric shares the batch's series layout — build it once
@@ -55,12 +61,12 @@ class GorillaEncode:
             "n_points": batch["n_buckets"],
             "ts_block": encode_timestamps_arrow(ts_flat, offs, layout),
             "filled_block": encode_values_arrow(
-                flat("filled")[0].astype(np.float64), offs, layout
+                as_f64(flat("filled")[0]), offs, layout
             ),
         }
         for m in self.metrics:
             cols[f"val_{m}"] = encode_values_arrow(
-                flat(m)[0].astype(np.float64), offs, layout
+                as_f64(flat(m)[0]), offs, layout
             )
         return pa.table(cols)
 

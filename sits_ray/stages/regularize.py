@@ -279,6 +279,11 @@ def _part_series(
     lat_valid = ~np.isnan(lat)
     lat0 = np.where(lat_valid, lat, 0.0)
     live_i = live.astype(np.int64)
+    # one global stable float sort of lat, shared by every tier: per tier,
+    # lexsort((lat, seg_id)) == stable-sort the lat-ordered indices by
+    # segment (int key -> radix), so the O(n log n) float pass runs once
+    # instead of len(tiers) times
+    lat_order = np.argsort(lat, kind="stable") if n else np.empty(0, np.int64)
 
     out_chunks: list[pa.Table] = []
     for tier in tiers:
@@ -296,7 +301,7 @@ def _part_series(
             mean_lat = np.where(n_lat > 0, s_lat / n_lat, np.nan)
         # min/max/p95 via one sort of (segment, lat); NaNs sort last per segment
         seg_id = np.repeat(np.arange(starts.size), ends - starts)
-        osel = np.lexsort((lat, seg_id))
+        osel = lat_order[np.argsort(seg_id[lat_order], kind="stable")]
         lat_sorted = lat[osel]
         mn = np.where(n_lat > 0, lat_sorted[starts], np.nan)
         hi = np.clip(starts + np.maximum(n_lat - 1, 0), 0, max(n - 1, 0))
