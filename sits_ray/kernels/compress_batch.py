@@ -232,26 +232,32 @@ def _encode_values_core(
     cs = layout.cs
     xc = x[layout.coded_mask]
 
-    nonzero = xc != 0
-    bl = _bit_length_u64(xc)
-    # ctz of 1 is 0, so substituting 1 for the zero entries yields ctz==0
-    # there with no outer select; lead/mlen for zero entries are never
-    # emitted (hi==0, lo_len==0), so they need no masking either
-    ctz = _ctz_u64(np.where(nonzero, xc, _U1))
+    # compute codes on the NONZERO subset only (zero XOR = repeated value
+    # = single '0' bit; count metrics repeat constantly, so the subset is
+    # often much smaller than the batch), then scatter into full-size
+    # code arrays — replaces five full-width np.where passes
+    m = xc.size
+    inz = np.flatnonzero(xc)
+    xnz = xc[inz]
+    bl = _bit_length_u64(xnz)
+    ctz = _ctz_u64(xnz)
     lead = np.minimum(64 - bl, 63)
-    mlen = 64 - lead - ctz
+    mlen = 64 - lead - ctz  # >= 1 for any nonzero xor
 
-    nbits = np.where(nonzero, 14 + mlen, 1)
-    hi = np.where(
-        nonzero,
+    nbits = np.ones(m, dtype=np.int64)
+    nbits[inz] = 14 + mlen
+    hi = np.zeros(m, dtype=np.uint64)
+    hi[inz] = (
         (np.uint64(0b11) << np.uint64(12))
         | (lead.view(np.uint64) << np.uint64(6))
-        | np.maximum(mlen - 1, 0).view(np.uint64),
-        np.uint64(0),
+        | (mlen - 1).view(np.uint64)
     )
-    hi_len = np.where(nonzero, 14, 1)
-    lo = np.where(nonzero, xc >> ctz.view(np.uint64), np.uint64(0))
-    lo_len = np.where(nonzero, mlen, 0)
+    hi_len = np.ones(m, dtype=np.int64)
+    hi_len[inz] = 14
+    lo = np.zeros(m, dtype=np.uint64)
+    lo[inz] = xnz >> ctz.view(np.uint64)
+    lo_len = np.zeros(m, dtype=np.int64)
+    lo_len[inz] = mlen
 
     return _assemble(offsets, cs, nbits, hi, hi_len, lo, lo_len, counts, firsts)
 
