@@ -5901,6 +5901,68 @@ def lsh_ann_topk(sf_dir):
     return lsh_topk(ds, query_ids=(0, 1, 2), k=5, nbits=4, seed=29)
 
 
+def _pq_sql(ksub: int = 16, n_subs: int = 8, k: int = 5) -> str:
+    """DuckDB twin of stages/similarity.pq_ann_topk: quantize (the shared
+    kmeans_lloyd_int double-cast contract), codebook = subvectors of the
+    first ``ksub`` vectors (read from the same table — no RNG to replay),
+    per-subspace argmin encode (first-min tie = min(code) under window
+    min), ADC = integer LUT-sum. Every value is an int64 sum of int64
+    squares (max ~64 * (2.1e4)^2 ~ 2.8e10), so the whole pipeline is
+    order-free exact."""
+    return f"""
+with
+xq as (
+  select vec_id, d, cast(floor(cast(v as double) * 10000 + 0.5) as bigint) as q
+  from (select vec_id, unnest(embedding) as v,
+               generate_subscripts(embedding, 1) as d
+        from embeddings)),
+sub as (
+  select vec_id, (d - 1) // {64 // n_subs} as s, (d - 1) % {64 // n_subs} as dd, q
+  from xq),
+cb as (select vec_id as code, s, dd, q from sub where vec_id < {ksub}),
+dist as (
+  select v.vec_id, v.s, c.code, sum((v.q - c.q) * (v.q - c.q)) as d2
+  from sub v join cb c on c.s = v.s and c.dd = v.dd
+  group by 1, 2, 3),
+codes as (
+  select vec_id, s, min(code) as code
+  from (select vec_id, s, code, d2,
+               min(d2) over (partition by vec_id, s) as mind from dist)
+  where d2 = mind group by vec_id, s),
+lut as (
+  select q.vec_id as query_id, c.s, c.code,
+         sum((q.q - c.q) * (q.q - c.q)) as ld
+  from (select * from sub where vec_id in (0, 1, 2)) q
+  join cb c on c.s = q.s and c.dd = q.dd
+  group by 1, 2, 3),
+adist as (
+  select l.query_id, co.vec_id, sum(l.ld) as adist
+  from codes co join lut l on l.s = co.s and l.code = co.code
+  where co.vec_id != l.query_id
+  group by 1, 2)
+select query_id, vec_id, adist from (
+  select *, row_number() over (partition by query_id
+                               order by adist, vec_id) as rn
+  from adist)
+where rn <= {k}
+"""
+
+
+@q("pq_ann_topk", _pq_sql())
+def pq_ann_topk(sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) — the memory-bound
+    100-TB scale path this module was missing: vectors compress to 8
+    one-byte codes (vs 512 B of float64), queries rank by integer ADC
+    LUT sums over the CODES, never touching raw vectors after encode
+    (stages/similarity.pq_ann_topk). Integer-exact end to end, so unlike
+    classic float PQ the entire encode+rank pipeline is bit-exact in the
+    gate. Composes with ivf_build's bucket-partitioned layout (IVF-PQ)."""
+    from sits_ray.stages.similarity import pq_ann_topk as pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pq(ds, query_ids=(0, 1, 2), k=5, ksub=16, n_subs=8)
+
+
 @q(
     "redact_pii",
     r"""

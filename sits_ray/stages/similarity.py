@@ -522,3 +522,114 @@ def lsh_topk(ds, query_ids, k: int = 5, nbits: int = 4, seed: int = 29,
         .reset_index(drop=True)
     )
     return pdf[["query_id", id_col]]
+
+
+# --- Product quantization (PQ) ANN -----------------------------------------
+# The memory-bound scale path for 100-TB ANN (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): each vector is compressed to
+# n_subs small codes (here 8 bytes vs 512 for 64 float64 dims), queries
+# scan CODES with a per-query lookup table (ADC) instead of raw vectors.
+# Composes with the IVF layout above (coarse bucket partition -> PQ codes
+# inside each bucket). Everything is INTEGER-exact (the kmeans_lloyd_int
+# quantization contract: floor(cast(v as double)*10000 + 0.5), int64
+# squared-distance sums are order-free), so encode, LUT and ranking are
+# DuckDB-mechanizable and the full pipeline sits in the bit-exact gate.
+# Reference analog: sits' trained-dictionary band compression is the same
+# "codebook + per-observation code" shape (R/api_reduce.R:245-254).
+
+
+def quantize_i64(m: np.ndarray) -> np.ndarray:
+    """The shared integer-quantization contract (see kmeans.lloyd_int):
+    exact on both engines because it floors in DOUBLE."""
+    return np.floor(m.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+
+
+def _pq_d2(m_int: np.ndarray, cb_int: np.ndarray, n_subs: int) -> np.ndarray:
+    """(n, n_subs, ksub) EXACT int64 squared distances from every row's
+    subvectors to every codeword. Expansion (a-b)^2 = a^2 - 2ab + b^2
+    keeps it one int64 einsum instead of a (n, ksub, dim) broadcast;
+    integer sums are order-free, so any evaluation order is bit-exact."""
+    n, dim = m_int.shape
+    ksub = cb_int.shape[0]
+    dsub = dim // n_subs
+    ms = m_int.reshape(n, n_subs, dsub)
+    cs = cb_int.reshape(ksub, n_subs, dsub)
+    a2 = (ms * ms).sum(axis=2)                      # (n, s)
+    b2 = (cs * cs).sum(axis=2)                      # (k, s)
+    ab = np.einsum("nsd,ksd->nsk", ms, cs)          # int64-exact
+    return a2[:, :, None] - 2 * ab + b2.T[None, :, :]
+
+
+def pq_encode_codes(m_int: np.ndarray, cb_int: np.ndarray, n_subs: int) -> np.ndarray:
+    """(n, dim) int64 vectors -> (n, n_subs) codes: per subspace, the
+    argmin of the exact int64 squared distance to each codeword; ties take
+    the lowest code (numpy argmin first-min == SQL row_number over
+    (d2, code))."""
+    return _pq_d2(m_int, cb_int, n_subs).argmin(axis=2).astype(np.int64)
+
+
+def pq_ann_topk(ds, query_ids, k: int = 5, ksub: int = 16, n_subs: int = 8,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """PQ ANN top-k: codebook = the quantized subvectors of the first
+    ``ksub`` vectors by id (deterministic, SQL-readable from the same
+    table — no training RNG to replay), every vector encoded to
+    ``n_subs`` codes inside ``map_batches`` (broadcast codebook), queries
+    ranked by the exact-integer ADC distance sum with per-batch tie-aware
+    partial top-k and a tiny driver merge. Self-matches are excluded.
+
+    Scale shape: one streaming pass over vectors; at corpus scale the
+    codes table is materialized once partitioned like :func:`ivf_build`
+    (8 B/vector), and this scoring pass reads CODES only — the read is
+    dim*sizeof(float)/n_subs times cheaper than brute force. Returns
+    (query_id, vec_id, adist) — all int64, hash-exact vs the oracle."""
+    import pandas as pd
+
+    fetch = sorted({int(x) for x in query_ids} | set(range(ksub)))
+    fset = pa.array(fetch, pa.int64())
+    head = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=fset)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    by_id = {int(i): np.asarray(v, dtype=np.float64)
+             for i, v in zip(head[id_col], head[vec_col])}
+    cb = quantize_i64(np.vstack([by_id[i] for i in range(ksub)]))
+    qids = [int(x) for x in query_ids]
+    qm = quantize_i64(np.vstack([by_id[i] for i in qids]))
+    lut = _pq_d2(qm, cb, n_subs)                    # (nq, s, ksub)
+    state = ray.put((cb, lut, np.asarray(qids, dtype=np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        cbm, lutm, qv = ray.get(state)
+        m_int = quantize_i64(list_matrix(t[vec_col]))
+        codes = pq_encode_codes(m_int, cbm, n_subs)  # (n, s)
+        ids = t[id_col].to_numpy()
+        sub_ix = np.arange(n_subs)[None, :]
+        out_q, out_id, out_d = [], [], []
+        for j, qid in enumerate(qv):
+            ad = lutm[j][sub_ix, codes].sum(axis=1)  # (n,) int64
+            mask = ids != qid
+            cand, dv = ids[mask], ad[mask]
+            kk = min(k, cand.size)
+            if kk == 0:
+                continue
+            sel = _topk_tie_aware(-dv, cand, kk)     # (adist asc, id asc)
+            out_q.extend([int(qid)] * kk)
+            out_id.extend(cand[sel].tolist())
+            out_d.extend(dv[sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "adist": pa.array(out_d, pa.int64())}
+        )
+
+    pdf = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "adist": pd.Series([], dtype="int64")})
+    return (
+        pdf.sort_values(["query_id", "adist", id_col])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

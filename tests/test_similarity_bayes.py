@@ -225,3 +225,74 @@ def test_topk_tie_aware_matches_full_sort():
     sims = np.zeros(7)
     ids = np.array([5, 2, 9, 1, 7, 3, 8], dtype=np.int64)
     assert list(ids[_topk_tie_aware(sims, ids, 3)]) == [1, 2, 3]
+
+
+def test_pq_encode_codebook_identity():
+    """Each codebook vector must encode to its own code in every subspace
+    (distance 0 is the unique minimum to itself)."""
+    from sits_ray.stages.similarity import pq_encode_codes, quantize_i64
+
+    rng = np.random.default_rng(3)
+    cb = quantize_i64(rng.normal(0, 1, size=(16, 32)))
+    codes = pq_encode_codes(cb, cb, n_subs=4)
+    # identity unless two codewords tie exactly on a subvector (they
+    # don't, for continuous random draws)
+    assert (codes == np.arange(16)[:, None]).all()
+
+
+def test_pq_d2_matches_naive():
+    from sits_ray.stages.similarity import _pq_d2, quantize_i64
+
+    rng = np.random.default_rng(4)
+    m = quantize_i64(rng.normal(0, 1, size=(10, 32)))
+    cb = quantize_i64(rng.normal(0, 1, size=(8, 32)))
+    d2 = _pq_d2(m, cb, n_subs=4)
+    ms = m.reshape(10, 4, 8)
+    cs = cb.reshape(8, 4, 8)
+    naive = ((ms[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3)
+    assert (d2 == naive.transpose(0, 2, 1)).all()
+
+
+def test_pq_ann_matches_naive_pipeline(ray_session, vec_df):
+    """The distributed encode + ADC + partial-top-k path must equal a
+    naive single-process PQ computed straight from the definition
+    (quantize -> per-subspace argmin codes -> LUT sums -> (adist, id)
+    rank). Integer arithmetic end to end, so equality is exact."""
+    from sits_ray.stages.similarity import (
+        _pq_d2,
+        pq_ann_topk,
+        pq_encode_codes,
+        quantize_i64,
+    )
+
+    df, vecs = vec_df
+    got = pq_ann_topk(rd.from_pandas(df), query_ids=(0, 1), k=5,
+                      ksub=16, n_subs=4)
+    xi = quantize_i64(vecs)
+    cb = xi[:16]
+    codes = pq_encode_codes(xi, cb, n_subs=4)
+    lut = _pq_d2(xi[:2], cb, n_subs=4)
+    for j, qid in enumerate((0, 1)):
+        ad = lut[j][np.arange(4)[None, :], codes].sum(axis=1)
+        order = np.lexsort((np.arange(len(vecs)), ad))
+        order = order[order != qid][:5]
+        sub = got[got.query_id == qid].reset_index(drop=True)
+        assert sub.vec_id.tolist() == order.tolist()
+        assert sub.adist.tolist() == ad[order].tolist()
+
+
+def test_pq_exact_duplicate_attains_min_adist(ray_session):
+    """A planted exact duplicate of the query encodes to the query's own
+    codes, so it attains the minimum possible ADC distance (the query's
+    reconstruction error) and must appear in the top-k."""
+    from sits_ray.stages.similarity import pq_ann_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, size=(60, 32))
+    vecs[40] = vecs[20]  # duplicate of query 20
+    df = pd.DataFrame({"vec_id": np.arange(60), "embedding": list(vecs)})
+    got = pq_ann_topk(rd.from_pandas(df), query_ids=(20,), k=3,
+                      ksub=16, n_subs=4)
+    sub = got[got.query_id == 20]
+    assert 40 in set(sub.vec_id)
+    assert int(sub[sub.vec_id == 40].adist.iloc[0]) == int(sub.adist.min())
