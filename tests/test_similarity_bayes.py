@@ -296,3 +296,30 @@ def test_pq_exact_duplicate_attains_min_adist(ray_session):
     sub = got[got.query_id == 20]
     assert 40 in set(sub.vec_id)
     assert int(sub[sub.vec_id == 40].adist.iloc[0]) == int(sub.adist.min())
+
+
+def test_pq_build_query_matches_inline(ray_session, vec_df, tmp_path):
+    """The materialized codes path (pq_build -> pq_query over the thin
+    codes table) must return exactly what the inline pq_ann_topk does,
+    and the index directory must hold ONLY codes (8 small ints/vector) —
+    no raw vectors."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    from sits_ray.stages.similarity import pq_ann_topk, pq_build, pq_query
+
+    df, vecs = vec_df
+    idx = str(tmp_path / "pqidx")
+    pq_build(rd.from_pandas(df), idx, ksub=16, n_subs=4)
+    got = pq_query(idx, vecs[0], k=5, n_subs=4, exclude_ids=(0,))
+    exp = pq_ann_topk(rd.from_pandas(df), query_ids=(0,), k=5,
+                      ksub=16, n_subs=4)
+    assert got.vec_id.tolist() == exp.vec_id.tolist()
+    assert got.adist.tolist() == exp.adist.tolist()
+    # thin layout: codes files carry vec_id + c0..c3 only
+    files = glob.glob(os.path.join(idx, "codes", "*.parquet"))
+    assert files
+    schema = papq.read_schema(files[0])
+    assert set(schema.names) == {"vec_id", "c0", "c1", "c2", "c3"}
