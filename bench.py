@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     # round-4b family: iterative distributed training (broadcast state,
     # zero-shuffle integer partials per round)
     "kmeans_lloyd_int",
+    # round-4c family: compressed-domain ANN (integer ADC over PQ codes)
+    "pq_ann_topk",
 ]
 
 

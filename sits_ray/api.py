@@ -164,6 +164,7 @@ from sits_ray.stages.sampling import (  # noqa: F401
 from sits_ray.stages.similarity import (  # noqa: F401
     brute_force_topk as sits_knn,
     ivf_topk as sits_ann,
+    ivfpq_ann_topk as sits_ann_ivfpq,
     pq_ann_topk as sits_ann_pq,
 )
 

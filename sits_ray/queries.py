@@ -5963,6 +5963,112 @@ def pq_ann_topk(sf_dir):
     return pq(ds, query_ids=(0, 1, 2), k=5, ksub=16, n_subs=8)
 
 
+def _ivfpq_sql(k: int = 5, nlist: int = 16, nprobe: int = 3, ksub: int = 16,
+               n_subs: int = 8, dim: int = 64, seed: int = 11,
+               qids=(0, 1, 2)) -> str:
+    """SQL twin of stages/similarity.ivfpq_ann_topk: the seeded-IVF probe
+    CTEs of ``_ivf_sql`` (literal sequential-fold dot chains, first-max
+    bucket, probe rank) composed with the PQ CTEs of ``_pq_sql`` (shared
+    quantization contract, window-min codes, integer LUT) — the ranked
+    set is vectors of PROBED buckets only, ordered by exact-integer ADC."""
+    from sits_ray.stages.similarity import seed_centroids
+
+    C = seed_centroids(nlist, dim, seed)
+    exprs = []
+    for j in range(nlist):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * {C[j, d]:.17e}" for d in range(dim)
+        )
+        exprs.append(f"({terms}) as s{j}")
+    conds = []
+    for j in range(nlist - 1):
+        cc = " and ".join(f"s{j} >= s{i}" for i in range(j + 1, nlist))
+        conds.append(f"when {cc} then {j}")
+    case = "case " + " ".join(conds) + f" else {nlist - 1} end"
+    sel = ",\n       ".join(exprs)
+    ql = ", ".join(str(int(x)) for x in qids)
+    unp = "\n  union all\n".join(
+        f"  select query_id, {j} as cidx, s{j} as s from q"
+        for j in range(nlist)
+    )
+    dsub = dim // n_subs
+    return f"""
+with s as (
+  select vec_id, embedding,
+       {sel}
+  from embeddings),
+a as (select vec_id, cast({case} as bigint) as bucket from s),
+q as (select vec_id as query_id, * exclude (vec_id, embedding)
+      from s where vec_id in ({ql})),
+qs as (
+{unp}),
+probed as (
+  select query_id, cidx as bucket
+  from (select query_id, cidx, s,
+               row_number() over (partition by query_id
+                                  order by s desc, cidx) as rn
+        from qs)
+  where rn <= {nprobe}),
+xq as (
+  select vec_id, d, cast(floor(cast(v as double) * 10000 + 0.5) as bigint) as q
+  from (select vec_id, unnest(embedding) as v,
+               generate_subscripts(embedding, 1) as d
+        from embeddings)),
+sub as (
+  select vec_id, (d - 1) // {dsub} as s, (d - 1) % {dsub} as dd, q from xq),
+cb as (select vec_id as code, s, dd, q from sub where vec_id < {ksub}),
+dist as (
+  select v.vec_id, v.s, c.code, sum((v.q - c.q) * (v.q - c.q)) as d2
+  from sub v join cb c on c.s = v.s and c.dd = v.dd
+  group by 1, 2, 3),
+codes as (
+  select vec_id, s, min(code) as code
+  from (select vec_id, s, code, d2,
+               min(d2) over (partition by vec_id, s) as mind from dist)
+  where d2 = mind group by vec_id, s),
+lut as (
+  select qv.vec_id as query_id, c.s, c.code,
+         sum((qv.q - c.q) * (qv.q - c.q)) as ld
+  from (select * from sub where vec_id in ({ql})) qv
+  join cb c on c.s = qv.s and c.dd = qv.dd
+  group by 1, 2, 3),
+adist as (
+  select l.query_id, co.vec_id, sum(l.ld) as adist
+  from codes co
+  join a on a.vec_id = co.vec_id
+  join probed p on p.bucket = a.bucket
+  join lut l on l.query_id = p.query_id and l.s = co.s and l.code = co.code
+  where co.vec_id != l.query_id
+  group by 1, 2)
+select query_id, vec_id, adist from (
+  select *, row_number() over (partition by query_id
+                               order by adist, vec_id) as rn
+  from adist)
+where rn <= {k}
+"""
+
+
+@q("ivfpq_ann_topk", _ivfpq_sql())
+def ivfpq_ann_topk(sf_dir):
+    """IVF-PQ ANN — the faiss-standard 100-TB layout: seeded coarse
+    buckets PARTITION a materialized 8-B/vector codes table, a query
+    reads only its ``nprobe`` probed partitions and ranks by
+    exact-integer ADC (stages/similarity.ivfpq_ann_topk). The two prunes
+    multiply: nprobe/nlist of the rows x codes-vs-vectors width. Probe
+    choice, codes and ranking are all DuckDB-mechanizable, so the whole
+    composed path is bit-exact in the gate."""
+    import os
+
+    from sits_ray.stages.similarity import ivfpq_ann_topk as ivfpq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = os.path.join(
+        "/tmp/sits_ray_indexes", sf_dir.strip("/").replace("/", "_"), "ivfpq"
+    )
+    return ivfpq(ds, query_ids=(0, 1, 2), k=5, nlist=16, nprobe=3,
+                 ksub=16, n_subs=8, index_dir=idx)
+
+
 @q(
     "redact_pii",
     r"""

@@ -737,3 +737,133 @@ def pq_query(index_dir: str, query_vecs: np.ndarray, k: int = 5,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def ivfpq_ann_topk(ds, query_ids, k: int = 5, nlist: int = 16,
+                   nprobe: int = 3, ksub: int = 16, n_subs: int = 8,
+                   seed: int = 11, vec_col: str = "embedding",
+                   id_col: str = "vec_id", index_dir: str | None = None):
+    """IVF-PQ — the faiss-standard 100-TB ANN layout: the seeded coarse
+    quantizer of :func:`ivf_topk_seeded` partitions the MATERIALIZED
+    codes table by bucket, vectors are stored ONLY as ``n_subs`` PQ
+    codes, and a query (a) probes ``nprobe`` buckets -> reads just those
+    partitions' codes (two prunes multiply: nprobe/nlist of the rows x
+    8 B/vector of the width), (b) ranks by exact-integer ADC. No
+    residual encoding (codes quantize the raw vector), so the coarse and
+    fine quantizers stay independent and the whole path — probe choice,
+    codes, LUT sums, (adist, id) rank — is DuckDB-mechanizable and sits
+    in the bit-exact gate. Fingerprint-gated index reuse + atomic staged
+    publish, like the other index builders here."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    if index_dir is None:
+        index_dir = os.path.join(tempfile.mkdtemp(prefix="ivfpq_"), "index")
+    qids = [int(x) for x in query_ids]
+    fetch = sorted(set(qids) | set(range(ksub)))
+    fset = pa.array(fetch, pa.int64())
+    head = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=fset)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    by_id = {int(i): np.asarray(v, dtype=np.float64)
+             for i, v in zip(head[id_col], head[vec_col])}
+    dim = by_id[fetch[0]].size
+    C = seed_centroids(nlist, dim, seed)
+    cb = quantize_i64(np.vstack([by_id[i] for i in range(ksub)]))
+
+    fp = dataset_id_fingerprint(ds, id_col)
+    fp.update(nlist=int(nlist), ksub=int(ksub), n_subs=int(n_subs),
+              seed=int(seed), quantizer="seeded-ivfpq")
+    fp_path = os.path.join(index_dir, "fingerprint.json")
+    reuse = False
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            reuse = json.load(fh) == fp
+    if not reuse:
+        state = ray.put((C, cb))
+
+        def build(t: pa.Table) -> pa.Table:
+            cc, cbm = ray.get(state)
+            m = list_matrix(t[vec_col])
+            b = np.argmax(seq_dots(m, cc), axis=1).astype(np.int64)
+            codes = pq_encode_codes(quantize_i64(m), cbm, n_subs)
+            cols = {id_col: t[id_col],
+                    "bucket": pa.array(b), "b": pa.array(b)}
+            for s in range(n_subs):
+                cols[f"c{s}"] = pa.array(codes[:, s].astype(np.int8))
+            return pa.table(cols)
+
+        staging = index_dir.rstrip("/") + ".building"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        ds.map_batches(build, batch_format="pyarrow").write_parquet(
+            os.path.join(staging, "codes"), partition_cols=["bucket"]
+        )
+        np.save(os.path.join(staging, "codebook.npy"), cb)
+        np.save(os.path.join(staging, "centroids.npy"), C)
+        with open(os.path.join(staging, "fingerprint.json"), "w") as fh:
+            json.dump(fp, fh)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(index_dir.rstrip("/")) or ".", exist_ok=True)
+        os.replace(staging, index_dir)
+
+    qm_raw = np.vstack([by_id[i] for i in qids])
+    probes = np.argsort(-seq_dots(qm_raw, C), axis=1, kind="stable")[:, :nprobe]
+    lut = _pq_d2(quantize_i64(qm_raw), cb, n_subs)
+    buckets = sorted({int(b) for row in probes for b in row})
+    paths = []
+    for b in buckets:
+        d = os.path.join(index_dir, "codes", f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          id_col: pd.Series([], dtype="int64"),
+                          "adist": pd.Series([], dtype="int64")})
+    if not paths:
+        return empty
+    code_cols = [f"c{s}" for s in range(n_subs)]
+    state_q = ray.put((lut, [set(p.tolist()) for p in probes],
+                       np.asarray(qids, dtype=np.int64)))
+    pruned = rd.read_parquet(paths, columns=[id_col, "b"] + code_cols)
+    sub_ix = np.arange(n_subs)[None, :]
+
+    def score(t: pa.Table) -> pa.Table:
+        lutm, psets, qv = ray.get(state_q)
+        codes = np.column_stack(
+            [t[c].to_numpy().astype(np.int64) for c in code_cols]
+        )
+        ids = t[id_col].to_numpy()
+        bcol = t["b"].to_numpy().astype(np.int64)
+        out_q, out_id, out_d = [], [], []
+        for j, pset in enumerate(psets):
+            mask = np.isin(bcol, list(pset)) & (ids != qv[j])
+            if not mask.any():
+                continue
+            ad = lutm[j][sub_ix, codes[mask]].sum(axis=1)
+            cand = ids[mask]
+            kk = min(k, cand.size)
+            sel = _topk_tie_aware(-ad, cand, kk)
+            out_q.extend([int(qv[j])] * kk)
+            out_id.extend(cand[sel].tolist())
+            out_d.extend(ad[sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             "adist": pa.array(out_d, pa.int64())}
+        )
+
+    pdf = pruned.map_batches(score, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return empty
+    return (
+        pdf.sort_values(["query_id", "adist", id_col])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -323,3 +323,53 @@ def test_pq_build_query_matches_inline(ray_session, vec_df, tmp_path):
     assert files
     schema = papq.read_schema(files[0])
     assert set(schema.names) == {"vec_id", "c0", "c1", "c2", "c3"}
+
+
+def test_ivfpq_pruned_read_reuse_and_naive_parity(ray_session, vec_df, tmp_path):
+    """IVF-PQ: (a) equals the naive composition computed from the
+    definition (probe seeded buckets, ADC over codes of probed buckets
+    only), (b) the codes table is bucket-partitioned on disk with more
+    buckets than a query probes, (c) a second call reuses the index."""
+    import os
+
+    from sits_ray.stages.similarity import (
+        _pq_d2,
+        ivfpq_ann_topk,
+        pq_encode_codes,
+        quantize_i64,
+        seed_centroids,
+        seq_dots,
+    )
+
+    df, vecs = vec_df
+    idx = str(tmp_path / "ivfpq")
+    got = ivfpq_ann_topk(rd.from_pandas(df), query_ids=(0, 40), k=5,
+                         nlist=8, nprobe=2, ksub=16, n_subs=4, seed=11,
+                         index_dir=idx)
+    # (a) naive single-process composition
+    C = seed_centroids(8, 32, 11)
+    buckets = np.argmax(seq_dots(vecs, C), axis=1)
+    xi = quantize_i64(vecs)
+    cb = xi[:16]
+    codes = pq_encode_codes(xi, cb, n_subs=4)
+    lut = _pq_d2(xi[[0, 40]], cb, n_subs=4)
+    for j, qid in enumerate((0, 40)):
+        probe = np.argsort(-seq_dots(vecs[qid][None, :], C)[0],
+                           kind="stable")[:2]
+        in_probe = np.isin(buckets, probe) & (np.arange(len(vecs)) != qid)
+        cand = np.flatnonzero(in_probe)
+        ad = lut[j][np.arange(4)[None, :], codes[cand]].sum(axis=1)
+        order = np.lexsort((cand, ad))[:5]
+        sub = got[got.query_id == qid].reset_index(drop=True)
+        assert sub.vec_id.tolist() == cand[order].tolist()
+        assert sub.adist.tolist() == ad[order].tolist()
+    # (b) partitioned layout, probes strictly fewer than built buckets
+    built = {d for d in os.listdir(os.path.join(idx, "codes"))
+             if d.startswith("bucket=")}
+    assert len(built) > 2
+    # (c) fingerprint-gated reuse
+    mtime = os.path.getmtime(os.path.join(idx, "fingerprint.json"))
+    ivfpq_ann_topk(rd.from_pandas(df), query_ids=(0, 40), k=5,
+                   nlist=8, nprobe=2, ksub=16, n_subs=4, seed=11,
+                   index_dir=idx)
+    assert os.path.getmtime(os.path.join(idx, "fingerprint.json")) == mtime
