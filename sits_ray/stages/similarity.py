@@ -637,13 +637,17 @@ def pq_ann_topk(ds, query_ids, k: int = 5, ksub: int = 16, n_subs: int = 8,
 
 def pq_build(ds, index_dir: str, ksub: int = 16, n_subs: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             fingerprint: dict | None = None) -> np.ndarray:
+             fingerprint: dict | None = None,
+             train_iters: int = 0) -> np.ndarray:
     """Materialize the PQ codes ONCE: codebook = quantized subvectors of
-    the first ``ksub`` vectors by id, every vector encoded in one
-    ``map_batches`` pass, codes stored as a thin Parquet table
-    (``vec_id`` + one int8-sized code per subspace — 8 B/vector at the
-    defaults vs 512 B of raw float64). Same atomic staged-build publish
-    as :func:`ivf_build`. Returns the codebook."""
+    the first ``ksub`` vectors by id (the SQL-mechanizable default) —
+    optionally refined by ``train_iters`` rounds of per-subspace
+    integer-exact Lloyd (:func:`pq_train_codebooks`, the trained path;
+    same trained-vs-seeded split as ivf_topk vs ivf_topk_seeded) — then
+    every vector encoded in one ``map_batches`` pass, codes stored as a
+    thin Parquet table (``vec_id`` + one int8-sized code per subspace —
+    8 B/vector at the defaults vs 512 B of raw float64). Same atomic
+    staged-build publish as :func:`ivf_build`. Returns the codebook."""
     import json
     import os
     import shutil
@@ -654,6 +658,10 @@ def pq_build(ds, index_dir: str, ksub: int = 16, n_subs: int = 8,
         batch_format="pyarrow",
     ).to_pandas().sort_values(id_col)
     cb = quantize_i64(np.vstack(head[vec_col].to_numpy()))
+    if train_iters > 0:
+        cb = pq_train_codebooks(ds, ksub=ksub, n_subs=n_subs,
+                                iters=train_iters, vec_col=vec_col,
+                                id_col=id_col, init_cb=cb)
     cb_ref = ray.put(cb)
 
     def encode(t: pa.Table) -> pa.Table:
@@ -867,3 +875,67 @@ def ivfpq_ann_topk(ds, query_ids, k: int = 5, nlist: int = 16,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def pq_train_codebooks(ds, ksub: int = 16, n_subs: int = 8, iters: int = 3,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       init_cb: np.ndarray | None = None) -> np.ndarray:
+    """Per-subspace integer-exact Lloyd training of the PQ codebooks —
+    the trained upgrade over the first-``ksub``-vectors codebook, with
+    the lloyd_int scale shape: per round ONE ``map_batches`` pass of
+    (n_subs x ksub) integer partials (count + per-dim sums, order-free),
+    a tiny driver combine, and a broadcast of re-quantized centroids
+    (the shared ``_fld`` round-half-up contract). Zero shuffles; all
+    subspaces train in the same pass. Empty codes keep their previous
+    codeword. Returns the (ksub, dim) int64 codebook."""
+    from sits_ray.stages.kmeans import _fld
+
+    if init_cb is None:
+        fset = pa.array(list(range(ksub)), pa.int64())
+        head = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=fset)),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values(id_col)
+        init_cb = quantize_i64(np.vstack(head[vec_col].to_numpy()))
+    cb = init_cb.copy()
+    dim = cb.shape[1]
+    dsub = dim // n_subs
+    sum_cols = [f"d{i}" for i in range(dsub)]
+
+    for _ in range(iters):
+        ref = ray.put(cb)
+
+        def partials(t: pa.Table) -> pa.Table:
+            cbm = ray.get(ref)
+            m = quantize_i64(list_matrix(t[vec_col]))
+            codes = pq_encode_codes(m, cbm, n_subs)
+            n = m.shape[0]
+            ms = m.reshape(n, n_subs, dsub)
+            cnt = np.zeros((n_subs, ksub), np.int64)
+            sums = np.zeros((n_subs, ksub, dsub), np.int64)
+            for s in range(n_subs):
+                cnt[s] = np.bincount(codes[:, s], minlength=ksub)
+                np.add.at(sums[s], codes[:, s], ms[:, s, :])
+            grid_s, grid_c = np.divmod(np.arange(n_subs * ksub), ksub)
+            cols = {"s": pa.array(grid_s), "code": pa.array(grid_c),
+                    "n": pa.array(cnt.ravel())}
+            flatsums = sums.reshape(n_subs * ksub, dsub)
+            for i, c in enumerate(sum_cols):
+                cols[c] = pa.array(flatsums[:, i])
+            return pa.table(cols)
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["s", "code"], as_index=False)
+            .sum()  # int64 sums, order-free exact
+        )
+        live = agg[agg["n"] > 0]
+        sums = live[sum_cols].to_numpy()
+        nn = live["n"].to_numpy()[:, None]
+        upd = _fld(2 * sums + nn, 2 * nn)  # round-half-up integer mean
+        si = live["s"].to_numpy()
+        ci = live["code"].to_numpy()
+        for i in range(dsub):
+            cb[ci, si * dsub + i] = upd[:, i]
+    return cb
