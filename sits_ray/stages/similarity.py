@@ -9,6 +9,15 @@
   100 TB the bucket column becomes the partition key of the vector
   Parquet, so a probe reads only ``nprobe/nlist`` of the data
   (partition pruning at the read).
+* :func:`lsh_topk` / :func:`ivf_topk_seeded` — the SQL-mechanizable ANN
+  variants (literal hyperplane signs / seeded-centroid argmax chains).
+* :func:`pq_ann_topk` / :func:`pq_build` / :func:`pq_query` /
+  :func:`pq_train_codebooks` — product quantization (Jégou et al. 2011),
+  the memory-bound path: vectors compress to ``n_subs`` one-byte codes,
+  queries rank by integer ADC LUT sums over the codes table only.
+* :func:`ivfpq_ann_topk` — IVF-PQ, the faiss-standard composition:
+  bucket-partitioned codes, probed-partitions-only reads; the two prunes
+  (rows and width) multiply.
 """
 
 from __future__ import annotations
