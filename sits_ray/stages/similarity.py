@@ -666,6 +666,12 @@ def pq_build(ds, index_dir: str, ksub: int = 16, n_subs: int = 8,
         lambda t: t.filter(pc.is_in(t[id_col], value_set=fset)),
         batch_format="pyarrow",
     ).to_pandas().sort_values(id_col)
+    if len(head) < ksub:
+        raise ValueError(
+            f"pq_build: need the first {ksub} ids as codebook rows, "
+            f"found {len(head)}"
+        )
+    code_dt = np.int8 if ksub <= 127 else np.int16
     cb = quantize_i64(np.vstack(head[vec_col].to_numpy()))
     if train_iters > 0:
         cb = pq_train_codebooks(ds, ksub=ksub, n_subs=n_subs,
@@ -679,7 +685,7 @@ def pq_build(ds, index_dir: str, ksub: int = 16, n_subs: int = 8,
                                 cbm, n_subs)
         cols = {id_col: t[id_col]}
         for s in range(n_subs):
-            cols[f"c{s}"] = pa.array(codes[:, s].astype(np.int8))
+            cols[f"c{s}"] = pa.array(codes[:, s].astype(code_dt))
         return pa.table(cols)
 
     staging = index_dir.rstrip("/") + ".building"
@@ -790,6 +796,10 @@ def ivfpq_ann_topk(ds, query_ids, k: int = 5, nlist: int = 16,
     ).to_pandas().sort_values(id_col)
     by_id = {int(i): np.asarray(v, dtype=np.float64)
              for i, v in zip(head[id_col], head[vec_col])}
+    missing = [i for i in fetch if i not in by_id]
+    if missing:
+        raise ValueError(f"ivfpq: codebook/query ids absent from data: {missing[:8]}")
+    code_dt = np.int8 if ksub <= 127 else np.int16
     dim = by_id[fetch[0]].size
     C = seed_centroids(nlist, dim, seed)
     cb = quantize_i64(np.vstack([by_id[i] for i in range(ksub)]))
@@ -813,7 +823,7 @@ def ivfpq_ann_topk(ds, query_ids, k: int = 5, nlist: int = 16,
             cols = {id_col: t[id_col],
                     "bucket": pa.array(b), "b": pa.array(b)}
             for s in range(n_subs):
-                cols[f"c{s}"] = pa.array(codes[:, s].astype(np.int8))
+                cols[f"c{s}"] = pa.array(codes[:, s].astype(code_dt))
             return pa.table(cols)
 
         staging = index_dir.rstrip("/") + ".building"
