@@ -163,21 +163,28 @@ def _ragged_linear_interp(
     idx = np.arange(n, dtype=np.int64)
     prev = np.maximum.accumulate(np.where(isnan, -1, idx))
     nxt_r = np.minimum.accumulate(np.where(isnan, n, idx)[::-1])[::-1]
+    # the two accumulate passes are inherently full-width; everything
+    # after only matters at the NaN positions — gather once and do the
+    # remaining ~8 passes on the subset (bit-identical: same ops on the
+    # same operand values)
+    iz = np.flatnonzero(isnan)
+    pz = prev[iz]
+    nz = nxt_r[iz]
     # a prev/next pointer outside the series boundary means "none"
-    has_prev = prev >= series_start
-    has_next = nxt_r < series_end_excl
-    pv = np.where(has_prev, v[np.clip(prev, 0, n - 1)], np.nan)
-    nv = np.where(has_next, v[np.clip(nxt_r, 0, n - 1)], np.nan)
-    interior = isnan & has_prev & has_next
-    gaps = (nxt_r - prev).astype(np.float64)
-    i_off = (idx - prev).astype(np.float64)
-    with np.errstate(invalid="ignore"):
-        interp = pv + (i_off * (nv - pv) / gaps)
-    out[interior] = interp[interior]
-    lead = isnan & ~has_prev & has_next
-    out[lead] = nv[lead]
-    trail = isnan & has_prev & ~has_next
-    out[trail] = pv[trail]
+    has_prev = pz >= series_start[iz]
+    has_next = nz < series_end_excl[iz]
+    pv = v[np.clip(pz, 0, n - 1)]
+    nv = v[np.clip(nz, 0, n - 1)]
+    interior = has_prev & has_next
+    if interior.any():
+        pvi, nvi = pv[interior], nv[interior]
+        gaps = (nz[interior] - pz[interior]).astype(np.float64)
+        i_off = (iz[interior] - pz[interior]).astype(np.float64)
+        out[iz[interior]] = pvi + (i_off * (nvi - pvi) / gaps)
+    lead = ~has_prev & has_next
+    out[iz[lead]] = nv[lead]
+    trail = has_prev & ~has_next
+    out[iz[trail]] = pv[trail]
     return out
 
 
