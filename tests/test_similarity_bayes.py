@@ -413,3 +413,24 @@ def test_pq_trained_codebook_reduces_quantization_error(ray_session, vec_df, tmp
     order = order[order != 0][:5]
     assert got.vec_id.tolist() == order.tolist()
     assert got.adist.tolist() == ad[order].tolist()
+
+
+def test_pq_torn_build_is_invisible(ray_session, vec_df, tmp_path):
+    """A leftover .building staging dir (crash mid-build) must be ignored
+    and cleaned by the next build — the index at the published path stays
+    whole (the ivf_build atomic-publish contract, shared by pq_build)."""
+    import os
+
+    from sits_ray.stages.similarity import pq_build, pq_query
+
+    df, vecs = vec_df
+    idx = str(tmp_path / "pq")
+    # simulate a torn earlier build
+    torn = idx + ".building"
+    os.makedirs(os.path.join(torn, "codes"), exist_ok=True)
+    with open(os.path.join(torn, "codes", "part-0.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    pq_build(rd.from_pandas(df), idx, ksub=16, n_subs=4)
+    assert not os.path.exists(torn)  # staging consumed/replaced
+    out = pq_query(idx, vecs[0], k=3, n_subs=4, exclude_ids=(0,))
+    assert len(out) == 3
