@@ -560,6 +560,10 @@ def _pq_d2(m_int: np.ndarray, cb_int: np.ndarray, n_subs: int) -> np.ndarray:
     integer sums are order-free, so any evaluation order is bit-exact."""
     n, dim = m_int.shape
     ksub = cb_int.shape[0]
+    if n == 0:
+        # empty Ray blocks arrive as (0, 0) matrices — take the subspace
+        # geometry from the codebook
+        return np.zeros((0, n_subs, ksub), dtype=np.int64)
     dsub = dim // n_subs
     ms = m_int.reshape(n, n_subs, dsub)
     cs = cb_int.reshape(ksub, n_subs, dsub)
