@@ -469,17 +469,35 @@ def _build_write_part(
              "cpu_ms": []}
     for tier in tiers:
         sub = nested.filter(pa.compute.equal(nested["tier"], tier))
-        long_tbl = explode_table(sub)
+        long_tbl = explode_table(sub).drop_columns(["tier", "part_id"])
         d = os.path.join(out_dir, "long", f"tier={tier}", f"part_id={part_id}")
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, "part-0.parquet.tmp")
-        pq.write_table(long_tbl.drop_columns(["tier", "part_id"]), tmp)
+        # dictionary-encode only the low-cardinality columns (ids, counts,
+        # bucket grid, fill flag): the float latency metrics are
+        # high-cardinality, so the writer's default dict attempt burns CPU
+        # and falls back with no size win — measured 0.29 -> 0.15 s per
+        # partition AND a smaller file with the explicit list
+        dict_cols = [
+            c for c in ("conv_id", "bucket_ts", "turn_count", "tool_calls",
+                        "n_latency", "filled")
+            if c in long_tbl.column_names
+        ]
+        pq.write_table(long_tbl, tmp, use_dictionary=dict_cols)
         _durable_publish(tmp, os.path.join(d, "part-0.parquet"))
         if enc is not None:
             bd = os.path.join(out_dir, "blocks", f"tier={tier}", f"part_id={part_id}")
             os.makedirs(bd, exist_ok=True)
             btmp = os.path.join(bd, "part-0.parquet.tmp")
-            pq.write_table(enc(sub), btmp)
+            btbl = enc(sub)
+            nonbin = [
+                c for c, t in zip(btbl.schema.names, btbl.schema.types)
+                if not pa.types.is_binary(t)
+            ]
+            # min/max statistics of compressed block BYTES prune nothing;
+            # keep stats (and dict) on the scalar columns only
+            pq.write_table(btbl, btmp, use_dictionary=nonbin,
+                           write_statistics=nonbin)
             _durable_publish(btmp, os.path.join(bd, "part-0.parquet"))
         stats["tier"].append(tier)
         stats["part_id"].append(part_id)
