@@ -6251,9 +6251,13 @@ def curation_keep_docs(sf_dir):
     pairs = charshingle_dedup(kept, threshold=0.6, k=5)
     labels = connected_components(pairs)
 
+    from sits_ray.stages.joins import adaptive_join_unique
+
     ids = kept.select_columns(["doc_id"])
-    joined = ids.join(
-        labels, join_type="left_outer", num_partitions=4, on=("doc_id",)
+    joined = adaptive_join_unique(
+        ids, labels, on="doc_id", right_on="doc_id",
+        value_cols={"rep_id": "rep_id"}, join_type="left_outer",
+        num_partitions=4,
     )
 
     def keep_reps(t: pa.Table) -> pa.Table:

@@ -37,16 +37,6 @@ _POP16 = np.unpackbits(
 ).reshape(-1, 16).sum(axis=1).astype(np.int64)
 
 
-def _rename_cols(cols: dict):
-    """map_batches fn renaming columns per ``cols`` (shared by the
-    join-based verify pipelines)."""
-
-    def do(t: pa.Table) -> pa.Table:
-        return t.rename_columns([cols.get(c, c) for c in t.column_names])
-
-    return do
-
-
 def shingles(text: str, k: int = 3) -> set[str]:
     toks = _WORD.findall(text.lower())
     if len(toks) < k:
@@ -537,14 +527,16 @@ def simhash_poly_dups(ds, radius: int = 3, bits: int = 32, bands: int = 4,
         )
     num_partitions = _join_partitions(num_partitions)
 
-    j1 = cand.join(
-        sigs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=(id_col,),
-    ).map_batches(_rename_cols({"sig": "sig_a"}), batch_format="pyarrow")
-    j2 = j1.join(
-        sigs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=(id_col,),
-    ).map_batches(_rename_cols({"sig": "sig_b"}), batch_format="pyarrow")
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    j1 = adaptive_join_unique(
+        cand, sigs, on="doc_a", right_on=id_col,
+        value_cols={"sig": "sig_a"}, num_partitions=num_partitions,
+    )
+    j2 = adaptive_join_unique(
+        j1, sigs, on="doc_b", right_on=id_col,
+        value_cols={"sig": "sig_b"}, num_partitions=num_partitions,
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         x = np.bitwise_xor(
@@ -617,17 +609,22 @@ def minhash_dedup(ds, threshold: float = 0.8, n_perm=64, bands=16, k=3,
 
         return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
 
-    texts = ds.map_batches(prune, batch_format="pyarrow")
+    # one pruned corpus scan, reused by both join sides
+    texts = ds.map_batches(prune, batch_format="pyarrow").materialize()
 
-    # hash-join text for each side of the pair (text moves shard-to-shard)
-    j1 = cand.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(_rename_cols({"text": "text_a"}), batch_format="pyarrow")
-    j2 = j1.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(_rename_cols({"text": "text_b"}), batch_format="pyarrow")
+    # join text onto each side of the pair: broadcast when the candidate
+    # text set is measured-small, distributed hash join otherwise (text
+    # moves shard-to-shard, never through the driver)
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    j1 = adaptive_join_unique(
+        cand, texts, on="doc_a", right_on="doc_id",
+        value_cols={"text": "text_a"}, num_partitions=num_partitions,
+    )
+    j2 = adaptive_join_unique(
+        j1, texts, on="doc_b", right_on="doc_id",
+        value_cols={"text": "text_b"}, num_partitions=num_partitions,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # docs recur across candidate pairs: build each doc's shingle set
@@ -992,16 +989,20 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
 
         return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
 
-    texts = ds.map_batches(prune, batch_format="pyarrow")
+    # one pruned corpus scan, reused by both join sides; broadcast the
+    # candidate texts when measured-small (stages/joins.py)
+    texts = ds.map_batches(prune, batch_format="pyarrow").materialize()
 
-    j1 = cand.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(_rename_cols({"text": "text_a"}), batch_format="pyarrow")
-    j2 = j1.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(_rename_cols({"text": "text_b"}), batch_format="pyarrow")
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    j1 = adaptive_join_unique(
+        cand, texts, on="doc_a", right_on="doc_id",
+        value_cols={"text": "text_a"}, num_partitions=num_partitions,
+    )
+    j2 = adaptive_join_unique(
+        j1, texts, on="doc_b", right_on="doc_id",
+        value_cols={"text": "text_b"}, num_partitions=num_partitions,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         # per-unique-doc shingle sets (docs recur across pairs), C-level
@@ -1042,7 +1043,9 @@ def charshingle_dedup(ds, threshold: float = 0.6, k: int = 5,
 
 def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
                          num_partitions: int | None = None,
-                         max_iters: int = 64):
+                         max_iters: int = 64,
+                         broadcast_nodes: int = 4_000_000,
+                         local_edges: int = 8_000_000):
     """Distributed connected components over near-dup candidate pairs:
     min-label propagation until fixed point. Returns ``(doc_id, rep_id)``
     for every doc that appears in at least one pair; ``rep_id`` is the
@@ -1050,17 +1053,30 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
     rule of fuzzy-dedup pipelines — pair finding alone under-deletes when
     A~B and B~C but A!~C).
 
-    Scale shape: the label table is O(nodes-in-pairs) — a small fraction
-    of the corpus — and each iteration is ONE distributed hash join
-    (edges x labels on the peer endpoint) plus one ``groupby(node).min``;
-    no driver-side graph state. Convergence is witnessed by the label-sum
-    aggregate (labels only ever decrease, and the sum is a monotone
-    integer, so an unchanged sum IS the fixed point — one tiny scalar per
-    iteration crosses to the driver). Iteration count is the component
-    diameter; near-dup clusters are shallow (dozens of iterations would
-    mean a chain of pairwise-similar docs thousands long). ``max_iters``
-    bounds pathological chains; hitting it raises rather than returning
-    a partial labeling.
+    Scale shape, picked by MEASURED sizes (the min-label fixed point is
+    unique, so all three paths return identical labels):
+
+    - edge count <= ``local_edges``: the symmetrized edge list itself is
+      a bounded intermediate (~16 MB/M rows) — gather it once and run
+      the whole fixed-point loop in numpy on the driver; iterations cost
+      microseconds instead of one Ray pipeline execution each (the
+      per-execution fixed cost dominated this query at bench scale).
+    - node count <= ``broadcast_nodes``: the label vector (two int64
+      arrays, ~64 MB at the 4M default) lives on the driver and is
+      re-broadcast each round; one zero-shuffle ``map_batches`` pass
+      over the (still fully distributed) edges computes per-batch
+      partial minima that np.minimum-reduce on the driver. No joins, no
+      groupby — per-iteration cost is one edges scan.
+    - above both thresholds: no driver-side graph state at all — each
+      iteration is one adaptive hash join (edges x labels on the peer
+      endpoint, stages/joins.py) plus one ``groupby(node).min``.
+
+    Convergence is witnessed by the label sum (labels only ever
+    decrease and the sum is a monotone integer, so an unchanged sum IS
+    the fixed point — one tiny scalar per iteration). Iteration count
+    is the component diameter; near-dup clusters are shallow.
+    ``max_iters`` bounds pathological chains; hitting it raises rather
+    than returning a partial labeling.
     """
     import ray
     import ray.data as rd
@@ -1077,36 +1093,131 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         )
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
         ))
+
+    if n_edges <= local_edges:
+        from sits_ray.stages.joins import _right_as_table
+
+        et = _right_as_table(edges)
+        node = et["node"].to_numpy()
+        peer = et["peer"].to_numpy()
+        nodes = np.unique(node)
+        ni = np.searchsorted(nodes, node)
+        pi = np.searchsorted(nodes, peer)
+        lbl = nodes.copy()
+        prev_sum = None
+        for _ in range(max_iters):
+            cur = int(lbl.sum())
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+            new_lbl = lbl.copy()
+            np.minimum.at(new_lbl, ni, lbl[pi])
+            lbl = new_lbl
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} iterations"
+            )
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "rep_id": pa.array(lbl)})
+        )
+
+    # node census: tiny per-batch unique partials -> driver np.unique
+    # (_right_as_table converts stray empty pandas blocks Ray passes
+    # through arrow map_batches untouched)
+    from sits_ray.stages.joins import _right_as_table
+
+    census = _right_as_table(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.array(np.unique(t["node"].to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    nodes = np.unique(census["node"].to_numpy())
+
+    if nodes.size <= broadcast_nodes:
+        lbl = nodes.copy()
+        prev_sum = None
+        for _ in range(max_iters):
+            cur = int(lbl.sum())
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+            ref = ray.put((nodes, lbl))
+
+            def prop_min(t: pa.Table) -> pa.Table:
+                ns, lb = ray.get(ref)  # zero-copy plasma fetch
+                node = t["node"].to_numpy()
+                peer = t["peer"].to_numpy()
+                pl = lb[np.searchsorted(ns, peer)]  # peer's current label
+                ni = np.searchsorted(ns, node)
+                df = pd.DataFrame({"ni": ni, "pl": pl})
+                g = df.groupby("ni", sort=False)["pl"].min()
+                return pa.table(
+                    {"ni": pa.array(g.index.to_numpy(dtype=np.int64)),
+                     "ml": pa.array(g.to_numpy(dtype=np.int64))}
+                )
+
+            partials = _right_as_table(
+                edges.map_batches(prop_min, batch_format="pyarrow")
+            )
+            new_lbl = lbl.copy()
+            np.minimum.at(
+                new_lbl, partials["ni"].to_numpy(), partials["ml"].to_numpy()
+            )
+            lbl = new_lbl
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} iterations"
+            )
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "rep_id": pa.array(lbl)})
+        )
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "lbl": t["node"]})
 
     from ray.data.aggregate import Min, Sum
 
-    labels = (
+    # union() requires homogeneous block types across its inputs; pin
+    # labels AND prop to pandas blocks (aggregate output type varies)
+    def _as_pandas(ds):
+        return ds.map_batches(lambda df: df, batch_format="pandas")
+
+    labels = _as_pandas(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
-    )
+    ).materialize()
     prev_sum = None
     for _ in range(max_iters):
         cur = labels.aggregate(Sum("lbl"))["sum(lbl)"]
         if cur == prev_sum:
             break
         prev_sum = cur
-        # peer's current label flows to node; keep own label via union
-        prop = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("peer",), right_on=("node",),
+        # peer's current label flows to node; keep own label via union.
+        # label table is O(nodes-in-pairs): broadcast-joined while it
+        # measures small, distributed hash join past the threshold
+        # (stages/joins.py — each Dataset.join costs ~2-4 s fixed, per
+        # ITERATION here, the dominant cost of the whole query at bench
+        # scale)
+        from sits_ray.stages.joins import adaptive_join_unique
+
+        prop = adaptive_join_unique(
+            edges, labels, on="peer", right_on="node",
+            value_cols={"lbl": "lbl"}, num_partitions=num_partitions,
         ).select_columns(["node", "lbl"])
+        prop = _as_pandas(prop)
         labels = (
-            prop.union(labels)
-            .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
+            _as_pandas(
+                prop.union(labels)
+                .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+            ).materialize()
         )
     else:
         raise RuntimeError(

@@ -245,14 +245,24 @@ def test_auto_nlist_scales():
     assert auto_nlist(10**9) == 4096    # ceiling
 
 
-def test_connected_components_chain(ray_session):
-    # chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+@pytest.mark.parametrize(
+    "local_edges,broadcast_nodes",
+    [(8_000_000, 4_000_000),  # tier 1: driver-local numpy loop
+     (0, 4_000_000),          # tier 2: driver labels, distributed edges
+     (0, 0)],                 # tier 3: fully distributed join+groupby
+)
+def test_connected_components_chain(ray_session, local_edges, broadcast_nodes):
+    # chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}.
+    # All three adaptive tiers must return the identical labeling (the
+    # min-label fixed point is unique).
     from sits_ray.stages.dedup import connected_components
 
     pairs = rd.from_pandas(pd.DataFrame(
         {"doc_a": [2, 2, 10], "doc_b": [1, 3, 11]}
     ))
-    out = connected_components(pairs).to_pandas().sort_values("doc_id")
+    out = connected_components(
+        pairs, broadcast_nodes=broadcast_nodes, local_edges=local_edges
+    ).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["rep_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
