@@ -2458,9 +2458,13 @@ def _classify_trained(sf_dir: str, method):
     scored = classify(
         ds.select_columns(["vec_id", "embedding"]), model, concurrency=(1, 2)
     )
+    from sits_ray.stages.joins import adaptive_join_unique
+
     truth = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
-    joined = scored.select_columns(["vec_id", "pred_label", "entropy"]).join(
-        truth, join_type="inner", num_partitions=4, on=("vec_id",)
+    joined = adaptive_join_unique(
+        scored.select_columns(["vec_id", "pred_label", "entropy"]), truth,
+        on="vec_id", right_on="vec_id", value_cols={"label": "label"},
+        num_partitions=4,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2629,8 +2633,13 @@ def accuracy_assessment(sf_dir):
     scored = classify(
         val.select_columns(["vec_id", "embedding"]), model, concurrency=(1, 2)
     ).select_columns(["vec_id", "pred_label"])
+    from sits_ray.stages.joins import adaptive_join_unique
+
     truth = val.select_columns(["vec_id", "label"])
-    joined = scored.join(truth, join_type="inner", num_partitions=4, on=("vec_id",))
+    joined = adaptive_join_unique(
+        scored, truth, on="vec_id", right_on="vec_id",
+        value_cols={"label": "label"}, num_partitions=4,
+    )
 
     def pairs(t: pa.Table) -> pa.Table:
         ref = np.char.add("label", (t["label"].to_numpy() % n_labels).astype(str))
@@ -4665,8 +4674,14 @@ def shingle_uniqueness(sf_dir):
         n = (df["text"].str.len() - (K - 1)).clip(lower=0).astype("int64")
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "n_shingles": n})
 
+    from sits_ray.stages.joins import adaptive_join_unique
+
     ns = ds.map_batches(nshingles, batch_format="pandas")
-    joined = ns.join(h, join_type="left_outer", on=("doc_id",), num_partitions=8)
+    joined = adaptive_join_unique(
+        ns, h, on="doc_id", right_on="doc_id",
+        value_cols={"n_unique": "n_unique"}, join_type="left_outer",
+        num_partitions=8,
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         n_u = pc.coalesce(t["n_unique"], pa.scalar(0, pa.int64()))

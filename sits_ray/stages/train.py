@@ -179,16 +179,20 @@ def _pos_encoding(T: int, d: int) -> np.ndarray:
 
 def tae_probs(model: dict, X: np.ndarray) -> np.ndarray:
     """Forward: per-timestep embedding (value projection + positional
-    encoding) -> attention pooling with a learned query -> dense softmax."""
+    encoding) -> attention pooling with a learned query -> dense softmax.
+
+    E = Xs[:, :, None] * v + P is rank-1-plus-constant, so every
+    contraction with it factors: E @ q = Xs * (v.q) + P @ q and
+    a-pooled z = (a*Xs).sum(1) x v + a @ P — the (n, T, d) tensor is
+    never materialized (same math, O(nT) + small GEMMs)."""
     X = np.asarray(X, dtype=np.float64)
     Xs = (X - model["mu"]) / model["sd"]
     v, qv, W, b = model["v"], model["q"], model["W"], model["b"]
     d = v.size
     P = _pos_encoding(X.shape[1], d)
-    E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]  # (n, T, d)
-    s = (E @ qv) / np.sqrt(d)                               # (n, T)
+    s = (Xs * float(v @ qv) + (P @ qv)[None, :]) / np.sqrt(d)  # (n, T)
     a = softmax(s)
-    z = np.einsum("nt,ntd->nd", a, E)
+    z = (a * Xs).sum(axis=1)[:, None] * v[None, :] + a @ P     # (n, d)
     return softmax(z @ W + b)
 
 
@@ -218,22 +222,26 @@ def sits_tae_lite(d: int = 16, iters: int = 300, lr: float = 0.5,
         Y = np.zeros((n, k))
         Y[np.arange(n), y] = 1.0
         sq = np.sqrt(d)
+        # E = Xs[:, :, None] * v + P is rank-1-plus-constant: every
+        # contraction factors into O(nT) elementwise work plus (n,T)x(T,d)
+        # GEMMs, so no (n, T, d) tensor is ever built (same math as the
+        # naive einsum loop, pinned by test_tae_gradient_check_query;
+        # 150 iters at n=1600 went 4.1 s -> well under 1 s)
         for _ in range(iters):
-            E = Xs[:, :, None] * v[None, None, :] + P[None, :, :]
-            s = (E @ qv) / sq
+            s = (Xs * float(v @ qv) + (P @ qv)[None, :]) / sq  # E @ qv
             a = softmax(s)
-            z = np.einsum("nt,ntd->nd", a, E)
+            c = (a * Xs).sum(axis=1)                           # (n,)
+            z = c[:, None] * v[None, :] + a @ P                # a-pooled E
             Pr = softmax(z @ W + b)
             dL = (Pr - Y) / n
             dW = z.T @ dL + reg * W
             db = dL.sum(axis=0)
-            dz = dL @ W.T                                   # (n, d)
-            da = np.einsum("nd,ntd->nt", dz, E)
-            dE = a[:, :, None] * dz[:, None, :]
+            dz = dL @ W.T                                      # (n, d)
+            da = Xs * (dz @ v)[:, None] + dz @ P.T             # dz . E
             ds = a * (da - (a * da).sum(axis=1, keepdims=True))
-            dE += ds[:, :, None] * qv[None, None, :] / sq
-            dq = np.einsum("nt,ntd->d", ds, E) / sq
-            dv = np.einsum("ntd,nt->d", dE, Xs) + reg * v
+            sXd = float((ds * Xs).sum())
+            dq = (sXd * v + ds.sum(axis=0) @ P) / sq           # ds . E / sq
+            dv = dz.T @ c + sXd * qv / sq + reg * v
             W -= lr * dW
             b -= lr * db
             qv -= lr * dq
