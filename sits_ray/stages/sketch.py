@@ -95,23 +95,22 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
         sk, merge_part, key_col="token", n_parts=n_parts
     ).materialize()
 
-    # E: the error rows share one token, hence one partition — tiny filter
-    def err_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["token"] == _ERR_TOKEN]
-
-    errs = merged.map_batches(err_rows, batch_format="pandas").take_all()
-    E = int(sum(r["kept"] for r in errs))
-
-    # L: k-th largest global kept_sum, found from per-block top-k rows
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+    # E (total sketch error) and L (k-th kept sum from per-block top-k
+    # rows — any global top-k token is top-k within its block) come from
+    # ONE pass over merged: each block emits its error rows plus its
+    # top-k, O(blocks x k) rows total
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        err = df[df["token"] == _ERR_TOKEN]
         d = df[df["token"] != _ERR_TOKEN]
-        return d.nlargest(k, "kept")
+        return pd.concat(
+            [err.assign(kind=np.int64(0)),
+             d.nlargest(k, "kept").assign(kind=np.int64(1))],
+            ignore_index=True,
+        )
 
-    top = (
-        merged.map_batches(block_topk, batch_format="pandas")
-        .to_pandas()
-        .nlargest(k, "kept")
-    )
+    bs = merged.map_batches(block_stats, batch_format="pandas").to_pandas()
+    E = int(bs.loc[bs["kind"] == 0, "kept"].sum())
+    top = bs[bs["kind"] == 1].nlargest(k, "kept")
     if top.empty:
         return pd.DataFrame({"token": pd.Series(dtype=object),
                              "n": pd.Series(dtype=np.int64)})
@@ -155,15 +154,33 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
              "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("token", as_index=False, sort=False)["n"].sum()
-        out["n"] = out["n"].astype(np.int64)
-        return out
+    if cut > 0:
+        # healthy cut: per-block recount partials are O(n_candidates)
+        # rows each (the provable superset) — integer-sum them on the
+        # driver, skipping a whole hash exchange
+        from sits_ray.stages.joins import _right_as_table
 
-    exact = part_aggregate(
-        ds.map_batches(recount, batch_format="pandas"),
-        sum_part, key_col="token", n_parts=n_parts,
-    ).to_pandas()
+        rt = _right_as_table(ds.map_batches(recount, batch_format="pandas"))
+        exact = (
+            pd.DataFrame(
+                {"token": rt["token"].to_numpy(zero_copy_only=False),
+                 "n": rt["n"].to_numpy()}
+            )
+            .groupby("token", as_index=False, sort=False)["n"].sum()
+        )
+        exact["n"] = exact["n"].astype(np.int64)
+    else:
+        # degenerate cut: candidates = the full sketched vocabulary, so
+        # keep the recount merge distributed (hash-partitioned exchange)
+        def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("token", as_index=False, sort=False)["n"].sum()
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+        exact = part_aggregate(
+            ds.map_batches(recount, batch_format="pandas"),
+            sum_part, key_col="token", n_parts=n_parts,
+        ).to_pandas()
     exact = exact.sort_values(
         ["n", "token"], ascending=[False, True]
     ).head(k)
@@ -206,20 +223,29 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source",
              "v": vc.to_numpy(dtype=np.int64)}
         )
 
-    distinct = (
+    # the per-part / per-batch partials are O(groups) rows each — sum
+    # them on the driver (integer sums, order-free) instead of paying a
+    # Dataset.groupby pipeline per aggregate
+    from sits_ray.stages.joins import _right_as_table
+
+    dt = _right_as_table(
         part_aggregate(
             ds.map_batches(pairs, batch_format="pandas"),
             distinct_part, key_col="token", n_parts=n_parts,
         )
-        .groupby(group_col)
-        .aggregate(Sum("v", alias_name="n_vocab"))
-        .to_pandas()
     )
+    distinct = (
+        pd.DataFrame({group_col: dt[group_col].to_numpy(zero_copy_only=False),
+                      "v": dt["v"].to_numpy()})
+        .groupby(group_col, as_index=False)["v"].sum()
+        .rename(columns={"v": "n_vocab"})
+    )
+    tt = _right_as_table(ds.map_batches(totals, batch_format="pandas"))
     tot = (
-        ds.map_batches(totals, batch_format="pandas")
-        .groupby(group_col)
-        .aggregate(Sum("t", alias_name="n_tokens"))
-        .to_pandas()
+        pd.DataFrame({group_col: tt[group_col].to_numpy(zero_copy_only=False),
+                      "t": tt["t"].to_numpy()})
+        .groupby(group_col, as_index=False)["t"].sum()
+        .rename(columns={"t": "n_tokens"})
     )
     out = distinct.merge(tot, on=group_col)
     out["n_vocab"] = out["n_vocab"].astype(np.int64)
