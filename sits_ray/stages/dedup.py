@@ -301,30 +301,48 @@ def band_pairs(lsh, max_bucket: int = 128, n_parts: int = 32):
     from sits_ray.stages.hashagg import part_aggregate
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64)}
+        )
         gg = g.sort_values(["band_id", "band_hash", "doc_id"])
         bid = gg["band_id"].to_numpy()
         bh = gg["band_hash"].to_numpy()
-        did = gg["doc_id"].to_numpy()
-        starts = np.flatnonzero(
-            np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
-        )
-        ends = np.r_[starts[1:], did.size]
+        did = gg["doc_id"].to_numpy(dtype=np.int64)
+        n = did.size
+        if n == 0:
+            return empty
+        # NO per-bucket Python loop (a partition holds ~1e5 mostly-
+        # singleton buckets): dedup (bucket, doc) adjacently, cap each
+        # bucket at its max_bucket SMALLEST ids (did sorts ascending
+        # within bucket), then emit triu pairs one SIZE CLASS at a time —
+        # buckets of equal capped size stack into a (k, s) id matrix and
+        # ids_mat[:, iu] / ids_mat[:, ju] yields every pair vectorized.
+        # Output order differs from the old per-bucket loop only before
+        # the groupby below, which canonicalizes it.
+        newb = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        keep1 = newb | np.r_[True, did[1:] != did[:-1]]
+        did = did[keep1]
+        newb = newb[keep1]
+        bno = np.cumsum(newb) - 1               # bucket ordinal per row
+        starts = np.flatnonzero(newb)
+        sizes = np.diff(np.r_[starts, did.size])
+        rank = np.arange(did.size) - starts[bno]
+        capped = rank < max_bucket
+        did = did[capped]
+        bno = bno[capped]
+        sz = np.minimum(sizes, max_bucket)      # capped size per bucket
+        offs = np.r_[0, np.cumsum(sz)[:-1]]     # bucket offset in `did`
         out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            ids = np.unique(did[s:e])
-            if ids.size < 2:
-                continue
-            if ids.size > max_bucket:
-                ids = ids[:max_bucket]
-            iu, ju = np.triu_indices(ids.size, 1)
-            out_a.append(ids[iu])
-            out_b.append(ids[ju])
+        for s in np.unique(sz[sz >= 2]):
+            sel = np.flatnonzero(sz == s)
+            mat = did[offs[sel][:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), 1)
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=np.int64),
-                 "doc_b": pd.Series([], dtype=np.int64),
-                 "n": pd.Series([], dtype=np.int64)}
-            )
+            return empty
         p = pd.DataFrame(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
