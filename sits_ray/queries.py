@@ -2989,14 +2989,12 @@ def langid_quality(sf_dir):
     ratios and BPE-ish token counts re-derived with DuckDB regexes (the
     corpus is ASCII, so the CJK branch is a no-op on both sides; ratio
     divisions are int/int in float64 — bit-identical)."""
-    from sits_ray.stages.textstats import TextAnalyzer
+    from sits_ray.stages.textstats import analyze_rows
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(
-        TextAnalyzer, batch_format="pandas", concurrency=(1, 2), num_cpus=1
-    )
+    return ds.map_batches(analyze_rows, batch_format="pandas")
 
 
 @q(

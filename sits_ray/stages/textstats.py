@@ -18,6 +18,22 @@ from sits_ray.kernels.text import (
 )
 
 
+_ANALYZER_CACHE: dict = {}
+
+
+def analyze_rows(batch, id_col: str = "doc_id", text_col: str = "text"):
+    """Plain-task form of :class:`TextAnalyzer` with a per-worker-process
+    cache — its state is a handful of frozensets (no load-time setup), so
+    warm Ray workers amortize it like an actor pool minus the ~1-2 s pool
+    spin-up per call (the dedup._STAGE_CACHE principle: actor pools for
+    expensive setup like models, plain tasks for cheap incremental state)."""
+    key = (id_col, text_col)
+    st = _ANALYZER_CACHE.get(key)
+    if st is None:
+        st = _ANALYZER_CACHE[key] = TextAnalyzer(id_col=id_col, text_col=text_col)
+    return st(batch)
+
+
 class TextAnalyzer:
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         # compiled once per actor (regexes are module-level compiled; the
