@@ -95,6 +95,12 @@ def broadcast_join_unique(
     inner = join_type == "inner"
 
     def lookup(t: pa.Table) -> pa.Table:
+        clash = set(value_cols.values()) & set(t.column_names)
+        if clash:
+            raise ValueError(
+                f"value columns {sorted(clash)} would overwrite left "
+                "columns — rename them in value_cols"
+            )
         ks, vt = ray.get(ref)  # zero-copy plasma fetch, once per call
         k = t[on].combine_chunks().to_numpy(zero_copy_only=False)
         if ks.size == 0:
@@ -149,11 +155,23 @@ def adaptive_join_unique(
         right_mat = right.select(keep)
         n_right = right_mat.num_rows
         b_right = right_mat.nbytes
+        int_key = pa.types.is_integer(right_mat.schema.field(right_on).type)
     else:
         right_mat = right.select_columns(keep).materialize()
         n_right = right_mat.count()
         b_right = right_mat.size_bytes() or 0
-    if n_right <= broadcast_rows and b_right <= broadcast_bytes:
+        sch = getattr(right_mat.schema(), "base_schema", right_mat.schema())
+        if isinstance(sch, pa.Schema):
+            int_key = pa.types.is_integer(sch.field(right_on).type)
+        else:  # PandasBlockSchema: names + numpy dtypes
+            try:
+                dt = dict(zip(sch.names, sch.types))[right_on]
+                int_key = np.dtype(dt).kind in "iu"
+            except (KeyError, TypeError, AttributeError):
+                int_key = False
+    # non-integer keys take the distributed join — the broadcast lookup
+    # is a searchsorted over an int64 key vector
+    if int_key and n_right <= broadcast_rows and b_right <= broadcast_bytes:
         return broadcast_join_unique(
             left, _right_as_table(right_mat), on, right_on, value_cols,
             join_type=join_type,
