@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "kmeans_lloyd_int",
     # round-4c family: compressed-domain ANN (integer ADC over PQ codes)
     "pq_ann_topk",
+    # round-4e family: end-to-end curation (quality gate -> near-dup
+    # blocking -> tiered connected components -> adaptive membership join)
+    "curation_keep_docs",
 ]
 
 
