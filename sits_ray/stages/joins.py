@@ -157,7 +157,18 @@ def adaptive_join_unique(
         b_right = right_mat.nbytes
         int_key = pa.types.is_integer(right_mat.schema.field(right_on).type)
     else:
-        right_mat = right.select_columns(keep).materialize()
+        from ray.data.dataset import MaterializedDataset
+
+        names = None
+        if isinstance(right, MaterializedDataset):
+            sch0 = getattr(right.schema(), "base_schema", right.schema())
+            names = list(getattr(sch0, "names", []) or [])
+        if names is not None and set(names) == set(keep):
+            # already materialized and already narrowed: re-projecting
+            # would spin a whole new pipeline (~0.3 s) for a no-op
+            right_mat = right
+        else:
+            right_mat = right.select_columns(keep).materialize()
         n_right = right_mat.count()
         b_right = right_mat.size_bytes() or 0
         sch = getattr(right_mat.schema(), "base_schema", right_mat.schema())
