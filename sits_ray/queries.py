@@ -6690,6 +6690,164 @@ def unigram_nll_scores(sf_dir):
     return unigram_nll(ds, counts, total)
 
 
+# --- CCNet chunk-level boilerplate removal ----------------------------------
+@q(
+    "boilerplate_chunks",
+    """
+with w as (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as ws
+           from documents),
+c as (select doc_id,
+             list_reduce(list_slice(ws, i, i + 9),
+                         (a, b) -> a || ' ' || b) as chunk
+      from w, unnest(generate_series(1, len(ws) - 9, 10)) as u(i)),
+nc as (select doc_id, chunk, cast(count(*) as bigint) as occ,
+              cast(length(chunk) as bigint) as chars
+       from c group by 1, 2),
+cnt as (select chunk, cast(count(*) as bigint) as n_docs from nc group by 1),
+per as (select doc_id,
+               sum(occ) as n_chunks,
+               sum(case when n_docs >= 2 then occ else 0 end) as n_boiler,
+               sum(case when n_docs >= 2 then 0 else occ * chars end)
+                 as kept_chars
+        from nc join cnt using (chunk) group by 1)
+select doc_id, cast(n_chunks as bigint) as n_chunks,
+       cast(n_boiler as bigint) as n_boiler,
+       cast(kept_chars as bigint) as kept_chars,
+       cast(n_boiler as double) / cast(n_chunks as double) as boiler_frac
+from per
+""",
+)
+def boilerplate_chunks_q(sf_dir):
+    """CCNet-style boilerplate removal (Wenzek et al. 2020's line-level
+    dedup, adapted to newline-free corpora: the record unit is the
+    non-overlapping 10-token chunk). A chunk present in >= 2 distinct
+    documents is boilerplate; output = per-document retention stats
+    after removing every occurrence. Text never shuffles — chunks move
+    as 62-bit composite Horner keys through two ``part_aggregate``
+    exchanges (stages/curation.boilerplate_chunks); ``boiler_frac`` is a
+    single int/int division so the float column is bit-exact."""
+    from sits_ray.stages.curation import boilerplate_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return boilerplate_chunks(ds, w=10, min_docs=2)
+
+
+# --- Bloom-filter benchmark decontamination ---------------------------------
+def _bloom_sql(bench_mod: int = 20, m_bits: int = 1 << 20, k: int = 3,
+               seed: int = 29) -> str:
+    """SQL twin of stages/curation.bloom_decontaminate: identical affine
+    bit positions (literal constants) probed against the identical shared
+    position set, so Bloom FALSE POSITIVES reproduce exactly."""
+    from sits_ray.stages.curation import bloom_constants
+
+    a, b = bloom_constants(k, seed)
+
+    def pos(j: int) -> str:
+        return (f"(({int(a[j])} * wh + {int(b[j])}) % 2147483647) % {m_bits}")
+
+    bench = "\n  union\n".join(
+        f"  select distinct {pos(j)} as pos from gh"
+        f" where doc_id % {bench_mod} = 0"
+        for j in range(k)
+    )
+    probe = "\n    and ".join(
+        f"{pos(j)} in (select pos from bp)" for j in range(k)
+    )
+    return f"""
+with tok as (
+  select doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+      t -> list_reduce(list_prepend(cast(0 as bigint),
+             list_transform(regexp_extract_all(to_hex(encode(t)), '..'),
+                            c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647)) as hts
+  from documents),
+win as (
+  select doc_id,
+    list_reduce(list_prepend(cast(0 as bigint), hts[i:i+2]),
+                (a, b) -> (a * 1000003 + b) % 2147483647) as wh
+  from tok, unnest(generate_series(1, len(hts) - 2)) as u(i)),
+gh as (select distinct doc_id, wh from win),
+bp as (
+{bench}),
+hit as (
+  select doc_id, wh from gh
+  where doc_id % {bench_mod} <> 0
+    and {probe}),
+per as (select doc_id, cast(count(*) as bigint) as n_bloom_hits
+        from hit group by 1)
+select d.doc_id, coalesce(per.n_bloom_hits, 0) as n_bloom_hits,
+       coalesce(per.n_bloom_hits, 0) > 0 as flagged
+from (select doc_id from documents where doc_id % {bench_mod} <> 0) d
+left join per using (doc_id)
+"""
+
+
+@q("bloom_decontaminate", _bloom_sql())
+def bloom_decontaminate_q(sf_dir):
+    """Benchmark decontamination through a 2^20-bit Bloom filter over
+    token 3-gram hashes (docs with doc_id % 20 == 0 are the benchmark).
+    The scale upgrade over ``decontaminate_overlap``: the benchmark side
+    never materializes — each map task ORs its grams into a fixed
+    128 KiB bit-array partial, the driver ORs and broadcasts ONCE, so
+    nothing grows with benchmark size. Hits include Bloom false
+    positives by contract; the SQL twin replays the identical affine
+    positions against the identical shared bit set, so the count is
+    bit-exact (stages/curation.bloom_decontaminate)."""
+    from sits_ray.stages.curation import bloom_decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bloom_decontaminate(ds, bench_mod=20)
+
+
+# --- MOSS winnowing fingerprints --------------------------------------------
+@q(
+    "winnow_fingerprints",
+    """
+with tok as (
+  select doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+      t -> list_reduce(list_prepend(cast(0 as bigint),
+             list_transform(regexp_extract_all(to_hex(encode(t)), '..'),
+                            c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647)) as hts
+  from documents),
+win as (
+  select doc_id, cast(i - 1 as bigint) as pos,
+    list_reduce(list_prepend(cast(0 as bigint), hts[i:i+3]),
+                (a, b) -> (a * 1000003 + b) % 2147483647) as wh
+  from tok, unnest(generate_series(1, len(hts) - 3)) as u(i)),
+keyd as (
+  select doc_id, pos, wh * 2097152 + (2097151 - pos) as key,
+         cast(count(*) over (partition by doc_id) as bigint) as nw
+  from win),
+sel as (
+  select doc_id,
+         min(key) over (partition by doc_id order by pos
+                        rows between current row and 4 following) as selkey
+  from keyd
+  qualify pos <= nw - 5)
+select distinct doc_id,
+       2097151 - (selkey % 2097152) as pos,
+       selkey // 2097152 as fp
+from sel
+""",
+)
+def winnow_fingerprints_q(sf_dir):
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): rightmost-minimal token-4-gram hash of every 5-window —
+    guarantees any shared 8-token run yields a shared fingerprint. The
+    (min hash, rightmost pos) rule packs into ONE int64 key
+    (hash * 2^21 + (2^21-1-pos)), so engine selection is w shifted
+    np.minimum passes with doc-boundary masks (no per-doc Python, no
+    shuffle) and the SQL twin is a plain window min over the same key
+    (stages/curation.winnow_fingerprints)."""
+    from sits_ray.stages.curation import winnow_fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=4, w=5)
+
+
 # --- deterministic frequency capping (per-source doc caps) -------------------
 @q(
     "source_cap_sample",

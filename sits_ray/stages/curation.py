@@ -1,0 +1,378 @@
+"""Corpus-curation operators beyond the near-dup family: chunk-level
+boilerplate removal (CCNet-style), Bloom-filter decontamination, and
+MOSS winnowing fingerprints.
+
+All three follow the repo's scale disciplines: document text NEVER
+crosses a shuffle (only thin integer rows move), high-cardinality keys
+route through ``stages/hashagg.part_aggregate`` (the measured
+``Dataset.groupby`` ~10k rows/s pathology), small sides broadcast once
+via ``ray.put``, and every float column is a single int/int division so
+the DuckDB twins are bit-exact.
+
+* ``boilerplate_chunks`` — CCNet line-level dedup (Wenzek et al. 2020)
+  adapted to newline-free corpora: the record unit is the NON-overlapping
+  ``w``-token chunk (the sliding-window variant is ``dedup.dup_passages``);
+  chunks occurring in >= ``min_docs`` distinct documents are boilerplate,
+  and per-document retention stats (kept chars, boiler fraction) are the
+  removal outcome.
+* ``bloom_decontaminate`` — benchmark decontamination with a BOUNDED
+  broadcast: the benchmark side is folded into an ``m``-bit Bloom filter
+  via per-batch OR partials (fixed ``m/8`` bytes per partial and for the
+  one broadcast, regardless of benchmark size — ``queries.
+  decontaminate_overlap`` broadcasts the raw n-gram set, which grows with
+  the benchmark). False positives are part of the operator's contract and
+  the SQL twin replays them exactly (same affine bit positions, same
+  shared bit set).
+* ``winnow_fingerprints`` — the MOSS winnowing selection (Schleimer,
+  Wilkerson & Aiken, SIGMOD 2003): per document, the rightmost-minimal
+  k-gram hash of every ``w``-window of consecutive positions; the
+  classic guarantee-bearing fingerprint set (any shared run of
+  ``w + k - 1`` tokens shares a fingerprint). Selection is one packed
+  int64 sliding minimum, so the SQL twin is a plain window ``min``.
+
+Reference parity: the reference engine has no corpus-curation surface
+(R/sits.package? none) — these are the brief's first-class training-data
+ops; family siblings live in ``stages/dedup.py`` (``dup_passages``,
+``charshingle_dedup``) and ``queries.decontaminate_overlap``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from sits_ray.kernels.text import fingerprint_batch, token_window_hashes
+
+_P = (1 << 31) - 1  # Mersenne-31: every Horner product fits int64
+_BASE1 = 1_000_003  # the doc_fingerprints base (gate-pinned)
+_BASE2 = 999_983  # independent second base -> 62-bit composite chunk keys
+
+# --- CCNet-style chunk-level boilerplate removal ----------------------------
+
+
+def _chunk_rows(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    """Per-batch (doc_id, chunk-key, occ, chars) rows for every FULL
+    non-overlapping ``w``-token chunk. Chunk key = two independent Horner
+    folds over the chunk's token hashes packed into one int64 (collision
+    odds ~ C^2 / 2^62 for C distinct chunks — the CCNet trade: hashes
+    shuffle, text does not). ``chars`` equals ``length(' '.join(tokens))``
+    so the SQL twin's ``length(chunk)`` matches exactly."""
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "key": pd.Series([], dtype="int64"),
+            "occ": pd.Series([], dtype="int64"),
+            "chars": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(df):
+        return empty
+    toks = df["text"].str.lower().str.findall(r"[a-z]+")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    nch = lens // w
+    total = int(nch.sum())
+    if total == 0:
+        return empty
+    ex = toks.explode().dropna()
+    flat = ex.to_numpy(dtype=object)
+    tok_chars = ex.str.len().to_numpy(dtype=np.int64)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    h1 = fingerprint_batch(list(uniq), base=_BASE1, mod=_P)[inv]
+    h2 = fingerprint_batch(list(uniq), base=_BASE2, mod=_P)[inv]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    doc_rep = np.repeat(np.arange(len(df), dtype=np.int64), nch)
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nch) - nch, nch
+    )
+    starts = offs[doc_rep] + cidx * w
+    acc1 = np.zeros(total, dtype=np.int64)
+    acc2 = np.zeros(total, dtype=np.int64)
+    for j in range(w):
+        acc1 = (acc1 * _BASE1 + h1[starts + j]) % _P
+        acc2 = (acc2 * _BASE2 + h2[starts + j]) % _P
+    key = acc1 * _P + acc2
+    cum = np.concatenate([[0], np.cumsum(tok_chars)])
+    chars = cum[starts + w] - cum[starts] + (w - 1)
+    rows = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[doc_rep],
+            "key": key,
+            "chars": chars,
+        }
+    )
+    out = (
+        rows.groupby(["doc_id", "key"], sort=False)
+        .agg(occ=("chars", "size"), chars=("chars", "first"))
+        .reset_index()
+    )
+    return out[["doc_id", "key", "occ", "chars"]].astype("int64")
+
+
+def boilerplate_chunks(ds, w: int = 10, min_docs: int = 2, n_parts: int = 32):
+    """CCNet-style boilerplate removal stats over non-overlapping
+    ``w``-token chunks: a chunk present in >= ``min_docs`` distinct
+    documents is boilerplate; every occurrence of it is removed.
+
+    Returns one row per document owning at least one full chunk:
+    ``(doc_id, n_chunks, n_boiler, kept_chars, boiler_frac)`` with
+    ``kept_chars`` the characters surviving removal and ``boiler_frac``
+    a single int/int division (bit-exact vs SQL).
+
+    Scale shape: text tokenizes and hashes inside ``map_batches``; only
+    (doc_id, key, occ, chars) int64 rows cross the chunk-key exchange;
+    chunk-key cardinality is corpus-sized so both aggregates route
+    through ``part_aggregate`` (splitmix-mixed int partitioning)."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def boiler_partials(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_chunks": pd.Series([], dtype="int64"),
+                    "n_boiler": pd.Series([], dtype="int64"),
+                    "kept_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        # one row per (doc, key) -> rows-per-key == distinct docs owning it
+        nd = gdf.groupby("key", sort=False)["doc_id"].transform("size")
+        boiler = (nd >= min_docs).to_numpy()
+        occ = gdf["occ"].to_numpy(dtype=np.int64)
+        chars = gdf["chars"].to_numpy(dtype=np.int64)
+        tmp = pd.DataFrame(
+            {
+                "doc_id": gdf["doc_id"].to_numpy(dtype=np.int64),
+                "n_chunks": occ,
+                "n_boiler": np.where(boiler, occ, 0),
+                "kept_chars": np.where(boiler, 0, occ * chars),
+            }
+        )
+        return tmp.groupby("doc_id", as_index=False, sort=False).sum()
+
+    partials = part_aggregate(
+        ds.map_batches(lambda d: _chunk_rows(d, w), batch_format="pandas"),
+        boiler_partials,
+        key_col="key",
+        n_parts=n_parts,
+    )
+
+    def sum_doc(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return gdf
+        return gdf.groupby("doc_id", as_index=False, sort=False).sum()
+
+    def finish(gdf: pd.DataFrame) -> pd.DataFrame:
+        g = sum_doc(gdf)
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_chunks": pd.Series([], dtype="int64"),
+                    "n_boiler": pd.Series([], dtype="int64"),
+                    "kept_chars": pd.Series([], dtype="int64"),
+                    "boiler_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        g["boiler_frac"] = g["n_boiler"].to_numpy(dtype=np.int64) / g[
+            "n_chunks"
+        ].to_numpy(dtype=np.int64)
+        return g
+
+    return part_aggregate(partials, finish, key_col="doc_id", n_parts=16)
+
+
+# --- Bloom-filter benchmark decontamination ---------------------------------
+
+
+def bloom_constants(k: int = 3, seed: int = 29):
+    """Deterministic affine position-hash constants, shared verbatim by
+    the engine and the generated SQL oracle (literal values)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=k, dtype=np.int64)
+    b = rng.integers(0, _P, size=k, dtype=np.int64)
+    return a, b
+
+
+def _bloom_positions(h: np.ndarray, a, b, m_bits: int) -> np.ndarray:
+    """(k, n) bit positions: ``((a_j * h + b_j) mod P) mod m``. Products
+    stay < 2^62 (a_j, h < 2^31), so int64 arithmetic is exact — the SQL
+    twin runs the identical expressions in BIGINT."""
+    return ((a[:, None] * h[None, :] + b[:, None]) % _P) % m_bits
+
+
+def bloom_decontaminate(
+    ds,
+    bench_mod: int = 20,
+    w: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: int = 29,
+):
+    """Benchmark decontamination through an ``m``-bit Bloom filter over
+    token ``w``-gram hashes (``kernels/text.token_window_hashes`` — the
+    gate-pinned dup_passages recurrence). Documents with
+    ``doc_id % bench_mod == 0`` form the benchmark; every other document
+    reports how many of its distinct gram hashes hit the filter.
+
+    Output: ``(doc_id, n_bloom_hits, flagged)`` for every non-benchmark
+    document. Hits INCLUDE Bloom false positives — that is the operator's
+    honest contract, and the SQL twin reproduces them exactly (same
+    affine positions probed against the same shared position set).
+
+    Scale shape: the benchmark side never materializes — each map task
+    ORs its grams into a local ``m/64``-word array and emits that one
+    fixed-size partial (m_bits = 2^20 -> 128 KiB); the driver ORs the
+    partials and broadcasts the array once via ``ray.put``. Probe is one
+    stateless pass; text never shuffles, nothing scales with benchmark
+    size."""
+    a, b = bloom_constants(k, seed)
+    nwords = m_bits // 64
+
+    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].to_numpy() % bench_mod == 0]
+        words = np.zeros(nwords, dtype=np.uint64)
+        if len(sub):
+            _, wh = token_window_hashes(
+                sub["text"].reset_index(drop=True), w=w
+            )
+            if len(wh):
+                pos = _bloom_positions(np.unique(wh), a, b, m_bits).ravel()
+                np.bitwise_or.at(
+                    words,
+                    pos >> 6,
+                    np.uint64(1) << (pos & 63).astype(np.uint64),
+                )
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    parts = ds.map_batches(build_partial, batch_format="pandas").to_pandas()
+    filt = np.zeros(nwords, dtype=np.uint64)
+    for buf in parts["words"]:
+        filt |= np.frombuffer(buf, dtype=np.uint64)
+    filt_ref = ray.put(filt)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].to_numpy() % bench_mod != 0]
+        doc_ids = sub["doc_id"].to_numpy(dtype=np.int64)
+        hits = np.zeros(len(sub), dtype=np.int64)
+        if len(sub):
+            di, wh = token_window_hashes(
+                sub["text"].reset_index(drop=True), w=w
+            )
+            if len(wh):
+                # distinct gram hashes per document
+                order = np.lexsort((wh, di))
+                di, wh = di[order], wh[order]
+                first = np.ones(len(wh), dtype=bool)
+                first[1:] = (di[1:] != di[:-1]) | (wh[1:] != wh[:-1])
+                di, wh = di[first], wh[first]
+                f = ray.get(filt_ref)
+                pos = _bloom_positions(wh, a, b, m_bits)
+                ok = np.ones(len(wh), dtype=bool)
+                for j in range(k):
+                    pj = pos[j]
+                    sh = (pj & 63).astype(np.uint64)
+                    ok &= ((f[pj >> 6] >> sh) & np.uint64(1)) != 0
+                np.add.at(hits, di[ok], 1)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_bloom_hits": hits,
+                "flagged": hits > 0,
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+# --- MOSS winnowing fingerprints --------------------------------------------
+
+_POS_BITS = 21  # supports docs up to 2^21 - 1 k-gram positions
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
+def winnow_scalar(tokens, k: int = 4, w: int = 5):
+    """Textbook scalar winnowing twin (tests pin parity with the stage):
+    per window of ``w`` consecutive k-gram hashes select the RIGHTMOST
+    minimal hash; fingerprints are the distinct selected positions."""
+    from sits_ray.kernels.text import window_hash_scalar
+
+    hs = window_hash_scalar(tokens, w=k)
+    sel = set()
+    for i in range(max(len(hs) - w + 1, 0)):
+        best = i
+        for j in range(i, i + w):
+            if hs[j] <= hs[best]:
+                best = j  # <= keeps the rightmost minimum
+        sel.add((best, hs[best]))
+    return sorted(sel)
+
+
+def winnow_fingerprints(ds, k: int = 4, w: int = 5):
+    """MOSS winnowing fingerprint selection (Schleimer et al. 2003): for
+    every document, hash its token k-grams (the gate-pinned Horner
+    recurrence), then from each window of ``w`` consecutive positions
+    keep the rightmost minimal hash. Guarantee: any token run of length
+    ``w + k - 1`` shared by two documents yields a shared fingerprint.
+
+    Selection is vectorized with NO per-document Python: packed key
+    ``hash * 2^21 + (2^21 - 1 - pos)`` makes (min hash, rightmost pos)
+    lexicographic a plain integer minimum (< 2^52, int64-exact), the
+    sliding minimum is ``w`` shifted np.minimum passes over the batch's
+    flat position array, and windows crossing document boundaries are
+    masked. The SQL twin is the same packed key under a window ``min``
+    (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) — bit-for-bit.
+
+    Output: one row per selected fingerprint, ``(doc_id, pos, fp)`` with
+    ``pos`` the 0-based k-gram position. Stateless ``map_batches``; no
+    shuffle at any point."""
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        di, wh = token_window_hashes(df["text"].reset_index(drop=True), w=k)
+        n = len(wh)
+        if n < w:
+            return empty
+        nwin = np.bincount(di, minlength=len(df)).astype(np.int64)
+        if nwin.max() > _POS_MASK:
+            raise ValueError(
+                f"winnow_fingerprints: document with {int(nwin.max())} k-gram "
+                f"positions exceeds the 2^{_POS_BITS}-1 packed-position bound"
+            )
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            np.cumsum(nwin) - nwin, nwin
+        )
+        key = (wh << _POS_BITS) + (_POS_MASK - pos)
+        L = n - w + 1
+        acc = key[:L].copy()
+        for j in range(1, w):
+            np.minimum(acc, key[j : j + L], out=acc)
+        valid = di[:L] == di[w - 1 :]
+        sel_key = acc[valid]
+        sel_doc = di[:L][valid]
+        # distinct (doc, key): key encodes (hash, pos) uniquely per doc
+        order = np.lexsort((sel_key, sel_doc))
+        sel_doc, sel_key = sel_doc[order], sel_key[order]
+        keep = np.ones(len(sel_key), dtype=bool)
+        keep[1:] = (sel_doc[1:] != sel_doc[:-1]) | (
+            sel_key[1:] != sel_key[:-1]
+        )
+        sel_doc, sel_key = sel_doc[keep], sel_key[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[sel_doc],
+                "pos": _POS_MASK - (sel_key & _POS_MASK),
+                "fp": sel_key >> _POS_BITS,
+            }
+        )
+
+    return ds.map_batches(select, batch_format="pandas")

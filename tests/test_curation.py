@@ -1,0 +1,216 @@
+"""Curation operators: chunk-level boilerplate removal, Bloom
+decontamination, MOSS winnowing (stages/curation.py). Each stage is
+pinned against a brute-force scalar twin on structured synthetic docs;
+the DuckDB oracles certify them again in the gate."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sits_ray.stages.curation import (
+    _P,
+    _bloom_positions,
+    bloom_constants,
+    bloom_decontaminate,
+    boilerplate_chunks,
+    winnow_fingerprints,
+    winnow_scalar,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _corpus(n=40, seed=7, planted_every=4, plant_tail=False):
+    rng = np.random.default_rng(seed)
+    shared = " ".join(rng.choice(VOCAB, 10))
+    docs = []
+    for i in range(n):
+        body = " ".join(rng.choice(VOCAB, int(rng.integers(5, 40))))
+        if planted_every and i % planted_every == 0:
+            body = (body + " " + shared) if plant_tail else (shared + " " + body)
+        docs.append(body)
+    return pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": docs}
+    )
+
+
+def _ds(pdf, parts=5):
+    import ray.data as rd
+
+    return rd.from_pandas(pdf).repartition(parts)
+
+
+def _brute_boiler(pdf, w=10, min_docs=2):
+    rows, cnt = {}, Counter()
+    for d, t in zip(pdf.doc_id, pdf.text):
+        ws = re.findall(r"[a-z]+", t.lower())
+        occ = Counter(
+            " ".join(ws[i : i + w]) for i in range(0, len(ws) - w + 1, w)
+        )
+        rows[d] = occ
+        for c in occ:
+            cnt[c] += 1
+    out = []
+    for d, occ in rows.items():
+        if not occ:
+            continue
+        nl = sum(occ.values())
+        nb = sum(o for c, o in occ.items() if cnt[c] >= min_docs)
+        kept = sum(o * len(c) for c, o in occ.items() if cnt[c] < min_docs)
+        out.append((d, nl, nb, kept, nb / nl))
+    return (
+        pd.DataFrame(
+            out,
+            columns=["doc_id", "n_chunks", "n_boiler", "kept_chars",
+                     "boiler_frac"],
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_boilerplate_chunks_matches_brute_force(ray_session):
+    pdf = _corpus()
+    got = (
+        boilerplate_chunks(_ds(pdf), w=10, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_boiler(pdf)
+    assert got.astype(exp.dtypes.to_dict()).equals(exp)
+    assert (got["n_boiler"] > 0).sum() >= 2  # planted chunk detected
+
+
+def test_boilerplate_within_doc_repeat_and_short_docs(ray_session):
+    # doc 0 repeats the SAME 10-token chunk twice (occ=2, but n_docs=1 ->
+    # not boilerplate); doc 2 shares a chunk with doc 0; doc 3 is too
+    # short for any chunk and must be absent from the output
+    c1 = " ".join(VOCAB[:8] + VOCAB[:2])
+    c2 = " ".join(reversed(VOCAB + VOCAB[:2]))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [c1 + " " + c1, c2, c1 + " " + c2, "too short"],
+        }
+    )
+    got = (
+        boilerplate_chunks(_ds(pdf, parts=2), w=10, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_boiler(pdf)
+    assert got.astype(exp.dtypes.to_dict()).equals(exp)
+    assert set(got["doc_id"]) == {0, 1, 2}
+    r0 = got.set_index("doc_id").loc[0]
+    assert r0["n_chunks"] == 2 and r0["n_boiler"] == 2  # both occurrences
+
+
+def test_winnow_matches_scalar_twin(ray_session):
+    pdf = _corpus(seed=11)
+    got = winnow_fingerprints(_ds(pdf), k=4, w=5).to_pandas()
+    exp_rows = [
+        (d, p, h)
+        for d, t in zip(pdf.doc_id, pdf.text)
+        for p, h in winnow_scalar(re.findall(r"[a-z]+", t.lower()), k=4, w=5)
+    ]
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "pos", "fp"])
+    srt = lambda df: df.sort_values(["doc_id", "pos"]).reset_index(drop=True)  # noqa: E731
+    assert srt(got).astype("int64").equals(srt(exp).astype("int64"))
+
+
+def test_winnow_coverage_guarantee(ray_session):
+    # winnowing invariant: every w-window contains >= 1 selected position
+    # -> gaps between consecutive selected positions are <= w (a gap of
+    # w+1 would leave one window with no selection inside it)
+    pdf = _corpus(n=20, seed=3)
+    got = winnow_fingerprints(_ds(pdf, 3), k=4, w=5).to_pandas()
+    for d, g in got.groupby("doc_id"):
+        ps = np.sort(g["pos"].to_numpy())
+        toks = re.findall(r"[a-z]+", pdf.text[int(d)].lower())
+        nwin = len(toks) - 4 + 1
+        assert ps[0] < 5 and ps[-1] >= nwin - 5
+        assert (np.diff(ps) <= 5).all()
+
+
+def test_winnow_rightmost_tie_rule_and_short_docs(ray_session):
+    # all-identical tokens -> every 4-gram hash equal -> each window
+    # selects its RIGHTMOST position -> fingerprints = {w-1 .. nwin-1};
+    # 4-token doc has 1 window but no full 5-window -> no rows
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [" ".join(["same"] * 12), "only four tokens here"],
+        }
+    )
+    got = winnow_fingerprints(_ds(pdf, 2), k=4, w=5).to_pandas()
+    assert set(got["doc_id"]) == {0}
+    nwin = 12 - 4 + 1  # 9
+    assert sorted(got["pos"]) == list(range(4, nwin))
+
+
+def test_bloom_matches_brute_force_including_fps(ray_session):
+    from sits_ray.kernels.text import window_hash_scalar
+
+    pdf = _corpus(seed=5, planted_every=10)  # docs 0,10,20,30 share text
+    a, b = bloom_constants(3, 29)
+    m = 1 << 20
+    bench_pos, gh = set(), {}
+    for d, t in zip(pdf.doc_id, pdf.text):
+        hs = set(window_hash_scalar(re.findall(r"[a-z]+", t.lower()), w=3))
+        gh[d] = hs
+        if d % 20 == 0:
+            for h in hs:
+                for j in range(3):
+                    bench_pos.add(int((int(a[j]) * h + int(b[j])) % _P % m))
+    exp = []
+    for d, hs in gh.items():
+        if d % 20 == 0:
+            continue
+        n = sum(
+            1
+            for h in hs
+            if all(
+                int((int(a[j]) * h + int(b[j])) % _P % m) in bench_pos
+                for j in range(3)
+            )
+        )
+        exp.append((d, n, n > 0))
+    exp = (
+        pd.DataFrame(exp, columns=["doc_id", "n_bloom_hits", "flagged"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        bloom_decontaminate(_ds(pdf), bench_mod=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype(exp.dtypes.to_dict()).equals(exp)
+    # docs 10 and 30 replicate benchmark docs 0/20 -> must be flagged
+    assert got.set_index("doc_id").loc[[10, 30], "flagged"].all()
+
+
+def test_bloom_positions_int64_exact():
+    a, b = bloom_constants(3, 29)
+    h = np.array([0, 1, _P - 1], dtype=np.int64)
+    pos = _bloom_positions(h, a, b, 1 << 20)
+    assert pos.shape == (3, 3)
+    for j in range(3):
+        for i, hv in enumerate([0, 1, _P - 1]):
+            assert pos[j, i] == (int(a[j]) * hv + int(b[j])) % _P % (1 << 20)
+
+
+def test_bloom_no_bench_docs_flags_nothing(ray_session):
+    # no doc_id % 20 == 0 -> empty filter -> only (impossible) all-zero
+    # positions could hit; every probe doc reports 0 hits
+    pdf = _corpus(n=15, seed=9, planted_every=0)
+    pdf["doc_id"] = pdf["doc_id"] + 1  # ids 1..15, none % 20 == 0
+    got = bloom_decontaminate(_ds(pdf, 3), bench_mod=20).to_pandas()
+    assert len(got) == 15
+    assert (got["n_bloom_hits"] == 0).all() and (~got["flagged"]).all()
