@@ -5318,6 +5318,51 @@ def kendall_value_latency(sf_dir):
 
 
 @q(
+    "acf_lags",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as q,
+         row_number() over (partition by user_id order by ts, event_id)
+           as i
+  from events),
+s as (select user_id, cast(count(*) as bigint) as n,
+             cast(sum(q) as bigint) as s, cast(sum(q * q) as bigint) as qq
+      from e group by 1),
+lags as (select unnest([1, 2, 3, 4, 5]) as lag),
+p as (select a.user_id, l.lag,
+             cast(sum(a.q * b.q) as bigint) as p,
+             cast(sum(a.q + b.q) as bigint) as h
+      from e a
+      cross join lags l
+      join e b on b.user_id = a.user_id and b.i = a.i + l.lag
+      group by 1, 2)
+select p.user_id as conv_id, cast(p.lag as bigint) as lag, s.n,
+       cast(s.n * s.n * p.p - s.n * s.s * p.h
+            + (s.n - p.lag) * s.s * s.s as double)
+       / cast(s.n * s.n * s.qq - s.n * s.s * s.s as double) as acf
+from p join s using (user_id)
+where s.n > p.lag and s.n * s.n * s.qq - s.n * s.s * s.s <> 0
+""",
+)
+def acf_lags(sf_dir):
+    """Per-conversation autocorrelation (lags 1-5) over the value metric
+    — the classic serial-dependence diagnostic. Values quantize to
+    integer cents (the PQ family's floor(v*100+0.5) DOUBLE contract), so
+    every sum is order-free int64 and the ACF is ONE division of two
+    exact integers — bit-exact vs SQL. Whole-partition kernel, per-lag
+    boundary-masked reduceat sums, no per-conversation Python
+    (stages/eventops.acf_kernel)."""
+    from sits_ray.stages.eventops import acf_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, acf_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
+@q(
     "type_transitions",
     """
 with l as (
@@ -6888,6 +6933,100 @@ def source_cap_sample(sf_dir):
         ds.map_batches(add_fp, batch_format="pandas"), k=20
     )
     return out[["source", "doc_id"]]
+
+
+# --- deterministic weighted priority sampling --------------------------------
+@q(
+    "weighted_sample_topk",
+    """
+select doc_id, pri from (
+  select doc_id, pri, row_number() over (order by pri, doc_id) as rk
+  from (select doc_id,
+               cast(list_reduce(
+                 list_prepend(cast(0 as bigint),
+                   list_transform(
+                     regexp_extract_all(
+                       to_hex(encode(cast(doc_id as varchar))), '..'),
+                     c -> cast(concat('0x', c) as bigint))),
+                 (h, c) -> (h * 1000003 + c) % 2147483647) as double)
+               / cast(n_chars as double) as pri
+        from documents))
+where rk <= 100
+""",
+)
+def weighted_sample_topk(sf_dir):
+    """Deterministic weighted sampling without replacement (min-wise
+    Efraimidis-Spirakis): priority = content-hash(doc_id) / n_chars,
+    keep the 100 smallest — selection probability grows ~linearly with
+    document size yet the draw is reproducible across runs, batch splits
+    and cluster sizes (no RNG checkpoint to lose). Per-batch partial
+    top-k, driver merge over bounded candidates; priority is one int/int
+    division so the float column is bit-exact
+    (stages/sampling.weighted_priority_sample)."""
+    from sits_ray.stages.sampling import weighted_priority_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_priority_sample(ds, k=100, weight_col="n_chars")
+
+
+# --- rendezvous (HRW) consistent sharding ------------------------------------
+def _hrw_sql(n_a: int = 8, n_b: int = 9, seed: int = 37) -> str:
+    """SQL twin of stages/sampling.rendezvous_assign: the identical
+    per-shard affine constants as literal VALUES rows."""
+    from sits_ray.stages.sampling import hrw_constants
+
+    a, b = hrw_constants(n_b, seed)
+    rows = ", ".join(
+        f"({s}, {int(a[s])}, {int(b[s])})" for s in range(n_b)
+    )
+    return f"""
+with f as (
+  select doc_id,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+             list_transform(
+               regexp_extract_all(
+                 to_hex(encode(cast(doc_id as varchar))), '..'),
+               c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647) as fp
+  from documents),
+k(s, a, b) as (values {rows}),
+sc as (
+  select doc_id, s, (k.a * fp + k.b) % 2147483647 as score
+  from f cross join k),
+aa as (select doc_id, s as shard_a from (
+         select doc_id, s,
+                row_number() over (partition by doc_id
+                                   order by score desc, s) as rk
+         from sc where s < {n_a}) where rk = 1),
+ab as (select doc_id, s as shard_b from (
+         select doc_id, s,
+                row_number() over (partition by doc_id
+                                   order by score desc, s) as rk
+         from sc) where rk = 1)
+select aa.doc_id, cast(aa.shard_a as bigint) as shard_a,
+       cast(ab.shard_b as bigint) as shard_b,
+       aa.shard_a <> ab.shard_b as moved
+from aa join ab using (doc_id)
+"""
+
+
+@q("rendezvous_shards", _hrw_sql())
+def rendezvous_shards(sf_dir):
+    """Rendezvous (highest-random-weight) sharding: consistent-hashing
+    assignment under 8 and 9 shards side by side, with a ``moved`` flag
+    as the stability evidence — growing the shard count only relocates
+    ids whose argmax IS the new shard (~1/9 here), where a mod-N re-hash
+    would move ~8/9. The property that makes partitioned Parquet output
+    resumable across cluster resizes. Integer-literal score, ties to the
+    smallest shard, stateless map_batches
+    (stages/sampling.rendezvous_assign); SQL-exact."""
+    from sits_ray.stages.sampling import rendezvous_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return rendezvous_assign(ds, n_a=8, n_b=9)
 
 
 # --- deterministic hash-mod sampling ----------------------------------------

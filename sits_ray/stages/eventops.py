@@ -715,6 +715,79 @@ def kendall_kernel(g: pa.Table) -> pa.Table:
     )
 
 
+def acf_kernel(g: pa.Table, max_lag: int = 5) -> pa.Table:
+    """Per-conversation autocorrelation function (biased estimator) at
+    lags 1..``max_lag`` over ``value`` in (ts, order) time order — the
+    classic serial-dependence diagnostic of time-series analysis
+    (sits_reduce family sibling; the reference has per-series temporal
+    metrics in src/reduce_fns.cpp but no ACF).
+
+    Integer-exact float contract: values quantize to cents via
+    ``floor(v * 100 + 0.5)`` in DOUBLE (the repo's quantization
+    contract — similarity.quantize_i64), then with S = Σq, Q = Σq²,
+    P_k = Σ q_t·q_{t+k}, H_k = Σ (q_t + q_{t+k}) all int64 (order-free),
+
+        r_k = (n²·P_k − n·S·H_k + (n−k)·S²) / (n²·Q − n·S²)
+
+    is ONE division of two exact integers — the SQL twin is bit-exact.
+    Bound: requires n²·Σq² < 2^63 (cents < 2^17, n < 2^13 — the salted
+    flagship keeps conversations far below that).
+
+    Vectorized across conversations: per-lag products mask pairs that
+    cross a conversation boundary and zero-pad, so every per-conv sum is
+    one ``np.add.reduceat`` — no per-conversation Python. Rows with
+    n <= lag or a constant series (zero denominator) are omitted, like
+    the SQL twin's WHERE."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                else pa.int64()),
+            "lag": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "acf": pa.array([], pa.float64()),
+        }
+    )
+    if codes.size == 0:
+        return empty
+    q = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(
+        np.int64
+    )
+    cnt = ends - starts
+    S = np.add.reduceat(q, starts)
+    Q = np.add.reduceat(q * q, starts)
+    den = cnt * cnt * Q - cnt * S * S
+    oc, ol, on, oa = [], [], [], []
+    for k in range(1, max_lag + 1):
+        if codes.size <= k:
+            break  # no conversation has more than k events
+        same = codes[:-k] == codes[k:]
+        pad = np.zeros(k, dtype=np.int64)
+        prod = np.concatenate([np.where(same, q[:-k] * q[k:], 0), pad])
+        hsum = np.concatenate([np.where(same, q[:-k] + q[k:], 0), pad])
+        P = np.add.reduceat(prod, starts)
+        H = np.add.reduceat(hsum, starts)
+        num = cnt * cnt * P - cnt * S * H + (cnt - k) * S * S
+        ok = (cnt > k) & (den != 0)
+        oc.append(np.flatnonzero(ok))
+        ol.append(np.full(int(ok.sum()), k, dtype=np.int64))
+        on.append(cnt[ok])
+        oa.append(num[ok] / den[ok])
+    if not oc:
+        return empty
+    conv_codes = np.concatenate(oc)
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(conv_codes)),
+            "lag": pa.array(np.concatenate(ol)),
+            "n": pa.array(np.concatenate(on)),
+            "acf": pa.array(np.concatenate(oa), pa.float64()),
+        }
+    )
+
+
 def seasonal_residual_kernel(g: pa.Table) -> pa.Table:
     """Calendar-seasonality adjustment per conversation: each event's
     value minus its conversation's hour-of-day mean. Means reduce

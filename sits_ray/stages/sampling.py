@@ -302,6 +302,105 @@ def cap_per_group(ds, k: int, group_col: str = "source",
     )
 
 
+def weighted_priority_sample(ds, k: int, weight_col: str = "n_chars",
+                             id_col: str = "doc_id") -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (the min-wise
+    variant of Efraimidis-Spirakis priority sampling): priority =
+    content-hash(id) / weight, keep the k SMALLEST — P(selected) grows
+    ~linearly with weight, yet the draw is reproducible across runs,
+    batch splits and cluster sizes (no RNG state). Per-batch partial
+    top-k (mergeable: smallest (priority, id) survive any merge order),
+    one driver merge over O(batches x k) candidates — never the corpus.
+
+    Float contract: priority is ONE division of two exact integers
+    (hash < 2^31, weight int), so the SQL twin's
+    ``cast(fp as double) / cast(w as double)`` is bit-exact; equal
+    doubles tie-break by id identically on both sides."""
+    from sits_ray.kernels.text import fingerprint_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pri": pd.Series([], dtype="float64"),
+                }
+            )
+        fp = fingerprint_batch(
+            [str(v) for v in df[id_col]]
+        ).astype(np.float64)
+        w = df[weight_col].to_numpy(dtype=np.int64).astype(np.float64)
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(dtype=np.int64), "pri": fp / w}
+        )
+        return out.sort_values(["pri", id_col]).head(k)
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        pdf.sort_values(["pri", id_col]).head(k).reset_index(drop=True)
+    )
+
+
+_HRW_P = (1 << 31) - 1
+
+
+def hrw_constants(n_shards: int, seed: int = 37):
+    """Per-shard affine universal-hash constants (a_s, b_s) — random
+    31-bit multipliers mix where small structured constants measurably
+    do not (an earlier (2s+1)-multiplier variant left one of 8 shards
+    EMPTY on 1000 sequential ids). Shared verbatim as literals by the
+    engine and the generated SQL oracle."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _HRW_P, size=n_shards, dtype=np.int64)
+    b = rng.integers(0, _HRW_P, size=n_shards, dtype=np.int64)
+    return a, b
+
+
+def rendezvous_assign(ds, n_a: int = 8, n_b: int = 9,
+                      id_col: str = "doc_id", seed: int = 37):
+    """Rendezvous (highest-random-weight) sharding — the consistent-
+    hashing assignment that makes partitioned output RESUMABLE across
+    cluster resizes: each id goes to the shard with the highest
+    ``score(id, shard)``, so growing from ``n_a`` to ``n_b`` shards only
+    moves the ids whose argmax IS a new shard (~1/n_b of them), not a
+    full re-mod reshuffle. Emits both assignments plus a ``moved`` flag
+    per id as the stability evidence.
+
+    score_s = (a_s * fp + b_s) mod (2^31 - 1) with per-shard random
+    31-bit constants (:func:`hrw_constants`) — products stay < 2^62 so
+    int64 arithmetic is exact and the SQL twin is literal; ties break to
+    the smallest shard (np.argmax first-max == ``row_number() over
+    (order by score desc, s)``). Stateless map_batches; no shuffle."""
+    from sits_ray.kernels.text import fingerprint_batch
+
+    a, b = hrw_constants(n_b, seed)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "shard_a": pd.Series([], dtype="int64"),
+                    "shard_b": pd.Series([], dtype="int64"),
+                    "moved": pd.Series([], dtype="bool"),
+                }
+            )
+        fp = fingerprint_batch([str(v) for v in df[id_col]])
+        scores = (a[None, :] * fp[:, None] + b[None, :]) % _HRW_P
+        sa = np.argmax(scores[:, :n_a], axis=1)
+        sb = np.argmax(scores, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                "shard_a": sa.astype(np.int64),
+                "shard_b": sb.astype(np.int64),
+                "moved": sa != sb,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def fetch_rows_by_id(ds, ids, id_col: str = "vec_id") -> pd.DataFrame:
     """Semi-join fetch of a SMALL id set's rows: the ids are broadcast
     once (``ray.put``), every batch filters against them — only matching

@@ -304,3 +304,63 @@ def test_cap_per_group_deterministic_and_capped(ray_session):
     # independent of partitioning
     out2 = cap_per_group(rd.from_pandas(df).repartition(7), k=10)
     pd.testing.assert_frame_equal(out2, exp)
+
+
+# --- deterministic weighted priority sampling --------------------------------
+def test_weighted_priority_sample_bruteforce_and_merge_invariance(ray_session):
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.sampling import weighted_priority_sample
+
+    rng = np.random.default_rng(13)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.integers(10, 5000, n).astype(np.int64),
+        }
+    )
+    fp = fingerprint_batch([str(i) for i in pdf.doc_id]).astype(np.float64)
+    pri = fp / pdf.n_chars.to_numpy(dtype=np.float64)
+    exp = (
+        pd.DataFrame({"doc_id": pdf.doc_id, "pri": pri})
+        .sort_values(["pri", "doc_id"])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        got = weighted_priority_sample(
+            rd.from_pandas(pdf).repartition(parts), k=25
+        )
+        assert got.equals(exp), parts
+    # weighting direction: heavy docs overrepresented among winners
+    assert (
+        pdf.set_index("doc_id").loc[exp.doc_id, "n_chars"].mean()
+        > pdf.n_chars.mean()
+    )
+
+
+# --- rendezvous (HRW) consistent sharding ------------------------------------
+def test_rendezvous_assign_stability_and_range(ray_session):
+    from sits_ray.stages.sampling import rendezvous_assign
+
+    pdf = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    got = (
+        rendezvous_assign(rd.from_pandas(pdf).repartition(4), n_a=8, n_b=9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 1000
+    assert got.shard_a.between(0, 7).all()
+    assert got.shard_b.between(0, 8).all()
+    # the defining consistent-hashing property: an id moves IFF its
+    # 9-shard winner is the NEW shard; every other id keeps its shard
+    assert (got.moved == (got.shard_b == 8)).all()
+    assert (got.loc[~got.moved, "shard_a"]
+            == got.loc[~got.moved, "shard_b"]).all()
+    # ~1/9 expected to move (vs ~8/9 under mod-N); loose band
+    frac = got.moved.mean()
+    assert 0.02 < frac < 0.35, frac
+    # all 8 original shards get a reasonable share (mixing sanity)
+    counts = got.shard_a.value_counts()
+    assert len(counts) == 8 and counts.min() > 50

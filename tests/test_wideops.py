@@ -617,3 +617,55 @@ def test_m4_kernel_bucket_split():
     )
     out = m4_kernel(g, bucket_us=600 * US).to_pandas()
     assert len(out) == 2
+
+
+# --- per-conversation autocorrelation ---------------------------------------
+def test_acf_kernel_bruteforce_and_boundaries():
+    from sits_ray.stages.eventops import acf_kernel
+
+    # conv 1: 8 events with structure; conv 2: 3 events (lags 3-5 absent);
+    # conv 3: constant series (den == 0 -> no rows)
+    vals = [1.25, 2.5, 1.25, 3.75, 2.5, 1.25, 5.0, 2.5,
+            10.0, 20.0, 10.0,
+            7.0, 7.0, 7.0, 7.0]
+    conv = [1] * 8 + [2] * 3 + [3] * 4
+    ts = [i * 1_000_000 for i in range(len(vals))]
+    g = _g(conv, ts, list(range(len(vals))), value=vals)
+    out = acf_kernel(g).to_pandas()
+
+    def brute(xs, k):
+        q = [int(np.floor(x * 100.0 + 0.5)) for x in xs]
+        n, S = len(q), sum(q)
+        Q = sum(v * v for v in q)
+        P = sum(q[t] * q[t + k] for t in range(n - k))
+        H = sum(q[t] + q[t + k] for t in range(n - k))
+        num = n * n * P - n * S * H + (n - k) * S * S
+        den = n * n * Q - n * S * S
+        return num / den
+
+    for k in range(1, 6):
+        got = out[(out.conv_id == 1) & (out.lag == k)]
+        assert len(got) == 1 and got.iloc[0]["n"] == 8
+        assert got.iloc[0]["acf"] == brute(vals[:8], k)
+    # conv 2: only lags 1 and 2 exist (n=3 > lag)
+    assert sorted(out[out.conv_id == 2].lag) == [1, 2]
+    for k in (1, 2):
+        got = out[(out.conv_id == 2) & (out.lag == k)]
+        assert got.iloc[0]["acf"] == brute(vals[8:11], k)
+    # conv 3: constant -> zero denominator -> omitted entirely
+    assert (out.conv_id != 3).all()
+    # no pair ever crossed a conversation boundary: ACF of conv 1 computed
+    # alone must match its value from the mixed partition
+    solo = acf_kernel(
+        _g([1] * 8, ts[:8], list(range(8)), value=vals[:8])
+    ).to_pandas()
+    merged = out[out.conv_id == 1].reset_index(drop=True)
+    assert solo[["lag", "n", "acf"]].equals(merged[["lag", "n", "acf"]])
+
+
+def test_acf_kernel_empty():
+    from sits_ray.stages.eventops import acf_kernel
+
+    out = acf_kernel(_g([], [], [], value=[])).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["conv_id", "lag", "n", "acf"]
