@@ -6256,6 +6256,51 @@ def dedup_cluster_reps(sf_dir):
 
 
 @q(
+    "pagerank_dups",
+    "with recursive " + _CHARSHINGLE_CTES + """,
+nd as (
+  select doc_a, doc_b from inter
+  where cast(inter as double) / cast(na + nb - inter as double) >= 0.6),
+ed as (
+  select doc_a as src, doc_b as dst from nd
+  union all
+  select doc_b, doc_a from nd),
+dg as (select src as node, cast(count(*) as bigint) as d
+       from ed group by 1),
+pr as (
+  select 0 as iter, node, cast(1000000 as bigint) as r from dg
+  union all
+  select pr.iter + 1, e.dst,
+         cast(150000 + (85 * sum(pr.r // dg.d)) // 100 as bigint)
+  from pr
+  join ed e on e.src = pr.node
+  join dg on dg.node = pr.node
+  where pr.iter < 5
+  group by 1, 2)
+select node as doc_id, r as rank_int from pr where iter = 5
+""",
+)
+def pagerank_dups(sf_dir):
+    """Integer-exact PageRank (5 damped rounds, alpha = 85/100) over the
+    SQL-exact charshingle near-dup graph — link-authority ranking of
+    duplicate clusters (which copy is canonical), the iterative-graph
+    sibling of connected components. Rank scale 1e6/node; contributions
+    are positive floor divisions and in-sums order-free int64, so the
+    recursive CTE replays the whole iteration bit-for-bit (the
+    kmeans_lloyd_int discipline). Engine tiers by measured edge count:
+    bounded pair lists run the fixed point on the driver; past the
+    threshold each round is one adaptive hash join + one
+    hash-partitioned sum keyed by destination
+    (stages/graph.pagerank_int)."""
+    from sits_ray.stages.dedup import charshingle_dedup
+    from sits_ray.stages.graph import pagerank_int
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = charshingle_dedup(ds, threshold=0.6, k=5)
+    return pagerank_int(pairs)
+
+
+@q(
     "curation_keep_docs",
     """
 with recursive stats as (

@@ -1,0 +1,186 @@
+"""Iterative graph analytics over candidate-pair graphs: integer-exact
+PageRank. Complements ``stages/dedup.connected_components`` (the other
+fixed-point graph op in the repo): components pick cluster
+representatives; PageRank ranks nodes by link authority inside the
+near-dup graph (the curation signal for "which duplicate is canonical").
+
+Float-free by construction (the ``kmeans_lloyd_int`` discipline): ranks
+live on an integer scale (1e6 per node), per-round contributions are
+floor divisions of positive ints (numpy ``//`` == DuckDB ``//`` on
+positives), in-sums are order-free int64, and the damping step is
+``base + (85 * in) // 100`` — so a recursive CTE replays the ENTIRE
+iteration bit-for-bit. This is the scale-invariant (unnormalized)
+PageRank variant: every node starts at ``scale`` and isolated nodes
+never enter (the graph is the pair list).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pagerank_int_local(src: np.ndarray, dst: np.ndarray, rounds: int = 5,
+                       scale: int = 1_000_000, alpha_num: int = 85,
+                       alpha_den: int = 100):
+    """Driver-tier fixed-point loop over a SYMMETRIZED edge index pair
+    (src/dst already include both directions). Returns (nodes, rank)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    base = (scale * (alpha_den - alpha_num)) // alpha_den
+    r = np.full(n, scale, dtype=np.int64)
+    for _ in range(rounds):
+        contrib = r[si] // deg[si]
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        r = base + (alpha_num * acc) // alpha_den
+    return nodes, r
+
+
+def pagerank_int(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                 rounds: int = 5, scale: int = 1_000_000,
+                 alpha_num: int = 85, alpha_den: int = 100,
+                 local_edges: int = 8_000_000,
+                 num_partitions: int | None = None):
+    """Integer-exact PageRank over an undirected candidate-pair graph.
+
+    Returns a Dataset ``(doc_id, rank_int)`` for every node appearing in
+    at least one pair. Tier choice by MEASURED edge count (both tiers
+    reach identical integers — the arithmetic is deterministic and the
+    in-sums order-free):
+
+    - <= ``local_edges`` pairs: the edge list is a bounded intermediate
+      (LSH bucket caps bound candidate pairs); gather once, run the loop
+      in numpy — iterations cost microseconds instead of one Ray
+      pipeline execution each (the connected_components rationale).
+    - above: no driver graph state — per round, one adaptive hash join
+      (edges x rank on the source endpoint, ``stages/joins.py``) plus
+      one ``hashagg.part_aggregate`` sum keyed by destination. Degree
+      attaches to the edge table ONCE before the loop.
+
+    Overflow bound: per-node in-sum <= max_degree * scale; with
+    bucket-capped candidate graphs (deg <~ 2^20) the damping product
+    stays < 2^47."""
+    import ray.data as rd
+
+    from sits_ray.stages.hashagg import part_aggregate
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    base = (scale * (alpha_den - alpha_num)) // alpha_den
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "rank_int": pd.Series([], dtype="int64"),
+        }
+    )
+    if n_pairs == 0:
+        return rd.from_pandas(empty)
+
+    if n_pairs <= local_edges:
+        pdf = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+        a = pdf[a_col].to_numpy(dtype=np.int64)
+        b = pdf[b_col].to_numpy(dtype=np.int64)
+        nodes, r = pagerank_int_local(
+            np.concatenate([a, b]), np.concatenate([b, a]),
+            rounds=rounds, scale=scale,
+            alpha_num=alpha_num, alpha_den=alpha_den,
+        )
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": nodes, "rank_int": r})
+        )
+
+    # distributed tier -----------------------------------------------------
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(t[b_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow")
+
+    def deg_agg(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "d": pd.Series([], dtype="int64"),
+                }
+            )
+        out = gdf.groupby("src", sort=False).size().reset_index(name="d")
+        return out.rename(columns={"src": "node"})
+
+    deg = part_aggregate(edges, deg_agg, key_col="src",
+                         n_parts=num_partitions or 32)
+    edges_d = adaptive_join_unique(
+        edges, deg, on="src", right_on="node", value_cols={"d": "d"},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    rank = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(dtype=np.int64),
+                "r": np.full(len(df), scale, dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(rounds):
+        joined = adaptive_join_unique(
+            edges_d, rank, on="src", right_on="node",
+            value_cols={"r": "r"}, num_partitions=num_partitions,
+        )
+
+        def in_sums(gdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(gdf):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "r": pd.Series([], dtype="int64"),
+                    }
+                )
+            contrib = (
+                gdf["r"].to_numpy(dtype=np.int64)
+                // gdf["d"].to_numpy(dtype=np.int64)
+            )
+            acc = (
+                pd.DataFrame(
+                    {"node": gdf["dst"].to_numpy(dtype=np.int64),
+                     "c": contrib}
+                )
+                .groupby("node", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            return pd.DataFrame(
+                {
+                    "node": acc["node"].to_numpy(dtype=np.int64),
+                    "r": base
+                    + (alpha_num * acc["c"].to_numpy(dtype=np.int64))
+                    // alpha_den,
+                }
+            )
+
+        rank = part_aggregate(
+            joined, in_sums, key_col="dst",
+            n_parts=num_partitions or 32,
+        ).materialize()
+
+    return rank.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "r": "rank_int"}),
+        batch_format="pandas",
+    )

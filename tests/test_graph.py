@@ -1,0 +1,102 @@
+"""Integer-exact PageRank (stages/graph.py): scalar twin parity, tier
+equivalence (driver loop vs distributed join+aggregate rounds), and the
+symmetric-ring fixed point."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from sits_ray.stages.graph import pagerank_int, pagerank_int_local
+
+
+def _brute(pairs, rounds=5, scale=1_000_000):
+    nodes = sorted({x for p in pairs for x in p})
+    deg = {n: 0 for n in nodes}
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    r = {n: scale for n in nodes}
+    for _ in range(rounds):
+        acc = {n: 0 for n in nodes}
+        for a, b in pairs:
+            acc[b] += r[a] // deg[a]
+            acc[a] += r[b] // deg[b]
+        r = {n: 150_000 + (85 * acc[n]) // 100 for n in nodes}
+    return r
+
+
+PAIRS = [(1, 2), (2, 3), (3, 4), (1, 3), (7, 8), (8, 9), (7, 9), (2, 9)]
+
+
+def test_pagerank_local_matches_scalar_twin():
+    a = np.array([p[0] for p in PAIRS], dtype=np.int64)
+    b = np.array([p[1] for p in PAIRS], dtype=np.int64)
+    nodes, r = pagerank_int_local(
+        np.concatenate([a, b]), np.concatenate([b, a])
+    )
+    exp = _brute(PAIRS)
+    assert {int(n): int(v) for n, v in zip(nodes, r)} == exp
+
+
+@pytest.mark.parametrize("local_edges", [8_000_000, 0])
+def test_pagerank_tiers_agree(ray_session, local_edges):
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in PAIRS], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in PAIRS], dtype=np.int64),
+        }
+    )
+    got = (
+        pagerank_int(
+            rd.from_pandas(pdf).repartition(3), local_edges=local_edges
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute(PAIRS)
+    assert {int(n): int(v) for n, v in
+            zip(got.doc_id, got.rank_int)} == exp
+
+
+def test_pagerank_symmetric_ring_fixed_point(ray_session):
+    # ring: every node deg 2, in-sum = 2*(1e6//2) = 1e6 each round ->
+    # rank stays exactly at the 1e6 fixed point for every node
+    n = 12
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.arange(n, dtype=np.int64),
+            "doc_b": (np.arange(n, dtype=np.int64) + 1) % n,
+        }
+    )
+    got = pagerank_int(rd.from_pandas(pdf)).to_pandas()
+    assert len(got) == n and (got.rank_int == 1_000_000).all()
+
+
+def test_pagerank_star_center_dominates(ray_session):
+    # star: center 0 linked to 1..8 -> center accumulates 8 leaf
+    # contributions, leaves split the center's rank 8 ways
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.zeros(8, dtype=np.int64),
+            "doc_b": np.arange(1, 9, dtype=np.int64),
+        }
+    )
+    got = pagerank_int(rd.from_pandas(pdf)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "rank_int"] > 2 * got.loc[1, "rank_int"]
+    leaves = got.drop(index=0)["rank_int"]
+    assert leaves.nunique() == 1  # symmetric leaves identical
+
+
+def test_pagerank_empty(ray_session):
+    pdf = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        }
+    )
+    got = pagerank_int(rd.from_pandas(pdf)).to_pandas()
+    assert len(got) == 0  # Ray drops column schema on fully-empty
+    # datasets; callers only contract on the zero row count here
