@@ -426,10 +426,17 @@ from documents group by text
 """,
 )
 def dedup_exact_docs(sf_dir):
+    """Exact dedup through the production digest path: blake2b content
+    digests (16 B/row crosses the shuffle, never the text), winner =
+    min-id/count inside a hash partition (``hashagg.part_aggregate`` —
+    corpus-cardinality keys; the ``Dataset.groupby`` shape measured 12×
+    slower at 100k distinct digests, BASELINE.md round-4 A/B), payload
+    re-attached via the adaptive join. Oracle groups by the raw text —
+    identical output because digest equality == text equality."""
+    from sits_ray.stages.dedup import exact_dedup
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
-    )
+    return exact_dedup(ds).select_columns(["text", "doc_id", "n_copies"])
 
 
 # --- §2.4 summary.* --------------------------------------------------------
@@ -6298,6 +6305,55 @@ def pagerank_dups(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = charshingle_dedup(ds, threshold=0.6, k=5)
     return pagerank_int(pairs)
+
+
+@q(
+    "triangle_dups",
+    "with " + _CHARSHINGLE_CTES + """,
+nd as materialized (
+  select doc_a, doc_b from inter
+  where cast(inter as double) / cast(na + nb - inter as double) >= 0.6),
+ed as materialized (
+  select doc_a as src, doc_b as dst from nd
+  union all
+  select doc_b, doc_a from nd),
+dg as (select src as node, cast(count(*) as bigint) as deg
+       from ed group by 1),
+tri as (
+  select p1.doc_a as x, p1.doc_b as y, p2.doc_b as z
+  from nd p1
+  join nd p2 on p2.doc_a = p1.doc_b
+  join nd p3 on p3.doc_a = p1.doc_a and p3.doc_b = p2.doc_b),
+tc as (
+  select node, cast(count(*) as bigint) as n_tri from (
+    select x as node from tri
+    union all select y from tri
+    union all select z from tri) group by 1)
+select dg.node as doc_id, dg.deg,
+       coalesce(tc.n_tri, 0) as n_tri,
+       case when dg.deg >= 2
+            then cast(2 * coalesce(tc.n_tri, 0) as double)
+                 / cast(dg.deg * (dg.deg - 1) as double)
+            else 0.0 end as clustering
+from dg left join tc on tc.node = dg.node
+""",
+)
+def triangle_dups(sf_dir):
+    """Per-document triangle count + local clustering coefficient over
+    the SQL-exact charshingle near-dup graph — the cluster-density
+    diagnostic (a clique of template copies scores 1.0, a hub-and-spokes
+    near-dup star 0.0). Engine tiers like pagerank: bounded pair lists
+    run a sorted-adjacency intersection counter on the driver; at scale,
+    wedges generate per middle node through one hash exchange and probe
+    a broadcast packed-edge key array with vectorized searchsorted
+    (stages/graph.triangle_stats). ``clustering`` is one int/int
+    division — bit-exact vs the 3-way self-join twin."""
+    from sits_ray.stages.dedup import charshingle_dedup
+    from sits_ray.stages.graph import triangle_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = charshingle_dedup(ds, threshold=0.6, k=5)
+    return triangle_stats(pairs)
 
 
 @q(

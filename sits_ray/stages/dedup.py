@@ -797,9 +797,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     if not with_text:
         return winners
-    return winners.join(
-        ds, join_type="inner", num_partitions=num_partitions,
-        on=(id_col,), right_on=(id_col,),
+    # surviving ids -> payload via the adaptive join (ds is key-unique on
+    # id): broadcast lookup below the measured row/byte threshold,
+    # Dataset.join past it — the ~2-4 s aggregator fixed cost only when
+    # the corpus actually warrants it (stages/joins.py)
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    return adaptive_join_unique(
+        winners, ds, on=id_col, right_on=id_col,
+        value_cols={text_col: text_col}, num_partitions=num_partitions,
     )
 
 

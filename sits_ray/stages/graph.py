@@ -184,3 +184,162 @@ def pagerank_int(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         lambda df: df.rename(columns={"node": "doc_id", "r": "rank_int"}),
         batch_format="pandas",
     )
+
+
+def triangles_local(a: np.ndarray, b: np.ndarray):
+    """Driver-tier per-node triangle counts over canonical pairs
+    (a < b). Returns (nodes, deg, n_tri). Sorted-adjacency intersection
+    per edge — O(sum over edges of min-degree), the standard compact
+    exact counter for bounded edge lists."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    n = len(nodes)
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    # full adjacency (both directions), grouped by source
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.searchsorted(src, np.arange(n))
+    ends = np.searchsorted(src, np.arange(n) + 1)
+    tri = np.zeros(n, dtype=np.int64)
+    for x, y in zip(ai, bi):
+        nx = dst[starts[x]:ends[x]]
+        ny = dst[starts[y]:ends[y]]
+        common = np.intersect1d(nx, ny, assume_unique=True)
+        if len(common):
+            tri[x] += len(common)
+            tri[y] += len(common)
+            np.add.at(tri, common, 1)
+    # every triangle was counted once per its three edges at each node:
+    # node in a triangle is touched by exactly 2 of the 3 edges as an
+    # endpoint and once as a common neighbor -> counted 3x; normalize
+    assert (tri % 3 == 0).all()
+    return nodes, deg.astype(np.int64), tri // 3
+
+
+def triangle_stats(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                   local_edges: int = 8_000_000,
+                   num_partitions: int | None = None):
+    """Per-node triangle count + local clustering coefficient over an
+    undirected candidate-pair graph — the density diagnostic of
+    duplicate clusters (a clique of template copies has coefficient 1,
+    a hub-and-spokes near-dup star has 0).
+
+    Output ``(doc_id, deg, n_tri, clustering)`` for every paired node;
+    ``clustering = 2*n_tri / (deg*(deg-1))`` is ONE int/int division
+    (0.0 when deg < 2) so the SQL 3-way-self-join twin is bit-exact.
+
+    Tiers like :func:`pagerank_int`: bounded pair lists (LSH caps) run
+    the sorted-adjacency intersection counter on the driver; past the
+    threshold, wedges are generated distributedly per middle node (one
+    ``part_aggregate`` keyed by the wedge center) and probed against the
+    broadcast canonical-edge hash set (bounded: the edge list itself is
+    the candidate-pair table)."""
+    import ray
+    import ray.data as rd
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "deg": pd.Series([], dtype="int64"),
+                    "n_tri": pd.Series([], dtype="int64"),
+                    "clustering": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+
+    def finish(nodes, deg, tri):
+        denom = deg * (deg - 1)
+        clus = np.where(denom > 0, (2 * tri) / np.where(denom > 0, denom, 1),
+                        0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": nodes,
+                "deg": deg,
+                "n_tri": tri,
+                "clustering": clus,
+            }
+        )
+
+    if n_pairs <= local_edges:
+        pdf = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+        a = pdf[a_col].to_numpy(dtype=np.int64)
+        b = pdf[b_col].to_numpy(dtype=np.int64)
+        nodes, deg, tri = triangles_local(a, b)
+        return rd.from_pandas(finish(nodes, deg, tri))
+
+    # distributed tier: canonical edge set broadcast once (the pair table
+    # is the bounded blocking output); wedges per middle node, probed
+    # against it, then per-node sums through one hash exchange. Edges
+    # pack into sorted int64 keys (ids < 2^31) so the probe is a
+    # vectorized searchsorted, not per-pair Python
+    _M = np.int64(1) << np.int64(32)
+    pdf = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+    _ea = pdf[a_col].to_numpy(dtype=np.int64)
+    _eb = pdf[b_col].to_numpy(dtype=np.int64)
+    if (_ea >= _M).any() or (_eb >= _M).any():
+        raise ValueError("triangle_stats: node ids must fit in 32 bits "
+                         "for the packed-edge probe")
+    canon_ref = ray.put(np.sort(_ea * _M + _eb))
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(dtype=np.int64)
+        b = df[b_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+
+    def wedge_probe(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "deg": pd.Series([], dtype="int64"),
+                    "n_tri": pd.Series([], dtype="int64"),
+                }
+            )
+        ekeys = ray.get(canon_ref)
+        rows = []
+        for mid, grp in gdf.groupby("src", sort=False):
+            nbr = np.sort(grp["dst"].to_numpy(dtype=np.int64))
+            if len(nbr) >= 2:
+                iu, ju = np.triu_indices(len(nbr), 1)
+                w = nbr[iu] * _M + nbr[ju]
+                pos = np.searchsorted(ekeys, w)
+                pos[pos >= len(ekeys)] = len(ekeys) - 1
+                t = int((ekeys[pos] == w).sum())
+            else:
+                t = 0
+            rows.append((int(mid), len(nbr), t))
+        return pd.DataFrame(rows, columns=["doc_id", "deg", "n_tri"])
+
+    per_node = part_aggregate(edges, wedge_probe, key_col="src",
+                              n_parts=num_partitions or 32)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "deg": pd.Series([], dtype="int64"),
+                    "n_tri": pd.Series([], dtype="int64"),
+                    "clustering": pd.Series([], dtype="float64"),
+                }
+            )
+        return finish(
+            df["doc_id"].to_numpy(dtype=np.int64),
+            df["deg"].to_numpy(dtype=np.int64),
+            df["n_tri"].to_numpy(dtype=np.int64),
+        )
+
+    return per_node.map_batches(fin, batch_format="pandas")

@@ -100,3 +100,77 @@ def test_pagerank_empty(ray_session):
     got = pagerank_int(rd.from_pandas(pdf)).to_pandas()
     assert len(got) == 0  # Ray drops column schema on fully-empty
     # datasets; callers only contract on the zero row count here
+
+
+# --- triangle counts / clustering coefficient --------------------------------
+def _brute_tri(pairs):
+    import itertools
+
+    nodes = sorted({x for p in pairs for x in p})
+    es = {tuple(sorted(p)) for p in pairs}
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for n in nodes:
+        d = len(adj[n])
+        t = sum(
+            1
+            for u, v in itertools.combinations(sorted(adj[n]), 2)
+            if (u, v) in es
+        )
+        c = (2 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        out[n] = (d, t, c)
+    return out
+
+
+TRI_PAIRS = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 4),
+             (7, 8), (7, 9), (7, 10)]  # one dense blob + one star
+
+
+@pytest.mark.parametrize("local_edges", [8_000_000, 0])
+def test_triangle_stats_tiers_match_bruteforce(ray_session, local_edges):
+    from sits_ray.stages.graph import triangle_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in TRI_PAIRS], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in TRI_PAIRS], dtype=np.int64),
+        }
+    )
+    got = (
+        triangle_stats(
+            rd.from_pandas(pdf).repartition(3), local_edges=local_edges
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_tri(TRI_PAIRS)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        d, t, c = exp[int(r.doc_id)]
+        assert (int(r.deg), int(r.n_tri)) == (d, t), int(r.doc_id)
+        assert r.clustering == c
+    # star center (7): deg 3, no triangles -> coefficient 0
+    star = got.set_index("doc_id").loc[7]
+    assert star.deg == 3 and star.n_tri == 0 and star.clustering == 0.0
+
+
+def test_triangle_stats_clique_is_1(ray_session):
+    import itertools
+
+    from sits_ray.stages.graph import triangle_stats
+
+    nodes = [1, 2, 3, 4, 5]
+    pairs = list(itertools.combinations(nodes, 2))
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in pairs], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in pairs], dtype=np.int64),
+        }
+    )
+    got = triangle_stats(rd.from_pandas(pdf)).to_pandas()
+    assert (got.clustering == 1.0).all()
+    assert (got.n_tri == 6).all()  # C(4,2) triangles through each node
