@@ -6357,6 +6357,57 @@ def triangle_dups(sf_dir):
 
 
 @q(
+    "kcore_dups",
+    "with recursive " + _CHARSHINGLE_CTES + """,
+nd as materialized (
+  select doc_a, doc_b from inter
+  where cast(inter as double) / cast(na + nb - inter as double) >= 0.6),
+ed as (
+  select doc_a as src, doc_b as dst from nd
+  union all
+  select doc_b, doc_a from nd),
+peel as (
+  select 0 as round, src, dst from ed
+  union all
+  select round + 1, src, dst from (
+    select round, src, dst,
+           count(*) over (partition by src) as ds,
+           count(*) over (partition by dst) as dd
+    from peel)
+  where round < 8 and ds >= 2 and dd >= 2),
+last as (select src as node, max(round) as ls from peel group by 1),
+cd as (select src as node, cast(count(*) as bigint) as core_deg
+       from peel where round = 8 group by 1)
+select l.node as doc_id,
+       cast(case when l.ls = 8 then 0 else l.ls + 1 end as bigint)
+         as peel_round,
+       coalesce(cd.core_deg, 0) as core_deg
+from last l left join cd on cd.node = l.node
+""",
+)
+def kcore_dups(sf_dir):
+    """8-round 2-core peeling over the SQL-exact charshingle near-dup
+    graph — the dense-cluster extractor (components say WHICH docs
+    connect, PageRank ranks authority, triangles score local density;
+    the k-core isolates subgraphs where EVERY member keeps >= 2 near-dup
+    partners: template blobs, not hub-and-spokes accidents).
+    ``peel_round`` = first round a node had no surviving edge (0 = in
+    the core), ``core_deg`` = final-round degree. All-integer, so the
+    recursive CTE (window-function degrees inside the recursive term)
+    replays the peeling bit-for-bit. Engine tiers like pagerank: driver
+    numpy loop on bounded pair lists; at scale one ``part_aggregate``
+    degree pass per round against a broadcast shrinking alive-set
+    (valid because degrees shrink monotonically — alive-sets are
+    nested; stages/graph.kcore_int)."""
+    from sits_ray.stages.dedup import charshingle_dedup
+    from sits_ray.stages.graph import kcore_int
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = charshingle_dedup(ds, threshold=0.6, k=5)
+    return kcore_int(pairs, k=2, rounds=8)
+
+
+@q(
     "curation_keep_docs",
     """
 with recursive stats as (

@@ -186,6 +186,204 @@ def pagerank_int(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
     )
 
 
+def kcore_local(a: np.ndarray, b: np.ndarray, k: int = 2, rounds: int = 8):
+    """Driver-tier R-round k-peeling over canonical pairs. Returns
+    (nodes, peel_round, core_deg): round t keeps an edge iff BOTH
+    endpoints had degree >= k over round t-1's edge set; a node's
+    peel_round is the first round it has no surviving edge (0 =
+    survived all ``rounds``), core_deg its degree in the final edge
+    set (0 for peeled nodes). Early-stops when the edge set is stable
+    (all later rounds are identity — output unchanged)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    n = len(nodes)
+    cur = np.ones(len(a), dtype=bool)
+    peel = np.zeros(n, dtype=np.int64)
+    seen = np.ones(n, dtype=bool)  # appears in round-(t-1) edge set
+    for t in range(1, rounds + 1):
+        deg = (
+            np.bincount(ai[cur], minlength=n)
+            + np.bincount(bi[cur], minlength=n)
+        )
+        new = cur & (deg[ai] >= k) & (deg[bi] >= k)
+        if (new == cur).all():
+            break
+        appears = np.zeros(n, dtype=bool)
+        appears[ai[new]] = True
+        appears[bi[new]] = True
+        peel[seen & ~appears] = t
+        seen = appears
+        cur = new
+    core_deg = (
+        np.bincount(ai[cur], minlength=n)
+        + np.bincount(bi[cur], minlength=n)
+    ).astype(np.int64)
+    core_deg[~seen] = 0
+    return nodes, peel, core_deg
+
+
+def kcore_int(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+              k: int = 2, rounds: int = 8,
+              local_edges: int = 8_000_000,
+              num_partitions: int | None = None):
+    """R-round k-core peeling over an undirected candidate-pair graph —
+    the dense-cluster extractor of the graph family (components find
+    WHICH docs are connected, PageRank ranks authority, triangles
+    measure local density; the k-core isolates the subgraph where every
+    member has >= k near-dup partners, i.e. true template blobs vs
+    hub-and-spokes accidents).
+
+    Output ``(doc_id, peel_round, core_deg)`` for every paired node:
+    ``peel_round`` = first round with no surviving edge (0 = in the
+    core after ``rounds`` rounds), ``core_deg`` = final-round degree
+    (0 for peeled). All-integer, so the recursive-CTE twin (window-fn
+    degrees inside the recursive term) replays it bit-for-bit.
+
+    Tiers like :func:`pagerank_int`. Distributed tier: per round ONE
+    ``part_aggregate`` computes per-node degrees over edges filtered to
+    the current alive-set (broadcast once per round; the node table is
+    bounded by 2x the capped candidate pairs); re-filtering from the
+    ORIGINAL edges with the latest alive-set equals the cumulative
+    SQL filter because degrees shrink monotonically (once deg(u) < k
+    it stays < k), so alive-sets are nested."""
+    import ray
+    import ray.data as rd
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "peel_round": pd.Series([], dtype="int64"),
+            "core_deg": pd.Series([], dtype="int64"),
+        }
+    )
+    if n_pairs == 0:
+        return rd.from_pandas(empty)
+
+    if n_pairs <= local_edges:
+        pdf = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+        nodes, peel, core_deg = kcore_local(
+            pdf[a_col].to_numpy(dtype=np.int64),
+            pdf[b_col].to_numpy(dtype=np.int64),
+            k=k, rounds=rounds,
+        )
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": nodes, "peel_round": peel, "core_deg": core_deg}
+            )
+        )
+
+    # distributed tier: edges stay distributed; node-level state (alive
+    # set, peel rounds) is bounded by the capped pair table and lives on
+    # the driver, broadcast per round
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(t[b_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def deg_round(alive_ref):
+        def fn(gdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(gdf):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "d": pd.Series([], dtype="int64"),
+                    }
+                )
+            alive = ray.get(alive_ref)  # sorted int64 node ids
+            s = gdf["src"].to_numpy(dtype=np.int64)
+            dst = gdf["dst"].to_numpy(dtype=np.int64)
+            ok = np.isin(s, alive) & np.isin(dst, alive)
+            out = (
+                pd.DataFrame({"node": s[ok]})
+                .groupby("node", sort=False)
+                .size()
+                .reset_index(name="d")
+            )
+            return out.astype({"node": "int64", "d": "int64"})
+
+        return fn
+
+    def deg_all(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "d": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            gdf.groupby("src", sort=False)
+            .size()
+            .reset_index(name="d")
+            .rename(columns={"src": "node"})
+        )
+        return out.astype({"node": "int64", "d": "int64"})
+
+    # iteration t computes degrees over E_t (E_0 = all edges;
+    # E_t = original edges filtered to K_{t-1} = {deg >= k at E_{t-1}},
+    # valid by the nested-alive-set argument in the docstring)
+    all_nodes = None
+    peel_map: dict[int, int] = {}
+    seen = None            # incident node set of the edge set just scored
+    alive = None           # K_{t-1}; None = unfiltered round 0
+    node = d = None
+    for t in range(0, rounds + 1):
+        if alive is None:
+            fn = deg_all
+        else:
+            fn = deg_round(ray.put(alive))
+        degs = part_aggregate(
+            edges, fn, key_col="src", n_parts=num_partitions or 32
+        ).to_pandas()
+        if len(degs):
+            node = degs["node"].to_numpy(dtype=np.int64)
+            d = degs["d"].to_numpy(dtype=np.int64)
+        else:  # Ray drops column schema on fully-empty datasets
+            node = np.array([], dtype=np.int64)
+            d = np.array([], dtype=np.int64)
+        appears = np.sort(node)
+        if all_nodes is None:
+            all_nodes = appears
+            seen = appears
+        else:
+            for u in np.setdiff1d(seen, appears, assume_unique=True):
+                peel_map[int(u)] = t  # last_seen = t-1 -> peel t
+            seen = appears
+        new_alive = np.sort(node[d >= k])
+        if alive is not None and np.array_equal(new_alive, alive):
+            break  # E_{t+1} = E_t: all later rounds are identity
+        alive = new_alive
+    # survivors = every node incident to the final edge set (SQL
+    # semantics: last_seen = R -> peel_round 0, core_deg = final degree
+    # even when that degree has dropped below k at the cut-off round)
+    final_deg = dict(zip(node.tolist(), d.tolist()))
+    out_rows = []
+    seen_set = set(seen.tolist())
+    for u in all_nodes.tolist():
+        if u in seen_set:
+            out_rows.append((u, 0, final_deg[u]))
+        else:
+            out_rows.append((u, peel_map[u], 0))
+    res = pd.DataFrame(
+        out_rows, columns=["doc_id", "peel_round", "core_deg"]
+    ).astype("int64")
+    return rd.from_pandas(res)
+
+
 def triangles_local(a: np.ndarray, b: np.ndarray):
     """Driver-tier per-node triangle counts over canonical pairs
     (a < b). Returns (nodes, deg, n_tri). Sorted-adjacency intersection

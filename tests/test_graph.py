@@ -174,3 +174,112 @@ def test_triangle_stats_clique_is_1(ray_session):
     got = triangle_stats(rd.from_pandas(pdf)).to_pandas()
     assert (got.clustering == 1.0).all()
     assert (got.n_tri == 6).all()  # C(4,2) triangles through each node
+
+
+# --- k-core peeling -----------------------------------------------------------
+def _brute_kcore(pairs, k=2, rounds=8):
+    """Reference R-round peeling: round t keeps edges whose endpoints both
+    had degree >= k over round t-1's edges; peel_round = first round with
+    no surviving edge (0 = survived), core_deg = final-round degree."""
+    edges = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({x for p in pairs for x in p})
+    seen = set(nodes)
+    peel = {}
+    cur = set(edges)
+    for t in range(1, rounds + 1):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        new = {(a, b) for a, b in cur if deg[a] >= k and deg[b] >= k}
+        if new == cur:
+            break
+        appears = {x for e in new for x in e}
+        for u in seen - appears:
+            peel[u] = t
+        seen = appears
+        cur = new
+    deg = {}
+    for a, b in cur:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {
+        u: (peel.get(u, 0), deg.get(u, 0) if u in seen else 0)
+        for u in nodes
+    }
+
+
+KCORE_PAIRS = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (7, 8), (7, 9),
+               (7, 10), (20, 21), (21, 22), (22, 20), (22, 23), (23, 20)]
+
+
+@pytest.mark.parametrize("local_edges", [8_000_000, 0])
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_tiers_match_bruteforce(ray_session, local_edges, k):
+    from sits_ray.stages.graph import kcore_int
+
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in KCORE_PAIRS], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in KCORE_PAIRS], dtype=np.int64),
+        }
+    )
+    got = (
+        kcore_int(rd.from_pandas(pdf).repartition(3), k=k,
+                  local_edges=local_edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_kcore(KCORE_PAIRS, k=k)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert (int(r.peel_round), int(r.core_deg)) == exp[int(r.doc_id)], (
+            k, int(r.doc_id))
+
+
+def test_kcore_star_center_vanishes_round1(ray_session):
+    # star center has deg 3 >= 2 but ALL its edges die with its deg-1
+    # leaves -> it disappears at round 1 (the "appears" semantics the
+    # SQL twin implements)
+    from sits_ray.stages.graph import kcore_int
+
+    pairs = [(7, 8), (7, 9), (7, 10)]
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in pairs], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in pairs], dtype=np.int64),
+        }
+    )
+    got = kcore_int(rd.from_pandas(pdf), k=2).to_pandas()
+    assert (got.peel_round == 1).all()
+    assert (got.core_deg == 0).all()
+
+
+def test_kcore_clique_all_survive(ray_session):
+    import itertools
+
+    from sits_ray.stages.graph import kcore_int
+
+    pairs = list(itertools.combinations([1, 2, 3, 4, 5], 2))
+    pdf = pd.DataFrame(
+        {
+            "doc_a": np.array([p[0] for p in pairs], dtype=np.int64),
+            "doc_b": np.array([p[1] for p in pairs], dtype=np.int64),
+        }
+    )
+    got = kcore_int(rd.from_pandas(pdf), k=3).to_pandas()
+    assert (got.peel_round == 0).all()
+    assert (got.core_deg == 4).all()
+
+
+def test_kcore_empty(ray_session):
+    from sits_ray.stages.graph import kcore_int
+
+    pdf = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        }
+    )
+    assert kcore_int(rd.from_pandas(pdf)).to_pandas().empty
