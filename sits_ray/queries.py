@@ -6407,6 +6407,70 @@ def kcore_dups(sf_dir):
     return kcore_int(pairs, k=2, rounds=8)
 
 
+def _semdedup_sql(nlist: int = 16, dim: int = 64, seed: int = 11,
+                  tau_num: int = 1, tau_den: int = 2) -> str:
+    """SQL twin of stages/dedup.semdedup: the ivf_ann_topk seeded-argmax
+    assignment chains, then a correlated within-cluster EXISTS over the
+    integer quantized-cosine inequality. list_dot_product over the
+    bigint-quantized lists is exact (every partial < 2^53)."""
+    from sits_ray.stages.similarity import seed_centroids
+
+    C = seed_centroids(nlist, dim, seed)
+    exprs = []
+    for j in range(nlist):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * {C[j, d]:.17e}" for d in range(dim)
+        )
+        exprs.append(f"({terms}) as s{j}")
+    conds = []
+    for j in range(nlist - 1):
+        cc = " and ".join(f"s{j} >= s{i}" for i in range(j + 1, nlist))
+        conds.append(f"when {cc} then {j}")
+    case = "case " + " ".join(conds) + f" else {nlist - 1} end"
+    sel = ",\n       ".join(exprs)
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+    return f"""
+with s as (
+  select vec_id, embedding,
+       {sel}
+  from embeddings),
+a as (select vec_id, embedding, cast({case} as bigint) as bucket from s),
+n as (select vec_id, bucket,
+        list_transform(embedding,
+          e -> cast(floor(cast(e as double) * 100.0 + 0.5) as bigint)) as q
+      from a),
+m as (select vec_id, bucket, q,
+        cast(list_dot_product(q, q) as bigint) as nq from n)
+select x.vec_id, x.bucket,
+  exists (
+    select 1 from m y
+    where y.bucket = x.bucket and y.vec_id < x.vec_id
+      and cast(list_dot_product(x.q, y.q) as bigint) > 0
+      and {td2} * cast(list_dot_product(x.q, y.q) as bigint)
+               * cast(list_dot_product(x.q, y.q) as bigint)
+          >= {tn2} * x.nq * y.nq
+  ) as dropped
+from m x
+"""
+
+
+@q("semdedup_keep", _semdedup_sql())
+def semdedup_keep(sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to 16 seeded
+    centroids, drop every vector with a smaller-id semantic duplicate at
+    quantized cosine >= 1/2 INSIDE its cluster — the one-shot keep/drop
+    decision; pairwise work is bounded by the largest cluster, never the
+    corpus. Integer-exact end to end (seeded-argmax assignment = the
+    ivf_ann_topk contract; similarity = cross-multiplied squares of
+    ``floor(x*100+0.5)`` int dots), so the SQL twin matches bit-for-bit
+    (stages/dedup.semdedup)."""
+    from sits_ray.stages.dedup import semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds)
+
+
 @q(
     "curation_keep_docs",
     """

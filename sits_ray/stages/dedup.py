@@ -1359,3 +1359,103 @@ def dup_passages(ds, w: int = 8, id_col: str = "doc_id",
         )
 
     return part_aggregate(partials, per_doc, key_col=id_col, n_parts=n_parts)
+
+
+def semdedup(ds, nlist: int = 16, seed: int = 11,
+             tau_num: int = 1, tau_den: int = 2, qscale: float = 100.0,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             num_partitions: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster embeddings, then inside each cluster drop
+    every vector that has a more-canonical (smaller-id) semantic
+    duplicate at cosine >= tau. Unlike :func:`embedding_near_dups`
+    (which emits PAIRS for a downstream component pass), this is the
+    one-shot keep/drop decision of the paper: pairwise similarity is
+    only ever computed within a cluster, so the quadratic term is
+    bounded by the largest cluster, not the corpus.
+
+    SQL-mechanizable variant, integer-exact end to end:
+
+    - clustering = FIXED seeded centroids (``similarity.seed_centroids``)
+      with first-max argmax over sequential-fold dots — the proven
+      ``ivf_ann_topk`` assignment contract;
+    - similarity = QUANTIZED cosine: ``q = floor(x * qscale + 0.5)`` in
+      double, ``dup(a,b) <=> dot(qa,qb) > 0 and
+      tau_den^2*dot^2 >= tau_num^2*|qa|^2*|qb|^2`` — all int64 (the
+      squares stay < 2^53 for qscale=100, dim<=64, |x|<=1, so even the
+      oracle's double ``list_dot_product`` is exact);
+    - drop rule: a vector is dropped iff SOME same-cluster vector with a
+      smaller id is a dup — order-free (no sequential scan), so both
+      engines agree regardless of evaluation order.
+
+    Scale shape: one assignment ``map_batches`` (centroids are a
+    closure constant, built once per worker) + one ``part_aggregate``
+    keyed by cluster; per-cluster work is an int64 Gram matrix. Pick
+    ``nlist ~ sqrt(n)`` at real scale so clusters stay bounded (the
+    embedding_near_dups sizing rule).
+
+    Returns ``(id_col, bucket, dropped)`` for every input row.
+    """
+    from sits_ray.stages.hashagg import part_aggregate
+    from sits_ray.stages.similarity import seed_centroids, seq_dots
+
+    tn2 = int(tau_num) * int(tau_num)
+    td2 = int(tau_den) * int(tau_den)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    emb_col: pd.Series([], dtype=object),
+                }
+            )
+        m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        C = seed_centroids(nlist, m.shape[1], seed)
+        b = np.argmax(seq_dots(m, C), axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                "bucket": b,
+                emb_col: df[emb_col].to_numpy(),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def per_cluster(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "dropped": pd.Series([], dtype=bool),
+                }
+            )
+        outs = []
+        for bkt, g in gdf.groupby("bucket", sort=False):
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+            qm = np.floor(m * qscale + 0.5).astype(np.int64)
+            G = qm @ qm.T
+            na = np.diag(G).copy()
+            cond = (G > 0) & (td2 * G * G >= tn2 * np.outer(na, na))
+            dropped = np.tril(cond, -1).any(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "bucket": np.full(len(ids), bkt, dtype=np.int64),
+                        "dropped": dropped,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return part_aggregate(
+        assigned, per_cluster, key_col="bucket",
+        n_parts=num_partitions or 32,
+    )

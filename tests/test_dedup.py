@@ -364,3 +364,84 @@ def test_simhash_poly_dups_recall(ray_session):
     assert (1, 3) not in keys and (2, 3) not in keys
     row = out[(out.doc_a == 1) & (out.doc_b == 2)].iloc[0]
     assert 0 <= row.hamming <= 3 and 1 <= row.n_bands <= 4
+
+
+# --- SemDeDup -----------------------------------------------------------------
+def _semdedup_ref(ids, X, nlist, seed, tau_num=1, tau_den=2, qscale=100.0):
+    from sits_ray.stages.similarity import seed_centroids, seq_dots
+
+    C = seed_centroids(nlist, X.shape[1], seed)
+    b = np.argmax(seq_dots(X.astype(np.float64), C), axis=1)
+    q = np.floor(X.astype(np.float64) * qscale + 0.5).astype(np.int64)
+    drop = np.zeros(len(ids), dtype=bool)
+    for bk in np.unique(b):
+        sel = np.where(b == bk)[0]
+        o = sel[np.argsort(ids[sel])]
+        G = q[o] @ q[o].T
+        na = np.diag(G).copy()
+        cond = (G > 0) & (
+            tau_den * tau_den * G * G >= tau_num * tau_num * np.outer(na, na)
+        )
+        drop[o] = np.tril(cond, -1).any(axis=1)
+    return dict(zip(ids.tolist(), zip(b.tolist(), drop.tolist())))
+
+
+@pytest.mark.parametrize("num_partitions", [None, 3])
+def test_semdedup_planted_duplicates(ray_session, num_partitions):
+    """Planted near-identical groups must collapse to their min-id
+    member; the staged pipeline must match the scalar reference
+    bit-for-bit (bucket AND drop decision)."""
+    from sits_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 8))
+    X = base.copy()
+    # groups of planted semantic dups: tiny jitter keeps cosine ~0.9999
+    for grp in ((3, 11, 19), (4, 22)):
+        for m in grp[1:]:
+            X[m] = X[grp[0]] + rng.standard_normal(8) * 1e-3
+    ids = np.arange(100, 130, dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(X.astype(np.float32))})
+    got = (
+        semdedup(rd.from_pandas(pdf).repartition(4), nlist=4, seed=7,
+                 tau_num=19, tau_den=20, num_partitions=num_partitions)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = _semdedup_ref(ids, X.astype(np.float32), nlist=4, seed=7,
+                        tau_num=19, tau_den=20)
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert (int(r.bucket), bool(r.dropped)) == ref[int(r.vec_id)]
+    # planted groups land in one cluster (they're near-identical) and
+    # keep exactly the min id
+    g = got.set_index("vec_id")
+    assert not g.loc[103].dropped and g.loc[111].dropped and g.loc[119].dropped
+    assert not g.loc[104].dropped and g.loc[122].dropped
+    # most non-planted vectors survive at tau=0.95
+    assert got.dropped.sum() <= 3 + 2
+
+
+def test_semdedup_cross_cluster_dups_not_dropped(ray_session):
+    """The SemDeDup contract: similarity is only evaluated WITHIN a
+    cluster — identical vectors in different clusters both survive."""
+    from sits_ray.stages.dedup import semdedup
+    from sits_ray.stages.similarity import seed_centroids, seq_dots
+
+    C = seed_centroids(4, 8, seed=7)
+    # two vectors equal to two different centroids => different buckets
+    X = np.stack([C[0], C[2], C[0] * 0.99]).astype(np.float32)
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    b = np.argmax(seq_dots(X.astype(np.float64), C), axis=1)
+    assert b[0] != b[1] and b[0] == b[2]
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    got = (
+        semdedup(rd.from_pandas(pdf), nlist=4, seed=7,
+                 tau_num=19, tau_den=20)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert not got.loc[1].dropped  # smallest id in its bucket
+    assert not got.loc[2].dropped  # alone in its bucket
+    assert got.loc[3].dropped      # same bucket as 1, cos ~1, larger id
