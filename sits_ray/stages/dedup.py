@@ -1459,3 +1459,50 @@ def semdedup(ds, nlist: int = 16, seed: int = 11,
         assigned, per_cluster, key_col="bucket",
         n_parts=num_partitions or 32,
     )
+
+
+def materialized_pairs(build_fn, cache_dir: str, fingerprint: dict):
+    """Fingerprint-gated materialized pair table — the ``ivf_build``
+    reuse discipline applied to near-dup blocking output: the graph
+    family (components, PageRank, triangles, k-core) all consume the
+    SAME candidate-pair table, so build it once and let every consumer
+    read the Parquet. Reuses only when ``fingerprint.json`` matches
+    exactly (changed input content, threshold or k rebuilds); builds
+    into a staging dir published by one atomic rename (a crash can
+    never leave a half-table a later run trusts); a corrupt/unreadable
+    fingerprint reads as absent (rebuild), never as a crash. Empty
+    results bypass the cache (nothing to amortize; avoids the
+    empty-parquet-dir read edge)."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    fp_path = os.path.join(cache_dir, "fingerprint.json")
+    data_dir = os.path.join(cache_dir, "pairs")
+    if os.path.exists(fp_path):
+        try:
+            with open(fp_path) as fh:
+                if json.load(fh) == fingerprint:
+                    return rd.read_parquet(data_dir)
+        except (OSError, ValueError):
+            pass
+    built = build_fn()
+    staging = cache_dir.rstrip("/") + ".building"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    # write_parquet executes the build pipeline ONCE, streaming — no
+    # extra materialize round trip
+    built.write_parquet(os.path.join(staging, "pairs"))
+    import glob
+
+    if not glob.glob(os.path.join(staging, "pairs", "*.parquet")):
+        shutil.rmtree(staging, ignore_errors=True)
+        return built  # empty result: nothing to amortize, stay lazy
+    with open(os.path.join(staging, "fingerprint.json"), "w") as fh:
+        json.dump(fingerprint, fh)
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(cache_dir.rstrip("/")) or ".", exist_ok=True)
+    os.replace(staging, cache_dir)
+    return rd.read_parquet(data_dir)

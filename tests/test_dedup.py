@@ -445,3 +445,56 @@ def test_semdedup_cross_cluster_dups_not_dropped(ray_session):
     assert not got.loc[1].dropped  # smallest id in its bucket
     assert not got.loc[2].dropped  # alone in its bucket
     assert got.loc[3].dropped      # same bucket as 1, cos ~1, larger id
+
+
+# --- materialized pair cache ---------------------------------------------------
+def test_materialized_pairs_reuse_and_invalidate(ray_session, tmp_path):
+    from sits_ray.stages.dedup import materialized_pairs
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return rd.from_pandas(
+            pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+        )
+
+    cdir = str(tmp_path / "pairs_cache")
+    fp = {"size": 10, "k": 5}
+    a = materialized_pairs(build, cdir, fp).to_pandas()
+    b = materialized_pairs(build, cdir, fp).to_pandas()  # cache hit
+    assert len(calls) == 1
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_a").reset_index(drop=True),
+        b.sort_values("doc_a").reset_index(drop=True),
+    )
+    # changed fingerprint rebuilds
+    materialized_pairs(build, cdir, {"size": 11, "k": 5})
+    assert len(calls) == 2
+    # corrupt fingerprint reads as absent -> rebuild, not crash
+    import os
+    with open(os.path.join(cdir, "fingerprint.json"), "w") as fh:
+        fh.write("{not json")
+    materialized_pairs(build, cdir, fp)
+    assert len(calls) == 3
+
+
+def test_materialized_pairs_empty_bypasses_cache(ray_session, tmp_path):
+    import os
+
+    from sits_ray.stages.dedup import materialized_pairs
+
+    def build():
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    cdir = str(tmp_path / "empty_cache")
+    out = materialized_pairs(build, cdir, {"x": 1})
+    assert out.count() == 0
+    assert not os.path.exists(os.path.join(cdir, "fingerprint.json"))
