@@ -7454,6 +7454,77 @@ def vocab_heaps(sf_dir):
     return vocab_stats(ds)
 
 
+def _hll_sql(p: int = 8) -> str:
+    """DuckDB twin of stages/sketch.hll_distinct: the ENTIRE HyperLogLog
+    sketch replayed — Horner/M31 token hash, register idx = h % m, rank
+    = B - bitlen(w) + 1 via length(bin(w)), per-register max, LEFT-fold
+    harmonic sum in idx order (the repo's ordered list_reduce float
+    contract), and the identical linear-counting branch. alpha_mm is the
+    one shared double literal (sketch.hll_alpha_mm)."""
+    from sits_ray.stages.sketch import hll_alpha_mm
+
+    m = 1 << p
+    B = 31 - p
+    amm = repr(hll_alpha_mm(m))
+    return f"""
+with tok as (
+  select distinct source, w
+  from (select source, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)),
+h as (
+  select source,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+                        list_transform(regexp_extract_all(to_hex(encode(w)), '..'),
+                                       c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647) as hw
+  from tok),
+rg as (
+  select source, hw % {m} as idx,
+         max(case when hw // {m} = 0 then {B + 1}
+                  else {B} - length(bin(hw // {m})) + 1 end) as mj
+  from h group by 1, 2),
+grid as (
+  select s.source, g.idx
+  from (select distinct source from documents) s
+       cross join (select cast(unnest(range(0, {m})) as bigint) as idx) g),
+regs as (
+  select grid.source, grid.idx, coalesce(rg.mj, 0) as mj
+  from grid left join rg on grid.source = rg.source and grid.idx = rg.idx),
+est as (
+  select source,
+         list_reduce(list_prepend(0.0, list(power(2.0, -mj) order by idx)),
+                     (a, b) -> a + b) as s,
+         cast(sum(case when mj = 0 then 1 else 0 end) as bigint) as v
+  from regs group by 1)
+select source,
+       case when {amm} / s <= {repr(2.5 * m)} and v > 0
+            then {repr(float(m))} * ln({repr(float(m))} / cast(v as double))
+            else {amm} / s end as n_hll,
+       v as n_zero_regs
+from est
+order by source
+"""
+
+
+@q("hll_distinct_tokens", _hll_sql())
+def hll_distinct_tokens(sf_dir):
+    """Per-source distinct-token estimate via a HyperLogLog register
+    sketch (stages/sketch.hll_distinct): O(2^p) state per batch no
+    matter the vocabulary — the bounded-state sibling of `vocab_heaps`
+    (whose distinct-pair partials grow with the vocabulary; at 100 TB
+    the registers are the only thing that crosses the wire). The
+    estimate is a deterministic pure function of the data (M31 Horner
+    hash + integer register maxima + ordered float fold), so the gate
+    checks it bit-exactly, not approximately."""
+    from sits_ray.stages.sketch import hll_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return hll_distinct(ds)
+
+
 # --- agent-loop detection (repeated turn payloads) ---------------------------
 @q(
     "loop_detection",

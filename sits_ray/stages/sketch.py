@@ -187,6 +187,93 @@ def heavy_hitter_tokens(ds, k: int = 10, cap: int = 4096,
     return exact.reset_index(drop=True)
 
 
+def hll_alpha_mm(m: int) -> float:
+    """The HyperLogLog bias constant times m^2 (Flajolet et al. 2007),
+    computed ONCE here so the engine estimate and the DuckDB twin embed
+    the identical double literal (queries.py inserts ``repr()`` of this
+    value into the SQL)."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hll_distinct(ds, text_col: str = "text", group_col: str = "source",
+                 p: int = 8) -> pd.DataFrame:
+    """Per-group distinct-token estimate via a HyperLogLog register
+    sketch with O(2^p) state per batch regardless of vocabulary — the
+    bounded-state sibling of :func:`vocab_stats` (whose per-batch
+    distinct-pair frames grow with the vocabulary). Token hash is the
+    repo's Horner/Mersenne-31 fold (kernels/text.fingerprint_batch), so
+    the WHOLE sketch — register index, leading-zero rank, max-merge,
+    ordered harmonic fold, linear-counting branch — replays bit-exactly
+    in DuckDB (queries.hll_distinct_tokens): the estimate is a
+    deterministic pure function of the data, not an "approximate
+    answer" the gate must tolerate.
+
+    Layout: h < 2^31-1 (M31 fold); idx = h % m uses the low ``p`` bits'
+    worth, w = h // m keeps B = 31 - p bits; rank rho = B - bitlen(w) + 1
+    (w = 0 -> B + 1). Per batch each group emits at most m (idx, rho)
+    rows; merge is an order-free integer max on the driver. Estimate:
+    E = alpha_mm / sum_j 2^-M_j folded LEFT in idx order (float contract),
+    linear counting ``m * ln(m / V)`` when E <= 2.5 m and V > 0.
+    """
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.joins import _right_as_table
+
+    m = 1 << p
+    B = 31 - p
+    pows2 = (np.int64(1) << np.arange(B, dtype=np.int64))  # [1, 2, .., 2^(B-1)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # sentinel (idx 0, r 0) per group present in the batch: r=0 never
+        # beats a real rank in the max-merge, but keeps token-less groups
+        # in the output (the SQL grid enumerates every distinct source)
+        sent = pd.DataFrame(
+            {group_col: pd.unique(df[group_col].to_numpy(dtype=object)),
+             "idx": np.int64(0), "r": np.int64(0)}
+        )
+        toks = df[text_col].str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return sent
+        g = df[group_col].to_numpy(dtype=object)[
+            pd.Index(df.index).get_indexer(ex.index)
+        ]
+        pairs = pd.DataFrame(
+            {group_col: g, "token": ex.to_numpy(dtype=object)}
+        ).drop_duplicates()
+        h = fingerprint_batch(list(pairs["token"]))
+        idx = h % m
+        w = h // m
+        rho = B - np.searchsorted(pows2, w, side="right").astype(np.int64) + 1
+        out = pd.DataFrame({group_col: pairs[group_col].to_numpy(),
+                            "idx": idx.astype(np.int64), "r": rho})
+        out = out.groupby([group_col, "idx"], as_index=False)["r"].max()
+        return pd.concat([out, sent], ignore_index=True)
+
+    rt = _right_as_table(ds.map_batches(partial, batch_format="pandas"))
+    regs = (
+        pd.DataFrame({group_col: rt[group_col].to_numpy(zero_copy_only=False),
+                      "idx": rt["idx"].to_numpy(), "r": rt["r"].to_numpy()})
+        .groupby([group_col, "idx"], as_index=False)["r"].max()
+    )
+    amm = hll_alpha_mm(m)
+    groups, ests, zeros = [], [], []
+    for gname, gdf in regs.groupby(group_col, sort=True):
+        M = np.zeros(m, dtype=np.int64)
+        M[gdf["idx"].to_numpy(dtype=np.int64)] = gdf["r"].to_numpy(np.int64)
+        s = 0.0
+        for j in range(m):  # LEFT fold in idx order — the SQL list_reduce
+            s += 2.0 ** (-int(M[j]))
+        v = int(np.count_nonzero(M == 0))
+        raw = amm / s
+        est = m * __import__("math").log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        groups.append(gname)
+        ests.append(est)
+        zeros.append(v)
+    return pd.DataFrame({group_col: np.array(groups, dtype=object),
+                         "n_hll": np.array(ests, dtype=np.float64),
+                         "n_zero_regs": np.array(zeros, dtype=np.int64)})
+
+
 def vocab_stats(ds, text_col: str = "text", group_col: str = "source",
                 n_parts: int = 32):
     """Per-group vocabulary statistics (the Heaps-law inputs of corpus

@@ -72,3 +72,46 @@ def test_vocab_stats_brute_force(ray_session):
     assert got["source"].tolist() == want["source"].tolist()
     assert got["n_vocab"].tolist() == want["n_vocab"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_hll_distinct_accuracy_and_split_invariance(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    # two sources with very different vocab sizes + one token-less source
+    rows, srcs = [], []
+    words = ["w" + format(i, "04d").replace("0", "a").replace("1", "b")
+             .replace("2", "c").replace("3", "d").replace("4", "e")
+             .replace("5", "f").replace("6", "g").replace("7", "h")
+             .replace("8", "i").replace("9", "j") for i in range(3000)]
+    for i in range(200):
+        k = rng.integers(5, 40)
+        rows.append(" ".join(rng.choice(words[:2500], size=k)))
+        srcs.append("big")
+    for i in range(100):
+        k = rng.integers(3, 10)
+        rows.append(" ".join(rng.choice(words[:60], size=k)))
+        srcs.append("small")
+    rows.append("12345 678")  # no [a-z]+ tokens at all
+    srcs.append("empty")
+    df = pd.DataFrame({"source": srcs, "text": rows})
+
+    got1 = hll_distinct(rd.from_pandas(df).repartition(1))
+    got8 = hll_distinct(rd.from_pandas(df).repartition(8))
+    # register max-merge is associative: batch split must not matter
+    pd.testing.assert_frame_equal(
+        got1.reset_index(drop=True), got8.reset_index(drop=True)
+    )
+
+    ex = df.assign(tok=df["text"].str.lower().str.findall(r"[a-z]+")).explode(
+        "tok"
+    ).dropna(subset=["tok"])
+    truth = ex.groupby("source")["tok"].nunique()
+    est = dict(zip(got8["source"], got8["n_hll"]))
+    assert set(got8["source"]) == {"big", "small", "empty"}
+    assert est["empty"] == 0.0
+    for s in ("big", "small"):
+        rel = abs(est[s] - truth[s]) / truth[s]
+        assert rel < 0.25, (s, est[s], truth[s])  # ~3 sigma at m=256
