@@ -7210,6 +7210,49 @@ def weighted_sample_topk(sf_dir):
     return weighted_priority_sample(ds, k=100, weight_col="n_chars")
 
 
+# --- temperature-based corpus mixing ------------------------------------------
+_MIX_T = 1500.0
+
+
+@q(
+    "mix_temperature_sample",
+    f"""
+with cnt as (
+  select source, cast(count(*) as bigint) as n from documents group by 1),
+w as (
+  select source, n, sqrt(cast(n as double)) as s from cnt),
+tot as (
+  select list_reduce(list_prepend(0.0, list(s order by source)),
+                     (a, b) -> a + b) as ssum
+  from w),
+thr as (
+  select source,
+         cast(floor(least(1.0, (({_MIX_T!r} * s) / ssum) / cast(n as double))
+                    * 2147483647.0) as bigint) as t
+  from w, tot)
+select d.doc_id, d.source
+from documents d join thr using (source)
+where ((d.doc_id % 2147483647) * (2654435761 % 2147483647)) % 2147483647
+      < thr.t
+""",
+)
+def mix_temperature_sample(sf_dir):
+    """Temperature-based corpus mixing, EXECUTED (the `temperature_mix`
+    entry computes the weight plan; this one materializes the sampled
+    corpus): source i with n_i docs is sampled toward a target of
+    total * sqrt(n_i) / sum_j sqrt(n_j) rows, flattening head domains
+    and boosting tail ones. One bounded count pass + one streaming
+    hash-threshold filter — no per-group sort, no shuffle
+    (stages/sampling.mix_temperature); sqrt + ordered fold + floor are
+    mirrored exactly by the twin, so selection is bit-identical."""
+    from sits_ray.stages.sampling import mix_temperature
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return mix_temperature(ds, total=_MIX_T, alpha=0.5)
+
+
 # --- rendezvous (HRW) consistent sharding ------------------------------------
 def _hrw_sql(n_a: int = 8, n_b: int = 9, seed: int = 37) -> str:
     """SQL twin of stages/sampling.rendezvous_assign: the identical

@@ -204,6 +204,64 @@ def _id_hash(ids: np.ndarray) -> np.ndarray:
     return ((ids.astype(np.int64) % _HASH_P) * _HASH_R) % _HASH_P
 
 
+def mix_temperature(ds, total: float, alpha: float = 0.5,
+                    group_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-based corpus mixing (the multilingual/domain
+    rebalancing step of LLM training pipelines, e.g. mBERT/XLM-R
+    exponential smoothing): group ``i`` with ``n_i`` rows gets a target
+    of ``total * n_i^alpha / sum_j n_j^alpha`` rows (capped at ``n_i``),
+    flattening the head and boosting the tail as ``alpha -> 0``.
+
+    Scale shape: one bounded count pass (per-batch value_counts partials,
+    driver integer sum), then ONE streaming hash-threshold filter — no
+    per-group sort, no shuffle; expected kept rows per group = target.
+    Selection is the deterministic ``_id_hash`` threshold, and for
+    ``alpha = 0.5`` every float op (sqrt, ordered sum fold, mul/div,
+    floor) is mirrored exactly by the DuckDB twin
+    (queries.mix_temperature_sample) — sqrt is IEEE-correctly-rounded on
+    both engines, so thresholds are bit-identical."""
+    import math
+
+    from sits_ray.stages.joins import _right_as_table
+
+    def cnt_part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[group_col].value_counts()
+        return pd.DataFrame({group_col: vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    ct = _right_as_table(ds.map_batches(cnt_part, batch_format="pandas"))
+    counts = (
+        pd.DataFrame({group_col: ct[group_col].to_numpy(zero_copy_only=False),
+                      "n": ct["n"].to_numpy()})
+        .groupby(group_col, as_index=False)["n"].sum()
+        .sort_values(group_col).reset_index(drop=True)
+    )
+    n = counts["n"].to_numpy(dtype=np.int64)
+    if alpha == 0.5:
+        s = np.sqrt(n.astype(np.float64))  # correctly rounded — SQL sqrt
+    else:
+        s = np.power(n.astype(np.float64), alpha)
+    S = 0.0
+    for v in s:  # LEFT fold in group order — the SQL list_reduce contract
+        S += float(v)
+    thr = {}
+    for g, n_i, s_i in zip(counts[group_col], n, s):
+        frac = min(1.0, ((total * float(s_i)) / S) / float(n_i))
+        thr[g] = np.int64(math.floor(frac * 2147483647.0))
+    thr_items = sorted(thr.items(), key=lambda kv: str(kv[0]))
+    keys = pa.array([k for k, _ in thr_items])
+    tvals = np.array([v for _, v in thr_items], dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        li = pc.index_in(t[group_col], value_set=keys)
+        known = pc.is_valid(li).to_numpy(zero_copy_only=False)
+        gi = pc.fill_null(li, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _id_hash(t[id_col].to_numpy())
+        return t.filter(pa.array(known & (h < tvals[gi])))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def stratified_sampling(ds, design: pa.Table, alloc: str = "alloc_prop",
                         overhead: float = 1.2, label_col: str = "label",
                         id_col: str = "doc_id"):

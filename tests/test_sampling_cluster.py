@@ -364,3 +364,40 @@ def test_rendezvous_assign_stability_and_range(ray_session):
     # all 8 original shards get a reasonable share (mixing sanity)
     counts = got.shard_a.value_counts()
     assert len(counts) == 8 and counts.min() > 50
+
+
+def test_mix_temperature_targets_and_split_invariance(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.sampling import mix_temperature
+
+    # heavily skewed sources: temperature 0.5 should flatten the mix
+    n_by = {"huge": 4000, "mid": 400, "tiny": 40}
+    rows = []
+    i = 0
+    for s, n in n_by.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+
+    total = 600.0
+    out1 = mix_temperature(rd.from_pandas(df), total=total).to_pandas()
+    out8 = mix_temperature(
+        rd.from_pandas(df).repartition(8), total=total
+    ).to_pandas()
+    k = ["source", "doc_id"]
+    pd.testing.assert_frame_equal(
+        out1.sort_values(k).reset_index(drop=True)[k],
+        out8.sort_values(k).reset_index(drop=True)[k],
+    )
+
+    got = out8.groupby("source").size()
+    S = sum(np.sqrt(v) for v in n_by.values())
+    for s, n in n_by.items():
+        target = min(n, total * np.sqrt(n) / S)
+        # hash-threshold keeps ~Binomial(n, target/n): 5 sigma slack
+        sd = np.sqrt(max(target * (1 - target / n), 1.0))
+        assert abs(got.get(s, 0) - target) < 5 * sd + 2, (s, got.get(s, 0), target)
+    # the tail source must be boosted relative to its raw share
+    assert got["tiny"] / got.sum() > n_by["tiny"] / sum(n_by.values())
