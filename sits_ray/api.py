@@ -215,3 +215,13 @@ def sits_to_csv(ds, path: str):
     """CSV sink (``sits_to_csv``)."""
     ds.write_csv(path)
     return path
+
+
+def sits_to_xlsx(tables, path: str):
+    """XLSX sink for accuracy/summary matrices (``sits_to_xlsx``,
+    ``R/sits_xlsx.R:47-60``: one worksheet per labelled matrix). Real
+    workbook, written dependency-free via stdlib zip + SpreadsheetML
+    (sits_ray/xlsx.py); driver-side, for SMALL result tables only."""
+    from sits_ray.xlsx import write_xlsx
+
+    return write_xlsx(tables, path)
