@@ -67,16 +67,21 @@ def _expire_long(part_dir: str, cutoff_us: int) -> tuple[int, int]:
     return kept, dropped
 
 
-def _slice_nested(t: pa.Table, cutoff_us: int) -> pa.Table:
-    """Drop points before the cutoff from every list column of a nested
-    tier table. Series are time-sorted, so the keep mask is a per-row
-    suffix — one vectorized global mask, no per-conversation Python."""
+def _slice_nested(t: pa.Table, cutoff_us: int,
+                  hi_us: int | None = None) -> pa.Table:
+    """Drop points before the cutoff (and, when ``hi_us`` is given, at or
+    after it — the cube_copy time-ROI crop) from every list column of a
+    nested tier table. Series are time-sorted, so the keep mask is a
+    per-row contiguous run — one vectorized global mask, no
+    per-conversation Python."""
     ts = t["bucket_ts"].combine_chunks()
     offs = ts.offsets.to_numpy().astype(np.int64)
     offs = offs - offs[0]
     flat_ts = ts.flatten().to_numpy(zero_copy_only=False)
     flat_us = flat_ts.astype("datetime64[us]").astype(np.int64)
     keep = flat_us >= cutoff_us
+    if hi_us is not None:
+        keep &= flat_us < hi_us
     new_lens = np.zeros(t.num_rows, dtype=np.int64)
     nonempty = offs[:-1] < offs[1:]
     if nonempty.any():
