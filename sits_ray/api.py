@@ -26,6 +26,16 @@ from sits_ray.pipelines.mosaic import (  # noqa: F401
     regrid_store as sits_tile_convert,
 )
 from sits_ray.pipelines.store_merge import merge_stores as sits_merge_stores  # noqa: F401
+from sits_ray.pipelines.cube_copy import cube_copy as sits_cube_copy  # noqa: F401
+from sits_ray.vector import (  # noqa: F401
+    read_shapefile_points as sits_read_shp,
+    roi_filter as sits_roi_filter,
+)
+from sits_ray.stac import (  # noqa: F401
+    publish_stac as sits_publish_catalog,
+    stac_search as sits_stac_search,
+    read_stac as sits_read_stac,
+)
 from sits_ray.sources import (  # noqa: F401
     open_catalog as sits_cube,
     read_cube as sits_cube_read,
