@@ -235,3 +235,408 @@ def sits_to_xlsx(tables, path: str):
     from sits_ray.xlsx import write_xlsx
 
     return write_xlsx(tables, path)
+
+
+# --- verb-surface completion: every remaining NAMESPACE export --------------
+# (the reference exports 98 verbs; this section binds the rest to real
+# engine operators so a sits pipeline translates name-for-name. Thin
+# adapters only — semantics live on the underlying implementations.)
+
+from sits_ray.colors import (  # noqa: F401
+    sits_colors,
+    sits_colors_qgis,
+    sits_colors_reset,
+    sits_colors_set,
+    sits_colors_show,
+)
+from sits_ray.config import (  # noqa: F401
+    config_show as sits_config_show,
+    load_config as sits_config,
+    user_config_path as sits_config_user_file,
+)
+from sits_ray.grid import (  # noqa: F401
+    mgrs_to_roi as sits_mgrs_to_roi,
+    roi_to_mgrs as sits_roi_to_mgrs,
+    roi_to_tiles as sits_roi_to_tiles,
+    tiles_to_roi as sits_tiles_to_roi,
+)
+from sits_ray.predictors import (  # noqa: F401
+    pred_features as sits_pred_features,
+    pred_normalize as sits_pred_normalize,
+    pred_references as sits_pred_references,
+    pred_sample as sits_pred_sample,
+    predictors as sits_predictors,
+    samples_stats as sits_stats,
+)
+from sits_ray.stac import list_collections as sits_list_collections  # noqa: F401
+from sits_ray.stages.train import (  # noqa: F401
+    factory_function as sits_factory_function,
+    formula_linear as sits_formula_linear,
+    formula_logref as sits_formula_logref,
+    sits_boost_lite as sits_lightgbm,
+    tuning_hparams as sits_tuning_hparams,
+)
+
+# SLIC segmentation maps to the same 1-D episode segmentation as
+# sits_segment (R/sits_segmentation.R:52 — supercells over a raster; here
+# change-point episodes over a series; one analog serves both verbs).
+sits_slic = sits_segment
+
+
+def sits_lighttae(d: int = 8, iters: int = 200, lr: float = 0.5, seed: int = 5):
+    """``sits_lighttae`` (``R/sits_lighttae.R``): the TAE factory at a
+    reduced attention width — the reference's light variant drops heads
+    and layers; here the same rank-1 attention scorer with a smaller
+    ``d`` and fewer iterations (``stages/train.sits_tae_lite``)."""
+    from sits_ray.stages.train import sits_tae_lite
+
+    return sits_tae_lite(d=d, iters=iters, lr=lr, seed=seed)
+
+
+def sits_uncertainty(probs, type: str = "entropy"):
+    """Uncertainty measures over a probs matrix (``sits_uncertainty``,
+    ``R/sits_uncertainty.R``: entropy / margin / least)."""
+    import numpy as np
+
+    from sits_ray.kernels.ml import entropy_probs, least_probs, margin_probs
+
+    fn = {"entropy": entropy_probs, "margin": margin_probs,
+          "least": least_probs}.get(type)
+    if fn is None:
+        raise ValueError(f"unknown uncertainty type {type!r}")
+    return fn(np.asarray(probs, dtype=np.float64))
+
+
+def sits_uncertainty_sampling(scored_ds, n: int = 20, id_col: str = "vec_id"):
+    """Top-n most-uncertain samples of a scored Dataset
+    (``sits_uncertainty_sampling``): distributed partial top-n by entropy
+    (``stages/sampling.topm_by_score``) — candidates cross, never the
+    corpus."""
+    from sits_ray.stages.sampling import topm_by_score
+
+    return topm_by_score(scored_ds, m=n, score_col="entropy", id_col=id_col)
+
+
+def sits_confidence_sampling(scored_ds, n: int = 20, id_col: str = "vec_id",
+                             label_col: str = "pred_label"):
+    """Per-predicted-label top-n most-CONFIDENT samples
+    (``sits_confidence_sampling``, ``R/sits_uncertainty.R``). The
+    scorer's ``margin`` column is the margin UNCERTAINTY 1-(p1-p2)
+    (``kernels/ml.margin_probs`` == reference ``src/uncertainty.cpp``),
+    so most-confident = smallest margin — exactly the mergeable
+    smallest-rank-survives per-group partial top-k
+    (``stages/sampling.cap_per_group``; label cardinality is small by
+    design)."""
+    from sits_ray.stages.sampling import cap_per_group
+
+    return cap_per_group(scored_ds, k=n, group_col=label_col, id_col=id_col,
+                         rank_col="margin")
+
+
+def sits_geo_dist(X, Y=None, n: int = 1000):
+    """Nearest-neighbor distance diagnostic (``sits_geo_dist``,
+    ``R/sits_geo_dist.R:61``): 'sample-to-sample' NN distances within
+    ``X`` and, when ``Y`` is given, 'sample-to-prediction' NN distances
+    from ``X`` rows to ``Y`` rows. Inputs are bounded sample matrices
+    (the reference caps both sides at 1000 rows — same cap here); uses
+    the sequential-fold pairwise kernel the dendro/geo oracles pin
+    (``kernels/cluster.pairwise_euclidean``)."""
+    import numpy as np
+    import pandas as pd
+
+    from sits_ray.kernels.cluster import pairwise_euclidean
+
+    X = np.asarray(X, dtype=np.float64)[:n]
+    d = pairwise_euclidean(X)
+    np.fill_diagonal(d, np.inf)
+    out = [pd.DataFrame({"distance": d.min(axis=1), "type": "sample-to-sample"})]
+    if Y is not None:
+        Y = np.asarray(Y, dtype=np.float64)[:n]
+        both = pairwise_euclidean(np.vstack([X, Y]))
+        cross = both[: X.shape[0], X.shape[0]:]
+        out.append(
+            pd.DataFrame({"distance": cross.min(axis=1),
+                          "type": "sample-to-prediction"})
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def sits_timeline(ds, ts_col: str = "bucket_ts"):
+    """Distinct sorted timeline of a tier Dataset (``sits_timeline``)."""
+    return sorted(ds.unique(ts_col))
+
+
+def sits_bbox(ds, ts_col: str = "ts", key_col: str = "user_id") -> dict:
+    """Extent of a transcript Dataset (``sits_bbox``: the reference
+    returns the cube's spatial box; the transcript axes are time x key,
+    so the analog is (t0, t1) x (key_min, key_max))."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(ts_col), Max(ts_col), Min(key_col), Max(key_col))
+    return {
+        "t0": row[f"min({ts_col})"],
+        "t1": row[f"max({ts_col})"],
+        "key_min": row[f"min({key_col})"],
+        "key_max": row[f"max({key_col})"],
+    }
+
+
+def sits_get_data(ds, keys, key_col: str = "user_id"):
+    """Point lookup: rows of the listed keys (``sits_get_data``,
+    ``R/sits_get_data.R`` — samples at listed locations). ``keys`` is a
+    bounded request list by design; it rides the closure as an Arrow
+    value set (vectorized ``is_in`` per batch, no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kset = pa.array(sorted(set(keys)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key_col], value_set=kset))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sits_get_probs(scored_ds, keys, id_col: str = "vec_id"):
+    """Probability rows of the listed sample ids (``sits_get_probs``)."""
+    return sits_get_data(scored_ds, keys, key_col=id_col)
+
+
+def sits_get_class(scored_ds, keys, id_col: str = "vec_id"):
+    """Hard labels of the listed sample ids (``sits_get_class``)."""
+    return sits_get_probs(scored_ds, keys, id_col=id_col).select_columns(
+        [id_col, "pred_label"]
+    )
+
+
+def sits_merge(a, b, on=("user_id", "bucket_ts"), num_partitions: int = 16):
+    """Merge two band Datasets on (key, bucket) (``sits_merge.sits``,
+    ``R/sits_merge.R:61-105``) — Ray's hash join. For bounded build
+    sides prefer ``stages/joins.adaptive_join_unique`` (each
+    ``Dataset.join`` costs ~2-4 s of aggregator setup — fine at scale,
+    dominant on tiny inputs)."""
+    return a.join(b, join_type="inner", on=tuple(on),
+                  num_partitions=num_partitions)
+
+
+def sits_add_base_cube(ds, base, on: str, value_cols: dict | None = None,
+                       **kw):
+    """Attach per-key base attributes to a series Dataset
+    (``sits_add_base_cube``): the adaptive small-side join — broadcast
+    searchsorted lookup under the measured threshold, ``Dataset.join``
+    past it (``stages/joins.adaptive_join_unique``)."""
+    import pyarrow as pa
+
+    from sits_ray.stages.joins import adaptive_join_unique
+
+    if value_cols is None:
+        names = base.schema.names if isinstance(base, pa.Table) else base.schema().names
+        value_cols = {c: c for c in names if c != on}
+    return adaptive_join_unique(ds, base, on=on, right_on=on,
+                                value_cols=value_cols, **kw)
+
+
+def sits_patterns(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """Per-label prototype vector (``sits_patterns``,
+    ``R/sits_patterns.R``: GAM-smoothed label prototypes; here the label
+    mean series). Distributed mergeable partials — each batch emits
+    (label, sum, count) rows, the driver folds the O(labels x batches)
+    partials; the corpus never leaves the workers."""
+    import numpy as np
+    import pandas as pd
+
+    from sits_ray.stages.classify import list_matrix
+
+    def partial(t):
+        m = list_matrix(t[vec_col])
+        lab = np.asarray(t[label_col], dtype=object)
+        rows = []
+        for l in np.unique(lab):
+            sel = m[lab == l]
+            rows.append({"label": l, "n": sel.shape[0],
+                         "vsum": sel.sum(axis=0).tolist()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for l, g in parts.groupby("label", sort=True):
+        tot = np.sum(np.asarray(g["vsum"].tolist(), dtype=np.float64), axis=0)
+        out.append({"label": l, "pattern": (tot / g["n"].sum()).tolist()})
+    return pd.DataFrame(out)
+
+
+def sits_variance(nested_ds, window_size: int = 3,
+                  cols=("mean_latency",)):
+    """Windowed local variance over every series (``sits_variance``,
+    ``R/sits_variance.R`` — the smoothing diagnostic), via the nested
+    per-series map (no shuffle)."""
+    return sits_filter(nested_ds, lambda m: w_var(m, window_size),
+                       cols=cols, suffix="_var")
+
+
+def sits_clean(nested_ds, window_size: int = 3, cols=("label_code",)):
+    """Windowed modal filter over per-series label codes (``sits_clean``,
+    ``R/sits_clean.R`` — remove salt-and-pepper labels)."""
+    return sits_filter(nested_ds, lambda m: w_modal(m, window_size),
+                       cols=cols, suffix="_clean")
+
+
+def sits_impute(nested_ds, cols=("mean_latency",)):
+    """Linear gap-fill over every series (``sits_impute``,
+    ``R/sits_imputation.R`` → the same ``impute_linear`` rules the
+    gapfill oracle pins); new ``*_imputed`` columns."""
+    return sits_filter(nested_ds, impute_linear, cols=cols,
+                       suffix="_imputed")
+
+
+def sits_view(nested_ds, n_out: int = 20, value_col: str = "mean_latency"):
+    """Display-ready downsampled series (``sits_view`` /
+    ``plot.sits``: the reference renders with leaflet/ggplot — no plot
+    stack in this engine, so the verb returns the PLOT DATA: per series
+    the ``n_out`` LTTB-representative (ts, value) points that preserve
+    visual shape (``stages/series_ops.lttb_to_long``))."""
+    from sits_ray.stages.series_ops import lttb_to_long
+
+    return nested_ds.map_batches(
+        lambda b: lttb_to_long(b, n_out=n_out, value_col=value_col),
+        batch_format="pyarrow",
+    )
+
+
+def sits_as_sf(ds, x_col: str = "x", y_col: str = "y", limit: int = 100_000):
+    """Dataset -> point-feature frame (``sits_as_sf``): the vector-IO
+    interchange shape ``sits_ray/vector.py`` writes/reads (ESRI
+    Shapefile + dBASE). Bounded export verb (samples/results, not the
+    corpus) — ``limit`` guards the driver materialization."""
+    df = ds.limit(limit).to_pandas() if hasattr(ds, "to_pandas") else ds
+    if x_col not in df or y_col not in df:
+        raise ValueError(f"need point columns {x_col!r}/{y_col!r}")
+    return df
+
+
+def sits_as_stars(long_ds, value_col: str = "mean_latency",
+                  key_col: str = "conv_id", ts_col: str = "bucket_ts",
+                  limit: int = 1_000_000) -> dict:
+    """Long tier rows -> dense (series x time) grid (``sits_as_stars`` /
+    ``sits_as_terra``: export to an in-memory raster-like object).
+    Returns ``{"values": 2-D float array, "y": keys, "x": timeline}``.
+    Bounded export verb — one tile / one tier window, never the corpus."""
+    import numpy as np
+
+    df = long_ds.limit(limit).to_pandas()
+    pv = df.pivot_table(index=key_col, columns=ts_col, values=value_col,
+                        aggfunc="first", sort=True)
+    return {"values": pv.to_numpy(dtype=np.float64),
+            "y": pv.index.to_numpy(), "x": pv.columns.to_numpy()}
+
+
+sits_as_terra = sits_as_stars
+
+
+def sits_labels_summary(ds, label_col: str = "label"):
+    """Label counts + fractions (``sits_labels_summary``). Per-batch
+    value_counts partials (labels are few), one driver fold."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[label_col].value_counts()
+        return pd.DataFrame({"label": vc.index, "n": vc.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("label", sort=True, as_index=False)["n"].sum()
+    out["frac"] = out["n"] / out["n"].sum()
+    return out
+
+
+def sits_accuracy_summary(acc: dict):
+    """Accuracy dict -> tidy per-class table + overall rows
+    (``sits_accuracy_summary``) from ``kernels/ml.accuracy_metrics``."""
+    import pandas as pd
+
+    rows = [
+        {"metric": "overall_accuracy", "class": "", "value": acc["overall"]},
+        {"metric": "kappa", "class": "", "value": acc["kappa"]},
+    ]
+    for key, name in (("producer_acc", "producers_accuracy"),
+                      ("user_acc", "users_accuracy")):
+        for i, v in enumerate(acc[key]):
+            rows.append({"metric": name, "class": str(i), "value": float(v)})
+    return pd.DataFrame(rows)
+
+
+def sits_show_prediction(scored_ds, n: int = 10, id_col: str = "vec_id"):
+    """First-n predictions as a tidy frame (``sits_show_prediction``)."""
+    df = scored_ds.limit(n).to_pandas()
+    probs = [c for c in df.columns if c.startswith("prob_")]
+    return df[[id_col, "pred_label", *probs]]
+
+
+def sits_som_remove_samples(assigned_ds, neuron_post, **kw):
+    """Drop 'remove'-flagged samples, keep clean + analyze
+    (``sits_som_remove_samples``, ``R/sits_som.R``); the stricter
+    clean-only keep is ``sits_som_clean_samples``."""
+    from sits_ray.stages.som import som_clean_samples
+
+    kw.setdefault("keep", ("clean", "analyze"))
+    return som_clean_samples(assigned_ds, neuron_post, **kw)
+
+
+def sits_timeseries_to_csv(nested_ds, path: str) -> str:
+    """Nested tier series -> long CSV (``sits_timeseries_to_csv``).
+
+    Generic explode (any subset of list columns; scalar columns repeat)
+    — the full-schema fast path is ``regularize.nested_to_long``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        list_cols = [c for c in t.column_names
+                     if pa.types.is_list(t.schema.field(c).type)]
+        if not list_cols:
+            return t
+        lens = pc.list_value_length(t[list_cols[0]]).to_numpy(
+            zero_copy_only=False)
+        rep = pa.array(np.repeat(np.arange(t.num_rows), lens))
+        cols = {
+            c: (pc.list_flatten(t[c]) if c in list_cols else t[c].take(rep))
+            for c in t.column_names
+        }
+        return pa.table(cols)
+
+    nested_ds.map_batches(explode, batch_format="pyarrow").write_csv(path)
+    return path
+
+
+def sits_run_tests(extra_args: tuple = (), collect_only: bool = False) -> int:
+    """Run the engine's test suite (``sits_run_tests``)."""
+    import subprocess
+    import sys
+
+    args = [sys.executable, "-m", "pytest", "tests/", "-x", "-q",
+            *(["--collect-only"] if collect_only else []), *extra_args]
+    return subprocess.call(args, cwd=__file__.rsplit("/", 2)[0])
+
+
+def sits_run_examples(sf_dir: str = "/root/testdata/sf0.001",
+                      names=("rollup_1h", "label_distribution")):
+    """Run example registry pipelines (``sits_run_examples``): executes
+    the named ``queries()`` entries at the small scale factor and
+    returns (name, rows, seconds). Ray must already be initialized by
+    the caller (the driver contract)."""
+    import time
+
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    reg = entry.queries()
+    rows = []
+    for name in names:
+        t0 = time.perf_counter()
+        res = reg[name](sf_dir)
+        n = res.count() if hasattr(res, "count") and not isinstance(
+            res, (list, tuple)) else len(res)
+        rows.append({"name": name, "rows": int(n),
+                     "sec": time.perf_counter() - t0})
+    return pd.DataFrame(rows)

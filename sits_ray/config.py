@@ -98,3 +98,21 @@ def flagship_kwargs(cfg: dict) -> dict:
         salt_turn_threshold=fl["salt_turn_threshold"],
         salt_window_us=int(fl["salt_window_us"]),
     )
+
+
+def config_show(cfg: dict | None = None) -> str:
+    """Pretty-printed effective config (``sits_config_show``,
+    ``R/sits_config.R``)."""
+    return json.dumps(cfg if cfg is not None else DEFAULTS,
+                      indent=2, sort_keys=True)
+
+
+def user_config_path() -> str:
+    """The user overlay file location (``sits_config_user_file``):
+    honors ``SITS_RAY_CONFIG`` like the reference honors
+    ``SITS_CONFIG_USER_FILE``; defaults under the home directory."""
+    import os
+
+    return os.environ.get(
+        "SITS_RAY_CONFIG", os.path.expanduser("~/.sits_ray/config.json")
+    )

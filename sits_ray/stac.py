@@ -199,3 +199,33 @@ def read_stac(items: list[dict], columns: list[str] | None = None,
         return t.filter(mask)
 
     return ds.map_batches(residual, batch_format="pyarrow")
+
+
+def list_collections(catalog_path: str) -> list[dict]:
+    """Collection inventory of a static catalog (``sits_list_collections``,
+    ``R/sits_cube.R``: the reference prints each provider's collections;
+    here each child collection's id, description and temporal extent)."""
+    root = os.path.dirname(os.path.abspath(catalog_path))
+    with open(catalog_path) as fh:
+        cat = json.load(fh)
+    if cat.get("type") != "Catalog":
+        raise ValueError(f"{catalog_path}: not a STAC Catalog document")
+    out = []
+    for link in cat.get("links", []):
+        if link.get("rel") != "child":
+            continue
+        with open(os.path.join(root, link["href"])) as fh:
+            coll = json.load(fh)
+        out.append(
+            {
+                "id": coll["id"],
+                "description": coll.get("description", ""),
+                "interval": coll.get("extent", {})
+                .get("temporal", {})
+                .get("interval", [[None, None]])[0],
+                "n_items": sum(
+                    1 for l in coll.get("links", []) if l.get("rel") == "item"
+                ),
+            }
+        )
+    return sorted(out, key=lambda c: c["id"])

@@ -779,3 +779,56 @@ def train(X: np.ndarray, labels_col, ml_method=None) -> dict:
     lut = {lab: i for i, lab in enumerate(labels)}
     y = np.fromiter((lut[v] for v in labels_col), dtype=np.int64, count=labels_col.size)
     return ml_method(np.asarray(X, dtype=np.float64), y, labels)
+
+
+# --- formula / factory surface (R/sits_machine_learning.R:558-651,
+# R/sits_factory.R) ----------------------------------------------------------
+
+def formula_linear(predictors_index=None):
+    """``sits_formula_linear`` (``R/sits_machine_learning.R:620``): returns
+    a closure mapping a predictors frame to the design matrix — identity
+    over the (optionally index-selected) feature columns."""
+
+    def fml(pred):
+        from sits_ray.predictors import pred_features
+
+        X = pred_features(pred)
+        return X if predictors_index is None else X[:, list(predictors_index)]
+
+    return fml
+
+
+def formula_logref(predictors_index=None):
+    """``sits_formula_logref`` (``R/sits_machine_learning.R:558``): design
+    matrix of ``log(feature)`` terms. Features must be positive (the
+    reference applies ``log`` to reflectances; callers shift/scale
+    first — a non-positive value raises, same as R's ``na.fail``)."""
+
+    def fml(pred):
+        from sits_ray.predictors import pred_features
+
+        X = pred_features(pred)
+        if predictors_index is not None:
+            X = X[:, list(predictors_index)]
+        if np.any(X <= 0):
+            raise ValueError("formula_logref requires strictly positive features")
+        return np.log(X)
+
+    return fml
+
+
+def factory_function(data, fun):
+    """``sits_factory_function`` (``R/sits_factory.R``): the data-first /
+    closure-second dispatch every model factory uses — call ``fun(data)``
+    when data is given, otherwise return ``fun`` for later application."""
+    return fun if data is None else fun(data)
+
+
+def tuning_hparams(**params) -> dict:
+    """``sits_tuning_hparams`` (``R/sits_tuning.R``): package a parameter
+    space for :func:`tuning` — values are sampler closures
+    (:func:`loguniform` / :func:`uniform` / :func:`choice`) or constants
+    (wrapped into degenerate choices)."""
+    return {
+        k: (v if callable(v) else choice(v)) for k, v in params.items()
+    }
