@@ -7847,3 +7847,72 @@ def holt_daily(sf_dir):
         lambda b: smooth_to_long(b, {"holt": (holt, 1)}),
         batch_format="pyarrow",
     )
+
+
+# --- BM25 query-set retrieval (LLM-curation sibling of tfidf_top_terms) ----
+_BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("vector", "scan", "filter"),
+    2: ("stream", "window"),
+    3: ("big", "customer", "slow"),
+}
+
+
+def _bm25_sql(k: int = 10) -> str:
+    ql = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES.items()
+        for t in terms
+    )
+    return f"""
+with ql(qid, term) as (values {ql}),
+dl as (select doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) as dl
+       from documents),
+st as (select cast(count(*) as bigint) as n, cast(sum(dl) as bigint) as sdl
+       from dl),
+tf as (
+  select doc_id, w as term, cast(count(*) as bigint) as tf
+  from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)
+  where w in (select term from ql)
+  group by 1, 2),
+dft as (select term, cast(count(*) as bigint) as df from tf group by 1),
+sc as (
+  select ql.qid, tf.doc_id, tf.term,
+         ln(1.0e0 + (st.n - dft.df + 0.5e0) / (dft.df + 0.5e0))
+           * ((tf.tf * (1.2e0 + 1.0e0))
+              / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl.dl / (st.sdl / st.n)))))
+           as s
+  from ql
+  join tf using (term)
+  join dft using (term)
+  join dl on dl.doc_id = tf.doc_id
+  cross join st),
+agg as (
+  select qid, doc_id,
+         list_reduce(list_prepend(0.0e0, list(s order by term)),
+                     (a, b) -> a + b) as score
+  from sc group by 1, 2)
+select cast(qid as bigint) as qid, doc_id, score
+from agg
+qualify row_number() over (partition by qid order by score desc, doc_id) <= {k}
+order by qid, score desc, doc_id
+"""
+
+
+@q("bm25_topk", _bm25_sql())
+def bm25_topk(sf_dir):
+    """BM25 query-set retrieval (Lucene BM25Similarity idf, k1=1.2
+    b=0.75): top-10 docs per literal query. SQL-exact: idf via
+    ``math.log`` on the driver-side term table (libm == DuckDB ``ln``),
+    every other factor int-derived doubles with the identical expression
+    tree, and the per-(query, doc) term fold runs in sorted-term order
+    on both sides (zero-tf terms add IEEE +0.0 — an exact identity).
+    Scale shape: corpus text never shuffles; one wide-row match pass,
+    stats from per-batch partials, mergeable per-batch partial top-k
+    (stages/retrieval.py)."""
+    from sits_ray.stages.retrieval import bm25_topk as run
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return run(ds, _BM25_QUERIES, k=10)

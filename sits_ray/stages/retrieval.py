@@ -1,0 +1,175 @@
+"""BM25 retrieval over the document corpus — query-set top-k.
+
+The LLM-curation sibling of the tf-idf salient-terms query: given a
+BOUNDED literal query set (benchmark decontamination probes, eval-set
+retrieval, targeted corpus audits), score every document with Lucene's
+non-negative BM25 (``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+Robertson/Sparck-Jones weights as used by Lucene's BM25Similarity) and
+return the top-k documents per query.
+
+Scale shape (the repo's text discipline: the corpus never shuffles):
+
+1. one ``map_batches`` pass tokenizes each batch and emits ONE WIDE ROW
+   per matching document — ``(doc_id, dl, tf_<term>...)`` for the
+   bounded query-term set — plus a per-batch sentinel stats row
+   (``doc_id = -1``: batch doc count + token-length sum, so ``N`` and
+   ``avgdl`` cover non-matching docs too). Output is
+   O(matching docs x 1), materialized once (three consumers).
+2. ``df``/``N``/``avgdl`` fold from tiny per-batch partials on the
+   driver (terms x blocks rows).
+3. a second stateless pass scores each (query, doc) with the broadcast
+   idf table — the per-query fold runs in SORTED TERM ORDER with a
+   strict sequential accumulate, matching DuckDB's
+   ``list_reduce(list_prepend(0.0, list(s ORDER BY term)))`` fold
+   bit-for-bit (zero-tf terms contribute IEEE +0.0, an exact identity).
+4. top-k per query via mergeable per-batch partial top-k (score desc,
+   doc_id asc) — candidates cross, never the corpus.
+
+Float contract (CLAUDE.md): ``ln`` goes through ``math.log`` on the
+driver-side vocab-sized idf table (libm == DuckDB ``ln``; ``np.log``
+diverges on ~20% of inputs); every other term is int-derived doubles
+with the SAME expression tree as the SQL twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[a-z]+"  # the corpus-wide shared tokenizer
+
+
+def _match_rows(df: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
+    """Batch -> wide per-doc tf rows for ``terms`` + one sentinel row."""
+    lists = df["text"].str.lower().str.findall(TOKEN_RE)
+    dl = lists.str.len().to_numpy(dtype=np.int64)
+    out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "dl": dl})
+    ex = lists.explode().dropna()
+    hit = ex[ex.isin(terms)]
+    tf_wide = (
+        pd.crosstab(hit.index, hit)
+        if not hit.empty
+        else pd.DataFrame(index=pd.Index([], dtype=np.int64))
+    )
+    for t in terms:
+        if t in tf_wide.columns:
+            out[f"tf_{t}"] = (
+                tf_wide[t].reindex(out.index, fill_value=0).to_numpy(np.int64)
+            )
+        else:
+            out[f"tf_{t}"] = np.zeros(len(out), dtype=np.int64)
+    keep = out[[f"tf_{t}" for t in terms]].to_numpy().sum(axis=1) > 0
+    matched = out.loc[keep]
+    sentinel = pd.DataFrame(
+        {"doc_id": [-1], "dl": [int(dl.sum())],
+         **{f"tf_{t}": [0] for t in terms}}
+    )
+    sentinel.loc[0, f"tf_{terms[0]}"] = len(df)  # batch doc count rides tf0
+    return pd.concat([matched, sentinel], ignore_index=True)
+
+
+def _gather(ds, cols: list[str]) -> pd.DataFrame:
+    """Driver gather of a BOUNDED partial Dataset, robust to the empty
+    pandas blocks Ray passes through map_batches UNTOUCHED (original
+    schema, CLAUDE.md block quirk): keep only non-empty blocks that
+    carry the expected columns."""
+    import ray
+
+    frames = []
+    for b in ray.get(list(ds.to_arrow_refs())):
+        if not isinstance(b, pd.DataFrame):
+            b = b.to_pandas()
+        if len(b) and all(c in b.columns for c in cols):
+            frames.append(b[cols])
+    if not frames:
+        return pd.DataFrame({c: pd.Series([], dtype=np.float64) for c in cols})
+    return pd.concat(frames, ignore_index=True)
+
+
+def bm25_topk(docs_ds, queries: dict[int, tuple[str, ...]], k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Top-k docs per query by BM25. ``queries``: qid -> term tuple
+    (bounded literal set). Returns a pandas frame
+    (qid, doc_id, score) sorted (qid, score desc, doc_id)."""
+    terms = sorted({t for q in queries.values() for t in q})
+    if not terms:
+        raise ValueError("empty query set")
+
+    rows = docs_ds.map_batches(
+        lambda d: _match_rows(d, terms), batch_format="pandas"
+    ).materialize()
+
+    # --- corpus stats from tiny partials (terms x blocks rows) -------------
+    def stat_partial(d: pd.DataFrame) -> pd.DataFrame:
+        if d.empty:  # Ray passes EMPTY pandas blocks through with the
+            # ORIGINAL schema (no tf_ columns) — CLAUDE.md block quirk
+            return pd.DataFrame(
+                {"n_docs": pd.Series([], dtype=np.int64),
+                 "sum_dl": pd.Series([], dtype=np.int64),
+                 **{f"df_{t}": pd.Series([], dtype=np.int64) for t in terms}}
+            )
+        sent = d["doc_id"].to_numpy() == -1
+        m = d.loc[~sent]
+        return pd.DataFrame(
+            {
+                "n_docs": [int(d.loc[sent, f"tf_{terms[0]}"].sum())],
+                "sum_dl": [int(d.loc[sent, "dl"].sum())],
+                **{f"df_{t}": [int((m[f"tf_{t}"] > 0).sum())] for t in terms},
+            }
+        )
+
+    st = _gather(
+        rows.map_batches(stat_partial, batch_format="pandas"),
+        ["n_docs", "sum_dl", *(f"df_{t}" for t in terms)],
+    )
+    if st.empty or int(st["n_docs"].sum()) == 0:
+        raise ValueError("empty corpus")
+    n, sdl = int(st["n_docs"].sum()), int(st["sum_dl"].sum())
+    df_t = {t: int(st[f"df_{t}"].sum()) for t in terms}
+    avgdl = sdl / n  # bigint/bigint -> double, same as the SQL twin
+    idf = {
+        t: math.log(1.0 + (float(n - df_t[t]) + 0.5) / (float(df_t[t]) + 0.5))
+        for t in terms
+    }
+
+    # --- score + mergeable partial top-k per query --------------------------
+    def score_partial(d: pd.DataFrame) -> pd.DataFrame:
+        m = d.loc[d["doc_id"].to_numpy() != -1] if not d.empty else d
+        if m.empty:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float64)}
+            )
+        dl = m["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        outs = []
+        for qid, qterms in queries.items():
+            acc = np.zeros(len(m), dtype=np.float64)
+            hit = np.zeros(len(m), dtype=bool)
+            for t in sorted(qterms):  # the SQL fold's ORDER BY term
+                tf = m[f"tf_{t}"].to_numpy(dtype=np.float64)
+                acc = acc + idf[t] * ((tf * (k1 + 1.0)) / (tf + norm))
+                hit |= tf > 0
+            g = pd.DataFrame(
+                {"qid": np.int64(qid), "doc_id": m["doc_id"].to_numpy()[hit],
+                 "score": acc[hit]}
+            )
+            g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+            outs.append(g.head(k))  # per-batch partial top-k: mergeable
+        return pd.concat(outs, ignore_index=True)
+
+    cand = _gather(
+        rows.map_batches(score_partial, batch_format="pandas"),
+        ["qid", "doc_id", "score"],
+    )
+    out = (
+        cand.sort_values(["qid", "score", "doc_id"],
+                         ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["qid", "doc_id", "score"]]
