@@ -7916,3 +7916,39 @@ def bm25_topk(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return run(ds, _BM25_QUERIES, k=10)
+
+
+# --- blocklist phrase filter (C4-style badlist pass) ------------------------
+_BLOCK_PHRASES = ("slow scan", "big table", "hash join", "stream stream")
+
+
+def _blocklist_sql() -> str:
+    cols = ",\n       ".join(
+        f"(length(t) - length(replace(t, '{p}', ''))) // {len(p)} as hits_{i}"
+        for i, p in enumerate(_BLOCK_PHRASES)
+    )
+    tot = " + ".join(f"hits_{i}" for i in range(len(_BLOCK_PHRASES)))
+    return f"""
+with low as (select doc_id, lower(text) as t from documents),
+h as (
+  select doc_id,
+       {cols}
+  from low)
+select doc_id, {', '.join(f'hits_{i}' for i in range(len(_BLOCK_PHRASES)))},
+       {tot} as n_hits, ({tot}) = 0 as keep
+from h
+"""
+
+
+@q("blocklist_hits", _blocklist_sql())
+def blocklist_hits(sf_dir):
+    """Blocklist phrase filter (stages/curation.blocklist_hits): per-doc
+    non-overlapping occurrence counts of literal phrases (substring,
+    case-insensitive) + keep flag. Integer-exact: regex non-overlapping
+    count == the SQL length/replace identity."""
+    from sits_ray.stages.curation import blocklist_hits as run
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return run(ds, _BLOCK_PHRASES)

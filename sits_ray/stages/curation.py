@@ -376,3 +376,41 @@ def winnow_fingerprints(ds, k: int = 4, w: int = 5):
         )
 
     return ds.map_batches(select, batch_format="pandas")
+
+
+# --- blocklist phrase filtering ---------------------------------------------
+
+def blocklist_hits(ds, phrases: tuple[str, ...],
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Multi-phrase blocklist filter (the wordlist/phrase-list content
+    filter of LLM curation stacks, e.g. C4's badlist pass — Raffel et
+    al. 2020 §2.2): per document, the non-overlapping occurrence count
+    of every blocklist PHRASE (substring, case-insensitive — phrases may
+    span token boundaries, which token-level filters miss) plus the
+    composite keep flag (zero hits).
+
+    Stateless vectorized map: one compiled-regex ``str.count`` per
+    phrase (pandas C kernels; the phrase list is bounded by design), no
+    shuffle, no state. Counts are integers, so the DuckDB twin — the
+    ``(length(t) - length(replace(t, p, ''))) // length(p)`` identity —
+    is exact (both sides count non-overlapping occurrences
+    left-to-right)."""
+    import re
+
+    if not phrases:
+        raise ValueError("empty blocklist")
+    pats = [re.compile(re.escape(p.lower())) for p in phrases]
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].str.lower()
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+        total = np.zeros(len(df), dtype=np.int64)
+        for i, pat in enumerate(pats):
+            c = low.str.count(pat).to_numpy(dtype=np.int64)
+            out[f"hits_{i}"] = c
+            total += c
+        out["n_hits"] = total
+        out["keep"] = total == 0
+        return out
+
+    return ds.map_batches(hits, batch_format="pandas")

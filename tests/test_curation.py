@@ -214,3 +214,54 @@ def test_bloom_no_bench_docs_flags_nothing(ray_session):
     got = bloom_decontaminate(_ds(pdf, 3), bench_mod=20).to_pandas()
     assert len(got) == 15
     assert (got["n_bloom_hits"] == 0).all() and (~got["flagged"]).all()
+
+
+# --- blocklist phrase filter -------------------------------------------------
+
+def test_blocklist_counts_and_keep(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.curation import blocklist_hits
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "Bad Phrase here and bad phrase there",  # 2 (case-insensitive)
+                "clean document",                         # 0
+                "overlap aaa aaa",                        # 'aa aa' spans? no
+                "bad phrasebad phrase",                   # 2, adjacent
+                "phrase bad",                             # 0 (order matters)
+            ],
+        }
+    )
+    out = (
+        blocklist_hits(rd.from_pandas(docs), ("bad phrase", "aaa"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["hits_0"].tolist() == [2, 0, 0, 2, 0]
+    assert out["hits_1"].tolist() == [0, 0, 2, 0, 0]
+    assert out["n_hits"].tolist() == [2, 0, 2, 2, 0]
+    assert out["keep"].tolist() == [False, True, False, False, True]
+
+
+def test_blocklist_nonoverlapping_matches_replace_identity(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.curation import blocklist_hits
+
+    # self-overlapping pattern: 'aaaa' contains 'aa' 2x non-overlapping
+    # (the replace identity), not 3x (overlapping)
+    docs = pd.DataFrame({"doc_id": [0], "text": ["aaaa"]})
+    out = blocklist_hits(rd.from_pandas(docs), ("aa",)).to_pandas()
+    s = "aaaa"
+    assert out["hits_0"].item() == (len(s) - len(s.replace("aa", ""))) // 2 == 2
+
+
+def test_blocklist_empty_raises(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.curation import blocklist_hits
+
+    with pytest.raises(ValueError):
+        blocklist_hits(rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]})), ())
