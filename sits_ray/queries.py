@@ -7952,3 +7952,37 @@ def blocklist_hits(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return run(ds, _BLOCK_PHRASES)
+
+
+# --- PSI drift between time halves (stages/drift.py) ------------------------
+@q(
+    "psi_drift_value",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (
+  select cast(floor(value / 10.0e0) as bigint) as bin,
+         cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+         cast(count(*) filter (where us > st.mid) as bigint) as n_b
+  from e cross join st
+  group by 1),
+t as (select cast(sum(n_a) as bigint) as ta, cast(sum(n_b) as bigint) as tb
+      from c)
+select bin, n_a, n_b,
+       n_a / ta as p, n_b / tb as q,
+       (n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)) as contrib
+from c cross join t
+where n_a > 0 and n_b > 0
+order by bin
+""",
+)
+def psi_drift_value(sf_dir):
+    """Population Stability Index of the value distribution between the
+    first and second half of the time range (stages/drift.psi_drift):
+    the week-over-week drift monitor for the retention tiers. SQL-exact:
+    integer midpoint split, bigint/bigint double shares, ln via
+    math.log over the bounded driver-side bin table, identical
+    contribution expression tree."""
+    from sits_ray.stages.drift import psi_drift
+
+    return psi_drift(_events(sf_dir, columns=["value", "ts"]))

@@ -1,0 +1,76 @@
+"""PSI distribution drift (stages/drift.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from sits_ray.stages.drift import psi_drift
+
+
+def _events(values, ts_us):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"value": np.asarray(values, dtype=np.float64),
+             "ts": pd.to_datetime(np.asarray(ts_us, dtype=np.int64), unit="us")}
+        )
+    )
+
+
+def test_psi_zero_when_distributions_identical(ray_session):
+    # same values in both halves -> p == q -> every contrib exactly 0.0
+    vals = [5.0, 15.0, 25.0] * 4
+    ts = [0, 1, 2, 3, 4, 5, 100, 101, 102, 103, 104, 105]
+    out = psi_drift(_events(vals * 2, sorted(ts * 2)))
+    # identical composition either side of the midpoint
+    assert (out["contrib"] == 0.0).all()
+    assert out["p"].tolist() == out["q"].tolist()
+
+
+def test_psi_matches_scalar_and_detects_shift(ray_session):
+    rng = np.random.default_rng(5)
+    a = rng.normal(50, 10, 500)        # first half
+    b = rng.normal(80, 10, 500)        # second half: shifted
+    vals = np.r_[a, b]
+    ts = np.r_[np.arange(500), 10_000 + np.arange(500)]
+    out = psi_drift(_events(vals, ts))
+    # scalar twin
+    mid = (0 + 10_499) // 2
+    bins_a = np.floor(a / 10.0).astype(int)
+    bins_b = np.floor(b / 10.0).astype(int)
+    ca = pd.Series(bins_a).value_counts()
+    cb = pd.Series(bins_b).value_counts()
+    total = 0.0
+    for bin_id in sorted(set(ca.index) & set(cb.index)):
+        p = int(ca[bin_id]) / len(a)
+        q = int(cb[bin_id]) / len(b)
+        total += (p - q) * math.log(p / q)
+        row = out.loc[out["bin"] == bin_id]
+        assert row["contrib"].item() == (p - q) * math.log(p / q)  # bit-exact
+    assert out["contrib"].sum() == pytest.approx(total)
+    assert out["contrib"].sum() > 0.25  # a 3-sigma shift is a big PSI
+
+
+def test_psi_joint_support_only(ray_session):
+    # value 95 appears only in the second half -> its bin is excluded
+    vals = [5.0, 5.0, 5.0, 95.0]
+    ts = [0, 1, 100, 101]
+    out = psi_drift(_events(vals, ts))
+    assert 9 not in set(out["bin"])
+    assert set(out["bin"]) == {0}
+
+
+def test_psi_batching_invariance(ray_session):
+    rng = np.random.default_rng(9)
+    vals = rng.uniform(0, 100, 300)
+    ts = np.arange(300)
+    a = psi_drift(_events(vals, ts))
+    b = psi_drift(_events(vals, ts).repartition(11))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_psi_empty_raises(ray_session):
+    with pytest.raises(ValueError):
+        psi_drift(_events([], []))
