@@ -7986,3 +7986,57 @@ def psi_drift_value(sf_dir):
     from sits_ray.stages.drift import psi_drift
 
     return psi_drift(_events(sf_dir, columns=["value", "ts"]))
+
+
+# --- lead-lag cross-correlation: value vs tool usage (eventops.ccf) ---------
+@q(
+    "ccf_value_tool",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as x,
+         cast(event_type = 'click' as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as i
+  from events),
+s as (select user_id, cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * x) as bigint) as qx,
+             cast(sum(y * y) as bigint) as qy
+      from e group by 1),
+lags as (select unnest([0, 1, 2, 3]) as lag),
+p as (select a.user_id, l.lag,
+             cast(sum(a.x * b.y) as bigint) as p,
+             cast(sum(a.x) as bigint) as hx,
+             cast(sum(b.y) as bigint) as hy
+      from e a cross join lags l
+      join e b on b.user_id = a.user_id and b.i = a.i + l.lag
+      group by 1, 2),
+n0 as (select p.user_id, p.lag, s.n,
+              s.n * s.n * p.p - s.n * s.sy * p.hx - s.n * s.sx * p.hy
+                + (s.n - p.lag) * s.sx * s.sy as num,
+              s.n * s.n * s.qx - s.n * s.sx * s.sx as varx,
+              s.n * s.n * s.qy - s.n * s.sy * s.sy as vary
+       from p join s using (user_id))
+select user_id as conv_id, cast(lag as bigint) as lag, n,
+       (case when num < 0 then -1.0e0 else 1.0e0 end)
+         * ((num / varx) * (num / vary)) as r2s
+from n0
+where n > lag and varx <> 0 and vary <> 0
+""",
+)
+def ccf_value_tool(sf_dir):
+    """Per-conversation lead-lag cross-correlation (lags 0-3) between
+    the value metric and the tool-usage indicator — does activity lead
+    tool calls? (north-star tool-frequency family). Integer-exact: cents
+    quantization, order-free int64 sums, and the SIGNED SQUARED
+    correlation ``sign(num)*(num/varx)*(num/vary)`` — two exact
+    integer-ratio divisions, no sqrt — mirrors the SQL twin bit-for-bit
+    (stages/eventops.ccf_kernel)."""
+    from sits_ray.stages.eventops import ccf_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value",
+                                  "event_type"])
+    return map_conv_partitions(
+        ds, ccf_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value", "event_type"),
+    )

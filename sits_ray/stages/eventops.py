@@ -1098,3 +1098,86 @@ def m4_kernel(g: pa.Table, bucket_us: int = 600_000_000) -> pa.Table:
             "v_max": pa.array(np.maximum.reduceat(v, bs)),
         }
     )
+
+
+def ccf_kernel(g: pa.Table, max_lag: int = 3) -> pa.Table:
+    """Per-conversation lead-lag CROSS-correlation between the value
+    metric and the tool-usage indicator at lags 0..``max_lag`` — does
+    activity level lead tool calls? (The north-star tool-frequency
+    family; sibling of :func:`acf_kernel`.)
+
+    Cross-engine contract: x quantizes to cents (``floor(v*100+0.5)`` in
+    DOUBLE), y is the 0/1 tool indicator; with all sums int64
+    (order-free) and, over the lag-k overlap window t = 1..n-k,
+
+        num_k  = n²·P_k − n·S_y·Hx_k − n·S_x·Hy_k + (n−k)·S_x·S_y
+        varx   = n²·Q_x − n·S_x²,   vary = n²·Q_y − n·S_y²
+
+    the reported statistic is the SIGNED SQUARED correlation
+    ``r2s = sign(num_k) * (num_k / varx) * (num_k / vary)`` — two exact
+    integer-ratio divisions and one multiply, the same expression tree
+    as the SQL twin (a sqrt would break bit-parity; r2s is monotone in
+    |r| and keeps the sign, which is what the lead-lag read needs).
+    Rows with n <= lag or a constant side are omitted like the twin's
+    WHERE. Vectorized across conversations via boundary-masked
+    ``np.add.reduceat`` — no per-conversation Python."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value", "event_type")
+    )
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                else pa.int64()),
+            "lag": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "r2s": pa.array([], pa.float64()),
+        }
+    )
+    if codes.size == 0:
+        return empty
+    x = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    y = (np.asarray(ex["event_type"], dtype=object) == "click").astype(np.int64)
+    cnt = ends - starts
+    Sx = np.add.reduceat(x, starts)
+    Sy = np.add.reduceat(y, starts)
+    Qx = np.add.reduceat(x * x, starts)
+    Qy = np.add.reduceat(y * y, starts)
+    varx = cnt * cnt * Qx - cnt * Sx * Sx
+    vary = cnt * cnt * Qy - cnt * Sy * Sy
+    oc, ol, on, orr = [], [], [], []
+    for k in range(0, max_lag + 1):
+        if codes.size <= k:
+            break
+        if k == 0:
+            same = np.ones(codes.size, dtype=bool)
+            xs, ys = x, y
+        else:
+            same = codes[:-k] == codes[k:]
+            xs, ys = x[:-k], y[k:]
+        pad = np.zeros(k, dtype=np.int64)
+        P = np.add.reduceat(np.concatenate([np.where(same, xs * ys, 0), pad]),
+                            starts)
+        Hx = np.add.reduceat(np.concatenate([np.where(same, xs, 0), pad]),
+                             starts)
+        Hy = np.add.reduceat(np.concatenate([np.where(same, ys, 0), pad]),
+                             starts)
+        num = (cnt * cnt * P - cnt * Sy * Hx - cnt * Sx * Hy
+               + (cnt - k) * Sx * Sy)
+        ok = (cnt > k) & (varx != 0) & (vary != 0)
+        sign = np.where(num < 0, -1.0, 1.0)
+        r2s = sign[ok] * ((num[ok] / varx[ok]) * (num[ok] / vary[ok]))
+        oc.append(np.flatnonzero(ok))
+        ol.append(np.full(int(ok.sum()), k, dtype=np.int64))
+        on.append(cnt[ok])
+        orr.append(r2s)
+    if not oc:
+        return empty
+    conv_codes = np.concatenate(oc)
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(conv_codes)),
+            "lag": pa.array(np.concatenate(ol)),
+            "n": pa.array(np.concatenate(on)),
+            "r2s": pa.array(np.concatenate(orr), pa.float64()),
+        }
+    )

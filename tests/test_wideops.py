@@ -669,3 +669,73 @@ def test_acf_kernel_empty():
     out = acf_kernel(_g([], [], [], value=[])).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["conv_id", "lag", "n", "acf"]
+
+
+# --- lead-lag cross-correlation (ccf_kernel) ---------------------------------
+def test_ccf_kernel_bruteforce_and_sign():
+    from sits_ray.stages.eventops import ccf_kernel
+
+    # conv 1: value spikes one step BEFORE tool events -> positive lag-1
+    vals1 = [9.0, 1.0, 9.5, 1.0, 8.0, 1.0, 9.0, 1.0]
+    types1 = ["view", "click", "view", "click", "view", "click", "view",
+              "click"]
+    # conv 2: tools never fire (vary == 0 -> omitted)
+    vals2 = [1.0, 2.0, 3.0]
+    types2 = ["view", "view", "view"]
+    vals = vals1 + vals2
+    conv = [1] * 8 + [2] * 3
+    ts = [i * 1_000_000 for i in range(len(vals))]
+    g = _g(conv, ts, list(range(len(vals))), value=vals,
+           event_type=types1 + types2)
+    out = ccf_kernel(g).to_pandas()
+
+    def brute(xs, ys, k):
+        q = [int(np.floor(v * 100.0 + 0.5)) for v in xs]
+        n = len(q)
+        sx, sy = sum(q), sum(ys)
+        qx = sum(v * v for v in q)
+        qy = sum(v * v for v in ys)
+        p = sum(q[t] * ys[t + k] for t in range(n - k))
+        hx = sum(q[t] for t in range(n - k))
+        hy = sum(ys[t + k] for t in range(n - k))
+        num = n * n * p - n * sy * hx - n * sx * hy + (n - k) * sx * sy
+        varx = n * n * qx - n * sx * sx
+        vary = n * n * qy - n * sy * sy
+        sign = -1.0 if num < 0 else 1.0
+        return sign * ((num / varx) * (num / vary))
+
+    y1 = [1 if t == "click" else 0 for t in types1]
+    for k in range(0, 4):
+        got = out[(out.conv_id == 1) & (out.lag == k)]
+        assert len(got) == 1 and got.iloc[0]["n"] == 8
+        assert got.iloc[0]["r2s"] == brute(vals1, y1, k)
+    # the planted structure: value leads tools by one step
+    r = {int(k): out[(out.conv_id == 1) & (out.lag == k)]["r2s"].item()
+         for k in range(4)}
+    assert r[1] > 0 and r[1] > r[0] and r[1] > abs(r[2])
+    # conv 2: constant y side omitted entirely
+    assert (out.conv_id != 2).all()
+
+
+def test_ccf_kernel_boundary_isolation_and_empty():
+    import pyarrow as pa
+
+    from sits_ray.stages.eventops import ccf_kernel
+
+    # two conversations interleaved in one partition: pairs never cross
+    vals = [5.0, 1.0, 5.0, 1.0] + [1.0, 5.0, 1.0, 5.0]
+    types = ["view", "click"] * 2 + ["click", "view"] * 2
+    conv = [1] * 4 + [2] * 4
+    ts = [i * 1_000_000 for i in range(8)]
+    merged = ccf_kernel(
+        _g(conv, ts, list(range(8)), value=vals, event_type=types)
+    ).to_pandas()
+    solo1 = ccf_kernel(
+        _g([1] * 4, ts[:4], list(range(4)), value=vals[:4],
+           event_type=types[:4])
+    ).to_pandas()
+    m1 = merged[merged.conv_id == 1].reset_index(drop=True)
+    assert solo1[["lag", "n", "r2s"]].equals(m1[["lag", "n", "r2s"]])
+
+    empty = ccf_kernel(_g([], [], [], value=[], event_type=[]))
+    assert empty.num_rows == 0 and "r2s" in empty.column_names
