@@ -8040,3 +8040,77 @@ def ccf_value_tool(sf_dir):
         ds, ccf_kernel, key="user_id", order_col="event_id",
         extra_cols=("value", "event_type"),
     )
+
+
+# --- per-conversation OLS trend (eventops.trend_kernel) ----------------------
+@q(
+    "trend_slope",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as x
+  from events),
+s as (select user_id, cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+             cast(sum(x * y) as bigint) as sxy,
+             cast(sum(x * x) as bigint) as sxx
+      from e group by 1),
+sl as (select user_id, n, sx, sy,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) as slope
+       from s where n * sxx - sx * sx <> 0)
+select user_id as conv_id, n, slope,
+       (sy - slope * sx) / n as intercept
+from sl
+""",
+)
+def trend_slope(sf_dir):
+    """Per-conversation OLS trend of the value metric over the event
+    index (activity drift). Integer-exact: cents quantization, order-free
+    int64 moment sums, ONE exact integer-ratio division for the slope and
+    the identical (sy - slope*sx)/n tree for the intercept — bit-exact vs
+    the SQL twin (stages/eventops.trend_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, trend_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, trend_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
+# --- MASE forecastability score (eventops.mase_kernel) -----------------------
+@q(
+    "mase_seasonal3",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as i
+  from events),
+n as (select user_id, cast(count(*) as bigint) as n from e group by 1),
+m as (select a.user_id, cast(sum(abs(b.y - a.y)) as bigint) as sae_m
+      from e a join e b on b.user_id = a.user_id and b.i = a.i + 3
+      group by 1),
+o as (select a.user_id, cast(sum(abs(b.y - a.y)) as bigint) as sae_1
+      from e a join e b on b.user_id = a.user_id and b.i = a.i + 1
+      group by 1)
+select n.user_id as conv_id, n.n, m.sae_m, o.sae_1,
+       (m.sae_m * (n.n - 1)) / (o.sae_1 * (n.n - 3)) as mase
+from n join m using (user_id) join o using (user_id)
+where n.n > 3 and o.sae_1 <> 0
+""",
+)
+def mase_seasonal3(sf_dir):
+    """Per-conversation MASE of the seasonal-naive (m=3) forecast vs the
+    naive-1 baseline — a scale-free forecastability score per series.
+    Integer-exact: cents quantization, order-free int64 absolute-error
+    sums, ONE division of two exact integer products
+    (stages/eventops.mase_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, mase_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, mase_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )

@@ -1181,3 +1181,114 @@ def ccf_kernel(g: pa.Table, max_lag: int = 3) -> pa.Table:
             "r2s": pa.array(np.concatenate(orr), pa.float64()),
         }
     )
+
+
+def trend_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation OLS trend of the value metric over the event
+    index — is activity drifting up or down? (the trend half of a
+    trend/seasonal decomposition; the reference's temporal metrics in
+    src/reduce_fns.cpp have slope-free stats only).
+
+    Integer-exact: y quantizes to cents, x is the 1-based event index;
+    with n, Sx, Sy, Sxy, Sxx all int64 (order-free),
+
+        slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)      [one division]
+        intercept = (Sy − slope·Sx) / n                   [same tree]
+
+    both sides evaluate the identical expression over identical
+    integers, so the SQL twin is bit-exact. Constant-index degeneracy
+    (n == 1) is omitted like the twin's WHERE. Vectorized across
+    conversations (reduceat; index built by cumsum reset at starts)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+                "intercept": pa.array([], pa.float64()),
+            }
+        )
+    y = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    n_rows = codes.size
+    x = np.arange(1, n_rows + 1, dtype=np.int64) - np.repeat(
+        np.r_[0, ends[:-1]], ends - starts
+    )
+    cnt = (ends - starts).astype(np.int64)
+    Sx = np.add.reduceat(x, starts)
+    Sy = np.add.reduceat(y, starts)
+    Sxy = np.add.reduceat(x * y, starts)
+    Sxx = np.add.reduceat(x * x, starts)
+    den = cnt * Sxx - Sx * Sx
+    ok = den != 0
+    slope = (cnt[ok] * Sxy[ok] - Sx[ok] * Sy[ok]) / den[ok]
+    intercept = (Sy[ok] - slope * Sx[ok]) / cnt[ok]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(np.flatnonzero(ok))),
+            "n": pa.array(cnt[ok]),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+        }
+    )
+
+
+def mase_kernel(g: pa.Table, season: int = 3) -> pa.Table:
+    """Per-conversation MASE (Hyndman & Koehler 2006) of the
+    seasonal-naive forecast ``y_t = y_{t-season}`` against the naive-1
+    in-sample baseline — the standard scale-free forecast-quality score,
+    here grading how predictable each conversation's activity is.
+
+    Integer-exact: with cents quantization, ``sae_m = Σ|y_t − y_{t−m}|``
+    (t = m+1..n) and ``sae_1 = Σ|y_t − y_{t−1}|`` are order-free int64,
+    and
+
+        mase = (sae_m · (n−1)) / (sae_1 · (n−m))
+
+    is ONE division of two exact integers — bit-exact vs the SQL twin.
+    Rows with n <= season or a random-walk-degenerate baseline
+    (sae_1 == 0) are omitted like the twin's WHERE. Vectorized across
+    conversations (boundary-masked diffs + reduceat)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sae_m": pa.array([], pa.int64()),
+                "sae_1": pa.array([], pa.int64()),
+                "mase": pa.array([], pa.float64()),
+            }
+        )
+    y = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    cnt = (ends - starts).astype(np.int64)
+
+    def lag_abs_sum(k: int) -> np.ndarray:
+        if codes.size <= k:
+            return np.zeros(cnt.size, dtype=np.int64)
+        same = codes[:-k] == codes[k:]
+        d = np.concatenate(
+            [np.where(same, np.abs(y[k:] - y[:-k]), 0),
+             np.zeros(k, dtype=np.int64)]
+        )
+        return np.add.reduceat(d, starts)
+
+    sae_m = lag_abs_sum(season)
+    sae_1 = lag_abs_sum(1)
+    ok = (cnt > season) & (sae_1 != 0)
+    mase = (sae_m[ok] * (cnt[ok] - 1)) / (sae_1[ok] * (cnt[ok] - season))
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(np.flatnonzero(ok))),
+            "n": pa.array(cnt[ok]),
+            "sae_m": pa.array(sae_m[ok]),
+            "sae_1": pa.array(sae_1[ok]),
+            "mase": pa.array(mase, pa.float64()),
+        }
+    )

@@ -739,3 +739,89 @@ def test_ccf_kernel_boundary_isolation_and_empty():
 
     empty = ccf_kernel(_g([], [], [], value=[], event_type=[]))
     assert empty.num_rows == 0 and "r2s" in empty.column_names
+
+
+# --- OLS trend (trend_kernel) ------------------------------------------------
+def test_trend_kernel_bruteforce_and_degenerate():
+    from sits_ray.stages.eventops import trend_kernel
+
+    # conv 1: clean upward line in cents space; conv 2: singleton (omitted)
+    vals1 = [1.00, 2.00, 3.00, 4.00, 5.00]
+    vals = vals1 + [9.99]
+    conv = [1] * 5 + [2]
+    ts = [i * 1_000_000 for i in range(len(vals))]
+    out = trend_kernel(
+        _g(conv, ts, list(range(len(vals))), value=vals)
+    ).to_pandas()
+    assert (out.conv_id != 2).all()  # n=1 -> zero denominator -> omitted
+    row = out[out.conv_id == 1].iloc[0]
+
+    q = [int(np.floor(v * 100.0 + 0.5)) for v in vals1]
+    n = len(q)
+    sx, sy = sum(range(1, n + 1)), sum(q)
+    sxy = sum((i + 1) * q[i] for i in range(n))
+    sxx = sum((i + 1) ** 2 for i in range(n))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert row["slope"] == slope == 100.0  # +1.00/event in cents
+    assert row["intercept"] == intercept
+    assert row["n"] == 5
+
+    # interleaving another conversation must not change conv 1
+    vals_m = vals1 + [50.0, 40.0, 30.0]
+    conv_m = [1] * 5 + [2] * 3
+    ts_m = [i * 1_000_000 for i in range(8)]
+    merged = trend_kernel(
+        _g(conv_m, ts_m, list(range(8)), value=vals_m)
+    ).to_pandas()
+    m1 = merged[merged.conv_id == 1].iloc[0]
+    assert m1["slope"] == slope and m1["intercept"] == intercept
+    m2 = merged[merged.conv_id == 2].iloc[0]
+    assert m2["slope"] == -1000.0  # -10.00/event in cents
+
+
+def test_trend_kernel_empty():
+    from sits_ray.stages.eventops import trend_kernel
+
+    out = trend_kernel(_g([], [], [], value=[]))
+    assert out.num_rows == 0 and "slope" in out.column_names
+
+
+# --- MASE forecastability (mase_kernel) ---------------------------------------
+def test_mase_kernel_bruteforce_and_filters():
+    from sits_ray.stages.eventops import mase_kernel
+
+    # conv 1: periodic with period 3 -> seasonal-naive is PERFECT (mase 0)
+    vals1 = [1.0, 2.0, 3.0] * 3
+    # conv 2: constant -> sae_1 == 0 -> omitted
+    # conv 3: short (n=3 <= season) -> omitted
+    vals = vals1 + [5.0] * 5 + [1.0, 2.0, 3.0]
+    conv = [1] * 9 + [2] * 5 + [3] * 3
+    ts = [i * 1_000_000 for i in range(len(vals))]
+    out = mase_kernel(
+        _g(conv, ts, list(range(len(vals))), value=vals)
+    ).to_pandas()
+    assert set(out.conv_id) == {1}
+    row = out.iloc[0]
+    assert row["sae_m"] == 0 and row["mase"] == 0.0 and row["n"] == 9
+
+    # brute force on a random series
+    rng = np.random.default_rng(3)
+    v = np.round(rng.uniform(0, 50, 20), 2)
+    out2 = mase_kernel(
+        _g([7] * 20, [i * 1_000_000 for i in range(20)], list(range(20)),
+           value=v.tolist())
+    ).to_pandas()
+    q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    sae_m = int(np.abs(q[3:] - q[:-3]).sum())
+    sae_1 = int(np.abs(q[1:] - q[:-1]).sum())
+    n = 20
+    assert out2.iloc[0]["sae_m"] == sae_m and out2.iloc[0]["sae_1"] == sae_1
+    assert out2.iloc[0]["mase"] == (sae_m * (n - 1)) / (sae_1 * (n - 3))
+
+
+def test_mase_kernel_empty():
+    from sits_ray.stages.eventops import mase_kernel
+
+    out = mase_kernel(_g([], [], [], value=[]))
+    assert out.num_rows == 0 and "mase" in out.column_names
