@@ -210,3 +210,134 @@ def retention_expire(out_dir: str, cutoffs: dict[str, object],
         agg["block_points_dropped"] += s["block_points_dropped"]
         launch()
     return result
+
+
+# --- tier demotion: cascade-then-expire -------------------------------------
+
+@ray.remote
+def _demote_part(out_dir: str, from_tier: str, to_tier: str, part_id: int,
+                 cutoff_us: int, expire_blocks: bool) -> dict:
+    """One partition's demotion: cascade the sub-cutoff prefix of the
+    finer tier into coarse rows, publish them ATOMICALLY into the coarse
+    long layout, then expire the prefix from the finer stores.
+
+    Crash-safe ordering: the demoted file (named by cutoff) is written
+    and renamed BEFORE any expiry touches the source, and its presence
+    gates recomputation — so a crash between the two steps re-runs only
+    the idempotent expiry, never a cascade over a half-expired source."""
+    from sits_ray.stages.cascade import cascade_partition
+
+    long_dir = os.path.join(out_dir, "long", f"tier={from_tier}",
+                            f"part_id={part_id}")
+    to_dir = os.path.join(out_dir, "long", f"tier={to_tier}",
+                          f"part_id={part_id}")
+    os.makedirs(to_dir, exist_ok=True)
+    dem_path = os.path.join(to_dir, f"demoted_{cutoff_us}.parquet")
+    demoted_rows = 0
+    if not os.path.exists(dem_path):
+        tabs = [pq.read_table(f)
+                for f in sorted(glob.glob(os.path.join(long_dir, "*.parquet")))]
+        if tabs:
+            t = pa.concat_tables(tabs, promote_options="default")
+            old = t.filter(
+                pc.less(t["bucket_ts"], pa.scalar(cutoff_us, pa.timestamp("us")))
+            )
+            if old.num_rows:
+                old = old.append_column(
+                    "part_id",
+                    pa.array(np.full(old.num_rows, part_id, dtype=np.int32)),
+                )
+                dem = cascade_partition(old, to_tier, gapfill=False)
+                dem = dem.drop_columns(["tier", "part_id"])  # hive-encoded
+                demoted_rows = dem.num_rows
+                fd, tmp = tempfile.mkstemp(dir=to_dir, suffix=".parquet.tmp")
+                os.close(fd)
+                pq.write_table(dem, tmp)
+                os.replace(tmp, dem_path)
+    else:
+        demoted_rows = pq.read_metadata(dem_path).num_rows
+    kept, dropped = _expire_long(long_dir, cutoff_us)
+    b_dropped = 0
+    if expire_blocks:
+        blk_dir = os.path.join(out_dir, "blocks", f"tier={from_tier}",
+                               f"part_id={part_id}")
+        if os.path.isdir(blk_dir):
+            _, b_dropped = _expire_blocks(blk_dir, cutoff_us)
+    return {"part_id": part_id, "rows_kept": kept, "rows_dropped": dropped,
+            "demoted_rows": demoted_rows, "block_points_dropped": b_dropped}
+
+
+def retention_demote(out_dir: str, cutoff, from_tier: str = "1m",
+                     to_tier: str = "1h", expire_blocks: bool = True,
+                     max_in_flight: int = 16) -> dict:
+    """Demote expired fine-tier history into the coarse tier — the
+    classic continuous-aggregate retention policy ("keep 1m for a week,
+    1h forever"): per partition, cascade the ``bucket_ts < cutoff``
+    prefix of ``from_tier`` into ``to_tier`` rows
+    (``stages/cascade.cascade_partition`` semantics: exact count sums,
+    sequential fold of the finer latency sums, nearest-rank p95 flagged
+    approximate), publish them atomically into the coarse long layout,
+    then expire the prefix from the finer long + Gorilla block stores.
+
+    ``cutoff`` must align to the coarse tier width (a partial coarse
+    bucket would mix demoted and raw history — same rule as the salt
+    window validation). Idempotent and resumable: the demoted file is
+    keyed by cutoff and gates recomputation; the finer tier's manifest
+    ``expired_to_us`` watermark skips finished partitions outright; the
+    per-file expiry rewrite is a no-op on re-run."""
+    from sits_ray.timeline import period_us
+
+    cut_us = _cutoff_us(cutoff)
+    w = period_us(to_tier)
+    if cut_us % w != 0:
+        raise ValueError(
+            f"cutoff {cutoff} not aligned to the {to_tier} tier width"
+        )
+    manifest = Manifest(out_dir)
+    todo = []
+    skipped = 0
+    for e in manifest.entries():
+        if e.tier == to_tier:
+            # a flagship-built coarse tier already covers the demoted
+            # span from raw — appending cascaded rows would double-count
+            raise ValueError(
+                f"store already has a built {to_tier} tier; demotion "
+                f"targets a tier the flagship did not build"
+            )
+        if e.tier != from_tier:
+            continue
+        if e.expired_to_us >= cut_us:
+            skipped += 1
+            continue
+        todo.append(e)
+
+    result = {"parts_demoted": 0, "parts_skipped": skipped,
+              "rows_dropped": 0, "demoted_rows": 0,
+              "block_points_dropped": 0}
+    pending: dict = {}
+    idx = 0
+
+    def launch():
+        nonlocal idx
+        while idx < len(todo) and len(pending) < max_in_flight:
+            e = todo[idx]
+            ref = _demote_part.remote(out_dir, from_tier, to_tier,
+                                      e.part_id, cut_us, expire_blocks)
+            pending[ref] = e
+            idx += 1
+
+    launch()
+    while pending:
+        done_refs, _ = ray.wait(list(pending), num_returns=1)
+        ref = done_refs[0]
+        e = pending.pop(ref)
+        s = ray.get(ref)
+        e.output_rows = s["rows_kept"]
+        e.expired_to_us = cut_us
+        manifest.put(e)
+        result["parts_demoted"] += 1
+        result["rows_dropped"] += s["rows_dropped"]
+        result["demoted_rows"] += s["demoted_rows"]
+        result["block_points_dropped"] += s["block_points_dropped"]
+        launch()
+    return result

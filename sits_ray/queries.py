@@ -8114,3 +8114,98 @@ def mase_seasonal3(sf_dir):
         ds, mase_kernel, key="user_id", order_col="event_id",
         extra_cols=("value",),
     )
+
+
+# --- retention demotion: cascade-then-expire lifecycle ----------------------
+@q(
+    "retention_demote_1h",
+    """
+with lagged as (
+  select user_id, event_type, ts, event_id,
+         epoch(ts - lag(ts) over (partition by user_id order by ts, event_id)) as lat
+  from events),
+obs_1m as (
+  select cast(user_id as varchar) as conv_id, date_trunc('minute', ts) as m_ts,
+         count(*) as tc, count(lat) as nl,
+         case when count(lat) = 0 then 0.0 else list_reduce(list_prepend(0.0,
+             list(lat order by ts, event_id) filter (where lat is not null)),
+           (p, q) -> p + q) end as sl
+  from lagged group by 1, 2),
+demoted as (
+  select conv_id, '1h' as tier, date_trunc('hour', m_ts) as bucket_ts,
+         cast(sum(tc) as bigint) as turn_count,
+         case when sum(nl) > 0
+              then list_reduce(list_prepend(0.0, list(sl order by m_ts)),
+                               (p, q) -> p + q) / sum(nl) end as mean_latency
+  from obs_1m
+  where m_ts < timestamp '""" + _RETENTION_CUTOFF + """'
+  group by 1, 3),
+remaining as (
+  select conv_id, '1m' as tier, m_ts as bucket_ts,
+         cast(tc as bigint) as turn_count,
+         case when nl > 0 then sl / nl end as mean_latency
+  from obs_1m
+  where m_ts >= timestamp '""" + _RETENTION_CUTOFF + """')
+select * from demoted
+union all
+select * from remaining
+""",
+)
+def retention_demote_1h(sf_dir):
+    """Continuous-aggregate retention demotion, end-to-end: events adapt
+    to the transcript shape -> flagship store (1m only) -> the sub-cutoff
+    prefix cascades into 1h rows published atomically into the coarse
+    layout while the 1m prefix expires from long + Gorilla block stores
+    (pipelines/retention.retention_demote) -> read back BOTH tiers. The
+    SQL twin recomputes the demoted hours (cascade semantics: exact count
+    sums, sequential fold of minute sums) and the surviving minutes from
+    raw. Idempotent: demoted files are keyed by cutoff, the manifest
+    watermark skips finished partitions."""
+    import shutil
+
+    from sits_ray import SCHEMA_VERSION
+    from sits_ray.pipelines.flagship import read_tier, run_flagship
+    from sits_ray.pipelines.retention import retention_demote
+
+    sf = _sf_of_dir(sf_dir)
+    root = f"/tmp/sits_ray_demote/v{SCHEMA_VERSION}/sf{sf}"
+    in_dir, store = f"{root}/in", f"{root}/store"
+
+    def adapt(t: pa.Table) -> pa.Table:
+        tool = pc.if_else(
+            pc.equal(t["event_type"], "click"), t["event_type"], pa.scalar("")
+        )
+        return pa.table(
+            {"conv_id": pc.cast(t["user_id"], pa.string()),
+             "turn_idx": pc.cast(t["event_id"], pa.int32()),
+             "tool": tool,
+             "ts": t["ts"]}
+        )
+
+    import os
+
+    if not os.path.isdir(in_dir):
+        tmp = in_dir + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        (_events(sf_dir, columns=["user_id", "event_id", "event_type", "ts"])
+         .map_batches(adapt, batch_format="pyarrow")
+         .repartition(4).write_parquet(tmp))
+        os.replace(tmp, in_dir)
+    run_flagship(in_dir, store, tiers=("1m",), n_parts=8, gapfill=False)
+    retention_demote(
+        store, np.datetime64(_RETENTION_CUTOFF.replace(" ", "T"), "us"),
+        from_tier="1m", to_tier="1h",
+    )
+    cols = ["conv_id", "tier", "bucket_ts", "turn_count", "mean_latency"]
+
+    def fix(t: pa.Table) -> pa.Table:
+        # the hive partition column arrives dictionary-encoded; pin it to
+        # plain string so the two tiers' blocks union cleanly
+        out = {c: t[c] for c in cols}
+        out["tier"] = pc.cast(t["tier"], pa.string())
+        return pa.table({c: out[c] for c in cols})
+
+    a = read_tier(store, "1m").map_batches(fix, batch_format="pyarrow")
+    b = read_tier(store, "1h").map_batches(fix, batch_format="pyarrow")
+    return a.union(b)
