@@ -8209,3 +8209,34 @@ def retention_demote_1h(sf_dir):
     a = read_tier(store, "1m").map_batches(fix, batch_format="pyarrow")
     b = read_tier(store, "1h").map_batches(fix, batch_format="pyarrow")
     return a.union(b)
+
+
+# --- term posting lookup over the materialized inverted index ----------------
+_POSTING_TERMS = ("vector", "stream", "customer")
+
+
+@q(
+    "term_postings",
+    f"""
+select w as term, doc_id, cast(count(*) as bigint) as tf
+from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+      from documents)
+where w in ({", ".join(repr(t) for t in sorted(_POSTING_TERMS))})
+group by 1, 2
+""",
+)
+def term_postings(sf_dir):
+    """Posting lists for a literal term set via the MATERIALIZED
+    inverted index (stages/retrieval.index_build/index_lookup): postings
+    Parquet partitioned by term hash, lookups read ONLY the query
+    terms' partitions (term-pruned at the read), fingerprint-gated
+    reuse across runs. Integer-exact (term, doc_id, tf) rows."""
+    from sits_ray import SCHEMA_VERSION
+    from sits_ray.stages.retrieval import term_postings as run
+
+    sf = _sf_of_dir(sf_dir)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    index_dir = f"/tmp/sits_ray_terms/v{SCHEMA_VERSION}/sf{sf}/index"
+    return run(ds, _POSTING_TERMS, index_dir=index_dir)

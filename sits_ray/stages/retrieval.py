@@ -37,6 +37,8 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = r"[a-z]+"  # the corpus-wide shared tokenizer
 
@@ -173,3 +175,120 @@ def bm25_topk(docs_ds, queries: dict[int, tuple[str, ...]], k: int = 10,
         .reset_index(drop=True)
     )
     return out[["qid", "doc_id", "score"]]
+
+
+# --- materialized inverted index (posting lists) -----------------------------
+
+def index_build(docs_ds, index_dir: str, n_parts: int = 32,
+                text_col: str = "text", id_col: str = "doc_id",
+                fingerprint: dict | None = None) -> None:
+    """Materialize the term inverted index ONCE: tokenize each batch,
+    emit (term, doc_id, tf) posting rows with ``part = hash(term) %
+    n_parts`` (the SAME seeded string hash as the engine partitioner,
+    ``hashagg.part_of_values``), and write Parquet PARTITIONED BY PART so
+    a term lookup reads only its partitions (the ivf_build discipline:
+    staged build, one atomic rename, fingerprint-gated reuse —
+    ``stages/similarity.py:187-205``)."""
+    import os
+    import shutil
+
+    from sits_ray.stages.hashagg import part_of_values
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df[text_col].str.lower().str.findall(TOKEN_RE)
+        ex = lists.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=str),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "tf": pd.Series([], dtype=np.int64),
+                 "part": pd.Series([], dtype=np.int64)}
+            )
+        ids = df[id_col].loc[ex.index]
+        g = (
+            pd.DataFrame({"term": ex.to_numpy(), id_col: ids.to_numpy()})
+            .groupby(["term", id_col], sort=False).size().reset_index()
+        )
+        g.columns = ["term", id_col, "tf"]
+        g["part"] = part_of_values(g["term"].to_numpy(), n_parts)
+        return g
+
+    staging = index_dir.rstrip("/") + ".building"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    docs_ds.map_batches(postings, batch_format="pandas").write_parquet(
+        os.path.join(staging, "postings"), partition_cols=["part"]
+    )
+    meta = {"n_parts": int(n_parts)}
+    if fingerprint is not None:
+        meta["fingerprint"] = fingerprint
+    import json
+
+    with open(os.path.join(staging, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(staging, index_dir)
+
+
+def index_lookup(index_dir: str, terms, id_col: str = "doc_id"):
+    """Posting lookup: hash the query terms to their partitions and read
+    ONLY those partition directories (term-pruned at the read), then
+    filter to the exact term set. Returns a Dataset of
+    (term, doc_id, tf)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from sits_ray.stages.hashagg import part_of_values
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        n_parts = json.load(fh)["n_parts"]
+    terms = sorted(set(terms))
+    parts = sorted(set(part_of_values(np.asarray(terms, dtype=object),
+                                      n_parts).tolist()))
+    import glob
+
+    paths = [
+        f
+        for p in parts
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "postings", f"part={p}",
+                                   "*.parquet"))
+        )
+    ]
+    if not paths:
+        return rd.from_items([]).limit(0)
+    ds = rd.read_parquet(paths, columns=["term", id_col, "tf"])
+    tset = pa.array(terms)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=tset))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def term_postings(docs_ds, terms, index_dir: str | None = None,
+                  n_parts: int = 32, id_col: str = "doc_id"):
+    """Build-or-reuse the inverted index, then term-pruned lookup
+    (fingerprint-gated like ivf_topk: changed content at the same path
+    rebuilds instead of serving stale postings)."""
+    import json
+    import os
+    import tempfile
+
+    from sits_ray.stages.similarity import dataset_id_fingerprint
+
+    if index_dir is None:
+        index_dir = os.path.join(tempfile.mkdtemp(prefix="terms_"), "index")
+    fp = dataset_id_fingerprint(docs_ds, id_col)
+    fp["n_parts"] = int(n_parts)
+    meta_path = os.path.join(index_dir, "meta.json")
+    reuse = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            reuse = json.load(fh).get("fingerprint") == fp
+    if not reuse:
+        index_build(docs_ds, index_dir, n_parts=n_parts, id_col=id_col,
+                    fingerprint=fp)
+    return index_lookup(index_dir, terms, id_col=id_col)

@@ -95,3 +95,61 @@ def test_bm25_batching_invariance(ray_session):
 def test_bm25_empty_query_raises(ray_session):
     with pytest.raises(ValueError):
         bm25_topk(_docs(["a"]), {}, k=3)
+
+
+# --- inverted index ------------------------------------------------------------
+
+def test_index_lookup_matches_bruteforce_and_prunes(ray_session, tmp_path):
+    import os
+    import re
+
+    from sits_ray.stages.retrieval import index_build, index_lookup
+
+    texts = [f"alpha beta w{i % 7} w{i % 7} gamma" for i in range(40)]
+    docs = _docs(texts)
+    idx = str(tmp_path / "index")
+    index_build(docs, idx, n_parts=8)
+
+    got = index_lookup(idx, ["gamma", "alpha"]).to_pandas()
+    import collections
+
+    want = collections.Counter()
+    for i, t in enumerate(texts):
+        for w in re.findall(r"[a-z]+", t.lower()):
+            if w in ("gamma", "alpha"):
+                want[(w, i)] += 1
+    got_set = {(r.term, int(r.doc_id), int(r.tf)) for r in got.itertuples()}
+    want_set = {(t, d, c) for (t, d), c in want.items()}
+    assert got_set == want_set
+
+    # pruning: the lookup for one term must touch a strict subset of parts
+    from sits_ray.stages.hashagg import part_of_values
+    import numpy as np
+
+    all_parts = {
+        int(p.split("=")[1])
+        for p in os.listdir(os.path.join(idx, "postings"))
+        if p.startswith("part=")
+    }
+    one = set(part_of_values(np.asarray(["alpha"], dtype=object), 8).tolist())
+    assert one < all_parts  # strict subset -> the read skips partitions
+
+
+def test_term_postings_fingerprint_reuse_and_rebuild(ray_session, tmp_path):
+    import json
+    import os
+
+    from sits_ray.stages.retrieval import term_postings
+
+    idx = str(tmp_path / "index")
+    docs1 = _docs(["alpha beta", "alpha gamma"])
+    r1 = term_postings(docs1, ["alpha"], index_dir=idx).to_pandas()
+    assert sorted(r1["doc_id"]) == [0, 1]
+    mtime = os.path.getmtime(os.path.join(idx, "meta.json"))
+    # same content -> reuse (meta untouched)
+    term_postings(docs1, ["alpha"], index_dir=idx).to_pandas()
+    assert os.path.getmtime(os.path.join(idx, "meta.json")) == mtime
+    # changed content at the same path -> rebuild, not stale postings
+    docs2 = _docs(["alpha beta", "alpha gamma", "alpha delta"])
+    r2 = term_postings(docs2, ["alpha"], index_dir=idx).to_pandas()
+    assert sorted(r2["doc_id"]) == [0, 1, 2]
