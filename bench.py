@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     # round-4e family: end-to-end curation (quality gate -> near-dup
     # blocking -> tiered connected components -> adaptive membership join)
     "curation_keep_docs",
+    # round-4g families: bounded-query retrieval (wide-row match pass +
+    # broadcast idf + partial top-k) and the per-conv integer-moment
+    # kernel family (trend/mase/ccf share the shape; one representative)
+    "bm25_topk",
+    "mase_seasonal3",
 ]
 
 
