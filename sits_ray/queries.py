@@ -8240,3 +8240,84 @@ def term_postings(sf_dir):
     )
     index_dir = f"/tmp/sits_ray_terms/v{SCHEMA_VERSION}/sf{sf}/index"
     return run(ds, _POSTING_TERMS, index_dir=index_dir)
+
+
+# --- conformal prediction sets over the seeded scorer ------------------------
+def _conformal_sql(tau: float = 0.9) -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    # stable rank with index tie-break == np.argsort(-p, kind='stable')
+    rnk = []
+    for j in range(4):
+        before = " + ".join(
+            [f"cast(p{k} > p{j} as bigint)" for k in range(4) if k != j]
+            + [f"cast(p{k} = p{j} as bigint)" for k in range(j)]
+        )
+        rnk.append(f"1 + {before} as r{j}")
+    return f"""
+with s as (
+  select vec_id, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+p as (select vec_id,
+             exp(l0 - mx) / z as p0, exp(l1 - mx) / z as p1,
+             exp(l2 - mx) / z as p2, exp(l3 - mx) / z as p3
+      from zt),
+r as (select *, {', '.join(rnk)} from p),
+lab as (
+  select vec_id, j, ['label0','label1','label2','label3'][j + 1] as label,
+         [p0, p1, p2, p3][j + 1] as prob,
+         [r0, r1, r2, r3][j + 1] as rnk
+  from r cross join (select unnest([0, 1, 2, 3]) as j)),
+lp as (select vec_id, list(prob order by rnk) as probs from lab group by 1)
+select lab.vec_id, cast(lab.rnk as bigint) as rank, lab.label
+from lab join lp using (vec_id)
+where list_reduce(list_prepend(0.0e0, lp.probs[1:lab.rnk - 1]),
+                  (a, b) -> a + b) < {tau}e0
+"""
+
+
+@q("conformal_sets", _conformal_sql())
+def conformal_sets(sf_dir):
+    """Conformal prediction sets at tau=0.9 over the seeded linear
+    scorer: per vector, labels are ranked by probability (stable
+    index tie-break == np.argsort(-p)) and included while the EXCLUSIVE
+    sequential prefix sum of ranked probabilities is < tau — the
+    smallest set whose mass reaches tau (split-conformal APS shape,
+    Romano et al. 2020). Discrete (vec_id, rank, label) rows keep the
+    cross-engine compare exact; the prefix fold runs in rank order on
+    both sides (engine cumsum == SQL list_reduce over the ranked
+    list)."""
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+    from sits_ray.kernels.ml import softmax
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+    labels = np.asarray(model["labels"], dtype=object)
+    tau = 0.9
+
+    def conf(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        order = np.argsort(-p, axis=1, kind="stable")
+        ps = np.take_along_axis(p, order, axis=1)
+        cum_excl = np.concatenate(
+            [np.zeros((p.shape[0], 1)), np.cumsum(ps[:, :-1], axis=1)], axis=1
+        )
+        member = cum_excl < tau
+        vid = np.repeat(t["vec_id"].to_numpy(), member.sum(axis=1))
+        ranks = np.broadcast_to(
+            np.arange(1, p.shape[1] + 1), member.shape
+        )[member]
+        labs = labels[order][member]  # row-major mask == rank order
+        return pa.table(
+            {"vec_id": pa.array(vid), "rank": pa.array(ranks, pa.int64()),
+             "label": pa.array(labs)}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(conf, batch_format="pyarrow")

@@ -109,3 +109,36 @@ def test_combine_uncertainty_weights():
     # equal uncertainties reduce to the plain average
     out2 = combine_uncertainty([pa_, pb_], [np.array([0.5, 0.5])] * 2)
     np.testing.assert_allclose(out2, (pa_ + pb_) / 2, atol=1e-15)
+
+
+# --- conformal prediction sets -------------------------------------------------
+
+def test_conformal_sets_smallest_covering(ray_session):
+    from sits_ray.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["conformal_sets"](sf_dir).to_pandas()
+    assert set(out.columns) == {"vec_id", "rank", "label"}
+    sizes = out.groupby("vec_id")["rank"].agg(["max", "count"])
+    # ranks are 1..size contiguous and at least one label per vector
+    assert (sizes["max"] == sizes["count"]).all()
+    assert sizes["count"].between(1, 4).all()
+    # recompute probs: every emitted set is the SMALLEST with mass >= tau
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = make_linear_model(64, 4, seed=13)
+    p = softmax(list_matrix(t["embedding"]) @ m["W"] + m["b"])
+    ids = t["vec_id"].to_numpy()
+    ps = np.sort(p, axis=1)[:, ::-1]
+    by_id = sizes["count"].to_dict()
+    for i in range(0, len(ids), max(1, len(ids) // 50)):
+        k = by_id[ids[i]]
+        assert ps[i, :k].sum() >= 0.9 - 1e-12          # covers tau
+        if k > 1:
+            assert ps[i, :k - 1].sum() < 0.9 + 1e-12   # and is smallest
