@@ -8321,3 +8321,46 @@ def conformal_sets(sf_dir):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ds.map_batches(conf, batch_format="pyarrow")
+
+
+# --- CUSUM spike detection (eventops.cusum_kernel) ---------------------------
+@q(
+    "cusum_alarms",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as x,
+         row_number() over (partition by user_id order by ts, event_id) as i
+  from events),
+n as (select user_id, cast(count(*) as bigint) as n from e group by 1),
+walk as (
+  with recursive w(user_id, i, n, s) as (
+    select e.user_id, 1, n.n, greatest(0, e.x - 6000)
+    from e join n using (user_id) where e.i = 1
+    union all
+    select w.user_id, w.i + 1, w.n, greatest(0, w.s + (e.x - 6000))
+    from w join e on e.user_id = w.user_id and e.i = w.i + 1
+    where w.i < w.n)
+  select * from w)
+select user_id as conv_id, max(n) as n,
+       cast(count(*) filter (where s > 20000) as bigint) as n_alarms,
+       cast(max(s) as bigint) as max_s,
+       cast(coalesce(min(i) filter (where s > 20000), -1) as bigint)
+         as first_alarm
+from walk group by 1
+""",
+)
+def cusum_alarms(sf_dir):
+    """Per-conversation one-sided CUSUM spike alarms (Page 1954; drift
+    6000 cents, threshold 20000): count of alarmed steps, peak statistic
+    and first alarm index. ALL-INTEGER sequential recursion, replayed
+    exactly by a recursive-CTE twin with an equi-keyed step join
+    (stages/eventops.cusum_kernel — one time-step loop vectorized
+    across conversations)."""
+    from sits_ray.stages.eventops import cusum_kernel, map_conv_partitions
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, cusum_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )

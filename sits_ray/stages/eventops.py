@@ -1292,3 +1292,62 @@ def mase_kernel(g: pa.Table, season: int = 3) -> pa.Table:
             "mase": pa.array(mase, pa.float64()),
         }
     )
+
+
+def cusum_kernel(g: pa.Table, drift: int = 6000,
+                 threshold: int = 20000) -> pa.Table:
+    """Per-conversation one-sided CUSUM spike detector (Page 1954) over
+    the value metric: ``s_t = max(0, s_{t-1} + (x_t − drift))`` in cents,
+    alarm while ``s_t > threshold`` — the sequential change detector
+    complementing the retrospective segmenters (binary_segment, bayts).
+
+    ALL-INTEGER recursion (cents, literal drift/threshold), so the
+    recursive-CTE twin replays it exactly — no float state at all.
+    Vectorized across conversations: one time-step loop over the
+    partition's max conversation length, each step an indexed update of
+    the per-conversation state vector (total work O(rows), the ewma/holt
+    cross-series discipline; no per-conversation Python)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_alarms": pa.array([], pa.int64()),
+                "max_s": pa.array([], pa.int64()),
+                "first_alarm": pa.array([], pa.int64()),
+            }
+        )
+    x = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    cnt = (ends - starts).astype(np.int64)
+    n_conv = starts.size
+    s = np.zeros(n_conv, dtype=np.int64)
+    n_alarms = np.zeros(n_conv, dtype=np.int64)
+    max_s = np.zeros(n_conv, dtype=np.int64)
+    first_alarm = np.full(n_conv, -1, dtype=np.int64)
+    alive = np.arange(n_conv)
+    t = 0
+    while alive.size:
+        alive = alive[cnt[alive] > t]
+        if not alive.size:
+            break
+        xv = x[starts[alive] + t]
+        s[alive] = np.maximum(0, s[alive] + (xv - drift))
+        hit = s[alive] > threshold
+        n_alarms[alive] += hit
+        max_s[alive] = np.maximum(max_s[alive], s[alive])
+        newly = alive[hit & (first_alarm[alive] == -1)]
+        first_alarm[newly] = t + 1  # 1-based step index, SQL row_number
+        t += 1
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(codes[starts], pa.int64())),
+            "n": pa.array(cnt),
+            "n_alarms": pa.array(n_alarms),
+            "max_s": pa.array(max_s),
+            "first_alarm": pa.array(first_alarm),
+        }
+    )

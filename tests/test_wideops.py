@@ -825,3 +825,59 @@ def test_mase_kernel_empty():
 
     out = mase_kernel(_g([], [], [], value=[]))
     assert out.num_rows == 0 and "mase" in out.column_names
+
+
+# --- CUSUM spike detection (cusum_kernel) --------------------------------------
+def test_cusum_kernel_scalar_twin_and_first_alarm():
+    from sits_ray.stages.eventops import cusum_kernel
+
+    # conv 1: quiet then a spike burst; conv 2: always quiet
+    vals1 = [10.0, 20.0, 300.0, 400.0, 350.0, 10.0]
+    vals = vals1 + [5.0, 5.0, 5.0]
+    conv = [1] * 6 + [2] * 3
+    ts = [i * 1_000_000 for i in range(len(vals))]
+    out = cusum_kernel(
+        _g(conv, ts, list(range(len(vals))), value=vals),
+        drift=6000, threshold=20000,
+    ).to_pandas().set_index("conv_id")
+
+    def scalar(xs, k=6000, h=20000):
+        s, n_al, mx, first = 0, 0, 0, -1
+        for i, v in enumerate(xs, start=1):
+            q = int(np.floor(v * 100.0 + 0.5))
+            s = max(0, s + (q - k))
+            if s > h:
+                n_al += 1
+                if first == -1:
+                    first = i
+            mx = max(mx, s)
+        return n_al, mx, first
+
+    for cid, xs in ((1, vals1), (2, [5.0] * 3)):
+        n_al, mx, first = scalar(xs)
+        row = out.loc[cid]
+        assert (row["n_alarms"], row["max_s"], row["first_alarm"]) == (
+            n_al, mx, first
+        )
+    assert out.loc[1, "n_alarms"] > 0 and out.loc[2, "n_alarms"] == 0
+    assert out.loc[2, "first_alarm"] == -1
+
+
+def test_cusum_kernel_interleave_and_empty():
+    from sits_ray.stages.eventops import cusum_kernel
+
+    rng = np.random.default_rng(4)
+    vals = rng.uniform(0, 500, 40).round(2)
+    conv = ([1] * 25) + ([2] * 15)
+    ts = [i * 1_000_000 for i in range(40)]
+    merged = cusum_kernel(
+        _g(conv, ts, list(range(40)), value=vals.tolist())
+    ).to_pandas()
+    solo = cusum_kernel(
+        _g([1] * 25, ts[:25], list(range(25)), value=vals[:25].tolist())
+    ).to_pandas()
+    m1 = merged[merged.conv_id == 1].reset_index(drop=True)
+    assert solo.drop(columns=["conv_id"]).equals(m1.drop(columns=["conv_id"]))
+
+    empty = cusum_kernel(_g([], [], [], value=[]))
+    assert empty.num_rows == 0 and "first_alarm" in empty.column_names
