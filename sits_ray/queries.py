@@ -8364,3 +8364,89 @@ def cusum_alarms(sf_dir):
         ds, cusum_kernel, key="user_id", order_col="event_id",
         extra_cols=("value",),
     )
+
+
+# --- calibration report: reliability bins (ECE decomposition) ----------------
+def _calibration_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    # first-max argmax INDEX chain (same rule as np.argmax)
+    cases = []
+    for j in range(3):
+        conds = " and ".join(f"p{j} >= p{k}" for k in range(j + 1, 4))
+        cases.append(f"when {conds} then {j}")
+    argmax = "case " + " ".join(cases) + " else 3 end"
+    return f"""
+with s as (
+  select vec_id, label, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+p as (select vec_id, label,
+             exp(l0 - mx) / z as p0, exp(l1 - mx) / z as p1,
+             exp(l2 - mx) / z as p2, exp(l3 - mx) / z as p3
+      from zt),
+c as (select vec_id,
+             greatest(p0, p1, p2, p3) as conf,
+             ({argmax}) = (label % 4) as correct
+      from p),
+b as (select least(cast(floor(conf * 10) as bigint), 9) as bin,
+             cast(floor(conf * 1000000 + 0.5) as bigint) as conf_q,
+             correct
+      from c),
+agg as (select bin, cast(count(*) as bigint) as n,
+               cast(count(*) filter (where correct) as bigint) as n_correct,
+               cast(sum(conf_q) as bigint) as sum_conf_q
+        from b group by 1)
+select bin, n, n_correct, sum_conf_q,
+       n_correct / n as acc,
+       sum_conf_q / (n * 1000000) as avg_conf,
+       abs(n_correct / n - sum_conf_q / (n * 1000000)) as gap
+from agg order by bin
+"""
+
+
+@q("calibration_bins", _calibration_sql())
+def calibration_bins(sf_dir):
+    """Reliability diagram / ECE decomposition of the seeded scorer
+    (Guo et al. 2017): confidence deciles x (accuracy, mean confidence,
+    |gap|) against the label%4 truth. Order-free exact: confidence
+    quantizes to 1e-6 ints (the cents discipline) so per-bin sums are
+    int64 partials combined on the driver (10 bins x blocks rows, zero
+    shuffle); every reported float is a division of exact integers on
+    the identical expression tree."""
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        conf = p.max(axis=1)
+        pred = p.argmax(axis=1)
+        truth = t["label"].to_numpy() % 4
+        correct = (pred == truth).astype(np.int64)
+        conf_q = np.floor(conf * 1000000.0 + 0.5).astype(np.int64)
+        bins = np.minimum(np.floor(conf * 10).astype(np.int64), 9)
+        out = pd.DataFrame(
+            {"bin": bins, "n": 1, "n_correct": correct, "sum_conf_q": conf_q}
+        ).groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bin", sort=True)[["n", "n_correct", "sum_conf_q"]].sum().reset_index()
+    n = agg["n"].to_numpy(np.int64)
+    nc = agg["n_correct"].to_numpy(np.int64)
+    sq = agg["sum_conf_q"].to_numpy(np.int64)
+    acc = nc / n
+    avg_conf = sq / (n * 1000000)
+    agg["acc"] = acc
+    agg["avg_conf"] = avg_conf
+    agg["gap"] = np.abs(nc / n - sq / (n * 1000000))
+    return agg

@@ -142,3 +142,22 @@ def test_conformal_sets_smallest_covering(ray_session):
         assert ps[i, :k].sum() >= 0.9 - 1e-12          # covers tau
         if k > 1:
             assert ps[i, :k - 1].sum() < 0.9 + 1e-12   # and is smallest
+
+
+def test_calibration_bins_counts_and_identities(ray_session):
+    from sits_ray.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["calibration_bins"](sf_dir)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert out["n"].sum() == n_vecs              # every vector lands in a bin
+    assert out["bin"].between(0, 9).all()
+    assert (out["n_correct"] <= out["n"]).all()
+    # identities hold exactly
+    assert (out["acc"] == out["n_correct"] / out["n"]).all()
+    assert (out["gap"] == (out["acc"] - out["avg_conf"]).abs()).all()
+    # 4-class softmax confidence is > 0.25 -> bins 0/1 empty
+    assert not set(out["bin"]) & {0, 1}
