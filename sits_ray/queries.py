@@ -8450,3 +8450,63 @@ def calibration_bins(sf_dir):
     agg["avg_conf"] = avg_conf
     agg["gap"] = np.abs(nc / n - sq / (n * 1000000))
     return agg
+
+
+# --- Count-Min sketch token-frequency estimates ------------------------------
+_CMS_PROBES = ("join", "table", "vector", "zebra")
+
+
+def _cms_sql(width: int = 512, depth: int = 3, seed: int = 31) -> str:
+    from sits_ray.stages.sketch import cms_constants
+
+    a, b = cms_constants(depth, seed)
+    horner = (
+        "list_reduce(list_prepend(cast(0 as bigint),"
+        " list_transform(regexp_extract_all(to_hex(encode({v})), '..'),"
+        " c -> cast(concat('0x', c) as bigint))),"
+        " (h, c) -> (h * 1000003 + c) % 2147483647)"
+    )
+
+    def pos(j: int, th: str) -> str:
+        return f"(({int(a[j])} * {th} + {int(b[j])}) % 2147483647) % {width}"
+
+    counters = "\n  union all\n".join(
+        f"  select {j} as i, {pos(j, 'th')} as pos,"
+        f" cast(count(*) as bigint) as c from tok group by 2"
+        for j in range(depth)
+    )
+    probes = ", ".join(f"('{t}')" for t in sorted(_CMS_PROBES))
+    mins = ", ".join(
+        f"coalesce((select c from counters x where x.i = {j}"
+        f" and x.pos = {pos(j, 'ph.th')}), 0)"
+        for j in range(depth)
+    )
+    return f"""
+with tok as (
+  select w, {horner.format(v='w')} as th
+  from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)),
+counters as (
+{counters}),
+pl(token) as (values {probes}),
+ph as (select token, {horner.format(v='token')} as th from pl)
+select ph.token, least({mins}) as est,
+       coalesce((select cast(count(*) as bigint) from tok
+                 where tok.w = ph.token), 0) as exact_n
+from ph
+order by token
+"""
+
+
+@q("cms_token_counts", _cms_sql())
+def cms_token_counts(sf_dir):
+    """Count-Min sketch frequency estimates for a literal probe set
+    (width 512 x depth 3, O(depth x width) state per batch regardless of
+    vocabulary) + the exact recount certifying est >= exact. The whole
+    sketch — Horner/M31 token hash, affine row positions, counter fill,
+    probe mins — replays bit-exactly in DuckDB: a deterministic pure
+    function of the data, all integer (stages/sketch.cms_token_counts)."""
+    from sits_ray.stages.sketch import cms_token_counts as run
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return run(ds, _CMS_PROBES)

@@ -338,3 +338,92 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source",
     out["n_vocab"] = out["n_vocab"].astype(np.int64)
     out["n_tokens"] = out["n_tokens"].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
+
+_CMS_P = (1 << 31) - 1
+
+
+def cms_constants(depth: int = 3, seed: int = 31):
+    """Deterministic affine row-hash constants, shared verbatim with the
+    generated SQL twin (the bloom_constants discipline)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _CMS_P, size=depth, dtype=np.int64)
+    b = rng.integers(0, _CMS_P, size=depth, dtype=np.int64)
+    return a, b
+
+
+def cms_token_counts(ds, probe_tokens, text_col: str = "text",
+                     width: int = 512, depth: int = 3,
+                     seed: int = 31) -> pd.DataFrame:
+    """Token-frequency estimates from a Count-Min sketch with O(depth x
+    width) state per batch REGARDLESS of vocabulary — the
+    frequency-counting sibling of :func:`hll_distinct` (distincts) and
+    :func:`heavy_hitter_tokens` (exact top-k): ``est(t) = min_i
+    C[i][(a_i*h(t)+b_i) mod P mod width]``, an OVERESTIMATE by
+    construction (counters only ever add).
+
+    Token hash is the repo's Horner/Mersenne-31 byte fold
+    (kernels/text.fingerprint_batch) and the affine row hashes are
+    literal int64 constants, so the WHOLE sketch — counter fill and
+    probe mins — replays bit-exactly in DuckDB: the estimate is a
+    deterministic pure function of the data. Returns per probe token
+    (token, est, exact_n) — the exact recount certifies the
+    ``est >= exact`` guarantee cross-engine."""
+    from sits_ray.kernels.text import fingerprint_batch
+
+    a, b = cms_constants(depth, seed)
+    probes = sorted(set(probe_tokens))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"i": pd.Series([], dtype=np.int64),
+                 "pos": pd.Series([], dtype=np.int64),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        vc = ex.value_counts()  # unique tokens hashed once each
+        h = fingerprint_batch(list(vc.index))
+        cnt = vc.to_numpy(np.int64)
+        rows = []
+        for i in range(depth):
+            pos = ((a[i] * h + b[i]) % _CMS_P) % width
+            cc = np.bincount(pos, weights=cnt, minlength=width).astype(np.int64)
+            nz = np.flatnonzero(cc)
+            rows.append(pd.DataFrame(
+                {"i": np.int64(i), "pos": nz, "c": cc[nz]}
+            ))
+        # exact probe recount rides along as sentinel rows (i = -1,
+        # pos = probe index): bounded, no extra pass
+        pi = {t: j for j, t in enumerate(probes)}
+        hits = vc[vc.index.isin(probes)]
+        if len(hits):
+            rows.append(pd.DataFrame(
+                {"i": np.int64(-1),
+                 "pos": np.array([pi[t] for t in hits.index], dtype=np.int64),
+                 "c": hits.to_numpy(np.int64)}
+            ))
+        return pd.concat(rows, ignore_index=True)
+
+    from sits_ray.stages.joins import _right_as_table
+
+    rt = _right_as_table(ds.map_batches(partial, batch_format="pandas"))
+    parts = pd.DataFrame({
+        "i": rt["i"].to_numpy(), "pos": rt["pos"].to_numpy(),
+        "c": rt["c"].to_numpy(),
+    }).groupby(["i", "pos"], as_index=False)["c"].sum()
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    grid = parts[parts["i"] >= 0]
+    sketch[grid["i"].to_numpy(), grid["pos"].to_numpy()] = grid["c"].to_numpy()
+    exact = np.zeros(len(probes), dtype=np.int64)
+    sent = parts[parts["i"] < 0]
+    exact[sent["pos"].to_numpy()] = sent["c"].to_numpy()
+    hp = fingerprint_batch(probes)
+    est = np.min(
+        [sketch[i, ((a[i] * hp + b[i]) % _CMS_P) % width] for i in range(depth)],
+        axis=0,
+    ).astype(np.int64)
+    return pd.DataFrame({"token": probes, "est": est, "exact_n": exact})

@@ -115,3 +115,47 @@ def test_hll_distinct_accuracy_and_split_invariance(ray_session):
     for s in ("big", "small"):
         rel = abs(est[s] - truth[s]) / truth[s]
         assert rel < 0.25, (s, est[s], truth[s])  # ~3 sigma at m=256
+
+
+# --- Count-Min sketch -----------------------------------------------------------
+
+def test_cms_overestimate_guarantee_and_split_invariance(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.sketch import cms_token_counts
+
+    rng = np.random.default_rng(13)
+    import itertools, string
+
+    vocab = ["".join(p) for p in itertools.islice(
+        itertools.product(string.ascii_lowercase, repeat=2), 400)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(50)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    probes = [vocab[0], vocab[7], "absent"]
+    out = cms_token_counts(ds, probes, width=64, depth=3)
+    # exact counts are true counts
+    joined = " ".join(texts).split()
+    for r in out.itertuples():
+        assert r.exact_n == joined.count(r.token)
+        assert r.est >= r.exact_n  # CMS never underestimates
+    # small width forces collisions -> at least one strict overestimate
+    assert (out["est"] > out["exact_n"]).any()
+    # batching-invariant (order-free integer merges)
+    out2 = cms_token_counts(ds.repartition(7), probes, width=64, depth=3)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_cms_wide_sketch_is_exact_on_small_vocab(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.sketch import cms_token_counts
+
+    texts = ["alpha beta alpha", "beta gamma beta beta"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    out = cms_token_counts(ds, ["alpha", "beta", "gamma"], width=4096, depth=3)
+    # 3 tokens in 4096 buckets: collisions virtually impossible
+    assert out.set_index("token")["est"].to_dict() == {
+        "alpha": 2, "beta": 4, "gamma": 1
+    }
+    assert (out["est"] == out["exact_n"]).all()
