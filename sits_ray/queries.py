@@ -8510,3 +8510,65 @@ def cms_token_counts(sf_dir):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return run(ds, _CMS_PROBES)
+
+
+# --- conversation concurrency (interval stabbing) ----------------------------
+@q(
+    "concurrency_at_start",
+    """
+with iv as (
+  select user_id, epoch_us(min(ts)) as mn, epoch_us(max(ts)) as mx
+  from events group by 1)
+select a.user_id as conv_id,
+       cast(a.mn as bigint) as start_us,
+       cast((select count(*) from iv b
+             where b.mn <= a.mn and b.mx >= a.mn) - 1 as bigint)
+         as n_concurrent
+from iv a
+""",
+)
+def concurrency_at_start(sf_dir):
+    """How many OTHER conversations were active when each one started —
+    the interval-stabbing concurrency diagnostic (capacity planning over
+    the transcript store). Exact integer counting WITHOUT the quadratic
+    self-join the SQL twin uses: per-conv (min, max) spans fold from
+    per-batch partials (conv x blocks rows), then two sorted-endpoint
+    binary searches give ``count(mn <= s) - count(mx < s)`` per start —
+    O(n log n) on bounded interval rows (the documented at-scale shape:
+    endpoint rows are 16 bytes/conv; a range-partitioned sweep replaces
+    the driver sort past memory)."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(t["user_id"].combine_chunks())
+        codes = np.asarray(d.indices)
+        order = np.lexsort((us, codes))
+        codes_s, us_s = codes[order], us[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], codes_s.size]
+        return pa.table(
+            {
+                "conv_id": d.dictionary.take(pa.array(codes_s[starts], pa.int64())),
+                "mn": pa.array(us_s[starts]),
+                "mx": pa.array(us_s[ends - 1]),
+            }
+        )
+
+    parts = ds.map_batches(span_partial, batch_format="pyarrow").to_pandas()
+    iv = parts.groupby("conv_id", sort=True).agg(
+        mn=("mn", "min"), mx=("mx", "max")
+    ).reset_index()
+    mn = iv["mn"].to_numpy(np.int64)
+    mx = iv["mx"].to_numpy(np.int64)
+    mn_sorted = np.sort(mn)
+    mx_sorted = np.sort(mx)
+    n_conc = (
+        np.searchsorted(mn_sorted, mn, side="right")
+        - np.searchsorted(mx_sorted, mn, side="left")
+        - 1
+    )
+    return pd.DataFrame(
+        {"conv_id": iv["conv_id"], "start_us": mn,
+         "n_concurrent": n_conc.astype(np.int64)}
+    )

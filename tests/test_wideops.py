@@ -881,3 +881,30 @@ def test_cusum_kernel_interleave_and_empty():
 
     empty = cusum_kernel(_g([], [], [], value=[]))
     assert empty.num_rows == 0 and "first_alarm" in empty.column_names
+
+
+# --- interval-stabbing concurrency ---------------------------------------------
+def test_concurrency_at_start_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sits_ray.queries import QUERIES
+
+    # hand-built intervals: A [0,10], B [5,20], C [15,30], D [10,12]
+    rows = []
+    for uid, (lo, hi) in {1: (0, 10), 2: (5, 20), 3: (15, 30),
+                          4: (10, 12)}.items():
+        rows += [(uid, lo), (uid, hi)]
+    df = pd.DataFrame(rows, columns=["user_id", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"] * 1_000_000, unit="us")
+    d = tmp_path / "events.parquet"
+    pq.write_table(pa.Table.from_pandas(df[["user_id", "ts"]],
+                                        preserve_index=False), str(d))
+    out = QUERIES["concurrency_at_start"](str(tmp_path)).set_index("conv_id")
+    # at A's start (0): only A -> 0 others; B's start (5): A active -> 1;
+    # C's start (15): B active -> 1; D's start (10): A(end 10) + B -> 2
+    assert out.loc[1, "n_concurrent"] == 0
+    assert out.loc[2, "n_concurrent"] == 1
+    assert out.loc[3, "n_concurrent"] == 1
+    assert out.loc[4, "n_concurrent"] == 2
