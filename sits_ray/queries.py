@@ -8572,3 +8572,44 @@ def concurrency_at_start(sf_dir):
         {"conv_id": iv["conv_id"], "start_us": mn,
          "n_concurrent": n_conc.astype(np.int64)}
     )
+
+
+# --- edit-distance near-dup (prefix blocking + Levenshtein) ------------------
+@q(
+    "editdist_near_dups",
+    """
+with h as (
+  select doc_id, substr(text, 1, 16) as prefix, substr(text, 1, 160) as head
+  from documents),
+rnk as (
+  select *, row_number() over (partition by prefix order by doc_id) as r
+  from h),
+capped as (select * from rnk where r <= 11),
+pairs as (
+  select a.prefix, a.doc_id as doc_a, b.doc_id as doc_b,
+         a.head as ha, b.head as hb, a.r as ra, b.r as rb
+  from capped a join capped b
+    on a.prefix = b.prefix and b.r > a.r),
+lim as (
+  select * from pairs
+  qualify row_number() over (partition by prefix order by ra, rb) <= 50)
+select doc_a, doc_b, cast(levenshtein(ha, hb) as bigint) as dist
+from lim
+where levenshtein(ha, hb) <= 40
+""",
+)
+def editdist_near_dups(sf_dir):
+    """Record-linkage near-dup: prefix blocking (first 16 chars) +
+    exact Levenshtein verify over 160-char heads, pairs with distance
+    <= 40. Integer-exact vs DuckDB's ``levenshtein``; the engine DP
+    vectorizes each row over the second string with a min-accumulate
+    insertion closure, and runs only on the capped deterministic pair
+    list (per-block row-major cap — the LSH bucket-cap discipline);
+    blocks co-locate through one part_aggregate exchange of bounded
+    head rows (stages/dedup.editdist_near_dups)."""
+    from sits_ray.stages.dedup import editdist_near_dups as run
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return run(ds)

@@ -1506,3 +1506,87 @@ def materialized_pairs(build_fn, cache_dir: str, fingerprint: dict):
     os.makedirs(os.path.dirname(cache_dir.rstrip("/")) or ".", exist_ok=True)
     os.replace(staging, cache_dir)
     return rd.read_parquet(data_dir)
+
+
+# --- edit-distance near-dup (prefix blocking + Levenshtein verify) -----------
+
+def levenshtein_rows(a_list, b_list) -> np.ndarray:
+    """Standard unit-cost Levenshtein for a BOUNDED pair list (the
+    capped-candidate budget of the near-dup verifies — charshingle's
+    per-pair set-intersection precedent): the DP iterates rows of one
+    string, each row fully vectorized over the other — substitution and
+    deletion are elementwise minima, and the left-to-right insertion
+    closure ``cur[k] = min(base[k], cur[k-1]+1)`` is one min-accumulate
+    of ``base[k] - k`` (monotone-slack trick). Matches DuckDB's
+    ``levenshtein`` exactly (insert/delete/substitute cost 1, bytes)."""
+    out = np.empty(len(a_list), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        ab, bb_ = a.encode("utf-8"), b.encode("utf-8")
+        if not ab or not bb_:
+            out[i] = max(len(ab), len(bb_))
+            continue
+        bb = np.frombuffer(bb_, dtype=np.uint8)
+        k = np.arange(len(bb) + 1, dtype=np.int64)
+        prev = k.copy()
+        for j, ca in enumerate(ab, start=1):
+            base = np.empty(len(bb) + 1, dtype=np.int64)
+            base[0] = j
+            np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=base[1:])
+            prev = np.minimum.accumulate(base - k) + k
+        out[i] = prev[-1]
+    return out
+
+
+def editdist_near_dups(ds, prefix_len: int = 16, max_dist: int = 40,
+                       max_pairs_per_block: int = 50,
+                       text_len: int = 160, n_parts: int = 32):
+    """Record-linkage-style near-dup pass: PREFIX BLOCKING (docs sharing
+    their first ``prefix_len`` characters form a candidate block — the
+    classic cheap blocking key) then exact Levenshtein verify over the
+    leading ``text_len`` characters, keeping pairs with distance <=
+    ``max_dist``. Blocks co-locate through ONE part_aggregate exchange
+    of (prefix, doc_id, head) rows — the corpus text never shuffles
+    beyond the bounded heads; per-block pair emission is capped (lowest
+    doc-id pairs first, the LSH bucket-cap discipline — truncation is
+    deterministic) and the verify runs on the bounded pair list."""
+    import pandas as pd
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"prefix": df["text"].str.slice(0, prefix_len),
+             "doc_id": df["doc_id"].to_numpy(np.int64),
+             "head": df["text"].str.slice(0, text_len)}
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("prefix", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id").head(
+                int((1 + np.sqrt(1 + 8 * max_pairs_per_block)) / 2) + 1
+            )
+            ids = grp["doc_id"].to_numpy()
+            hd = grp["head"].to_numpy(dtype=object)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = slice(0, max_pairs_per_block)
+            ia, ib = ia[keep], ib[keep]
+            d = levenshtein_rows(hd[ia].tolist(), hd[ib].tolist())
+            ok = d <= max_dist
+            outs.append(pd.DataFrame(
+                {"doc_a": ids[ia[ok]], "doc_b": ids[ib[ok]],
+                 "dist": d[ok]}
+            ))
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "dist": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pruned = ds.map_batches(heads, batch_format="pandas")
+    return part_aggregate(pruned, block_pairs, key_col="prefix",
+                          n_parts=n_parts)

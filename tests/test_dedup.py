@@ -498,3 +498,51 @@ def test_materialized_pairs_empty_bypasses_cache(ray_session, tmp_path):
     out = materialized_pairs(build, cdir, {"x": 1})
     assert out.count() == 0
     assert not os.path.exists(os.path.join(cdir, "fingerprint.json"))
+
+
+# --- edit-distance near-dup -----------------------------------------------------
+
+def test_levenshtein_rows_bruteforce():
+    from sits_ray.stages.dedup import levenshtein_rows
+
+    def ref(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    rng = np.random.default_rng(6)
+    pairs = []
+    for _ in range(120):
+        la, lb = rng.integers(0, 15, size=2)
+        pairs.append((
+            "".join(rng.choice(list("abcd"), la)),
+            "".join(rng.choice(list("abcd"), lb)),
+        ))
+    pairs += [("kitten", "sitting"), ("", ""), ("x", ""), ("", "y")]
+    got = levenshtein_rows([a for a, _ in pairs], [b for _, b in pairs])
+    assert [ref(a, b) for a, b in pairs] == got.tolist()
+
+
+def test_editdist_near_dups_blocking_and_threshold(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.dedup import editdist_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    texts = [
+        base,                         # 0 \\ same prefix block,
+        base.replace("lazy", "hazy"), # 1 /  distance 1
+        base.replace("quick", "xxxxx"),  # 2: different prefix -> no block
+        "completely different text here with nothing shared at all",  # 3
+    ]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    out = editdist_near_dups(docs, prefix_len=16, max_dist=5).to_pandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == {(0, 1)}
+    assert out["dist"].item() == 1
