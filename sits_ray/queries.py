@@ -8613,3 +8613,70 @@ def editdist_near_dups(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return run(ds)
+
+
+# --- collocation extraction: top bigrams by lift -----------------------------
+@q(
+    "collocations_topk",
+    """
+with tok as (
+  select doc_id, unnest(l) as w, generate_subscripts(l, 1) as i
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents)),
+bi as (
+  select a.w as w1, b.w as w2, cast(count(*) as bigint) as cab
+  from tok a join tok b on b.doc_id = a.doc_id and b.i = a.i + 1
+  group by 1, 2),
+uni as (select w, cast(count(*) as bigint) as c from tok group by 1),
+nb as (select cast(sum(cab) as bigint) as n from bi)
+select w1, w2, cab, ua.c as ca, ub.c as cb,
+       (nb.n * cab) / (ua.c * ub.c) as lift
+from bi join uni ua on ua.w = bi.w1 join uni ub on ub.w = bi.w2
+cross join nb
+where cab >= 5
+qualify row_number() over (order by lift desc, w1, w2) <= 20
+order by lift desc, w1, w2
+""",
+)
+def collocations_topk(sf_dir):
+    """Collocation extraction: top-20 adjacent token pairs by LIFT
+    (Church & Hanks PMI family with the log dropped — lift =
+    N*c(a,b) / (c(a)*c(b)) is an integer-ratio double, rank-equivalent
+    to PMI and bit-exact cross-engine; min support 5). Distributed
+    shape: per-batch bigram/unigram partials combine inside map_batches
+    (vocab-sized, the tfidf precedent), driver folds the bounded
+    partial tables and ranks — the corpus never shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df["text"].str.lower().str.findall(r"[a-z]+")
+        uni: dict = {}
+        bi: dict = {}
+        ex = lists.explode().dropna()
+        vc = ex.value_counts()
+        rows_u = pd.DataFrame({"w1": vc.index, "w2": "", "c": vc.to_numpy()})
+        # vectorized bigram counts: flatten with doc boundaries masked
+        flat = ex.to_numpy(dtype=object)
+        doc_of = pd.Index(df.index).get_indexer(ex.index)
+        if flat.size > 1:
+            same = doc_of[1:] == doc_of[:-1]
+            b = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+            gb = b.groupby(["w1", "w2"], sort=False).size().reset_index()
+            gb.columns = ["w1", "w2", "c"]
+        else:
+            gb = pd.DataFrame({"w1": [], "w2": [], "c": []})
+        return pd.concat([rows_u, gb], ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+    uni = agg[agg["w2"] == ""].set_index("w1")["c"]
+    bi = agg[agg["w2"] != ""].copy()
+    bi = bi[bi["c"] >= 5]
+    n = np.int64(bi["c"].sum() + (agg[agg["w2"] != ""]["c"].sum() - bi["c"].sum()))
+    bi["ca"] = uni.loc[bi["w1"]].to_numpy(np.int64)
+    bi["cb"] = uni.loc[bi["w2"]].to_numpy(np.int64)
+    cab = bi["c"].to_numpy(np.int64)
+    bi["lift"] = (n * cab) / (bi["ca"].to_numpy(np.int64) * bi["cb"].to_numpy(np.int64))
+    bi = bi.sort_values(["lift", "w1", "w2"], ascending=[False, True, True]).head(20)
+    out = bi.rename(columns={"c": "cab"})[["w1", "w2", "cab", "ca", "cb", "lift"]]
+    return out.reset_index(drop=True)

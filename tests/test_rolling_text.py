@@ -341,3 +341,43 @@ def test_unigram_nll_oov_raises(ray_session):
     )
     with pytest.raises(Exception, match="gamma"):
         unigram_nll(docs, counts, total=4).to_pandas()
+
+
+def test_collocations_bruteforce(ray_session, tmp_path):
+    import collections
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sits_ray.queries import QUERIES
+
+    texts = ["strong tea strong tea strong tea bites",
+             "strong tea and weak coffee strong tea",
+             "weak coffee weak coffee bites dog"] * 3
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = QUERIES["collocations_topk"](str(tmp_path))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n = sum(bi.values())
+    want = sorted(
+        ((n * c) / (uni[a] * uni[b]), a, b, c)
+        for (a, b), c in bi.items() if c >= 5
+    )
+    want.sort(key=lambda r: (-r[0], r[1], r[2]))
+    got = list(map(tuple, out[["w1", "w2", "cab", "lift"]].to_numpy()))
+    assert got == [(a, b, c, l) for l, a, b, c in want[:20]]
+    # both planted collocations survive; the rarer pair has higher lift
+    pairs = {g[:2] for g in got}
+    assert {("strong", "tea"), ("weak", "coffee")} <= pairs
+    assert got[0][:2] == ("weak", "coffee")
