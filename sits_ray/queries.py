@@ -8650,8 +8650,6 @@ def collocations_topk(sf_dir):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lists = df["text"].str.lower().str.findall(r"[a-z]+")
-        uni: dict = {}
-        bi: dict = {}
         ex = lists.explode().dropna()
         vc = ex.value_counts()
         rows_u = pd.DataFrame({"w1": vc.index, "w2": "", "c": vc.to_numpy()})
@@ -8672,7 +8670,7 @@ def collocations_topk(sf_dir):
     uni = agg[agg["w2"] == ""].set_index("w1")["c"]
     bi = agg[agg["w2"] != ""].copy()
     bi = bi[bi["c"] >= 5]
-    n = np.int64(bi["c"].sum() + (agg[agg["w2"] != ""]["c"].sum() - bi["c"].sum()))
+    n = np.int64(agg.loc[agg["w2"] != "", "c"].sum())  # total bigram count
     bi["ca"] = uni.loc[bi["w1"]].to_numpy(np.int64)
     bi["cb"] = uni.loc[bi["w2"]].to_numpy(np.int64)
     cab = bi["c"].to_numpy(np.int64)
