@@ -8116,6 +8116,72 @@ def mase_seasonal3(sf_dir):
     )
 
 
+# --- matrix profile: motif + discord discovery (eventops.matrix_profile_kernel)
+@q(
+    "matrix_profile_m4",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as i
+  from events),
+z as (
+  select a.user_id, a.i as t, b.i - a.i as d,
+         (b.y - a.y) * (b.y - a.y) as z2
+  from e a join e b on b.user_id = a.user_id and b.i >= a.i + 4),
+ws as (
+  select user_id, d, t,
+         cast(sum(z2) over w as bigint) as dist,
+         count(*) over w as k
+  from z
+  window w as (partition by user_id, d order by t
+               rows between current row and 3 following)),
+mp as (select user_id, t as i, t + d as j, dist from ws where k = 4),
+pairs as (
+  select user_id, i, j, dist from mp
+  union all
+  select user_id, j as i, i as j, dist from mp),
+prof as (
+  select user_id, i, dist as P, j
+  from (select user_id, i, j, dist,
+               row_number() over (partition by user_id, i
+                                  order by dist, j) as r
+        from pairs)
+  where r = 1),
+stat as (
+  select user_id, i, P, j,
+         row_number() over (partition by user_id order by P asc, i asc) as rmin,
+         row_number() over (partition by user_id order by P desc, i asc) as rmax,
+         cast(count(*) over (partition by user_id) as bigint) as n_windows
+  from prof),
+nn as (select user_id, cast(count(*) as bigint) as n from e group by 1)
+select nn.user_id as conv_id, nn.n, lo.n_windows,
+       lo.i as motif_i, lo.j as motif_j, lo.P as motif_d2,
+       hi.i as discord_i, hi.j as discord_j, hi.P as discord_d2
+from (select * from stat where rmin = 1) lo
+join (select * from stat where rmax = 1) hi using (user_id)
+join nn using (user_id)
+""",
+)
+def matrix_profile_m4(sf_dir):
+    """Per-conversation matrix profile (Matrix Profile I, Yeh et al.
+    2016) over the value metric: top motif pair (most-repeated length-4
+    activity shape, min profile) and top discord (least-repeatable
+    stretch = the anomaly, max profile), exclusion zone |i-j| >= 4.
+    Integer-exact: cents quantization makes every window distance an
+    order-free int64 sum, min/argmin ties resolve lexicographically on
+    both sides (stages/eventops.matrix_profile_kernel — STOMP-style
+    diagonal sweep vectorized across conversations, ONE part_id
+    shuffle)."""
+    from sits_ray.stages.eventops import map_conv_partitions, matrix_profile_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, matrix_profile_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
 # --- retention demotion: cascade-then-expire lifecycle ----------------------
 @q(
     "retention_demote_1h",

@@ -1351,3 +1351,100 @@ def cusum_kernel(g: pa.Table, drift: int = 6000,
             "first_alarm": pa.array(first_alarm),
         }
     )
+
+
+_MP_EMPTY_COLS = (
+    "n", "n_windows", "motif_i", "motif_j", "motif_d2",
+    "discord_i", "discord_j", "discord_d2",
+)
+
+
+def matrix_profile_kernel(g: pa.Table, m: int = 4) -> pa.Table:
+    """Per-conversation matrix profile (Yeh et al., ICDM 2016 "Matrix
+    Profile I") over the cents-quantized value series in event order:
+    for every length-``m`` window, the minimum squared Euclidean
+    distance to any non-overlapping window of the SAME conversation
+    (exclusion zone |i-j| >= m). The profile's minimum is the top
+    motif pair (the conversation's most-repeated activity shape); its
+    maximum is the top discord (the least-repeatable stretch — the
+    anomaly). Non-normalized integer distances keep every comparison
+    order-free exact, so the SQL twin (diagonal z-sums + window frames)
+    is bit-exact.
+
+    Scale shape: STOMP-style diagonal iteration, vectorized ACROSS
+    conversations — one pass per diagonal offset d over the whole
+    partition (total work O(rows x max_conv_len), no per-conversation
+    Python). Ties resolve lexicographically: per window the
+    (distance, partner-index) minimum; per conversation the smallest
+    window index achieving the profile min/max — mirrored verbatim by
+    the twin's ORDER BY (dist, j) / (P, i) row_number picks."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        cols = {"conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64())}
+        cols.update({c: pa.array([], pa.int64()) for c in _MP_EMPTY_COLS})
+        return pa.table(cols)
+    y = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    n = codes.size
+    cnt = (ends - starts).astype(np.int64)
+    n_conv = starts.size
+    BIG = np.iinfo(np.int64).max
+    P = np.full(n, BIG, dtype=np.int64)  # profile value per window start row
+    J = np.full(n, BIG, dtype=np.int64)  # partner row (global index)
+    max_cnt = int(cnt.max())
+    for d in range(m, max_cnt - m + 1):
+        L = n - d - (m - 1)  # window starts t with t+d+m-1 < n
+        if L <= 0:
+            break
+        diff = y[:-d] - y[d:]
+        z = diff * diff
+        w = z[:L].copy()
+        for k in range(1, m):
+            w += z[k:L + k]
+        t_idx = np.arange(L)
+        # whole span t..t+d+m-1 inside one conversation (rows are
+        # conv-contiguous after the sort)
+        valid = codes[:L] == codes[d + m - 1:d + m - 1 + L]
+        ii = t_idx[valid]
+        if not ii.size:
+            continue
+        jj = ii + d
+        D = w[valid]
+        for pos, part in ((ii, jj), (jj, ii)):
+            better = (D < P[pos]) | ((D == P[pos]) & (part < J[pos]))
+            P[pos] = np.where(better, D, P[pos])
+            J[pos] = np.where(better, part, J[pos])
+    covered = P < BIG
+    n_win = np.add.reduceat(covered.astype(np.int64), starts)
+    ok = n_win > 0
+    if not ok.any():
+        cols = {"conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64())}
+        cols.update({c: pa.array([], pa.int64()) for c in _MP_EMPTY_COLS})
+        return pa.table(cols)
+    conv_of_row = np.repeat(np.arange(n_conv), cnt)
+    rowi = np.arange(n, dtype=np.int64)
+    p_min = np.minimum.reduceat(P, starts)  # uncovered rows already BIG
+    cand = np.where(covered & (P == p_min[conv_of_row]), rowi, n)
+    motif_row = np.minimum.reduceat(cand, starts)
+    p_cov = np.where(covered, P, np.int64(-1))
+    p_max = np.maximum.reduceat(p_cov, starts)
+    cand = np.where(covered & (P == p_max[conv_of_row]), rowi, n)
+    disc_row = np.minimum.reduceat(cand, starts)
+    mr, dr = motif_row[ok], disc_row[ok]
+    base = starts[ok]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(np.flatnonzero(ok))),
+            "n": pa.array(cnt[ok]),
+            "n_windows": pa.array(n_win[ok]),
+            "motif_i": pa.array(mr - base + 1),
+            "motif_j": pa.array(J[mr] - base + 1),
+            "motif_d2": pa.array(P[mr]),
+            "discord_i": pa.array(dr - base + 1),
+            "discord_j": pa.array(J[dr] - base + 1),
+            "discord_d2": pa.array(P[dr]),
+        }
+    )

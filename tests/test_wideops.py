@@ -908,3 +908,85 @@ def test_concurrency_at_start_bruteforce(ray_session, tmp_path):
     assert out.loc[2, "n_concurrent"] == 1
     assert out.loc[3, "n_concurrent"] == 1
     assert out.loc[4, "n_concurrent"] == 2
+
+
+# --- matrix profile (matrix_profile_kernel) ------------------------------------
+def _mp_brute(vals, m=4):
+    """O(n^2) scalar twin: per window the lexicographic (dist, partner)
+    min over |i-j| >= m; motif = (P, i) min, discord = (-P, i) min."""
+    q = np.floor(np.asarray(vals, np.float64) * 100.0 + 0.5).astype(np.int64)
+    W = len(q) - m + 1
+    prof = {}
+    for i in range(W):
+        best = None
+        for j in range(W):
+            if abs(j - i) < m:
+                continue
+            d = int(((q[i:i + m] - q[j:j + m]) ** 2).sum())
+            if best is None or (d, j) < best:
+                best = (d, j)
+        if best is not None:
+            prof[i] = best
+    if not prof:
+        return None
+    motif_i = min(prof, key=lambda i: (prof[i][0], i))
+    disc_i = min(prof, key=lambda i: (-prof[i][0], i))
+    return {
+        "n_windows": len(prof),
+        "motif_i": motif_i + 1, "motif_j": prof[motif_i][1] + 1,
+        "motif_d2": prof[motif_i][0],
+        "discord_i": disc_i + 1, "discord_j": prof[disc_i][1] + 1,
+        "discord_d2": prof[disc_i][0],
+    }
+
+
+def test_matrix_profile_kernel_bruteforce_random():
+    from sits_ray.stages.eventops import matrix_profile_kernel
+
+    rng = np.random.default_rng(11)
+    convs, ts, order, vals, expect = [], [], [], [], {}
+    t0 = 0
+    for cid, n in [(1, 24), (2, 9), (3, 40)]:
+        v = np.round(rng.uniform(0, 60, n), 2).tolist()
+        convs += [cid] * n
+        ts += [t0 + i * US for i in range(n)]
+        order += list(range(n))
+        vals += v
+        expect[cid] = _mp_brute(v)
+        t0 += n * US
+    out = matrix_profile_kernel(
+        _g(convs, ts, order, value=vals)
+    ).to_pandas().set_index("conv_id")
+    for cid, exp in expect.items():
+        row = out.loc[cid]
+        for k, want in exp.items():
+            assert row[k] == want, (cid, k, row[k], want)
+
+
+def test_matrix_profile_kernel_edges():
+    from sits_ray.stages.eventops import matrix_profile_kernel
+
+    # n = 8, m = 4: windows 1..5; only the extremes 1 and 5 are >= m apart,
+    # so windows 2-4 have NO eligible partner -> n_windows = 2
+    v = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+    out = matrix_profile_kernel(
+        _g([1] * 8, [i * US for i in range(8)], list(range(8)), value=v)
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["n_windows"] == 2 == _mp_brute(v)["n_windows"]
+    # windows 1 and 5 are identical copies -> motif distance 0, smallest i
+    assert row["motif_i"] == 1 and row["motif_j"] == 5 and row["motif_d2"] == 0
+    exp = _mp_brute(v)
+    assert row["discord_i"] == exp["discord_i"]
+    assert row["discord_d2"] == exp["discord_d2"]
+
+    # convs shorter than 2m never pair -> omitted entirely
+    out2 = matrix_profile_kernel(
+        _g([1] * 7, [i * US for i in range(7)], list(range(7)),
+           value=[1.0] * 7)
+    )
+    assert out2.num_rows == 0
+
+    # empty input keeps the schema
+    out3 = matrix_profile_kernel(_g([], [], [], value=[]))
+    assert out3.num_rows == 0 and "motif_d2" in out3.column_names
