@@ -8182,6 +8182,58 @@ def matrix_profile_m4(sf_dir):
     )
 
 
+# --- sample entropy (eventops.sampen_kernel) ---------------------------------
+@q(
+    "sample_entropy",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as i
+  from events),
+w as (
+  select user_id, i, y,
+         lead(y, 1) over (partition by user_id order by i) as y1,
+         lead(y, 2) over (partition by user_id order by i) as y2,
+         cast(count(*) over (partition by user_id) as bigint) as n
+  from e),
+b as (
+  select a.user_id, any_value(a.n) as n, cast(count(*) as bigint) as b_cnt
+  from w a join w b on b.user_id = a.user_id and b.i > a.i
+  where a.y1 is not null and b.y1 is not null
+    and abs(a.y - b.y) <= 2000 and abs(a.y1 - b.y1) <= 2000
+  group by 1),
+aa as (
+  select a.user_id, cast(count(*) as bigint) as a_cnt
+  from w a join w b on b.user_id = a.user_id and b.i > a.i
+  where a.y2 is not null and b.y2 is not null
+    and abs(a.y - b.y) <= 2000 and abs(a.y1 - b.y1) <= 2000
+    and abs(a.y2 - b.y2) <= 2000
+  group by 1)
+select b.user_id as conv_id, b.n, b.b_cnt,
+       coalesce(aa.a_cnt, 0) as a_cnt,
+       case when coalesce(aa.a_cnt, 0) > 0
+            then -ln(cast(aa.a_cnt as double) / cast(b.b_cnt as double))
+       end as sampen
+from b left join aa using (user_id)
+""",
+)
+def sample_entropy(sf_dir):
+    """Per-conversation sample entropy (m=2, r=20.00 units): the
+    regularity score separating structured sessions (low SampEn) from
+    noise-like ones (high). Integer-exact template-match counts via the
+    same cross-conversation diagonal sweep as the matrix profile; the
+    single float is one exact division + one libm log on identical
+    operands on both sides (stages/eventops.sampen_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, sampen_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, sampen_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
 # --- retention demotion: cascade-then-expire lifecycle ----------------------
 @q(
     "retention_demote_1h",

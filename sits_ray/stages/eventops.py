@@ -1448,3 +1448,75 @@ def matrix_profile_kernel(g: pa.Table, m: int = 4) -> pa.Table:
             "discord_d2": pa.array(P[dr]),
         }
     )
+
+
+def sampen_kernel(g: pa.Table, m: int = 2, r: int = 2000) -> pa.Table:
+    """Per-conversation sample entropy (Richman & Moorman 2000) of the
+    cents-quantized value series: B = # unordered template pairs of
+    length ``m`` within Chebyshev tolerance ``r`` (cents), A = same at
+    length ``m+1``, SampEn = -ln(A/B) — the regularity score separating
+    structured sessions (low) from noise-like ones (high).
+
+    Integer-exact counts (order-free int64 bincounts), ONE float op per
+    conversation: A/B is one exact double division and the log goes
+    through ``math.log`` (libm) because DuckDB ``ln`` == libm while
+    ``np.log``'s SIMD path diverges on ~20% of inputs (CLAUDE.md).
+    Same diagonal sweep as matrix_profile_kernel — vectorized ACROSS
+    conversations, O(rows x max_conv_len) total, no per-conversation
+    Python. SampEn is NULL when A == 0 (no m+1 matches); conversations
+    with B == 0 are omitted like the twin's HAVING."""
+    import math
+
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    if codes.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                                    else pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "b_cnt": pa.array([], pa.int64()),
+                "a_cnt": pa.array([], pa.int64()),
+                "sampen": pa.array([], pa.float64()),
+            }
+        )
+    y = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    n = codes.size
+    cnt = (ends - starts).astype(np.int64)
+    n_conv = starts.size
+    conv_of_row = np.repeat(np.arange(n_conv), cnt)
+    b_cnt = np.zeros(n_conv, dtype=np.int64)
+    a_cnt = np.zeros(n_conv, dtype=np.int64)
+    for d in range(1, int(cnt.max())):
+        Lb = n - d - (m - 1)
+        if Lb <= 0:
+            break
+        diff = np.abs(y[:-d] - y[d:])
+        # Chebyshev max over the m template elements (m = 2: one pairwise max)
+        bmax = diff[:Lb]
+        for k in range(1, m):
+            bmax = np.maximum(bmax, diff[k:Lb + k])
+        hit = (codes[:Lb] == codes[d + m - 1:d + m - 1 + Lb]) & (bmax <= r)
+        b_cnt += np.bincount(conv_of_row[:Lb][hit], minlength=n_conv)
+        La = n - d - m
+        if La > 0:
+            amax = np.maximum(bmax[:La], diff[m:La + m])
+            hita = (codes[:La] == codes[d + m:d + m + La]) & (amax <= r)
+            a_cnt += np.bincount(conv_of_row[:La][hita], minlength=n_conv)
+    ok = b_cnt > 0
+    a_ok, b_ok = a_cnt[ok], b_cnt[ok]
+    sampen = np.array(
+        [-math.log(a / b) if a > 0 else np.nan
+         for a, b in zip(a_ok.tolist(), b_ok.tolist())],
+        dtype=np.float64,
+    )
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(np.flatnonzero(ok))),
+            "n": pa.array(cnt[ok]),
+            "b_cnt": pa.array(b_ok),
+            "a_cnt": pa.array(a_ok),
+            "sampen": pa.array(sampen, pa.float64(), from_pandas=True),
+        }
+    )

@@ -990,3 +990,52 @@ def test_matrix_profile_kernel_edges():
     # empty input keeps the schema
     out3 = matrix_profile_kernel(_g([], [], [], value=[]))
     assert out3.num_rows == 0 and "motif_d2" in out3.column_names
+
+
+# --- sample entropy (sampen_kernel) ---------------------------------------------
+def test_sampen_kernel_bruteforce_and_edges():
+    import math
+
+    from sits_ray.stages.eventops import sampen_kernel
+
+    rng = np.random.default_rng(5)
+    # conv 1: random walk (matches at r=2000 plentiful); conv 2: n=2
+    # (no m+1 template, B possible only if n >= 3 -> omitted);
+    # conv 3: wild jumps (B = 0 -> omitted)
+    v1 = np.round(np.cumsum(rng.uniform(-8, 8, 30)) + 100, 2)
+    v3 = [0.0, 500.0, 7.0, 341.0, 55.0]
+    vals = v1.tolist() + [1.0, 2.0] + v3
+    conv = [1] * 30 + [2] * 2 + [3] * 5
+    ts = [i * US for i in range(len(vals))]
+    out = sampen_kernel(
+        _g(conv, ts, list(range(len(vals))), value=vals)
+    ).to_pandas()
+    assert set(out.conv_id) == {1}
+
+    q = np.floor(v1 * 100.0 + 0.5).astype(np.int64)
+    m, r = 2, 2000
+    b = a = 0
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            if j + m - 1 < len(q) and i + m - 1 < len(q):
+                if max(abs(q[i] - q[j]), abs(q[i + 1] - q[j + 1])) <= r:
+                    b += 1
+            if j + m < len(q) and i + m < len(q):
+                if max(abs(q[i] - q[j]), abs(q[i + 1] - q[j + 1]),
+                       abs(q[i + 2] - q[j + 2])) <= r:
+                    a += 1
+    row = out.iloc[0]
+    assert row["b_cnt"] == b and row["a_cnt"] == a
+    assert row["sampen"] == -math.log(a / b)
+
+    # B > 0 but A = 0 -> row present, sampen NULL
+    v4 = [1.0, 1.0, 80.0, 1.0, 1.0]  # templates (1,2) & (4,5)... m-match only
+    out4 = sampen_kernel(
+        _g([9] * 5, [i * US for i in range(5)], list(range(5)), value=v4)
+    ).to_pandas()
+    r4 = out4.iloc[0]
+    assert r4["b_cnt"] > 0 and r4["a_cnt"] == 0 and pd.isna(r4["sampen"])
+
+    # empty input keeps the schema
+    out5 = sampen_kernel(_g([], [], [], value=[]))
+    assert out5.num_rows == 0 and "sampen" in out5.column_names
