@@ -8234,6 +8234,62 @@ def sample_entropy(sf_dir):
     )
 
 
+# --- permutation entropy (eventops.perm_entropy_kernel) ----------------------
+@q(
+    "perm_entropy",
+    """
+with e as (
+  select user_id,
+         cast(floor(cast(value as double) * 100 + 0.5) as bigint) as y,
+         row_number() over (partition by user_id order by ts, event_id) as i,
+         cast(count(*) over (partition by user_id) as bigint) as n
+  from events),
+w as (
+  select user_id, n, y,
+         lead(y, 1) over (partition by user_id order by i) as a,
+         lead(y, 2) over (partition by user_id order by i) as b
+  from e),
+pat as (
+  select user_id, n,
+         4 * (case when y <= a then 1 else 0 end)
+         + 2 * (case when y <= b then 1 else 0 end)
+         + (case when a <= b then 1 else 0 end) as pattern
+  from w where b is not null),
+c as (
+  select user_id, any_value(n) as n, pattern,
+         cast(count(*) as bigint) as c,
+         cast(sum(count(*)) over (partition by user_id) as bigint) as nw
+  from pat group by user_id, pattern)
+select user_id as conv_id, any_value(n) as n,
+       any_value(nw) as n_windows,
+       cast(count(*) as bigint) as n_patterns,
+       -list_reduce(list_prepend(0.0,
+          list((cast(c as double) / cast(nw as double))
+               * ln(cast(c as double) / cast(nw as double)) order by pattern)),
+          (p, q) -> p + q) as h,
+       -list_reduce(list_prepend(0.0,
+          list((cast(c as double) / cast(nw as double))
+               * ln(cast(c as double) / cast(nw as double)) order by pattern)),
+          (p, q) -> p + q) / ln(6.0e0) as h_norm
+from c group by user_id
+""",
+)
+def perm_entropy(sf_dir):
+    """Per-conversation permutation entropy (m=3) over the value metric:
+    ordinal-pattern census (integer counts; ties break by time index)
+    + H = -sum p ln p accumulated in ascending pattern order — the
+    monotone-invariant complexity score. Bit-exact via the libm-log +
+    ordered-list_reduce-fold contracts
+    (stages/eventops.perm_entropy_kernel)."""
+    from sits_ray.stages.eventops import map_conv_partitions, perm_entropy_kernel
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+    return map_conv_partitions(
+        ds, perm_entropy_kernel, key="user_id", order_col="event_id",
+        extra_cols=("value",),
+    )
+
+
 # --- retention demotion: cascade-then-expire lifecycle ----------------------
 @q(
     "retention_demote_1h",

@@ -1520,3 +1520,76 @@ def sampen_kernel(g: pa.Table, m: int = 2, r: int = 2000) -> pa.Table:
             "sampen": pa.array(sampen, pa.float64(), from_pandas=True),
         }
     )
+
+
+def perm_entropy_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation ordinal-pattern census + permutation entropy
+    (Bandt & Pompe 2002, order m=3): each consecutive value triple maps
+    to one of 6 ordinal patterns (ties broken by time index — encoded as
+    the raw comparison bits 4*(y0<=y1) + 2*(y0<=y2) + (y1<=y2), 6 of the
+    8 codes are realizable), H = -sum p ln p over the pattern
+    distribution — the complexity score that is invariant to monotone
+    metric rescaling.
+
+    Exactness: pattern counts are order-free integers; each entropy term
+    is ONE exact division + ``math.log`` (libm == DuckDB ln; np.log's
+    SIMD path diverges) + one multiply, accumulated in ascending pattern
+    order — the twin replays the identical left fold via list_reduce
+    over list(term ORDER BY pattern). Fully vectorized across
+    conversations (bincount census + an 8-slot accumulation loop)."""
+    import math
+
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("value",)
+    )
+    empty = {
+        "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                            else pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "n_windows": pa.array([], pa.int64()),
+        "n_patterns": pa.array([], pa.int64()),
+        "h": pa.array([], pa.float64()),
+        "h_norm": pa.array([], pa.float64()),
+    }
+    if codes.size < 3:
+        return pa.table(empty)
+    y = np.floor(ex["value"].astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+    n = codes.size
+    cnt = (ends - starts).astype(np.int64)
+    n_conv = starts.size
+    conv_of_row = np.repeat(np.arange(n_conv), cnt)
+    L = n - 2
+    valid = codes[:L] == codes[2:2 + L]
+    p0, p1, p2 = y[:L], y[1:L + 1], y[2:L + 2]
+    pattern = (
+        4 * (p0 <= p1).astype(np.int64)
+        + 2 * (p0 <= p2).astype(np.int64)
+        + (p1 <= p2).astype(np.int64)
+    )
+    idx = conv_of_row[:L][valid] * 8 + pattern[valid]
+    counts = np.bincount(idx, minlength=n_conv * 8).reshape(n_conv, 8)
+    nw = counts.sum(axis=1)
+    ok = nw > 0
+    if not ok.any():
+        return pa.table(empty)
+    acc = np.zeros(n_conv, dtype=np.float64)
+    for k in range(8):  # ascending pattern order == the twin's ORDER BY
+        ck = counts[:, k]
+        mask = ck > 0
+        if not mask.any():
+            continue
+        pv = ck[mask] / nw[mask]
+        acc[mask] += np.array(
+            [p * math.log(p) for p in pv.tolist()], dtype=np.float64
+        )
+    h = -acc[ok]
+    return pa.table(
+        {
+            "conv_id": conv_vals.take(pa.array(np.flatnonzero(ok))),
+            "n": pa.array(cnt[ok]),
+            "n_windows": pa.array(nw[ok].astype(np.int64)),
+            "n_patterns": pa.array((counts[ok] > 0).sum(axis=1).astype(np.int64)),
+            "h": pa.array(h, pa.float64()),
+            "h_norm": pa.array(h / math.log(6.0), pa.float64()),
+        }
+    )

@@ -1039,3 +1039,61 @@ def test_sampen_kernel_bruteforce_and_edges():
     # empty input keeps the schema
     out5 = sampen_kernel(_g([], [], [], value=[]))
     assert out5.num_rows == 0 and "sampen" in out5.column_names
+
+
+# --- permutation entropy (perm_entropy_kernel) -----------------------------------
+def test_perm_entropy_kernel_bruteforce_and_properties():
+    import math
+
+    from sits_ray.stages.eventops import perm_entropy_kernel
+
+    def brute(vals):
+        q = np.floor(np.asarray(vals, np.float64) * 100.0 + 0.5).astype(np.int64)
+        pats = [
+            4 * (q[t] <= q[t + 1]) + 2 * (q[t] <= q[t + 2]) + (q[t + 1] <= q[t + 2])
+            for t in range(len(q) - 2)
+        ]
+        from collections import Counter
+
+        c = Counter(pats)
+        nw = len(pats)
+        acc = 0.0
+        for k in sorted(c):
+            p = c[k] / nw
+            acc += p * math.log(p)
+        return {"n_windows": nw, "n_patterns": len(c), "h": -acc}
+
+    rng = np.random.default_rng(2)
+    v1 = np.round(rng.uniform(0, 60, 40), 2).tolist()
+    v2 = [5.0] * 10                      # constant: one pattern, h = 0
+    v3 = [1.0, 1.0, 2.0, 2.0, 1.0, 1.0]  # tie-rule exercise
+    vals = v1 + v2 + v3
+    conv = [1] * 40 + [2] * 10 + [3] * 6
+    out = perm_entropy_kernel(
+        _g(conv, [i * US for i in range(len(vals))],
+           list(range(len(vals))), value=vals)
+    ).to_pandas().set_index("conv_id")
+    for cid, v in [(1, v1), (2, v2), (3, v3)]:
+        exp = brute(v)
+        row = out.loc[cid]
+        assert row["n_windows"] == exp["n_windows"]
+        assert row["n_patterns"] == exp["n_patterns"]
+        assert row["h"] == exp["h"], (cid, row["h"], exp["h"])
+        assert row["h_norm"] == exp["h"] / math.log(6.0)
+    assert out.loc[2, "h"] == 0.0 and out.loc[2, "n_patterns"] == 1
+
+    # monotone invariance: exp-rescaling the values preserves every pattern
+    v_mono = (np.exp(np.asarray(v1) / 60.0) * 30).round(2).tolist()
+    out_m = perm_entropy_kernel(
+        _g([1] * 40, [i * US for i in range(40)], list(range(40)),
+           value=v_mono)
+    ).to_pandas()
+    assert out_m.iloc[0]["n_patterns"] == out.loc[1, "n_patterns"]
+
+    # convs shorter than 3 are omitted; empty keeps schema
+    out_s = perm_entropy_kernel(
+        _g([7, 7], [0, US], [0, 1], value=[1.0, 2.0])
+    )
+    assert out_s.num_rows == 0
+    out_e = perm_entropy_kernel(_g([], [], [], value=[]))
+    assert out_e.num_rows == 0 and "h_norm" in out_e.column_names
