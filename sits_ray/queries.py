@@ -7132,6 +7132,60 @@ def winnow_fingerprints_q(sf_dir):
     return winnow_fingerprints(ds, k=4, w=5)
 
 
+# --- DSIR importance resampling weights (curation.dsir_scores) ----------------
+@q(
+    "dsir_importance",
+    """
+with words as (
+  select doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents),
+h as (
+  select doc_id, lang,
+         list_reduce(
+           list_prepend(cast(0 as bigint),
+                        list_transform(regexp_extract_all(to_hex(encode(w)), '..'),
+                                       c -> cast(concat('0x', c) as bigint))),
+           (h, c) -> (h * 1000003 + c) % 2147483647
+         ) % 128 as b
+  from words),
+tgt as (select b, cast(count(*) as bigint) as ct from h where lang = 'en' group by 1),
+src as (select b, cast(count(*) as bigint) as cs from h where lang <> 'en' group by 1),
+tot as (select cast(count(*) filter (where lang = 'en') as bigint) as T,
+               cast(count(*) filter (where lang <> 'en') as bigint) as S
+        from h),
+lam as (
+  select g.b,
+         ln(cast(coalesce(t.ct, 0) + 1 as double) / cast(tot.T + 128 as double))
+       - ln(cast(coalesce(s.cs, 0) + 1 as double) / cast(tot.S + 128 as double))
+           as lam
+  from (select distinct b from h) g
+  left join tgt t using (b) left join src s using (b), tot),
+dc as (select doc_id, b, cast(count(*) as bigint) as c from h group by 1, 2)
+select dc.doc_id,
+       cast(sum(dc.c) as bigint) as n_words,
+       list_reduce(list_prepend(0.0,
+         list(cast(dc.c as double) * lam.lam order by dc.b)),
+         (p, q) -> p + q) as dsir_logw
+from dc join lam using (b)
+group by dc.doc_id
+""",
+)
+def dsir_importance(sf_dir):
+    """DSIR data-selection importance weights (Xie et al., NeurIPS 2023):
+    per-document log importance of the English-target distribution vs the
+    raw rest-of-corpus distribution over 128 hashed word-unigram buckets.
+    O(n_buckets) partials cross the wire in pass 1, the ~2 KB lambda
+    vector rides the batch fn in pass 2 — text never shuffles. Bit-exact
+    via the libm-log + ordered-fold contracts
+    (stages/curation.dsir_scores)."""
+    from sits_ray.stages.curation import dsir_scores
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_scores(ds, target_lang="en", n_buckets=128)
+
+
 # --- deterministic frequency capping (per-source doc caps) -------------------
 @q(
     "source_cap_sample",

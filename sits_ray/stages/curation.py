@@ -414,3 +414,89 @@ def blocklist_hits(ds, phrases: tuple[str, ...],
         return out
 
     return ds.map_batches(hits, batch_format="pandas")
+
+
+# --- DSIR-style importance weights -------------------------------------------
+
+
+def dsir_scores(ds, target_lang: str = "en", n_buckets: int = 128):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023) over hashed word-unigram features: per document the
+    log importance weight
+
+        log w(doc) = sum_b  c_doc[b] * (ln p_target[b] - ln p_raw[b])
+
+    where buckets are the gate-pinned Horner word hash mod ``n_buckets``,
+    the target distribution is the ``target_lang`` slice of the corpus,
+    the raw distribution is everything else, and both are add-one
+    smoothed. High-weight documents "look like" the target distribution
+    — the standard pre-training data-selection score.
+
+    Scale shape: pass 1 emits O(n_buckets) integer count partials per
+    batch (the bucket table crossing the wire is ~2 KB no matter the
+    corpus); the driver folds them and takes 2*n_buckets libm logs
+    (``math.log`` — np.log's SIMD path diverges from DuckDB ``ln``);
+    pass 2 streams the corpus once more with the tiny lambda vector
+    captured in the batch fn. Text never shuffles.
+
+    Exactness: counts are order-free int64; lambda is ln of one exact
+    int/int double division per side (explicit float() casts mirror the
+    twin's cast-to-double-then-divide); per-doc scores accumulate in
+    ascending bucket order — the engine adds all ``n_buckets`` terms
+    while the twin folds only the document's non-zero buckets, which is
+    IEEE-identical because a zero count contributes ``+-0.0`` and the
+    running sum is never ``-0.0`` (it starts at +0.0 and x + (-x) = +0.0
+    in round-to-nearest). Zero-word documents are omitted on both sides."""
+    import math
+
+    def _word_buckets(df: pd.DataFrame):
+        ex = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        doc_of = pd.Index(df.index).get_indexer(ex.index)
+        if not len(ex):
+            return doc_of, np.zeros(0, dtype=np.int64)
+        return doc_of, fingerprint_batch(ex.tolist()) % n_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, b = _word_buckets(df)
+        is_tgt = (df["lang"].to_numpy() == target_lang)[doc_of]
+        return pd.DataFrame(
+            {
+                "b": np.arange(n_buckets, dtype=np.int64),
+                "ct": np.bincount(b[is_tgt], minlength=n_buckets),
+                "cs": np.bincount(b[~is_tgt], minlength=n_buckets),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("b", sort=True)[["ct", "cs"]].sum()
+    ct = agg["ct"].to_numpy(np.int64)
+    cs = agg["cs"].to_numpy(np.int64)
+    T, S = int(ct.sum()), int(cs.sum())
+    lam = np.array(
+        [
+            math.log(float(int(ct[b]) + 1) / float(T + n_buckets))
+            - math.log(float(int(cs[b]) + 1) / float(S + n_buckets))
+            for b in range(n_buckets)
+        ],
+        dtype=np.float64,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, b = _word_buckets(df)
+        C = np.bincount(
+            doc_of * n_buckets + b, minlength=len(df) * n_buckets
+        ).reshape(len(df), n_buckets).astype(np.int64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for k in range(n_buckets):  # ascending bucket order == the twin's fold
+            s += C[:, k] * lam[k]
+        n_words = C.sum(axis=1)
+        keep = n_words > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "n_words": n_words[keep],
+                "dsir_logw": s[keep],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -265,3 +265,68 @@ def test_blocklist_empty_raises(ray_session):
 
     with pytest.raises(ValueError):
         blocklist_hits(rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]})), ())
+
+
+# --- DSIR importance weights -------------------------------------------------
+def _dsir_brute(docs, target_lang="en", B=128):
+    import math
+    import re
+
+    from sits_ray.kernels.text import fingerprint_batch
+
+    def buckets(text):
+        ws = re.findall(r"[a-z]+", text.lower())
+        return fingerprint_batch(ws) % B if ws else []
+
+    ct = np.zeros(B, np.int64)
+    cs = np.zeros(B, np.int64)
+    for _, r in docs.iterrows():
+        for b in buckets(r["text"]):
+            (ct if r["lang"] == target_lang else cs)[b] += 1
+    T, S = int(ct.sum()), int(cs.sum())
+    lam = [
+        math.log(float(int(ct[b]) + 1) / float(T + B))
+        - math.log(float(int(cs[b]) + 1) / float(S + B))
+        for b in range(B)
+    ]
+    out = {}
+    for _, r in docs.iterrows():
+        bs = buckets(r["text"])
+        if not len(bs):
+            continue
+        c = np.bincount(bs, minlength=B)
+        s = 0.0
+        for b in range(B):
+            s += c[b] * lam[b]
+        out[r["doc_id"]] = (int(c.sum()), s)
+    return out
+
+
+def test_dsir_scores_matches_brute_and_separates(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.curation import dsir_scores
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    de = "der schnelle braune fuchs springt wieder ueber den faulen hund"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [en, en + " more english words here", de, de + " noch mehr",
+                     "123 456 !!!"],  # zero [a-z]+ words -> omitted
+            "lang": ["en", "en", "de", "de", "de"],
+        }
+    )
+    out = (
+        dsir_scores(rd.from_pandas(docs).repartition(2), target_lang="en")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _dsir_brute(docs)
+    assert out["doc_id"].tolist() == sorted(exp)  # doc 4 omitted
+    for _, r in out.iterrows():
+        n, s = exp[r["doc_id"]]
+        assert r["n_words"] == n
+        assert r["dsir_logw"] == s
+    byid = out.set_index("doc_id")["dsir_logw"]
+    # English docs must outscore German docs under the en-target weights
+    assert min(byid[0], byid[1]) > max(byid[2], byid[3])
