@@ -8288,6 +8288,51 @@ def sample_entropy(sf_dir):
     )
 
 
+# --- Markov behavioral log-likelihood (eventops.markov_loglik) ----------------
+@q(
+    "markov_loglik",
+    """
+with e as (
+  select user_id, event_type as t,
+         lag(event_type) over (partition by user_id order by ts, event_id) as pt
+  from events),
+tr as (select user_id, pt as t_from, t as t_to from e where pt is not null),
+g as (select t_from, t_to, cast(count(*) as bigint) as cg from tr group by 1, 2),
+r as (select t_from, cast(sum(cg) as bigint) as rtot from g group by 1),
+k as (select cast(count(distinct event_type) as bigint) as K from events),
+lam as (
+  select g.t_from, g.t_to,
+         ln(cast(g.cg + 1 as double) / cast(r.rtot + k.K as double)) as lam
+  from g join r using (t_from), k),
+c as (select user_id, t_from, t_to, cast(count(*) as bigint) as c
+      from tr group by 1, 2, 3),
+n as (select user_id, cast(count(*) as bigint) as n from events group by 1)
+select c.user_id as conv_id, any_value(n.n) as n,
+       cast(sum(c.c) as bigint) as n_trans,
+       list_reduce(list_prepend(0.0,
+         list(cast(c.c as double) * lam.lam order by c.t_from, c.t_to)),
+         (p, q) -> p + q) as loglik,
+       list_reduce(list_prepend(0.0,
+         list(cast(c.c as double) * lam.lam order by c.t_from, c.t_to)),
+         (p, q) -> p + q) / cast(sum(c.c) as double) as loglik_per_trans
+from c join lam using (t_from, t_to) join n using (user_id)
+group by c.user_id
+""",
+)
+def markov_loglik_q(sf_dir):
+    """Behavioral anomaly scoring: fit an add-one-smoothed first-order
+    Markov chain over event types on the whole corpus, score every
+    conversation's log-likelihood under it — low loglik_per_trans =
+    surprising turn-to-turn behavior. ONE conv shuffle; alphabet^2
+    integer partials fold to a 2 KB driver-side lambda table (libm log);
+    per-conv terms accumulate in (t_from, t_to) order
+    (stages/eventops.markov_loglik)."""
+    from sits_ray.stages.eventops import markov_loglik
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    return markov_loglik(ds)
+
+
 # --- permutation entropy (eventops.perm_entropy_kernel) ----------------------
 @q(
     "perm_entropy",

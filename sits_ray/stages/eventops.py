@@ -18,6 +18,7 @@ per-segment sorted picks.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1593,3 +1594,144 @@ def perm_entropy_kernel(g: pa.Table) -> pa.Table:
             "h_norm": pa.array(h / math.log(6.0), pa.float64()),
         }
     )
+
+
+def markov_counts_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation event-type transition counts in (ts, order)
+    order: one row per observed (t_from, t_to) pair, sorted by
+    (conv, t_from, t_to) — the sparse per-conversation transition
+    matrix (<= alphabet^2 rows per conv). Single-event conversations
+    emit nothing (no transitions), matching the twin's inner join."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",)
+    )
+    empty = {
+        "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                            else pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "t_from": pa.array([], pa.string()),
+        "t_to": pa.array([], pa.string()),
+        "c": pa.array([], pa.int64()),
+    }
+    if codes.size < 2:
+        return pa.table(empty)
+    et = ex["event_type"]
+    same = codes[1:] == codes[:-1]
+    df = pd.DataFrame(
+        {
+            "cv": codes[:-1][same],
+            "t_from": et[:-1][same],
+            "t_to": et[1:][same],
+        }
+    )
+    if df.empty:
+        return pa.table(empty)
+    grp = (
+        df.groupby(["cv", "t_from", "t_to"], sort=True)
+        .size().reset_index(name="c")
+    )
+    convs = conv_vals.to_numpy(zero_copy_only=False)
+    cnt = (ends - starts).astype(np.int64)
+    cv = grp["cv"].to_numpy()
+    return pa.table(
+        {
+            "conv_id": pa.array(convs[cv]),
+            "n": pa.array(cnt[cv]),
+            "t_from": pa.array(grp["t_from"].to_numpy(dtype=object), pa.string()),
+            "t_to": pa.array(grp["t_to"].to_numpy(dtype=object), pa.string()),
+            "c": pa.array(grp["c"].to_numpy(np.int64)),
+        }
+    )
+
+
+def markov_loglik(ds, n_parts: int = 32):
+    """Behavioral anomaly score via a global first-order Markov chain
+    over event types: fit add-one-smoothed transition probabilities on
+    the WHOLE corpus, then score every conversation's log-likelihood
+    under that chain — low loglik_per_trans = a conversation whose
+    turn-to-turn behavior the fleet-wide model finds surprising.
+
+    Scale shape: ONE conv shuffle produces the sparse per-conversation
+    transition-count table (<= alphabet^2 rows per conv), materialized
+    once and consumed twice — alphabet^2-sized integer partials fold to
+    the global model on the driver (2 KB lambda table, libm math.log),
+    then a block-wise scoring pass. Event text/types never re-shuffle.
+
+    Exactness: counts are order-free int64; lambda = ln of one exact
+    float(c+1)/float(r+K) division; per-conversation terms accumulate in
+    (t_from, t_to)-ascending order (kernel sort + sequential reduceat ==
+    the twin's ordered list_reduce fold, with the exact-identity 0.0
+    prepend). batch_size=None keeps whole blocks so conversations never
+    split mid-batch (blocks are per-partition kernel outputs)."""
+    import math
+
+    counts = map_conv_partitions(
+        ds, markov_counts_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",), n_parts=n_parts,
+    ).materialize()
+
+    def gpart(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["t_from", "t_to"], sort=False)["c"].sum().reset_index()
+        )
+
+    g = (
+        counts.map_batches(gpart, batch_format="pandas").to_pandas()
+        .groupby(["t_from", "t_to"], sort=True)["c"].sum()
+    )
+    r = g.groupby(level=0).sum()
+
+    def tpart(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": df["event_type"].unique()})
+
+    k_alphabet = len(set(
+        ds.select_columns(["event_type"])
+        .map_batches(tpart, batch_format="pandas").to_pandas()["t"]
+    ))
+    lam = pd.DataFrame(
+        {
+            "t_from": [f for f, _ in g.index],
+            "t_to": [t for _, t in g.index],
+            "lam": [
+                math.log(float(int(c) + 1) / float(int(r[f]) + k_alphabet))
+                for (f, _), c in g.items()
+            ],
+        }
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "n_trans": pd.Series([], dtype="int64"),
+                    "loglik": pd.Series([], dtype="float64"),
+                    "loglik_per_trans": pd.Series([], dtype="float64"),
+                }
+            )
+        m = df.merge(lam, on=["t_from", "t_to"], how="left", sort=False)
+        conv = m["conv_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        c = m["c"].to_numpy(np.int64)
+        term = c * m["lam"].to_numpy(np.float64)
+        # strict-sequential per-conv float fold (np.add.reduceat is
+        # PAIRWISE on float64 — 1-ulp off the twin's list_reduce); the
+        # lockstep loop runs max-rows-per-conv (<= alphabet^2) steps
+        lens = np.diff(np.r_[starts, len(term)])
+        loglik = np.zeros(starts.size, dtype=np.float64)
+        for k in range(int(lens.max())):
+            mk = lens > k
+            loglik[mk] += term[starts[mk] + k]
+        n_trans = np.add.reduceat(c, starts)  # integer: order-free
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "n": m["n"].to_numpy(np.int64)[starts],
+                "n_trans": n_trans,
+                "loglik": loglik,
+                "loglik_per_trans": loglik / n_trans,
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pandas", batch_size=None)

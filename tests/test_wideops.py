@@ -1097,3 +1097,35 @@ def test_perm_entropy_kernel_bruteforce_and_properties():
     assert out_s.num_rows == 0
     out_e = perm_entropy_kernel(_g([], [], [], value=[]))
     assert out_e.num_rows == 0 and "h_norm" in out_e.column_names
+
+
+# --- Markov transition counts (markov_counts_kernel) -----------------------
+def test_markov_counts_kernel_bruteforce():
+    from collections import Counter
+
+    from sits_ray.stages.eventops import markov_counts_kernel
+
+    # conv 1: a->b->a->a->c; conv 2: single event (no transitions);
+    # conv 3: x->x->x (repeated self-transitions)
+    conv = [1] * 5 + [2] + [3] * 3
+    et = ["a", "b", "a", "a", "c", "z", "x", "x", "x"]
+    out = markov_counts_kernel(
+        _g(conv, [i * US for i in range(9)], list(range(9)), event_type=et)
+    ).to_pandas()
+
+    assert set(out.conv_id) == {1, 3}  # single-event conv 2 emits nothing
+    c1 = Counter(zip(et[:4], et[1:5]))
+    got1 = {
+        (r.t_from, r.t_to): r.c for r in out[out.conv_id == 1].itertuples()
+    }
+    assert got1 == dict(c1)
+    assert (out[out.conv_id == 1].n == 5).all()
+    got3 = out[out.conv_id == 3]
+    assert len(got3) == 1 and got3.iloc[0]["c"] == 2
+    assert got3.iloc[0]["t_from"] == "x" and got3.iloc[0]["t_to"] == "x"
+    # rows sorted by (conv, t_from, t_to)
+    keys = list(zip(out.conv_id, out.t_from, out.t_to))
+    assert keys == sorted(keys)
+
+    out_e = markov_counts_kernel(_g([], [], [], event_type=[]))
+    assert out_e.num_rows == 0 and "t_from" in out_e.column_names
