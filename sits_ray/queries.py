@@ -4767,6 +4767,84 @@ def bpe_merges(sf_dir):
     return bpe_train(word_counts(ds), n_merges=10)
 
 
+_BPE_ENCODE_SQL = r"""
+with recursive
+wc as (
+  select w as word, cast(count(*) as bigint) as cnt
+  from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w from documents)
+  group by 1),
+init as (
+  select word,
+         '{' || list_aggregate(regexp_extract_all(word, '.'), 'string_agg', '}{')
+         || '}{</w>}' as s, cnt
+  from wc),
+walk as (
+  select 0::BIGINT as it, word, s, cnt from init
+  union all
+  select * from (
+    with syms as (select it, word, s, cnt,
+                         regexp_extract_all(s, '\{([^}]*)\}', 1) as l from walk),
+    pairs as (
+      select l[i] as a, l[i + 1] as b, sum(cnt) as pc
+      from syms, unnest(generate_series(1, len(l) - 1)) as u(i)
+      group by 1, 2),
+    best as (select a, b from pairs order by pc desc, a, b limit 1)
+    select c.it + 1, c.word, regexp_replace(c.s,
+             '\{' || best.a || '\}\{' || best.b || '\}',
+             '{' || best.a || best.b || '}', 'g') as s,
+           c.cnt
+    from walk c, best
+    where c.it < 10
+  )
+),
+enc as (
+  select word,
+         cast(len(regexp_extract_all(s, '\{([^}]*)\}', 1)) as bigint) as ntok
+  from walk where it = (select max(it) from walk)),
+dw as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents)
+select dw.doc_id,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(len(dw.w) + 1) as bigint) as n_syms_init,
+       cast(sum(enc.ntok) as bigint) as n_tokens,
+       cast(sum(enc.ntok) as double) / cast(count(*) as double)
+         as tokens_per_word
+from dw join enc on dw.w = enc.word
+group by dw.doc_id
+"""
+
+
+@q("bpe_encode_docs", _BPE_ENCODE_SQL)
+def bpe_encode_docs(sf_dir):
+    """Tokenizer APPLICATION at corpus scale: train 10 BPE merges (the
+    bpe_merges pipeline), then encode every document and report per-doc
+    token statistics (n_words, pre-merge symbol count, post-merge token
+    count, tokens_per_word). Scale shape: the encode pass has ZERO
+    shuffles and zero joins — the O(n_merges) merge table is
+    closure-broadcast and each batch encodes its OWN distinct-word
+    vocabulary once (stages/bpe.bpe_encode_doc_tokens); integer sums,
+    ONE exact double division. SQL-exact vs the recursive walk carrying
+    word identity to the final encoded state; zero-word docs drop on
+    both sides (inner join)."""
+    from sits_ray.stages.bpe import (
+        bpe_encode_doc_tokens,
+        bpe_train,
+        word_counts,
+    )
+
+    merges = bpe_train(
+        word_counts(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        ),
+        n_merges=10,
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_encode_doc_tokens(ds, merges)
+
+
 @q(
     "props_k_stats",
     """

@@ -211,3 +211,69 @@ def bpe_train_scalar(counter: dict[str, int], n_merges: int = 10) -> list[tuple]
             nv[tuple(res)] = nv.get(tuple(res), 0) + c
         vocab = nv
     return out
+
+
+def encode_vocab_ntok(words, merges: pd.DataFrame) -> np.ndarray:
+    """Vectorized BPE encode of a word array: apply the trained merges in
+    rank order to every word at once (pandas C str.replace over the
+    brace-wrapped symbol form — ``{h}{e}{l}{l}{o}{</w>}`` — where a merge
+    (a, b) -> ab is EXACTLY the literal replace ``{a}{b}`` -> ``{ab}``,
+    leftmost non-overlapping, the same convention as the scalar trainer's
+    left-to-right scan and the SQL twin's regexp_replace 'g'). Returns
+    the encoded token count per word (= count of '{' wrappers)."""
+    s = pd.Series(words, dtype=str).str.replace(
+        r"(.)", r"{\1}", regex=True
+    ) + "{" + END + "}"
+    for m in merges.itertuples():
+        s = s.str.replace(
+            "{" + m.left + "}{" + m.right + "}",
+            "{" + m.merged + "}", regex=False,
+        )
+    return s.str.count(r"\{").to_numpy(np.int64)
+
+
+def bpe_encode_doc_tokens(ds, merges: pd.DataFrame, text_col: str = "text"):
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    a trained merge table and report per-doc token statistics.
+
+    Scale shape: ZERO shuffles and zero joins — the merge table is tiny
+    (O(n_merges), closure-captured broadcast) and each batch encodes its
+    OWN distinct-word vocabulary once (Zipf: per-batch vocab << word
+    occurrences), then maps doc words through it. Text never leaves the
+    reading task; per-doc sums are int64 (order-free exact).
+
+    Output per doc (docs with >= 1 ``[a-z]+`` word; zero-word docs are
+    dropped, matching the twin's inner join): n_words, n_syms_init
+    (pre-merge symbol count incl the </w> marker), n_tokens (post-merge),
+    tokens_per_word (ONE exact double division)."""
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")[text_col].str.lower().str.findall(
+            r"[a-z]+"
+        ).explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "n_syms_init": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "tokens_per_word": pd.Series([], dtype="float64")}
+            )
+        vocab = pd.Index(ex.unique())
+        ntok = pd.Series(encode_vocab_ntok(vocab.to_numpy(object), merges),
+                         index=vocab)
+        g = pd.DataFrame(
+            {"doc_id": ex.index.to_numpy(np.int64),
+             "ntok": ntok.reindex(ex.to_numpy(object)).to_numpy(np.int64),
+             "ninit": ex.str.len().to_numpy(np.int64) + 1}
+        ).groupby("doc_id", sort=False).agg(
+            n_words=("ntok", "size"), n_syms_init=("ninit", "sum"),
+            n_tokens=("ntok", "sum"),
+        ).reset_index()
+        g["tokens_per_word"] = (
+            g["n_tokens"].to_numpy(np.float64)
+            / g["n_words"].to_numpy(np.float64)
+        )
+        return g
+
+    return ds.map_batches(encode, batch_format="pandas")
