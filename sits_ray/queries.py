@@ -9029,3 +9029,53 @@ def collocations_topk(sf_dir):
     bi = bi.sort_values(["lift", "w1", "w2"], ascending=[False, True, True]).head(20)
     out = bi.rename(columns={"c": "cab"})[["w1", "w2", "cab", "ca", "cb", "lift"]]
     return out.reset_index(drop=True)
+
+
+# --- Kaplan-Meier conversion survival (eventops.km_survival) ------------------
+@q(
+    "km_survival",
+    """
+with u as (
+  select user_id, min(ts) as first_ts, max(ts) as last_ts,
+         min(case when event_type = 'purchase' then ts end) as death_ts
+  from events group by 1),
+d as (
+  select case when death_ts is not null then 1 else 0 end as ev,
+         (epoch_us(coalesce(death_ts, last_ts)) - epoch_us(first_ts))
+           // 3600000000 as t_hr
+  from u),
+km as (
+  select t_hr, cast(sum(ev) as bigint) as d_cnt,
+         cast(sum(1 - ev) as bigint) as c_cnt
+  from d group by 1),
+r as (
+  select t_hr, d_cnt, c_cnt,
+         cast(sum(d_cnt + c_cnt) over
+                (order by t_hr desc rows between unbounded preceding
+                 and current row) as bigint) as n_risk
+  from km)
+select a.t_hr, any_value(a.n_risk) as n_risk,
+       any_value(a.d_cnt) as n_events, any_value(a.c_cnt) as n_censored,
+       list_reduce(list_prepend(1.0e0,
+         list(cast(b.n_risk - b.d_cnt as double) / cast(b.n_risk as double)
+              order by b.t_hr)),
+         (x, y) -> x * y) as surv
+from r a join r b on b.t_hr <= a.t_hr
+group by a.t_hr
+""",
+)
+def km_survival_q(sf_dir):
+    """Kaplan-Meier time-to-conversion survival: death = a user's first
+    purchase event (hours since their first event); never-converting
+    users are right-censored at their last event. Product-limit survival
+    per distinct elapsed hour. Scale shape: per-batch per-user triples +
+    ONE hash-partitioned merge; the curve table is bounded by the corpus
+    TIME RANGE in hours, not user count. SQL-exact: integer risk counts
+    (reverse cumsum, order-free), each factor ONE exact division,
+    survival via strict-sequential np.multiply.accumulate == the twin's
+    ordered list_reduce product fold (d=0 factors are exact 1.0
+    identities on both sides; stages/eventops.km_survival)."""
+    from sits_ray.stages.eventops import km_survival
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return km_survival(ds)

@@ -1735,3 +1735,100 @@ def markov_loglik(ds, n_parts: int = 32):
         )
 
     return counts.map_batches(score, batch_format="pandas", batch_size=None)
+
+
+def km_survival(ds, death_type: str = "purchase",
+                unit_us: int = 3_600_000_000):
+    """Kaplan-Meier time-to-event survival curve (Kaplan & Meier 1958)
+    over user conversion: birth = a user's first event, death = their
+    first ``death_type`` event; users who never convert are
+    right-censored at their LAST event. One curve row per distinct
+    elapsed bucket (``unit_us``, default hours): at-risk count, deaths,
+    censorings and the product-limit survival estimate.
+
+    Scale shape: per-batch (user, min_ts, max_ts, min_death_ts) partials
+    combine inside map_batches, ONE hash-partitioned merge
+    (part_aggregate - user_id is corpus-cardinality), then per-batch
+    (t_bucket, ev) count partials fold to a driver-side table bounded by
+    the corpus TIME RANGE / unit, never by user count. Raw events
+    shuffle only as per-user triples.
+
+    Exactness: buckets and risk counts are int64 (order-free); each KM
+    factor is ONE exact double division (n-d)/n and the survival product
+    accumulates via np.multiply.accumulate in ascending-bucket order - a
+    strict sequential fold, == the twin's ordered list_reduce with its
+    exact-identity 1.0 prepend (d=0 rows contribute a factor of exactly
+    1.0, an IEEE multiplicative identity on both sides)."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    NOD = np.iinfo(np.int64).max  # sentinel: no death event seen
+
+    def span_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "first_us": pd.Series([], dtype="int64"),
+                 "last_us": pd.Series([], dtype="int64"),
+                 "death_us": pd.Series([], dtype="int64")}
+            )
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        death = np.where(
+            df["event_type"].to_numpy(dtype=object) == death_type, us, NOD
+        )
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "us": us, "death": death})
+            .groupby("user_id", sort=False)
+            .agg(first_us=("us", "min"), last_us=("us", "max"),
+                 death_us=("death", "min"))
+            .reset_index()
+        )
+        return g
+
+    def span_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("user_id", as_index=False, sort=False)
+            .agg(first_us=("first_us", "min"), last_us=("last_us", "max"),
+                 death_us=("death_us", "min"))
+        )
+
+    spans = part_aggregate(
+        ds.map_batches(span_partial, batch_format="pandas"),
+        span_merge, key_col="user_id",
+    )
+
+    def km_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"t_hr": pd.Series([], dtype="int64"),
+                 "d_cnt": pd.Series([], dtype="int64"),
+                 "c_cnt": pd.Series([], dtype="int64")}
+            )
+        death = df["death_us"].to_numpy(np.int64)
+        first = df["first_us"].to_numpy(np.int64)
+        last = df["last_us"].to_numpy(np.int64)
+        ev = (death != NOD).astype(np.int64)
+        end = np.where(ev == 1, death, last)
+        t_hr = (end - first) // unit_us
+        return (
+            pd.DataFrame({"t_hr": t_hr, "d_cnt": ev, "c_cnt": 1 - ev})
+            .groupby("t_hr", sort=False).sum().reset_index()
+        )
+
+    km = (
+        spans.map_batches(km_partial, batch_format="pandas")
+        .to_pandas().groupby("t_hr", sort=True).sum().reset_index()
+    )
+    d = km["d_cnt"].to_numpy(np.int64)
+    c = km["c_cnt"].to_numpy(np.int64)
+    n_risk = (d + c)[::-1].cumsum()[::-1]
+    factors = (n_risk - d).astype(np.float64) / n_risk.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "t_hr": km["t_hr"].to_numpy(np.int64),
+            "n_risk": n_risk,
+            "n_events": d,
+            "n_censored": c,
+            "surv": np.multiply.accumulate(factors),
+        }
+    )

@@ -1129,3 +1129,41 @@ def test_markov_counts_kernel_bruteforce():
 
     out_e = markov_counts_kernel(_g([], [], [], event_type=[]))
     assert out_e.num_rows == 0 and "t_from" in out_e.column_names
+
+
+# --- Kaplan-Meier conversion survival (km_survival) -------------------------
+def test_km_survival_bruteforce_with_censoring(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.eventops import km_survival
+
+    HR = 3_600 * US
+    rows = []
+
+    def ev(uid, t_hr, typ):
+        rows.append(
+            {"user_id": uid, "ts": np.int64(t_hr * HR), "event_type": typ}
+        )
+
+    # u1 converts at +2h; u2 never converts, censored at +2h (tie with a
+    # death at the same bucket); u3 converts at +0h (first event is the
+    # purchase); u4 never converts, censored at +5h
+    ev(1, 0, "view"); ev(1, 2, "purchase"); ev(1, 9, "view")
+    ev(2, 0, "view"); ev(2, 2, "click")
+    ev(3, 0, "purchase")
+    ev(4, 0, "signup"); ev(4, 5, "view")
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = km_survival(rd.from_pandas(df))
+
+    # durations: u1 d@2, u2 c@2, u3 d@0, u4 c@5
+    assert out.t_hr.tolist() == [0, 2, 5]
+    assert out.n_risk.tolist() == [4, 3, 1]
+    assert out.n_events.tolist() == [1, 1, 0]
+    assert out.n_censored.tolist() == [0, 1, 1]
+    s0 = 1.0 * (3.0 / 4.0)
+    s2 = s0 * (2.0 / 3.0)
+    s5 = s2 * (1.0 / 1.0)
+    assert out.surv.tolist() == [s0, s2, s5]
+    # survival only among converted after last death bucket
+    assert out.surv.iloc[-1] == s2
