@@ -9079,3 +9079,43 @@ def km_survival_q(sf_dir):
 
     ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
     return km_survival(ds)
+
+
+# --- hard-negative mining (similarity.hard_negative_topk) ---------------------
+@q(
+    "hard_negatives",
+    """
+with v as (
+  select vec_id, label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings),
+a as (select vec_id as anchor_id, label as alabel, q as aq
+      from v where vec_id < 64),
+p as (
+  select a.anchor_id, v.vec_id as neg_id,
+         cast(list_dot_product(a.aq, v.q) as bigint) as dot_q
+  from a join v on v.label <> a.alabel),
+r as (select anchor_id, neg_id, dot_q,
+        row_number() over (partition by anchor_id
+                           order by dot_q desc, neg_id) as rnk
+      from p)
+select anchor_id, cast(rnk as bigint) as rnk, neg_id, dot_q
+from r where rnk <= 3
+""",
+)
+def hard_negatives(sf_dir):
+    """Hard-negative mining for contrastive training (DPR-style): per
+    anchor (vec_id < 64), the top-3 different-label vectors by maximum
+    inner product. Anchor block broadcasts once (ray.put); each batch
+    does ONE exact int64 matmul and ships only its local per-anchor
+    top-k (O(blocks*anchors*k) rows to the driver). SQL-exact via the
+    shared quantize-in-DOUBLE contract — integer dots are order-free
+    (stages/similarity.hard_negative_topk)."""
+    from sits_ray.stages.similarity import hard_negative_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return hard_negative_topk(ds, n_anchors=64, k=3)

@@ -962,3 +962,65 @@ def pq_train_codebooks(ds, ksub: int = 16, n_subs: int = 8, iters: int = 3,
         for i in range(dsub):
             cb[ci, si * dsub + i] = upd[:, i]
     return cb
+
+
+def hard_negative_topk(ds, n_anchors: int = 64, k: int = 3):
+    """Hard-negative mining for contrastive training (DPR-style, Karpukhin
+    et al. 2020): for each anchor vector, the top-``k`` vectors with a
+    DIFFERENT label ranked by maximum inner product — the negatives the
+    current embedding space finds hardest to separate.
+
+    Scale shape: the anchor block (``vec_id < n_anchors``) broadcasts
+    once via ``ray.put`` (quantized int64 matrix + labels); every batch
+    computes one exact int64 matmul against it and keeps only its local
+    per-anchor top-``k`` (O(blocks * n_anchors * k) partial rows reach
+    the driver — never the corpus). Rank by the shared quantization
+    contract (``quantize_i64``: floor in DOUBLE) so dots are order-free
+    int64, bit-exact vs the twin's list_dot_product on the same
+    quantized lists; ties break on neg_id ascending."""
+    anchors = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_anchors)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    aq = quantize_i64(np.asarray(
+        [np.asarray(v, np.float64) for v in anchors["embedding"]]
+    ))
+    a_ids = anchors["vec_id"].to_numpy(np.int64)
+    a_lab = anchors["label"].to_numpy(np.int64)
+    a_ref = ray.put((a_ids, a_lab, aq))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, labs, qm = ray.get(a_ref)
+        m = quantize_i64(list_matrix(t["embedding"]))
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        dots = m @ qm.T  # exact int64 (|dot| <= dim * (1.1e4)^2 << 2^53)
+        out_a, out_n, out_d = [], [], []
+        for j in range(ids.size):
+            neg = lab != labs[j]
+            if not neg.any():
+                continue
+            d, v = dots[neg, j], vid[neg]
+            sel = np.lexsort((v, -d))[:k]
+            out_a.append(np.full(sel.size, ids[j], np.int64))
+            out_n.append(v[sel])
+            out_d.append(d[sel])
+        if not out_a:
+            return pa.table(
+                {"anchor_id": pa.array([], pa.int64()),
+                 "neg_id": pa.array([], pa.int64()),
+                 "dot_q": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"anchor_id": pa.array(np.concatenate(out_a)),
+             "neg_id": pa.array(np.concatenate(out_n)),
+             "dot_q": pa.array(np.concatenate(out_d))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["anchor_id", "dot_q", "neg_id"], ascending=[True, False, True]
+    )
+    top = parts.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
+    top["rnk"] = top.groupby("anchor_id").cumcount().to_numpy(np.int64) + 1
+    return top[["anchor_id", "rnk", "neg_id", "dot_q"]].astype(np.int64)

@@ -434,3 +434,36 @@ def test_pq_torn_build_is_invisible(ray_session, vec_df, tmp_path):
     assert not os.path.exists(torn)  # staging consumed/replaced
     out = pq_query(idx, vecs[0], k=3, n_subs=4, exclude_ids=(0,))
     assert len(out) == 3
+
+
+def test_hard_negative_topk_bruteforce(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.similarity import hard_negative_topk, quantize_i64
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 8
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int64)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [row.tolist() for row in m],
+         "label": labels}
+    )
+    # force multiple blocks so the partial top-k merge path runs
+    ds = rd.from_pandas([df.iloc[:13], df.iloc[13:26], df.iloc[26:]])
+    out = hard_negative_topk(ds, n_anchors=5, k=3)
+
+    q = quantize_i64(m.astype(np.float64))
+    dots = q @ q.T
+    for a in range(5):
+        cand = [(int(-dots[a, j]), j) for j in range(n) if labels[j] != labels[a]]
+        want = [j for _, j in sorted(cand)[:3]]
+        got = out[out.anchor_id == a].sort_values("rnk")
+        assert got.neg_id.tolist() == want
+        assert got.dot_q.tolist() == [int(dots[a, j]) for j in want]
+        assert got.rnk.tolist() == [1, 2, 3]
+    # same-label rows never appear
+    lab_of = dict(zip(df.vec_id, df.label))
+    for r in out.itertuples():
+        assert lab_of[r.neg_id] != lab_of[r.anchor_id]
