@@ -207,3 +207,35 @@ def holt(m: np.ndarray, alpha: float = 0.3, beta: float = 0.1) -> np.ndarray:
         s = s_new
         out[:, t] = s
     return out
+
+
+def hampel(m: np.ndarray, h: int = 2, k: float = 3.0 * 1.4826):
+    """Hampel rolling-median despiking filter along time, vectorized across
+    series (rows) — the robust (selection-based) member of the sits_filter
+    family (the outlier-removal companion of sits_whittaker / sits_sgolay,
+    R/api_signal.R; Pearson et al. 2016). For each interior position t
+    (full window of ``2h+1`` points available): ``med`` = NEAREST-RANK
+    median of the window (odd window -> the exact sorted middle, == DuckDB
+    ``quantile_disc`` — a pure selection, cross-engine exact); ``mad`` =
+    nearest-rank median of ``|x_j - med|`` (single subtract + abs per
+    element, then a selection — exact); the point is a spike iff
+    ``|x_t - med| > k * mad`` (one multiply each side of an exact
+    comparison). Spikes are REPLACED by the window median; edge positions
+    (< h from either end) and series shorter than the window pass through
+    unflagged. Returns ``(filtered, flags)`` float64 matrices (flags 0/1).
+    """
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    filt = m.copy()
+    flags = np.zeros_like(m)
+    w = 2 * h + 1
+    T = m.shape[1]
+    if T < w:
+        return filt, flags
+    win = np.lib.stride_tricks.sliding_window_view(m, w, axis=1)
+    med = np.sort(win, axis=2)[:, :, h]
+    mad = np.sort(np.abs(win - med[:, :, None]), axis=2)[:, :, h]
+    centers = m[:, h:T - h]
+    spike = np.abs(centers - med) > k * mad
+    filt[:, h:T - h] = np.where(spike, med, centers)
+    flags[:, h:T - h] = spike.astype(np.float64)
+    return filt, flags

@@ -9119,3 +9119,75 @@ def hard_negatives(sf_dir):
         columns=["vec_id", "embedding", "label"],
     )
     return hard_negative_topk(ds, n_anchors=64, k=3)
+
+
+# --- Hampel rolling-median despiking filter ---------------------------------
+def _hampel_sql(h: int = 2, k: float = 3.0 * 1.4826) -> str:
+    """Window-SQL twin of kernels/smooth.hampel: per-position list slice,
+    nearest-rank window median + MAD (both pure selections —
+    ``quantile_disc`` == the kernel's sorted-middle of the odd window),
+    spike test |x - med| > k*mad with the SAME float literal (e-notation:
+    bare decimals parse as DECIMAL and fold differently — CLAUDE.md
+    gotcha). Edge positions (< h from either end) pass through unflagged,
+    exactly like the kernel."""
+    ks = f"{float(k):.17e}"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+pos as (
+  select conv_id, tss, xs, n,
+         unnest(generate_series(1::BIGINT, n)) as i
+  from ser),
+medc as (
+  select conv_id, tss[i] as bucket_ts, xs[i] as x,
+         case when i > {h} and i <= n - {h}
+              then list_aggregate(xs[i-{h}:i+{h}], 'quantile_disc', 0.5)
+         end as med,
+         case when i > {h} and i <= n - {h}
+              then xs[i-{h}:i+{h}]
+         end as w
+  from pos),
+madc as (
+  select conv_id, bucket_ts, x, med,
+         list_aggregate(list_transform(w, e -> abs(e - med)),
+                        'quantile_disc', 0.5) as mad
+  from medc)
+select conv_id, bucket_ts, x as mean_latency,
+       case when med is not null and abs(x - med) > {ks} * mad
+            then med else x end as hampel,
+       coalesce(abs(x - med) > {ks} * mad, false) as is_spike
+from madc
+"""
+
+
+@q("hampel_daily", _hampel_sql())
+def hampel_daily(sf_dir):
+    """Hampel rolling-median despiking (window 5, k = 3*1.4826) of per-conv
+    daily mean-latency series — the robust outlier-removal member of the
+    sits_filter family (whittaker/sgolay smooth, hampel despikes;
+    R/api_signal.R). Median and MAD are nearest-rank selections so the
+    filter is cross-engine exact end-to-end; spikes are replaced by the
+    window median. Same vectorized nested-form map as ewma/holt (no
+    per-conv shuffle); SQL-exact via a per-position window-slice twin
+    (kernels/smooth.hampel)."""
+    from sits_ray.kernels.smooth import hampel
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    nested = _nested_tier(sf_dir, "1d")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = smooth_to_long(
+            b,
+            {
+                "hampel": (lambda m: hampel(m)[0], 1),
+                "hampel_flag": (lambda m: hampel(m)[1], 1),
+            },
+        )
+        flag = pc.greater(t["hampel_flag"], 0.5)
+        return t.drop_columns(["hampel_flag"]).append_column("is_spike", flag)
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")

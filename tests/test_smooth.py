@@ -163,3 +163,44 @@ def test_holt_singleton_series():
 
     out = holt(np.array([[4.2]]))
     assert out.tolist() == [[4.2]]
+
+
+def test_hampel_replaces_planted_spike():
+    from sits_ray.kernels.smooth import hampel
+
+    x = np.array([[1.0, 1.0, 1.0, 50.0, 1.0, 1.0, 1.0]])
+    filt, flags = hampel(x)
+    assert filt.tolist() == [[1.0] * 7]
+    assert flags.tolist() == [[0, 0, 0, 1, 0, 0, 0]]
+
+
+def test_hampel_scalar_parity():
+    from sits_ray.kernels.smooth import hampel
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(4, 23))
+    m[1, 10] += 30.0
+    filt, flags = hampel(m, h=2, k=3.0 * 1.4826)
+    for r in range(m.shape[0]):
+        for t in range(m.shape[1]):
+            if t < 2 or t >= m.shape[1] - 2:
+                assert filt[r, t] == m[r, t] and flags[r, t] == 0.0
+                continue
+            w = m[r, t - 2 : t + 3]
+            med = np.sort(w)[2]
+            mad = np.sort(np.abs(w - med))[2]
+            spike = abs(m[r, t] - med) > (3.0 * 1.4826) * mad
+            assert flags[r, t] == float(spike)
+            assert filt[r, t] == (med if spike else m[r, t])
+
+
+def test_hampel_short_and_constant_series():
+    from sits_ray.kernels.smooth import hampel
+
+    short = np.array([[3.0, 9.0, 1.0]])
+    f, fl = hampel(short)
+    assert f.tolist() == short.tolist() and fl.sum() == 0
+    # constant window: mad == 0 so ANY deviation flags, equality does not
+    const = np.array([[2.0] * 9])
+    f, fl = hampel(const)
+    assert f.tolist() == const.tolist() and fl.sum() == 0
