@@ -239,3 +239,42 @@ def hampel(m: np.ndarray, h: int = 2, k: float = 3.0 * 1.4826):
     filt[:, h:T - h] = np.where(spike, med, centers)
     flags[:, h:T - h] = spike.astype(np.float64)
     return filt, flags
+
+
+def holt_winters(m: np.ndarray, period: int = 7, alpha: float = 0.3,
+                 beta: float = 0.1, gamma: float = 0.2) -> np.ndarray:
+    """Holt-Winters additive triple-exponential smoothing (level + trend +
+    seasonal, Winters 1960) along time, vectorized across series (rows) —
+    the seasonal member completing the recursive sits_filter family
+    (ewma -> holt -> holt_winters). Online-init variant: ``s_1 = x_1``,
+    ``b_1 = 0``, seasonal state all-zero (seasonality is learned by the
+    recursion itself — no separate warm-up pass, which keeps the walk a
+    single recursion replayable in SQL). For t >= 2 with ``j = (t-1) mod
+    period`` (0-based):
+    ``s_t = alpha*(x_t - seas_j) + (1-alpha)*(s + b)``;
+    ``b_t = beta*(s_t - s) + (1-beta)*b``;
+    ``seas_j' = gamma*(x_t - s_t) + (1-gamma)*seas_j``;
+    emitted value = ``s_t + seas_j'``. Operand order is pinned exactly as
+    written (the ewma/holt discipline), so a SQL recursive CTE carrying
+    (s, b, seas DOUBLE[period]) and evaluating the same literal
+    expressions is bit-exact. Returns the fitted (level+seasonal) matrix."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    r, T = m.shape
+    out = np.empty_like(m)
+    a, oma = alpha, 1.0 - alpha
+    g, omg = beta, 1.0 - beta
+    c, omc = gamma, 1.0 - gamma
+    s = m[:, 0].copy()
+    b = np.zeros(r)
+    seas = np.zeros((r, period))
+    out[:, 0] = s + seas[:, 0]
+    for t in range(1, T):
+        j = t % period
+        sj = seas[:, j]
+        s_new = a * (m[:, t] - sj) + oma * (s + b)
+        b = g * (s_new - s) + omg * b
+        sj_new = c * (m[:, t] - s_new) + omc * sj
+        seas[:, j] = sj_new
+        s = s_new
+        out[:, t] = s + sj_new
+    return out

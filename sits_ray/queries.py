@@ -9191,3 +9191,70 @@ def hampel_daily(sf_dir):
         return t.drop_columns(["hampel_flag"]).append_column("is_spike", flag)
 
     return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- Holt-Winters additive seasonal smoother ---------------------------------
+def _holt_winters_sql(period: int = 7, alpha: float = 0.3, beta: float = 0.1,
+                      gamma: float = 0.2) -> str:
+    """Recursive-CTE twin of kernels/smooth.holt_winters: THREE states
+    (level s, trend b, seasonal DOUBLE[period]) carried through the
+    position-indexed walk; the level expression is repeated inside the
+    trend and seasonal updates exactly as the kernel computes it (same
+    literal ops -> same float, the holt/cusum trick); the seasonal slot
+    updates via an indexed list_transform."""
+    a = f"{float(alpha):.17e}"
+    oma = f"{1.0 - float(alpha):.17e}"
+    g = f"{float(beta):.17e}"
+    omg = f"{1.0 - float(beta):.17e}"
+    c = f"{float(gamma):.17e}"
+    omc = f"{1.0 - float(gamma):.17e}"
+    p = int(period)
+    zeros = ", ".join(["0.0e0"] * p)
+    s_next = f"{a} * (xs[i + 1] - seas[(i % {p}) + 1]) + {oma} * (s + b)"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, tss, xs,
+           xs[1] + 0.0 as s, 0.0::DOUBLE as b,
+           [{zeros}] as seas
+    from ser
+    union all
+    select conv_id, i + 1, n, tss, xs,
+           {s_next},
+           {g} * (({s_next}) - s) + {omg} * b,
+           list_transform(seas, (e, ix) ->
+             case when ix = (i % {p}) + 1
+                  then {c} * (xs[i + 1] - ({s_next})) + {omc} * e
+                  else e end)
+    from w where i < n)
+  select * from w)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency,
+       s + seas[((i - 1) % {p}) + 1] as holt_winters
+from walk
+"""
+
+
+@q("holt_winters_daily", _holt_winters_sql())
+def holt_winters_daily(sf_dir):
+    """Holt-Winters additive triple-exponential smoothing (period 7 days,
+    alpha=0.3, beta=0.1, gamma=0.2) of per-conv daily mean-latency series
+    — the weekly-seasonality-aware member completing the recursive
+    smoother family (ewma -> holt -> holt_winters; the continuous-
+    aggregate engine's seasonal forecaster state). Same vectorized
+    nested-form map (no per-conv shuffle); SQL-exact via a three-state
+    recursive-CTE walk carrying the seasonal vector as a DOUBLE[7] list
+    column (kernels/smooth.holt_winters)."""
+    from sits_ray.kernels.smooth import holt_winters
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: smooth_to_long(b, {"holt_winters": (holt_winters, 1)}),
+        batch_format="pyarrow",
+    )

@@ -204,3 +204,40 @@ def test_hampel_short_and_constant_series():
     const = np.array([[2.0] * 9])
     f, fl = hampel(const)
     assert f.tolist() == const.tolist() and fl.sum() == 0
+
+
+def test_holt_winters_scalar_parity():
+    from sits_ray.kernels.smooth import holt_winters
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(3, 20))
+    got = holt_winters(m, period=7, alpha=0.3, beta=0.1, gamma=0.2)
+    for r in range(3):
+        x = m[r]
+        s, b = x[0], 0.0
+        seas = [0.0] * 7
+        assert got[r, 0] == s + seas[0]
+        for t in range(1, 20):
+            j = t % 7
+            s_new = 0.3 * (x[t] - seas[j]) + 0.7 * (s + b)
+            b = 0.1 * (s_new - s) + 0.9 * b
+            seas[j] = 0.2 * (x[t] - s_new) + 0.8 * seas[j]
+            s = s_new
+            assert got[r, t] == s + seas[j], (r, t)
+
+
+def test_holt_winters_learns_weekly_pattern():
+    from sits_ray.kernels.smooth import holt_winters
+
+    pat = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    x = np.tile(pat, 30)[None, :]
+    out = holt_winters(x)
+    # after enough cycles the fitted value tracks the pattern closely
+    err = np.abs(out[0, -7:] - x[0, -7:])
+    assert err.max() < 0.75, err
+
+
+def test_holt_winters_singleton():
+    from sits_ray.kernels.smooth import holt_winters
+
+    assert holt_winters(np.array([[4.2]])).tolist() == [[4.2]]
