@@ -278,3 +278,29 @@ def holt_winters(m: np.ndarray, period: int = 7, alpha: float = 0.3,
         s = s_new
         out[:, t] = s + sj_new
     return out
+
+
+def goertzel_power(m: np.ndarray, period: float = 7.0) -> np.ndarray:
+    """Goertzel single-bin spectral power (Goertzel 1958) at frequency
+    ``1/period`` cycles per sample, per series (rows) — the O(n) one-bin
+    DFT used to score periodicity strength (e.g. weekly seasonality of a
+    daily series) without an FFT. Two-state linear recursion with
+    ``coeff = 2*cos(2*pi/period)`` (computed ONCE on the driver via libm
+    and shared with the SQL twin as a literal — no per-element
+    trigonometry): ``s_t = (x_t + coeff*s1) - s2`` with the operand order
+    pinned exactly as written; final power =
+    ``(s1*s1 + s2*s2) - coeff*(s1*s2)``. A SQL recursive CTE carrying
+    (s1, s2) and evaluating the same literal expressions is bit-exact.
+    Returns the power vector (one value per series)."""
+    import math
+
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    r, T = m.shape
+    coeff = 2.0 * math.cos(2.0 * math.pi / float(period))
+    s1 = np.zeros(r)
+    s2 = np.zeros(r)
+    for t in range(T):
+        s_new = (m[:, t] + coeff * s1) - s2
+        s2 = s1
+        s1 = s_new
+    return (s1 * s1 + s2 * s2) - coeff * (s1 * s2)

@@ -9258,3 +9258,59 @@ def holt_winters_daily(sf_dir):
         lambda b: smooth_to_long(b, {"holt_winters": (holt_winters, 1)}),
         batch_format="pyarrow",
     )
+
+
+# --- Goertzel single-bin spectral power (weekly periodicity score) -----------
+def _goertzel_sql(period: float = 7.0) -> str:
+    """Recursive-CTE twin of kernels/smooth.goertzel_power: two states
+    (s1, s2) through the position walk; coeff = 2*cos(2*pi/period) is
+    computed once driver-side (libm) and inlined as the SAME literal both
+    engines use, so every float op pairs up exactly."""
+    import math
+
+    co = f"{2.0 * math.cos(2.0 * math.pi / float(period)):.17e}"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, xs,
+           (xs[1] + {co} * 0.0e0) - 0.0e0 as s1,
+           0.0e0 as s2
+    from ser
+    union all
+    select conv_id, i + 1, n, xs,
+           (xs[i + 1] + {co} * s1) - s2,
+           s1
+    from w where i < n)
+  select * from w where i = n)
+select conv_id, n as n_days,
+       (s1 * s1 + s2 * s2) - {co} * (s1 * s2) as goertzel_power
+from walk
+"""
+
+
+@q("goertzel_weekly_power", _goertzel_sql())
+def goertzel_weekly_power(sf_dir):
+    """Weekly-periodicity strength per conversation: Goertzel single-bin
+    spectral power at 1/7 cycles/day over the gap-filled daily
+    mean-latency series — the O(n) periodicity scorer pairing with the
+    Holt-Winters seasonal smoother (detect seasonality here, model it
+    there). One nested-form map emits one row per conv (no per-conv
+    shuffle, no FFT); SQL-exact via a two-state recursive-CTE walk
+    (kernels/smooth.goertzel_power)."""
+    from sits_ray.kernels.smooth import goertzel_power
+    from sits_ray.stages.series_ops import series_features
+
+    nested = _nested_tier(sf_dir, "1d")
+    return nested.map_batches(
+        lambda b: series_features(
+            b,
+            lambda m: {"goertzel_power": goertzel_power(m)},
+            extra_builders={"n_days": lambda lens: lens.astype(np.int64)},
+        ),
+        batch_format="pyarrow",
+    )

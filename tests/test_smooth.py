@@ -241,3 +241,34 @@ def test_holt_winters_singleton():
     from sits_ray.kernels.smooth import holt_winters
 
     assert holt_winters(np.array([[4.2]])).tolist() == [[4.2]]
+
+
+def test_goertzel_detects_matching_period():
+    from sits_ray.kernels.smooth import goertzel_power
+
+    t = np.arange(70, dtype=np.float64)
+    weekly = np.sin(2 * np.pi * t / 7.0)[None, :]
+    flat = np.ones((1, 70))
+    p_weekly = goertzel_power(weekly)[0]
+    p_flat_at7 = goertzel_power(flat)[0]
+    # pure 7-day sine carries much more 1/7-bin power than a constant
+    assert p_weekly > 100.0 * max(p_flat_at7, 1e-12)
+    # and the weekly bin beats a far-off (period 2.3) probe on the same data
+    assert p_weekly > 10.0 * goertzel_power(weekly, period=2.3)[0]
+
+
+def test_goertzel_scalar_parity_and_empty():
+    import math
+
+    from sits_ray.kernels.smooth import goertzel_power
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(3, 17))
+    got = goertzel_power(m, period=7.0)
+    co = 2.0 * math.cos(2.0 * math.pi / 7.0)
+    for r in range(3):
+        s1 = s2 = 0.0
+        for t in range(17):
+            s1, s2 = (m[r, t] + co * s1) - s2, s1
+        assert got[r] == (s1 * s1 + s2 * s2) - co * (s1 * s2)
+    assert goertzel_power(np.empty((2, 0))).tolist() == [0.0, 0.0]
