@@ -9314,3 +9314,102 @@ def goertzel_weekly_power(sf_dir):
         ),
         batch_format="pyarrow",
     )
+
+
+# --- SAX symbolic aggregate approximation ------------------------------------
+def _sax_sql(w: int = 8, alphabet: int = 4) -> str:
+    """Window-SQL twin of kernels/sax.sax_transform: sequential-fold mean /
+    sum-of-squares (list_reduce over the time-ordered list — the repo's
+    float-sum discipline), integer PAA segment boundaries, one division
+    per segment, Gaussian breakpoints shared as literals. Constant series
+    (ss = 0) define z = 0 on both sides."""
+    from sits_ray.kernels.sax import sax_breakpoints
+
+    bps = sax_breakpoints(alphabet)
+    idx = " + ".join(
+        f"(case when paa > {b:.17e} then 1 else 0 end)" for b in bps
+    )
+    p = int(w)
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1 having count(*) >= {p}),
+m1 as (
+  select conv_id, xs, n,
+         list_reduce(list_prepend(0.0e0, xs), (a, b) -> a + b) / n as mu
+  from ser),
+m2 as (
+  select conv_id, xs, n, mu,
+         list_reduce(list_prepend(0.0e0,
+           list_transform(xs, x -> (x - mu) * (x - mu))), (a, b) -> a + b)
+           as ss
+  from m1),
+segs as (
+  select conv_id, xs, n, mu, ss, seg,
+         (seg * n) // {p} + 1 as lo1,
+         ((seg + 1) * n) // {p} as hi1
+  from m2 cross join (select unnest(generate_series(0::BIGINT, {p - 1})) as seg) g),
+paas as (
+  select conv_id, seg,
+         case when ss = 0.0e0 then 0.0e0 else
+           list_reduce(list_prepend(0.0e0,
+             list_transform(xs[lo1:hi1], x -> (x - mu) / sqrt(ss / n))),
+             (a, b) -> a + b) / (hi1 - lo1 + 1)
+         end as paa
+  from segs)
+select conv_id, seg, paa, chr(97 + ({idx})) as symbol
+from paas
+"""
+
+
+@q("sax_words", _sax_sql())
+def sax_words(sf_dir):
+    """SAX symbolic words (Lin & Keogh, DMKD 2007) over per-conv daily
+    mean-latency series: z-normalize, PAA into 8 segments, quantize
+    through Gaussian quartile breakpoints into a 4-letter alphabet — the
+    symbolic downsampler joining LTTB (point selection) and M4 (extreme
+    selection), and the representation DTW/pattern matching consumes at
+    scale. Sequential-fold float contract end-to-end; one nested-form map
+    emits 8 rows per conversation (kernels/sax.sax_transform)."""
+    from sits_ray.arrowutil import ragged
+    from sits_ray.kernels.sax import sax_transform
+    from sits_ray.stages.series_ops import _gather, _len_groups, _take
+
+    W, A = 8, 4
+    nested = _nested_tier(sf_dir, "1d")
+    letters = np.array([chr(97 + k) for k in range(A)])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        flat, lens, offs = ragged(b["mean_latency"])
+        flat = np.asarray(flat, dtype=np.float64)
+        rows_l, paa_l, sym_l = [], [], []
+        for length, rows in _len_groups(lens):
+            if length < W:
+                continue
+            paa, sym = sax_transform(
+                _gather(flat, offs, rows, length), w=W, alphabet=A
+            )
+            rows_l.append(rows)
+            paa_l.append(paa)
+            sym_l.append(sym)
+        if not rows_l:
+            return pa.table({
+                "conv_id": b["conv_id"].slice(0, 0),
+                "seg": pa.array([], pa.int64()),
+                "paa": pa.array([], pa.float64()),
+                "symbol": pa.array([], pa.string()),
+            })
+        rows = np.concatenate(rows_l)
+        paa = np.concatenate(paa_l)
+        sym = np.concatenate(sym_l)
+        rep = np.repeat(rows, W)
+        return pa.table({
+            "conv_id": _take(b["conv_id"], rep),
+            "seg": pa.array(np.tile(np.arange(W, dtype=np.int64), rows.size)),
+            "paa": pa.array(paa.ravel()),
+            "symbol": pa.array(letters[sym.ravel()]),
+        })
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")

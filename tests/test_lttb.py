@@ -71,3 +71,54 @@ def test_lttb_to_long_stage(ray_session):
     np.testing.assert_array_equal(
         out["value"].to_numpy(), vals[want]
     )
+import numpy as np
+import pytest
+
+
+def test_sax_scalar_parity():
+    from sits_ray.kernels.sax import sax_breakpoints, sax_transform
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(4, 19))
+    paa, sym = sax_transform(m, w=8, alphabet=4)
+    bps = sax_breakpoints(4)
+    for r in range(4):
+        x = m[r]
+        n = 19
+        mu = 0.0
+        for v in x:
+            mu = mu + v
+        mu /= n
+        ss = 0.0
+        for v in x:
+            ss = ss + (v - mu) * (v - mu)
+        std = np.sqrt(ss / n)
+        z = (x - mu) / std
+        for j in range(8):
+            lo, hi = (j * n) // 8, ((j + 1) * n) // 8
+            acc = 0.0
+            for v in z[lo:hi]:
+                acc = acc + v
+            p = acc / (hi - lo)
+            assert paa[r, j] == p
+            assert sym[r, j] == int((p > bps).sum())
+
+
+def test_sax_shape_and_bands():
+    from sits_ray.kernels.sax import sax_transform
+
+    # strictly increasing ramp: symbols must be non-decreasing, low->high
+    x = np.arange(64, dtype=np.float64)[None, :]
+    paa, sym = sax_transform(x, w=8, alphabet=4)
+    assert paa.shape == sym.shape == (1, 8)
+    assert (np.diff(sym[0]) >= 0).all()
+    assert sym[0, 0] == 0 and sym[0, -1] == 3
+
+
+def test_sax_constant_series_and_short_raise():
+    from sits_ray.kernels.sax import sax_transform
+
+    paa, sym = sax_transform(np.full((2, 16), 7.5))
+    assert (paa == 0.0).all() and (sym == 1).all()  # z=0 lands in band 'b'
+    with pytest.raises(ValueError):
+        sax_transform(np.ones((1, 5)), w=8)
