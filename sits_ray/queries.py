@@ -9413,3 +9413,103 @@ def sax_words(sf_dir):
         })
 
     return nested.map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- Reciprocal Rank Fusion hybrid retrieval ---------------------------------
+def _rrf_sql(k_leg: int = 20, k: int = 10, c: int = 60) -> str:
+    """Twin of stages/retrieval.rrf_hybrid_topk: the bm25_topk CTE body
+    (rank rs) + the hard_negatives quantize contract (rank rd), fused as
+    ``coalesce(1/(c+rs), 0) + coalesce(1/(c+rd), 0)`` in the engine's
+    pinned sparse+dense order — integer ranks make each term a single
+    exact division."""
+    ql = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES.items()
+        for t in terms
+    )
+    anchor_ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return f"""
+with ql(qid, term) as (values {ql}),
+dl as (select doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) as dl
+       from documents),
+st as (select cast(count(*) as bigint) as n, cast(sum(dl) as bigint) as sdl
+       from dl),
+tf as (
+  select doc_id, w as term, cast(count(*) as bigint) as tf
+  from (select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)
+  where w in (select term from ql)
+  group by 1, 2),
+dft as (select term, cast(count(*) as bigint) as df from tf group by 1),
+sc as (
+  select ql.qid, tf.doc_id, tf.term,
+         ln(1.0e0 + (st.n - dft.df + 0.5e0) / (dft.df + 0.5e0))
+           * ((tf.tf * (1.2e0 + 1.0e0))
+              / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl.dl / (st.sdl / st.n)))))
+           as s
+  from ql
+  join tf using (term)
+  join dft using (term)
+  join dl on dl.doc_id = tf.doc_id
+  cross join st),
+agg as (
+  select qid, doc_id,
+         list_reduce(list_prepend(0.0e0, list(s order by term)),
+                     (a, b) -> a + b) as score
+  from sc group by 1, 2),
+sparse as (
+  select cast(qid as bigint) as qid, doc_id,
+         row_number() over (partition by qid order by score desc, doc_id) as rs
+  from agg
+  qualify rs <= {k_leg}),
+v as (
+  select vec_id, list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings),
+anch as (select vec_id as qid, q as aq from v where vec_id in ({anchor_ids})),
+dots as (
+  select a.qid, v.vec_id as doc_id,
+         cast(list_dot_product(a.aq, v.q) as bigint) as dot
+  from anch a join v on v.vec_id <> a.qid),
+dense as (
+  select cast(qid as bigint) as qid, doc_id,
+         row_number() over (partition by qid order by dot desc, doc_id) as rd
+  from dots
+  qualify rd <= {k_leg}),
+fused as (
+  select coalesce(s.qid, d.qid) as qid,
+         coalesce(s.doc_id, d.doc_id) as doc_id,
+         coalesce(1.0e0 / ({c} + s.rs), 0.0e0)
+           + coalesce(1.0e0 / ({c} + d.rd), 0.0e0) as rrf_score,
+         coalesce(s.rs, 0)::BIGINT as bm25_rank,
+         coalesce(d.rd, 0)::BIGINT as dense_rank
+  from sparse s full outer join dense d
+    on s.qid = d.qid and s.doc_id = d.doc_id)
+select qid,
+       row_number() over (partition by qid
+                          order by rrf_score desc, doc_id) as rnk,
+       doc_id, rrf_score, bm25_rank, dense_rank
+from fused
+qualify rnk <= {k}
+order by qid, rnk
+"""
+
+
+@q("rrf_fusion", _rrf_sql())
+def rrf_fusion(sf_dir):
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):
+    the BM25 sparse leg and the quantized-MIPS dense leg (anchor vector =
+    the query's own id — documents and embeddings share the id space)
+    each nominate a top-20, fused as 1/(60+rank) + 1/(60+rank) and cut to
+    a top-10 per query. Both legs already carry bit-exact contracts
+    (bm25_topk's ordered fold, hard_negatives' integer dots); the fusion
+    adds two exact divisions in pinned order, so the whole hybrid
+    pipeline is SQL-exact (stages/retrieval.rrf_hybrid_topk)."""
+    from sits_ray.stages.retrieval import rrf_hybrid_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return rrf_hybrid_topk(docs, embs, _BM25_QUERIES, k_leg=20, k=10, c=60)

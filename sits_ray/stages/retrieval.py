@@ -292,3 +292,89 @@ def term_postings(docs_ds, terms, index_dir: str | None = None,
         index_build(docs_ds, index_dir, n_parts=n_parts, id_col=id_col,
                     fingerprint=fp)
     return index_lookup(index_dir, terms, id_col=id_col)
+
+
+def dense_anchor_topk(emb_ds, anchor_ids, k: int = 20):
+    """Dense-retrieval leg: for each anchor vector id, the top-``k`` OTHER
+    vectors by exact int64 inner product under the shared quantization
+    contract (similarity.quantize_i64: floor in DOUBLE — order-free dots,
+    bit-exact vs the SQL twin's list_dot_product). Scale shape: the
+    bounded anchor block broadcasts once (ray.put); each batch does ONE
+    int64 matmul and ships its local per-anchor top-k. Returns a pandas
+    frame (qid, doc_id, rd) with rd = 1-based rank by (dot desc, id)."""
+    import ray
+
+    from sits_ray.arrowutil import list_matrix
+    from sits_ray.stages.similarity import quantize_i64
+
+    ids = sorted(int(a) for a in anchor_ids)
+    anchors = emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], pa.array(ids))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    aq = quantize_i64(np.asarray(
+        [np.asarray(v, np.float64) for v in anchors["embedding"]]
+    ))
+    a_ids = anchors["vec_id"].to_numpy(np.int64)
+    a_ref = ray.put((a_ids, aq))
+
+    def partial(t: pa.Table) -> pa.Table:
+        aids, qm = ray.get(a_ref)
+        m = quantize_i64(list_matrix(t["embedding"]))
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        dots = m @ qm.T if m.size else np.zeros((0, aids.size), np.int64)
+        out_q, out_v, out_d = [], [], []
+        for j in range(aids.size):
+            keep = vid != aids[j]
+            d, v = dots[keep, j], vid[keep]
+            sel = np.lexsort((v, -d))[:k]
+            out_q.append(np.full(sel.size, aids[j], np.int64))
+            out_v.append(v[sel])
+            out_d.append(d[sel])
+        qs = np.concatenate(out_q) if out_q else np.array([], np.int64)
+        vs = np.concatenate(out_v) if out_v else np.array([], np.int64)
+        dd = np.concatenate(out_d) if out_d else np.array([], np.int64)
+        return pa.table({"qid": pa.array(qs), "doc_id": pa.array(vs),
+                         "dot": pa.array(dd)})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["qid", "dot", "doc_id"],
+                              ascending=[True, False, True])
+    top = parts.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    top["rd"] = top.groupby("qid").cumcount().to_numpy(np.int64) + 1
+    return top[["qid", "doc_id", "rd"]]
+
+
+def rrf_hybrid_topk(docs_ds, emb_ds, queries: dict[int, tuple[str, ...]],
+                    k_leg: int = 20, k: int = 10, c: int = 60):
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of the sparse
+    (BM25) and dense (quantized-MIPS) retrieval legs — the standard hybrid
+    retriever. Each leg contributes ``1/(c + rank)`` for its top-``k_leg``
+    (missing leg = 0.0); the two terms are added in the pinned order
+    sparse + dense, so the fused float is bit-exact cross-engine. The
+    anchor embedding for query ``qid`` is vector ``vec_id == qid``
+    (documents and embeddings share the id space). Returns the fused
+    top-``k`` per query with both leg ranks (0 = not retrieved by that
+    leg)."""
+    sp = bm25_topk(docs_ds, queries, k=k_leg).copy()
+    sp["rs"] = sp.groupby("qid").cumcount().to_numpy(np.int64) + 1
+    dn = dense_anchor_topk(emb_ds, sorted(queries), k=k_leg)
+    f = sp[["qid", "doc_id", "rs"]].merge(
+        dn, on=["qid", "doc_id"], how="outer"
+    )
+    rs = f["rs"].to_numpy(np.float64)
+    rd = f["rd"].to_numpy(np.float64)
+    cc = float(c)
+    spt = np.where(np.isnan(rs), 0.0, 1.0 / (cc + rs))
+    dnt = np.where(np.isnan(rd), 0.0, 1.0 / (cc + rd))
+    f["rrf_score"] = spt + dnt
+    f["bm25_rank"] = np.nan_to_num(rs, nan=0.0).astype(np.int64)
+    f["dense_rank"] = np.nan_to_num(rd, nan=0.0).astype(np.int64)
+    f = f.sort_values(["qid", "rrf_score", "doc_id"],
+                      ascending=[True, False, True])
+    out = f.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["rnk"] = out.groupby("qid").cumcount().to_numpy(np.int64) + 1
+    out["qid"] = out["qid"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["qid", "rnk", "doc_id", "rrf_score",
+                "bm25_rank", "dense_rank"]]

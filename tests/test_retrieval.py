@@ -153,3 +153,56 @@ def test_term_postings_fingerprint_reuse_and_rebuild(ray_session, tmp_path):
     docs2 = _docs(["alpha beta", "alpha gamma", "alpha delta"])
     r2 = term_postings(docs2, ["alpha"], index_dir=idx).to_pandas()
     assert sorted(r2["doc_id"]) == [0, 1, 2]
+
+
+def _embs(n, dim=8, seed=4):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    return rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in m],
+    })), m
+
+
+def test_dense_anchor_topk_bruteforce(ray_session):
+    from sits_ray.stages.retrieval import dense_anchor_topk
+
+    ds, m = _embs(40)
+    got = dense_anchor_topk(ds, [0, 3], k=5)
+    q = np.floor(m.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+    for a in (0, 3):
+        dots = q @ q[a]
+        order = sorted((int(v) for v in range(40) if v != a),
+                       key=lambda v: (-dots[v], v))[:5]
+        sub = got[got.qid == a]
+        assert sub["doc_id"].tolist() == order
+        assert sub["rd"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_rrf_fuses_both_legs(ray_session):
+    from sits_ray.stages.retrieval import rrf_hybrid_topk
+
+    # doc 0's text matches query 0's terms; embeddings are random — a doc
+    # ranked by BOTH legs must outscore a doc ranked by only one.
+    texts = ["alpha beta alpha", "alpha gamma", "beta beta", "delta eps",
+             "zeta zeta", "alpha beta beta", "gamma delta", "eps zeta"]
+    docs = _docs(texts)
+    embs, m = _embs(len(texts))
+    queries = {0: ("alpha", "beta"), 1: ("delta",)}
+    out = rrf_hybrid_topk(docs, embs, queries, k_leg=4, k=6, c=60)
+    assert set(out.columns) == {"qid", "rnk", "doc_id", "rrf_score",
+                                "bm25_rank", "dense_rank"}
+    for qid, g in out.groupby("qid"):
+        # ranks are 1..n and scores non-increasing
+        assert g["rnk"].tolist() == list(range(1, len(g) + 1))
+        assert (np.diff(g["rrf_score"].to_numpy()) <= 0).all()
+        both = g[(g.bm25_rank > 0) & (g.dense_rank > 0)]
+        only = g[(g.bm25_rank == 0) ^ (g.dense_rank == 0)]
+        if len(both) and len(only):
+            # a doc in both legs at rank r contributes two terms
+            assert both["rrf_score"].max() > only["rrf_score"].min()
+        # every score equals the literal two-term formula
+        for _, r in g.iterrows():
+            exp = (1.0 / (60.0 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+                1.0 / (60.0 + r.dense_rank) if r.dense_rank else 0.0)
+            assert r.rrf_score == exp
