@@ -8120,6 +8120,48 @@ def psi_drift_value(sf_dir):
     return psi_drift(_events(sf_dir, columns=["value", "ts"]))
 
 
+@q(
+    "js_drift_value",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (
+  select cast(floor(value / 10.0e0) as bigint) as bin,
+         cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+         cast(count(*) filter (where us > st.mid) as bigint) as n_b
+  from e cross join st
+  group by 1),
+t as (select cast(sum(n_a) as bigint) as ta, cast(sum(n_b) as bigint) as tb
+      from c)
+select bin, n_a, n_b,
+       n_a / ta as p, n_b / tb as q,
+       0.5e0 * (
+         (case when n_a > 0
+               then (n_a / ta)
+                    * ln((n_a / ta) / (((n_a / ta) + (n_b / tb)) / 2.0e0))
+               else 0.0e0 end)
+       + (case when n_b > 0
+               then (n_b / tb)
+                    * ln((n_b / tb) / (((n_a / ta) + (n_b / tb)) / 2.0e0))
+               else 0.0e0 end)) as contrib
+from c cross join t
+order by bin
+""",
+)
+def js_drift_value(sf_dir):
+    """Jensen-Shannon divergence of the value distribution between the
+    first and second half of the time range (stages/drift.js_drift) —
+    the FULL-support drift monitor: bins that appear in only one period
+    contribute finitely (PSI's joint-support rule drops them), so JSD
+    is the right alarm when new behavior modes appear week-over-week.
+    SQL-exact: same integer-midpoint split and bigint/bigint shares as
+    psi_drift_value, m = (p+q)/2 in doubles, each KL term zero-gated,
+    ln via math.log on the bounded bin table (libm == DuckDB ln)."""
+    from sits_ray.stages.drift import js_drift
+
+    return js_drift(_events(sf_dir, columns=["value", "ts"]))
+
+
 # --- lead-lag cross-correlation: value vs tool usage (eventops.ccf) ---------
 @q(
     "ccf_value_tool",

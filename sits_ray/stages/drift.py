@@ -9,6 +9,16 @@ epsilon-smoothing replaced by joint-support restriction (bins observed
 in BOTH periods) so the statistic is a deterministic pure function of
 the counts.
 
+Jensen-Shannon divergence (``js_drift``) is the full-support companion:
+``JSD(p, q) = 0.5 * KL(p || m) + 0.5 * KL(q || m)`` with
+``m = (p + q) / 2``. Unlike PSI it needs no support restriction — a bin
+empty in one period contributes only the other period's term (the
+``0 * ln 0 = 0`` convention), so JSD is finite on ANY pair of
+histograms and bounded by ``ln 2``, which makes it the right monitor
+when new bins appear week-over-week (exactly the case PSI's
+joint-support rule silently drops). Reference: Lin 1991, "Divergence
+measures based on the Shannon entropy".
+
 Scale shape: two stateless passes over the pruned (value, ts) columns —
 per-batch (min, max) timestamp partials fold to the integer midpoint on
 the driver, then per-batch (bin, period) count partials fold to the
@@ -33,11 +43,11 @@ def _ts_us(col) -> np.ndarray:
     return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def psi_drift(ds, value_col: str = "value", ts_col: str = "ts",
-              bin_width: float = 10.0) -> pd.DataFrame:
-    """Per-bin PSI contributions between time halves. Returns
-    (bin, n_a, n_b, p, q, contrib) sorted by bin, restricted to bins
-    with counts in both periods."""
+def _period_bin_counts(ds, value_col: str, ts_col: str,
+                       bin_width: float) -> tuple[pd.DataFrame, int, int]:
+    """Shared two-pass core: integer-midpoint time split, then per-batch
+    (bin, period) count partials folded to the bounded driver-side bin
+    table. Returns (counts sorted by bin, total_a, total_b)."""
 
     def span_partial(t: pa.Table) -> pa.Table:
         us = _ts_us(t[ts_col])
@@ -67,7 +77,15 @@ def psi_drift(ds, value_col: str = "value", ts_col: str = "ts",
 
     parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
     c = parts.groupby("bin", sort=True)[["n_a", "n_b"]].sum().reset_index()
-    ta, tb = int(c["n_a"].sum()), int(c["n_b"].sum())
+    return c, int(c["n_a"].sum()), int(c["n_b"].sum())
+
+
+def psi_drift(ds, value_col: str = "value", ts_col: str = "ts",
+              bin_width: float = 10.0) -> pd.DataFrame:
+    """Per-bin PSI contributions between time halves. Returns
+    (bin, n_a, n_b, p, q, contrib) sorted by bin, restricted to bins
+    with counts in both periods."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width)
     keep = (c["n_a"] > 0) & (c["n_b"] > 0)
     c = c.loc[keep].reset_index(drop=True)
     p = c["n_a"].to_numpy(np.int64) / ta  # bigint/bigint -> double
@@ -80,5 +98,35 @@ def psi_drift(ds, value_col: str = "value", ts_col: str = "ts",
         {"bin": c["bin"].to_numpy(np.int64),
          "n_a": c["n_a"].to_numpy(np.int64),
          "n_b": c["n_b"].to_numpy(np.int64),
+         "p": p, "q": qv, "contrib": contrib}
+    )
+
+
+def js_drift(ds, value_col: str = "value", ts_col: str = "ts",
+             bin_width: float = 10.0) -> pd.DataFrame:
+    """Per-bin Jensen-Shannon contributions between time halves over the
+    FULL support (module docstring). Returns (bin, n_a, n_b, p, q,
+    contrib) sorted by bin, one row per bin observed in EITHER period;
+    ``sum(contrib)`` is the JSD, bounded by ``ln 2``.
+
+    Float contract (mirrored term-for-term by the ``js_drift_value``
+    SQL twin): ``p = n_a/ta`` and ``q = n_b/tb`` are bigint/bigint
+    doubles, ``m = (p + q) / 2.0e0``, each KL term is
+    ``p * ln(p / m)`` gated to ``0.0`` when its count is zero, and
+    ``contrib = 0.5e0 * (term_p + term_q)`` — ``math.log`` == DuckDB
+    ``ln`` (libm) on the bounded driver-side bin table."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width)
+    n_a = c["n_a"].to_numpy(np.int64)
+    n_b = c["n_b"].to_numpy(np.int64)
+    p = n_a / ta
+    qv = n_b / tb
+    contrib = np.empty(len(c), dtype=np.float64)
+    for i in range(len(c)):
+        m = (p[i] + qv[i]) / 2.0
+        tp = p[i] * math.log(p[i] / m) if n_a[i] > 0 else 0.0
+        tq = qv[i] * math.log(qv[i] / m) if n_b[i] > 0 else 0.0
+        contrib[i] = 0.5 * (tp + tq)
+    return pd.DataFrame(
+        {"bin": c["bin"].to_numpy(np.int64), "n_a": n_a, "n_b": n_b,
          "p": p, "q": qv, "contrib": contrib}
     )

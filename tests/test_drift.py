@@ -74,3 +74,61 @@ def test_psi_batching_invariance(ray_session):
 def test_psi_empty_raises(ray_session):
     with pytest.raises(ValueError):
         psi_drift(_events([], []))
+
+
+# --- Jensen-Shannon divergence (full support) -------------------------------
+
+def test_js_zero_when_identical_and_bounded(ray_session):
+    from sits_ray.stages.drift import js_drift
+
+    vals = [5.0, 15.0, 25.0] * 4
+    ts = [0, 1, 2, 3, 4, 5, 100, 101, 102, 103, 104, 105]
+    out = js_drift(_events(vals * 2, sorted(ts * 2)))
+    assert (out["contrib"] == 0.0).all()
+
+
+def test_js_full_support_and_ln2_bound(ray_session):
+    from sits_ray.stages.drift import js_drift
+
+    # disjoint supports: JSD attains its maximum ln 2 exactly
+    vals = [5.0, 5.0, 95.0, 95.0]
+    ts = [0, 1, 100, 101]
+    out = js_drift(_events(vals, ts))
+    assert set(out["bin"]) == {0, 9}          # both one-sided bins kept
+    assert out["contrib"].sum() == pytest.approx(math.log(2.0))
+    # PSI on the same input has NO joint-support bins at all
+    assert len(psi_drift(_events(vals, ts))) == 0
+
+
+def test_js_matches_scalar_twin(ray_session):
+    from sits_ray.stages.drift import js_drift
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(50, 10, 400)
+    b = rng.normal(70, 15, 300)
+    vals = np.r_[a, b]
+    ts = np.r_[np.arange(400), 10_000 + np.arange(300)]
+    out = js_drift(_events(vals, ts))
+    ca = pd.Series(np.floor(a / 10.0).astype(int)).value_counts()
+    cb = pd.Series(np.floor(b / 10.0).astype(int)).value_counts()
+    for bin_id in sorted(set(ca.index) | set(cb.index)):
+        na, nb = int(ca.get(bin_id, 0)), int(cb.get(bin_id, 0))
+        p, q = na / len(a), nb / len(b)
+        m = (p + q) / 2.0
+        tp = p * math.log(p / m) if na > 0 else 0.0
+        tq = q * math.log(q / m) if nb > 0 else 0.0
+        row = out.loc[out["bin"] == bin_id]
+        assert row["contrib"].item() == 0.5 * (tp + tq)  # bit-exact
+    # JSD of two different normals is strictly positive and < ln 2
+    assert 0.0 < out["contrib"].sum() < math.log(2.0)
+
+
+def test_js_batching_invariance(ray_session):
+    from sits_ray.stages.drift import js_drift
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(40, 20, 600)
+    ts = np.arange(600) * 7
+    one = js_drift(_events(vals, ts))
+    many = js_drift(_events(vals, ts).repartition(13))
+    pd.testing.assert_frame_equal(one, many)
