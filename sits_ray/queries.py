@@ -8162,6 +8162,43 @@ def js_drift_value(sf_dir):
     return js_drift(_events(sf_dir, columns=["value", "ts"]))
 
 
+@q(
+    "hbos_outliers",
+    """
+with e as (
+  select event_id,
+         cast(floor(value / 10.0e0) as bigint) as vbin,
+         (epoch_us(ts) // 3600000000) % 24 as hour
+  from events),
+vc as (select vbin, cast(count(*) as bigint) as c from e group by 1),
+vm as (select cast(max(c) as bigint) as mc from vc),
+hc as (select hour, cast(count(*) as bigint) as c from e group by 1),
+hm as (select cast(max(c) as bigint) as mc from hc)
+select e.event_id, e.vbin, e.hour,
+       ln(cast(vm.mc as double) / cast(vc.c as double))
+     + ln(cast(hm.mc as double) / cast(hc.c as double)) as score
+from e
+join vc using (vbin) join hc using (hour)
+cross join vm cross join hm
+order by score desc, event_id
+limit 20
+""",
+)
+def hbos_outliers(sf_dir):
+    """Top-20 Histogram-Based Outlier Score events (Goldstein & Dengel
+    2012; stages/outlier.hbos_outliers): rarity of the value bin plus
+    rarity of the hour-of-day, each ``ln(max_count / count)`` over the
+    corpus histograms — the linear-time corpus-level anomaly audit that
+    complements the per-series detectors (hampel_daily, cusum_alarms).
+    SQL-exact: double divisions of exact int64 counts, ln via math.log
+    on the bounded driver-side bin tables (libm == DuckDB ln), score =
+    value term + hour term in pinned order; zero shuffles (two partial
+    passes + per-batch top-k merge)."""
+    from sits_ray.stages.outlier import hbos_outliers as _hbos
+
+    return _hbos(_events(sf_dir, columns=["event_id", "value", "ts"]))
+
+
 # --- lead-lag cross-correlation: value vs tool usage (eventops.ccf) ---------
 @q(
     "ccf_value_tool",

@@ -1,0 +1,81 @@
+"""HBOS corpus-level outlier scoring (stages/outlier.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sits_ray.stages.outlier import hbos_outliers
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def _events(values, ts_us, ids=None):
+    values = np.asarray(values, dtype=np.float64)
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    ids = (np.arange(1, len(values) + 1, dtype=np.int64)
+           if ids is None else np.asarray(ids, dtype=np.int64))
+    return rd.from_pandas(pd.DataFrame(
+        {"event_id": ids, "value": values,
+         "ts": pd.to_datetime(ts_us, unit="us")}))
+
+
+def _scalar_hbos(values, ts_us, k=20):
+    vbin = np.floor(np.asarray(values) / 10.0).astype(np.int64)
+    hour = (np.asarray(ts_us, dtype=np.int64) // _US_PER_HOUR) % 24
+    cv = pd.Series(vbin).value_counts()
+    ch = pd.Series(hour).value_counts()
+    mv, mh = int(cv.max()), int(ch.max())
+    score = np.array(
+        [math.log(mv / int(cv[b])) + math.log(mh / int(ch[h]))
+         for b, h in zip(vbin, hour)])
+    df = pd.DataFrame({"event_id": np.arange(1, len(score) + 1),
+                       "vbin": vbin, "hour": hour, "score": score})
+    return (df.sort_values(["score", "event_id"],
+                           ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
+def test_hbos_matches_scalar_twin_bit_exact(ray_session):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50, 15, 800)
+    ts = rng.integers(0, 30 * 24, 800) * _US_PER_HOUR + rng.integers(
+        0, _US_PER_HOUR, 800)
+    out = hbos_outliers(_events(vals, ts))
+    exp = _scalar_hbos(vals, ts)
+    pd.testing.assert_frame_equal(
+        out.astype({"event_id": np.int64, "vbin": np.int64,
+                    "hour": np.int64}), exp)
+
+
+def test_hbos_planted_outlier_ranks_first(ray_session):
+    # 500 events at value~50 in business hours; one event at value 999
+    # at 3am must rank first (rare bin on BOTH features)
+    vals = [50.0] * 500 + [999.0]
+    ts = [(10 + i % 8) * _US_PER_HOUR + i for i in range(500)]
+    ts.append(3 * _US_PER_HOUR)
+    out = hbos_outliers(_events(vals, ts))
+    assert out.loc[0, "event_id"] == 501
+    # value bin: 500 vs 1; hour bin: busiest of the 8 business hours
+    # (hours 10..16 get 63 events, hour 17 gets 59) vs 1
+    assert out.loc[0, "score"] == math.log(500.0) + math.log(63.0)
+
+
+def test_hbos_uniform_corpus_scores_zero(ray_session):
+    # every row in the same bin on both features -> all scores ln(1)=0
+    vals = [5.0] * 64
+    ts = [2 * _US_PER_HOUR + i for i in range(64)]
+    out = hbos_outliers(_events(vals, ts), k=10)
+    assert (out["score"] == 0.0).all()
+    # ties broken by event_id ascending
+    assert out["event_id"].tolist() == list(range(1, 11))
+
+
+def test_hbos_batching_invariance(ray_session):
+    rng = np.random.default_rng(13)
+    vals = rng.exponential(30, 600)
+    ts = rng.integers(0, 7 * 24, 600) * _US_PER_HOUR
+    one = hbos_outliers(_events(vals, ts))
+    many = hbos_outliers(_events(vals, ts).repartition(17))
+    pd.testing.assert_frame_equal(one, many)
