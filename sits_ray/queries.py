@@ -8199,6 +8199,41 @@ def hbos_outliers(sf_dir):
     return _hbos(_events(sf_dir, columns=["event_id", "value", "ts"]))
 
 
+@q(
+    "benford_value_digits",
+    """
+with e as (select cast(floor(value * 100.0e0 + 0.5e0) as bigint) as c
+           from events),
+p as (select cast(substring(cast(c as varchar), 1, 1) as bigint) as digit,
+             cast(count(*) as bigint) as n_obs
+      from e where c > 0 group by 1),
+t as (select cast(sum(n_obs) as bigint) as nt from p),
+d as (select unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) as digit),
+x as (select cast(d.digit as bigint) as digit,
+             cast(coalesce(p.n_obs, 0) as bigint) as n_obs,
+             ln(1.0e0 + 1.0e0 / cast(d.digit as double)) / ln(10.0e0) as pe
+      from d left join p on p.digit = d.digit)
+select x.digit, x.n_obs, x.pe as p_expected,
+       ((cast(x.n_obs as double) - cast(t.nt as double) * x.pe)
+        * (cast(x.n_obs as double) - cast(t.nt as double) * x.pe))
+       / (cast(t.nt as double) * x.pe) as contrib
+from x cross join t
+order by x.digit
+""",
+)
+def benford_value_digits(sf_dir):
+    """Benford first-significant-digit audit of the value column
+    (stages/outlier.benford_digits): observed digit counts vs the
+    log10(1+1/d) law with per-digit chi-square contributions — the
+    classic fabricated-numbers screen run as one zero-shuffle partials
+    pass. SQL-exact: cents quantization in DOUBLE, first digit via the
+    int64 decimal string (no float log10), ln ratios via math.log on
+    the bounded 9-row table, squared deviation written diff*diff."""
+    from sits_ray.stages.outlier import benford_digits
+
+    return benford_digits(_events(sf_dir, columns=["value"]))
+
+
 # --- lead-lag cross-correlation: value vs tool usage (eventops.ccf) ---------
 @q(
     "ccf_value_tool",

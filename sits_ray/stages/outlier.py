@@ -92,3 +92,55 @@ def hbos_outliers(ds, k: int = 20, value_col: str = "value",
     top = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     return (top.sort_values(["score", "event_id"], ascending=[False, True])
                .head(k).reset_index(drop=True))
+
+
+def benford_digits(ds, value_col: str = "value") -> pd.DataFrame:
+    """Benford first-significant-digit audit of a value column (Newcomb
+    1881 / Benford 1938; Nigrini's fraud-screen usage) — the classic
+    "were these numbers made up?" data-quality check over a metric
+    firehose. Returns one row per digit 1-9: observed count, expected
+    Benford share ``log10(1 + 1/d)``, and the chi-square contribution
+    ``(obs - n*e)^2 / (n*e)``; ``sum(contrib)`` is the test statistic
+    (8 degrees of freedom).
+
+    Digit extraction is integer-exact on both engines: values quantize
+    to cents (``floor(v * 100 + 0.5)`` in DOUBLE — the repo-wide
+    quantize contract), non-positive cents are excluded, and the first
+    digit is the leading character of the int64's decimal string (no
+    float ``log10`` near power-of-ten boundaries). Scale shape: one
+    streaming pass of per-batch 9-counter partials; only O(9 x blocks)
+    rows reach the driver, the corpus never shuffles.
+
+    Float contract (mirrored by the ``benford_value_digits`` SQL twin):
+    ``e = ln(1 + 1/d) / ln(10)`` with both ``ln`` via ``math.log``
+    (libm == DuckDB ``ln``) and ``1.0/d`` a double division; expected
+    count ``n * e`` reused as a common subexpression; the squared
+    deviation is written ``diff * diff`` (never ``pow`` — libm ``pow``
+    is not guaranteed bit-equal to the product)."""
+
+    def digit_partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        if cents.size == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n_obs": pa.array([], pa.int64())})
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        cnt = np.bincount(first.to_numpy(), minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10)),
+                         "n_obs": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(digit_partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby("digit", sort=True)["n_obs"].sum().reindex(
+        range(1, 10), fill_value=0)
+    n = int(c.sum())
+    ln10 = math.log(10.0)
+    rows = []
+    for d in range(1, 10):
+        e = math.log(1.0 + 1.0 / d) / ln10
+        exp_n = n * e
+        diff = int(c[d]) - exp_n
+        rows.append((d, int(c[d]), e, diff * diff / exp_n))
+    return pd.DataFrame(rows, columns=["digit", "n_obs", "p_expected",
+                                       "contrib"]).astype(
+        {"digit": np.int64, "n_obs": np.int64})

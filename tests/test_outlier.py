@@ -79,3 +79,52 @@ def test_hbos_batching_invariance(ray_session):
     one = hbos_outliers(_events(vals, ts))
     many = hbos_outliers(_events(vals, ts).repartition(17))
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- Benford first-digit audit -----------------------------------------------
+
+def test_benford_matches_scalar_twin(ray_session):
+    from sits_ray.stages.outlier import benford_digits
+
+    rng = np.random.default_rng(21)
+    # log-uniform values follow Benford closely
+    vals = np.exp(rng.uniform(0, 12, 2000))
+    ds = rd.from_pandas(pd.DataFrame({"value": vals}))
+    out = benford_digits(ds)
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    cents = cents[cents > 0]
+    first = pd.Series(cents).astype(str).str[0].astype(int)
+    cnt = np.bincount(first, minlength=10)[1:10]
+    n = int(cnt.sum())
+    for d in range(1, 10):
+        e = math.log(1.0 + 1.0 / d) / math.log(10.0)
+        diff = int(cnt[d - 1]) - n * e
+        row = out.loc[out["digit"] == d]
+        assert row["n_obs"].item() == int(cnt[d - 1])
+        assert row["contrib"].item() == diff * diff / (n * e)  # bit-exact
+    # log-uniform data passes the test: chi2(8 dof, 0.001) ~ 26.1
+    assert out["contrib"].sum() < 26.1
+
+
+def test_benford_flags_fabricated_uniform(ray_session):
+    from sits_ray.stages.outlier import benford_digits
+
+    # uniform [100, 1000) cents: every first digit equally likely ->
+    # gross Benford violation, huge chi2
+    rng = np.random.default_rng(4)
+    vals = rng.uniform(1.0, 10.0, 2000)
+    out = benford_digits(rd.from_pandas(pd.DataFrame({"value": vals})))
+    assert out["contrib"].sum() > 100.0
+
+
+def test_benford_excludes_nonpositive_and_batches(ray_session):
+    from sits_ray.stages.outlier import benford_digits
+
+    vals = np.r_[[-5.0, 0.0, 0.001], np.exp(np.linspace(0, 9, 400))]
+    ds = rd.from_pandas(pd.DataFrame({"value": vals}))
+    out = benford_digits(ds)
+    # -5.0, 0.0 and 0.001 (cents<=0) are excluded
+    assert out["n_obs"].sum() == 400
+    many = benford_digits(
+        rd.from_pandas(pd.DataFrame({"value": vals})).repartition(11))
+    pd.testing.assert_frame_equal(out, many)
