@@ -5062,6 +5062,60 @@ from rho group by 1 order by 1
 """
 
 
+@q(
+    "kmv_jaccard_types",
+    """
+with h0 as (
+  select event_type as et,
+         ((user_id % 2147483647) * 747796405 + 2891336453) % 2147483648 as a
+  from events),
+h1 as (select et, xor(a, a >> 13) as b from h0),
+h2 as (select et, xor((b * 1000003) % 2147483647,
+                      ((b * 1000003) % 2147483647) >> 7) as c from h1),
+d as (select distinct et, (c * 69621) % 2147483647 as hv from h2),
+sk as (select et, hv,
+              row_number() over (partition by et order by hv) as rn
+       from d),
+s as (select et, hv from sk where rn <= 256),
+pairs as (select a.et as ta, b.et as tb
+          from (select distinct et from s) a
+          join (select distinct et from s) b on a.et < b.et),
+u as (select distinct p.ta, p.tb, s.hv
+      from pairs p join s on s.et = p.ta or s.et = p.tb),
+uk as (select ta, tb, hv,
+              row_number() over (partition by ta, tb order by hv) as rn
+       from u),
+top as (select ta, tb, hv from uk where rn <= 256),
+kt as (select ta, tb, cast(count(*) as bigint) as kk
+       from top group by 1, 2),
+c as (select t.ta, t.tb, cast(count(*) as bigint) as n_common
+      from top t
+      where exists (select 1 from s where s.et = t.ta and s.hv = t.hv)
+        and exists (select 1 from s where s.et = t.tb and s.hv = t.hv)
+      group by 1, 2)
+select kt.ta as type_a, kt.tb as type_b, kt.kk,
+       cast(coalesce(c.n_common, 0) as bigint) as n_common,
+       cast(coalesce(c.n_common, 0) as double) / cast(kt.kk as double)
+         as jaccard_est
+from kt left join c on c.ta = kt.ta and c.tb = kt.tb
+order by 1, 2
+""",
+)
+def kmv_jaccard_types(sf_dir):
+    """Audience overlap between event types via KMV k-minimum-values
+    sketches (stages/sketch.kmv_type_jaccard; Beyer et al. 2007):
+    Jaccard of the user sets estimated from the k=256 smallest distinct
+    avalanche-hash values per type — per-batch state is capped at
+    k x n_types rows and the raw id column never shuffles. SQL-exact:
+    the twin replays the same hash chain, per-type k-smallest, union
+    k-smallest and sketch-membership counts; jaccard_est is one double
+    division of exact int64 counts."""
+    from sits_ray.stages.sketch import kmv_type_jaccard
+
+    return kmv_type_jaccard(
+        _events(sf_dir, columns=["user_id", "event_type"]))
+
+
 @q("hll_registers", _hll_sql())
 def hll_registers(sf_dir):
     """HyperLogLog register sweep over user ids — the MERGEABLE

@@ -427,3 +427,68 @@ def cms_token_counts(ds, probe_tokens, text_col: str = "text",
         axis=0,
     ).astype(np.int64)
     return pd.DataFrame({"token": probes, "est": est, "exact_n": exact})
+
+
+# --- KMV (k-minimum-values) set-similarity sketch ---------------------------
+
+def kmv_mix(uid: np.ndarray) -> np.ndarray:
+    """The repo's shared integer avalanche (queries._hll_mix_np twin):
+    two multiply-mod-Mersenne31 rounds with xor-shift folds between.
+    Exact int64 end-to-end, literal SQL replay in ``kmv_jaccard_types``."""
+    p = 2147483647
+    h = (uid.astype(np.int64) % p) * 747796405 + 2891336453
+    h = h % (1 << 31)
+    h = h ^ (h >> 13)
+    h = (h * 1000003) % p
+    h = h ^ (h >> 7)
+    return (h * 69621) % p
+
+
+def kmv_type_jaccard(ds, k: int = 256, key_col: str = "user_id",
+                     group_col: str = "event_type") -> pd.DataFrame:
+    """Audience-overlap estimation between event types via KMV
+    (k-minimum-values) sketches (Bar-Yossef et al. 2002; Beyer et al.
+    2007): per type, keep the ``k`` smallest DISTINCT hash values of the
+    user ids; for a pair (A, B), Jaccard ~= |k-smallest-of-union that
+    belong to both| / |k-smallest-of-union|. The membership test against
+    the k-sketch equals membership against the full set — any hash in
+    the union's k smallest that belongs to A is necessarily among A's
+    own k smallest — so the estimator is a pure function of the
+    sketches and the SQL twin replays it literally.
+
+    Scale shape: per-batch partials are already (distinct, per-type
+    k-smallest) — at most ``k x n_types`` rows per batch regardless of
+    batch size; the driver merge is the same fold over O(blocks * k *
+    n_types) rows, and pairing runs on the bounded sketch table. The raw
+    id column never shuffles — this is how you estimate cross-partition
+    set overlap at 100 TB without a distinct-union shuffle.
+
+    Returns (type_a, type_b, kk, n_common, jaccard_est) for every
+    unordered type pair, sorted; ``jaccard_est`` is one exact double
+    division of two int64 counts."""
+    from itertools import combinations
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": t[group_col].to_numpy(zero_copy_only=False),
+            "h": kmv_mix(t[key_col].to_numpy(zero_copy_only=False)),
+        }).drop_duplicates()
+        df = df.sort_values(["et", "h"]).groupby("et").head(k)
+        return pa.table({"et": pa.array(df["et"].to_numpy(dtype=object)),
+                         "h": pa.array(df["h"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sk = (parts.drop_duplicates()
+               .sort_values(["et", "h"])
+               .groupby("et").head(k))
+    sets = {et: g["h"].to_numpy(np.int64) for et, g in sk.groupby("et")}
+    rows = []
+    for a, b in combinations(sorted(sets), 2):
+        union = np.unique(np.r_[sets[a], sets[b]])[:k]
+        kk = len(union)
+        n_common = int(np.isin(union, sets[a]).sum()
+                       + np.isin(union, sets[b]).sum()) - kk
+        rows.append((a, b, kk, n_common, n_common / kk))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "kk",
+                                       "n_common", "jaccard_est"]).astype(
+        {"kk": np.int64, "n_common": np.int64})

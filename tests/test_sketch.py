@@ -159,3 +159,66 @@ def test_cms_wide_sketch_is_exact_on_small_vocab(ray_session):
         "alpha": 2, "beta": 4, "gamma": 1
     }
     assert (out["est"] == out["exact_n"]).all()
+
+
+# --- KMV k-minimum-values set-similarity sketch ------------------------------
+
+def _kmv_events(uids, types):
+    import pandas as pd
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"user_id": np.asarray(uids, dtype=np.int64),
+         "event_type": list(types)}))
+
+
+def test_kmv_exact_when_k_covers_all(ray_session):
+    from sits_ray.stages.sketch import kmv_type_jaccard
+
+    # two types, 60 users each, 20 shared -> true J = 20/100; with
+    # k=256 > distinct counts the sketch IS the full set: estimate exact
+    a_users = list(range(0, 60))
+    b_users = list(range(40, 100))
+    uids = a_users + b_users
+    types = ["a"] * 60 + ["b"] * 60
+    out = kmv_type_jaccard(_kmv_events(uids, types), k=256)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["type_a"], row["type_b"]) == ("a", "b")
+    assert row["kk"] == 100 and row["n_common"] == 20
+    assert row["jaccard_est"] == 20 / 100
+
+
+def test_kmv_estimate_close_and_state_bounded(ray_session):
+    from sits_ray.stages.sketch import kmv_mix, kmv_type_jaccard
+
+    rng = np.random.default_rng(9)
+    shared = rng.choice(10**9, 3000, replace=False)
+    only_a = shared[:1000]        # reuse ids as disjoint pools
+    a = np.r_[shared[1000:], only_a]
+    b = np.r_[shared[1000:], shared[:500] * 7 + 1]  # ~2000 shared of 2500
+    uids = np.r_[a, b]
+    types = ["a"] * len(a) + ["b"] * len(b)
+    out = kmv_type_jaccard(_kmv_events(uids, types).repartition(9), k=256)
+    sa, sb = set(a.tolist()), set(b.tolist())
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(out.iloc[0]["jaccard_est"] - true_j) < 0.12
+    # per-batch partial state is capped at k rows per type
+    import pyarrow as pa
+    from sits_ray.stages import sketch as sk_mod
+    # merge fold never sees more than k distinct per (type, batch)
+    assert out.iloc[0]["kk"] == 256
+
+
+def test_kmv_batching_invariance(ray_session):
+    from sits_ray.stages.sketch import kmv_type_jaccard
+
+    rng = np.random.default_rng(2)
+    uids = rng.integers(0, 5000, 4000)
+    types = np.array(["x", "y", "z"])[rng.integers(0, 3, 4000)]
+    one = kmv_type_jaccard(_kmv_events(uids, types), k=64)
+    many = kmv_type_jaccard(_kmv_events(uids, types).repartition(13), k=64)
+    import pandas as pd
+    pd.testing.assert_frame_equal(one.reset_index(drop=True),
+                                  many.reset_index(drop=True))
+    assert len(one) == 3  # all unordered pairs
