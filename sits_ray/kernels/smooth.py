@@ -304,3 +304,47 @@ def goertzel_power(m: np.ndarray, period: float = 7.0) -> np.ndarray:
         s2 = s1
         s1 = s_new
     return (s1 * s1 + s2 * s2) - coeff * (s1 * s2)
+
+
+def croston(m: np.ndarray, alpha: float = 0.2):
+    """Croston's method for intermittent demand (Croston 1972), vectorized
+    across series (rows): two exponential smoothers run ONLY on nonzero
+    demands — ``z`` over the demand sizes and ``p`` over the inter-demand
+    intervals — with the forecast ``z / p``. The estimator of record for
+    sparse count series (a per-day tool-usage series is mostly zeros,
+    where plain ewma/Holt systematically lag).
+
+    Walk (t is 0-based; states start z = p = q = 0, started = false):
+    first nonzero demand at position t: ``z = y_t``, ``p = t + 1``;
+    later nonzero demands: ``z' = alpha*y + (1-alpha)*z``,
+    ``p' = alpha*q + (1-alpha)*p`` with ``q`` = periods since the last
+    demand; ``q`` resets to 1 on demand, else increments. Operand order
+    is pinned exactly as written so a recursive-CTE twin carrying
+    (z, p, q, started) is bit-exact; masked lanes select the literal
+    expression via np.where (selected lanes compute exactly the scalar
+    walk).
+
+    Returns (z, p, n_demand): final size/interval estimates and the
+    nonzero-demand count per series (0 where the series never demands —
+    the caller drops those rows; z/p is undefined there)."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    rows, T = m.shape
+    a, oma = alpha, 1.0 - alpha
+    z = np.zeros(rows)
+    p = np.zeros(rows)
+    q = np.zeros(rows)
+    started = np.zeros(rows, dtype=bool)
+    nd = np.zeros(rows, dtype=np.int64)
+    for t in range(T):
+        y = m[:, t]
+        pos = y > 0.0
+        upd = started & pos
+        z = np.where(upd, a * y + oma * z, z)
+        p = np.where(upd, a * q + oma * p, p)
+        st = ~started & pos
+        z = np.where(st, y, z)
+        p = np.where(st, float(t + 1), p)
+        started |= pos
+        q = np.where(pos, 1.0, q + 1.0)
+        nd += pos
+    return z, p, nd

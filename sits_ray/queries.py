@@ -8018,6 +8018,94 @@ from walk
 """
 
 
+def _croston_sql(alpha: float = 0.2) -> str:
+    """Recursive-CTE twin of kernels/smooth.croston: four states
+    (z, p, q, started) + the demand counter carried through the
+    position-indexed walk over the per-conv daily tool-demand grid; the
+    conditional updates replicate the kernel's np.where lanes as CASE
+    arms with identical literal expressions."""
+    a = f"{float(alpha):.17e}"
+    oma = f"{1.0 - float(alpha):.17e}"
+    return f"""
+with obs as (
+  select user_id as conv_id, date_trunc('day', ts) as bucket_ts,
+         cast(count(*) filter (where event_type = 'click') as bigint) as y
+  from events group by 1, 2),
+bounds as (select conv_id, min(bucket_ts) as mn, max(bucket_ts) as mx
+           from obs group by 1),
+grid as (
+  select conv_id, unnest(generate_series(mn, mx, interval '1 day'))
+           as bucket_ts
+  from bounds),
+ser as materialized (
+  select g.conv_id,
+         list(coalesce(o.y, 0) order by g.bucket_ts) as ys,
+         count(*)::BIGINT as n
+  from grid g left join obs o using (conv_id, bucket_ts)
+  group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 1::BIGINT as i, n, ys,
+           case when ys[1] > 0 then cast(ys[1] as double)
+                else 0.0e0 end as z,
+           case when ys[1] > 0 then 1.0e0 else 0.0e0 end as p,
+           1.0e0 as q,
+           ys[1] > 0 as started,
+           cast(case when ys[1] > 0 then 1 else 0 end as bigint) as nd
+    from ser
+    union all
+    select conv_id, i + 1, n, ys,
+           case when started and ys[i + 1] > 0
+                  then {a} * cast(ys[i + 1] as double) + {oma} * z
+                when not started and ys[i + 1] > 0
+                  then cast(ys[i + 1] as double)
+                else z end,
+           case when started and ys[i + 1] > 0 then {a} * q + {oma} * p
+                when not started and ys[i + 1] > 0
+                  then cast(i + 1 as double)
+                else p end,
+           case when ys[i + 1] > 0 then 1.0e0 else q + 1.0e0 end,
+           started or ys[i + 1] > 0,
+           nd + case when ys[i + 1] > 0 then 1 else 0 end
+    from w where i < n)
+  select * from w)
+select conv_id, n as n_days, nd as n_demand,
+       z as z_size, p as p_interval, z / p as croston_fc
+from walk
+where i = n and nd > 0
+order by conv_id
+"""
+
+
+@q("croston_tool_demand", _croston_sql())
+def croston_tool_demand(sf_dir):
+    """Croston intermittent-demand forecast (Croston 1972) of per-conv
+    daily tool usage: the tool_calls series is mostly zeros, exactly the
+    regime where ewma/Holt lag — Croston smooths demand SIZES and
+    inter-demand INTERVALS separately and forecasts their ratio. One
+    nested-form map emits one row per conversation with a demand (no
+    per-conv shuffle); SQL-exact via a four-state recursive-CTE walk
+    (kernels/smooth.croston), croston_fc one exact double division."""
+    from sits_ray.kernels.smooth import croston
+    from sits_ray.stages.series_ops import series_features
+
+    nested = _nested_tier(sf_dir, "1d")
+
+    def run(b: pa.Table) -> pa.Table:
+        t = series_features(
+            b,
+            lambda m: dict(zip(("z_size", "p_interval", "n_demand"),
+                               croston(m))),
+            value_col="tool_calls",
+            extra_builders={"n_days": lambda lens: lens.astype(np.int64)},
+        )
+        t = t.filter(pc.greater(t["n_demand"], 0))
+        return t.append_column(
+            "croston_fc", pc.divide(t["z_size"], t["p_interval"]))
+
+    return nested.map_batches(run, batch_format="pyarrow")
+
+
 @q("holt_daily", _holt_sql())
 def holt_daily(sf_dir):
     """Holt double-exponential (level+trend) smoothing (alpha=0.3,

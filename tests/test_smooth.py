@@ -272,3 +272,53 @@ def test_goertzel_scalar_parity_and_empty():
             s1, s2 = (m[r, t] + co * s1) - s2, s1
         assert got[r] == (s1 * s1 + s2 * s2) - co * (s1 * s2)
     assert goertzel_power(np.empty((2, 0))).tolist() == [0.0, 0.0]
+
+
+# --- Croston intermittent-demand smoother ------------------------------------
+
+def test_croston_scalar_walk_parity():
+    from sits_ray.kernels.smooth import croston
+
+    rng = np.random.default_rng(17)
+    # sparse demand matrix: ~70% zeros
+    m = rng.integers(0, 4, (40, 60)).astype(np.float64)
+    m[rng.random((40, 60)) < 0.5] = 0.0
+    z, p, nd = croston(m)
+    a, oma = 0.2, 0.8
+    for r in range(40):
+        zz = pp = qq = 0.0
+        started = False
+        cnt = 0
+        for t in range(60):
+            y = m[r, t]
+            if y > 0:
+                if started:
+                    zz = a * y + oma * zz
+                    pp = a * qq + oma * pp
+                else:
+                    zz, pp, started = y, float(t + 1), True
+                qq = 1.0
+                cnt += 1
+            else:
+                qq += 1.0
+        assert z[r] == zz and p[r] == pp and nd[r] == cnt  # bit-exact
+
+
+def test_croston_edge_rows():
+    from sits_ray.kernels.smooth import croston
+
+    m = np.array([
+        [0, 0, 0, 0],        # never demands -> nd 0, caller drops
+        [0, 0, 0, 7],        # first demand at the last step
+        [3, 3, 3, 3],        # constant demand: z stays 3, p stays 1
+    ], dtype=np.float64)
+    z, p, nd = croston(m)
+    assert nd[0] == 0
+    assert (z[1], p[1], nd[1]) == (7.0, 4.0, 1)
+    # constant demand: z hovers at 3 (each step a*3 + (1-a)*z, IEEE
+    # rounding keeps it within ulps), p exactly 1 (a*1 + (1-a)*1 folds
+    # to 1.0 in doubles)
+    assert abs(z[2] - 3.0) < 1e-12 and p[2] == 1.0 and nd[2] == 4
+    # constant demand every other day: p converges toward 2
+    z2, p2, nd2 = croston(np.array([[2, 0] * 20], dtype=np.float64))
+    assert abs(p2[0] - 2.0) < 0.2 and abs(z2[0] - 2.0) < 1e-12
