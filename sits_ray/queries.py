@@ -5063,6 +5063,50 @@ from rho group by 1 order by 1
 
 
 @q(
+    "gini_conv_volume",
+    """
+with c as (select user_id, cast(count(*) as bigint) as x
+           from events group by 1),
+nt as (select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as s
+       from c),
+r as (select x,
+             row_number() over (order by x, user_id) as ra,
+             row_number() over (order by x desc, user_id) as rd
+      from c),
+g as (select cast(sum(cast(ra as hugeint) * cast(x as hugeint)) as hugeint)
+               as s1
+      from r),
+t as (select
+        cast(sum(x) filter (where rd <= greatest(1, nt.n // 10)) as bigint)
+          as e10,
+        cast(sum(x) filter (where rd <= greatest(1, nt.n // 100)) as bigint)
+          as e1
+      from r cross join nt group by nt.n)
+select nt.n as n_convs, nt.s as n_events,
+       cast(2 * g.s1 - (cast(nt.n as hugeint) + 1) * cast(nt.s as hugeint)
+            as double)
+         / cast(cast(nt.n as hugeint) * cast(nt.s as hugeint) as double)
+         as gini,
+       cast(t.e10 as double) / cast(nt.s as double) as top10_share,
+       cast(t.e1 as double) / cast(nt.s as double) as top1_share
+from nt cross join g cross join t
+""",
+)
+def gini_conv_volume(sf_dir):
+    """Traffic-concentration audit: exact Gini coefficient and
+    top-10%/top-1% event shares over per-conversation volumes
+    (stages/concentration.gini_concentration) — "5% of convs carry 60%
+    of events", computed WITHOUT a global sort: per-batch partial
+    counts, one part_aggregate exchange to co-locate each conv, bounded
+    (total -> frequency) histograms to the driver, tie-block rank
+    arithmetic in exact Python bigints (SQL twin: HUGEINT). SQL-exact:
+    integer numerators, three final double divisions."""
+    from sits_ray.stages.concentration import gini_concentration
+
+    return gini_concentration(_events(sf_dir, columns=["user_id"]))
+
+
+@q(
     "kmv_jaccard_types",
     """
 with h0 as (
