@@ -8062,6 +8062,80 @@ from walk
 """
 
 
+_KLEINBERG_SQL = """
+with e as (
+  select user_id, epoch_us(ts) as us,
+         row_number() over (partition by user_id order by ts, event_id)
+           as i
+  from events),
+gaps as (
+  select a.user_id, a.i - 1 as gi, (b.us - a.us) / 1.0e6 as x
+  from e a join e b on b.user_id = a.user_id and b.i = a.i + 1),
+ser as materialized (
+  select g.user_id as conv_id,
+         list(x order by gi) as xs,
+         cast(count(*) as bigint) as n,
+         any_value(ok.span_us) as span_us
+  from gaps g
+  join (select user_id, max(us) - min(us) as span_us
+        from e group by user_id
+        having max(us) > min(us)) ok on ok.user_id = g.user_id
+  group by 1),
+prm as (
+  select conv_id, xs, n,
+         cast(n as double) / (cast(span_us as double) / 1.0e6) as l0
+  from ser),
+prm2 as (
+  select conv_id, xs, n, l0, ln(l0) as lnl0,
+         2.0e0 * l0 as l1, ln(2.0e0 * l0) as lnl1,
+         ln(cast(n as double)) as gam
+  from prm),
+walk as (
+  with recursive w as (
+    select conv_id, 0::BIGINT as i, n, xs, l0, lnl0, l1, lnl1, gam,
+           0.0e0 as c0, cast('infinity' as double) as c1,
+           0::BIGINT as nb0, 0::BIGINT as nb1,
+           0::BIGINT as k0, 0::BIGINT as k1
+    from prm2
+    union all
+    select conv_id, i + 1, n, xs, l0, lnl0, l1, lnl1, gam,
+           least(c0, c1) + (l0 * xs[i + 1] - lnl0),
+           (case when c1 <= c0 + gam then c1 else c0 + gam end)
+             + (l1 * xs[i + 1] - lnl1),
+           case when c0 <= c1 then nb0 else nb1 end,
+           (case when c1 <= c0 + gam then nb1 else nb0 end) + 1,
+           case when c0 <= c1 then k0 else k1 end,
+           case when c1 <= c0 + gam then k1 else k0 + 1 end
+    from w where i < n)
+  select * from w)
+select conv_id, n as n_gaps,
+       case when c0 <= c1 then nb0 else nb1 end as burst_gaps,
+       case when c0 <= c1 then k0 else k1 end as n_bursts,
+       least(c0, c1) as viterbi_cost
+from walk
+where i = n
+order by conv_id
+"""
+
+
+@q("kleinberg_bursts", _KLEINBERG_SQL)
+def kleinberg_bursts(sf_dir):
+    """Kleinberg two-state burst detection (KDD 2002) over inter-event
+    gaps: Viterbi between base rate l0 = n/T and burst rate 2*l0 with
+    exponential costs and a ln(n) entry toll; burst-gap and episode
+    counts accumulate along the DP so no backtrack pass is needed
+    (stages/eventops.kleinberg_bursts_kernel). One conv shuffle,
+    vectorized across conversations; SQL-exact: six-state recursive-CTE
+    walk, per-conv rates via ordered list_reduce gap sums, ln through
+    libm on both engines, <= tie rules in matching CASE arms."""
+    from sits_ray.stages.eventops import (kleinberg_bursts_kernel,
+                                          map_conv_partitions)
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    return map_conv_partitions(ds, kleinberg_bursts_kernel,
+                               key="user_id", order_col="event_id")
+
+
 def _croston_sql(alpha: float = 0.2) -> str:
     """Recursive-CTE twin of kernels/smooth.croston: four states
     (z, p, q, started) + the demand counter carried through the

@@ -17,6 +17,8 @@ per-segment sorted picks.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1832,3 +1834,96 @@ def km_survival(ds, death_type: str = "purchase",
             "surv": np.multiply.accumulate(factors),
         }
     )
+
+
+def kleinberg_bursts_kernel(g: pa.Table) -> pa.Table:
+    """Kleinberg two-state burst detection (Kleinberg, KDD 2002) over
+    each conversation's inter-event gaps: a Viterbi walk between a base
+    state (rate l0 = n/T) and a burst state (rate l1 = 2*l0) with
+    exponential gap costs ``l*x - ln(l)`` and a one-way entry toll
+    ``ln(n)``. Instead of a backtrack, burst statistics ride ALONG the
+    DP (standard Viterbi statistic accumulation): each state carries the
+    burst-gap count and burst-episode count of its best path, so the
+    output is (cost, burst_gaps, n_bursts) per conversation with no
+    second pass.
+
+    Vectorized ACROSS conversations: one np.where step per time index
+    over the active lanes (the matrix-profile iteration shape); the only
+    per-conv Python is three ``math.log`` calls (libm == DuckDB ``ln`` —
+    np.log diverges on ~20% of inputs, see CLAUDE.md). Tie rules pinned
+    with ``<=`` (prefer base state / prefer staying in burst) and
+    mirrored by the SQL twin's CASE arms; the cost fold is
+    strict-sequential, replayed by a recursive CTE carrying
+    (c0, c1, nb0, nb1, k0, k1)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(g)
+    empty = pa.table({
+        "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                            else pa.int64()),
+        "n_gaps": pa.array([], pa.int64()),
+        "burst_gaps": pa.array([], pa.int64()),
+        "n_bursts": pa.array([], pa.int64()),
+        "viterbi_cost": pa.array([], pa.float64()),
+    })
+    if codes.size == 0:
+        return empty
+    same = codes[1:] == codes[:-1]
+    gaps_us = (ts[1:] - ts[:-1])[same]
+    cnt = (ends - starts).astype(np.int64)
+    ng = np.maximum(cnt - 1, 0)
+    x = gaps_us.astype(np.float64) / 1.0e6
+    goff = np.r_[0, np.cumsum(ng)][:-1]
+    n_conv = starts.size
+    span_s = (ts[ends - 1] - ts[starts]).astype(np.float64) / 1.0e6
+    # span 0 (every event on one microsecond) makes l0 infinite — no
+    # time structure to model; excluded on both sides (SQL: mx > mn)
+    keep = (ng > 0) & (span_s > 0.0)
+    if not keep.any():
+        return empty
+    nf = ng.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l0 = nf / span_s
+    l1 = 2.0 * l0
+    lnl0 = np.zeros(n_conv)
+    lnl1 = np.zeros(n_conv)
+    gam = np.zeros(n_conv)
+    for i in np.flatnonzero(keep):
+        lnl0[i] = math.log(l0[i])
+        lnl1[i] = math.log(l1[i])
+        gam[i] = math.log(nf[i])
+    c0 = np.zeros(n_conv)
+    c1 = np.full(n_conv, np.inf)
+    nb0 = np.zeros(n_conv, dtype=np.int64)
+    nb1 = np.zeros(n_conv, dtype=np.int64)
+    k0 = np.zeros(n_conv, dtype=np.int64)
+    k1 = np.zeros(n_conv, dtype=np.int64)
+    for t in range(int(ng.max())):
+        act = ng > t
+        xi = np.zeros(n_conv)
+        xi[act] = x[goff[act] + t]
+        pred0_is0 = c0 <= c1
+        new_c0 = np.minimum(c0, c1) + (l0 * xi - lnl0)
+        jump = c0 + gam
+        stay = c1 <= jump
+        new_c1 = np.where(stay, c1, jump) + (l1 * xi - lnl1)
+        new_nb0 = np.where(pred0_is0, nb0, nb1)
+        new_k0 = np.where(pred0_is0, k0, k1)
+        new_nb1 = np.where(stay, nb1, nb0) + 1
+        new_k1 = np.where(stay, k1, k0 + 1)
+        c0 = np.where(act, new_c0, c0)
+        c1 = np.where(act, new_c1, c1)
+        nb0 = np.where(act, new_nb0, nb0)
+        nb1 = np.where(act, new_nb1, nb1)
+        k0 = np.where(act, new_k0, k0)
+        k1 = np.where(act, new_k1, k1)
+    base_best = c0 <= c1
+    cost = np.where(base_best, c0, c1)
+    nb = np.where(base_best, nb0, nb1)
+    k = np.where(base_best, k0, k1)
+    sel = np.flatnonzero(keep)
+    return pa.table({
+        "conv_id": pc.take(conv_vals, pa.array(sel)),
+        "n_gaps": pa.array(ng[sel]),
+        "burst_gaps": pa.array(nb[sel]),
+        "n_bursts": pa.array(k[sel]),
+        "viterbi_cost": pa.array(cost[sel]),
+    })

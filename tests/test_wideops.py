@@ -2,6 +2,7 @@
 Jaccard dedup — kernel edge cases + brute-force parity + one distributed
 end-to-end run."""
 
+import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1167,3 +1168,94 @@ def test_km_survival_bruteforce_with_censoring(ray_session):
     assert out.surv.tolist() == [s0, s2, s5]
     # survival only among converted after last death bucket
     assert out.surv.iloc[-1] == s2
+
+
+# --- Kleinberg two-state burst detection --------------------------------------
+
+def _kb_table(convs):
+    """convs: {conv_id: [ts_us,...]} -> sorted event table."""
+    rows = []
+    for cid, tss in convs.items():
+        for j, t in enumerate(tss):
+            rows.append((cid, j + 1, t))
+    df = pd.DataFrame(rows, columns=["conv_id", "order", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df["part_id"] = 0
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _kb_scalar(ts_us):
+    """Reference: full Viterbi with explicit backtrack."""
+    ts = np.asarray(ts_us, dtype=np.int64)
+    x = (ts[1:] - ts[:-1]).astype(np.float64) / 1.0e6
+    n = len(x)
+    span = float(ts[-1] - ts[0]) / 1.0e6
+    l0 = n / span
+    l1, gam = 2.0 * l0, math.log(float(n))
+    INF = float("inf")
+    c = [(0.0, INF)]
+    back = []
+    for xi in x:
+        c0, c1 = c[-1]
+        p0 = 0 if c0 <= c1 else 1
+        n0 = min(c0, c1) + (l0 * xi - math.log(l0))
+        stay = c1 <= c0 + gam
+        n1 = (c1 if stay else c0 + gam) + (l1 * xi - math.log(l1))
+        back.append((p0, 1 if stay else 0))
+        c.append((n0, n1))
+    c0, c1 = c[-1]
+    st = 0 if c0 <= c1 else 1
+    cost = min(c0, c1)
+    nb = k = 0
+    path = []
+    for t in range(n - 1, -1, -1):
+        path.append(st)
+        st = back[t][st]
+    path.reverse()
+    nb = sum(path)
+    k = sum(1 for t in range(n) if path[t] == 1 and (t == 0 or path[t - 1] == 0))
+    return n, nb, k, cost
+
+
+def test_kleinberg_matches_backtracked_viterbi(ray_session):
+    from sits_ray.stages.eventops import kleinberg_bursts_kernel
+
+    rng = np.random.default_rng(31)
+    convs = {}
+    for cid in range(1, 9):
+        # mixed regime: slow stretch, dense burst, slow stretch
+        slow1 = np.cumsum(rng.integers(50, 200, 10)) * 1_000_000
+        burst = slow1[-1] + np.cumsum(rng.integers(1, 6, 12)) * 1_000_000
+        slow2 = burst[-1] + np.cumsum(rng.integers(50, 200, 8)) * 1_000_000
+        convs[cid] = np.r_[0, slow1, burst, slow2].tolist()
+    out = kleinberg_bursts_kernel(_kb_table(convs)).to_pandas() \
+        .set_index("conv_id")
+    for cid, tss in convs.items():
+        n, nb, k, cost = _kb_scalar(tss)
+        row = out.loc[cid]
+        assert row["n_gaps"] == n
+        assert row["burst_gaps"] == nb      # accumulated == backtracked
+        assert row["n_bursts"] == k
+        assert row["viterbi_cost"] == cost  # bit-exact fold
+        assert k >= 1                       # the planted burst is found
+
+
+def test_kleinberg_uniform_gaps_no_burst(ray_session):
+    from sits_ray.stages.eventops import kleinberg_bursts_kernel
+
+    convs = {7: (np.arange(30) * 60_000_000).tolist()}
+    out = kleinberg_bursts_kernel(_kb_table(convs)).to_pandas()
+    assert out.loc[0, "n_bursts"] == 0
+    assert out.loc[0, "burst_gaps"] == 0
+
+
+def test_kleinberg_degenerate_convs_excluded(ray_session):
+    from sits_ray.stages.eventops import kleinberg_bursts_kernel
+
+    convs = {
+        1: [5_000_000],                       # single event: no gaps
+        2: [9_000_000, 9_000_000, 9_000_000],  # zero span
+        3: [0, 1_000_000, 2_000_000, 60_000_000],
+    }
+    out = kleinberg_bursts_kernel(_kb_table(convs)).to_pandas()
+    assert out["conv_id"].tolist() == [3]
