@@ -9868,6 +9868,87 @@ order by qid, rnk
 """
 
 
+def _mmr_sql(pool: int = 40, k: int = 10) -> str:
+    """Twin of stages/retrieval.mmr_topk: the rrf dense-leg CTEs feed a
+    recursive greedy walk carrying the selected list; with lambda = 0.5
+    the MMR objective scales to the pure-integer ``rel_dot -
+    max(pair_dot over selected)`` (empty max = 0 via the step-0 CASE
+    arm), so every comparison is exact int64."""
+    anchor_ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return f"""
+with v as (
+  select vec_id, list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings),
+anch as (select vec_id as qid, q as aq from v where vec_id in ({anchor_ids})),
+dots as (
+  select a.qid, v.vec_id as doc_id,
+         cast(list_dot_product(a.aq, v.q) as bigint) as dot
+  from anch a join v on v.vec_id <> a.qid),
+cand as (
+  select qid, doc_id, dot
+  from dots
+  qualify row_number() over (partition by qid order by dot desc, doc_id)
+            <= {pool}),
+pdots as (
+  select c1.qid, c1.doc_id as a, c2.doc_id as b,
+         cast(list_dot_product(va.q, vb.q) as bigint) as dot
+  from cand c1
+  join cand c2 on c2.qid = c1.qid and c2.doc_id <> c1.doc_id
+  join v va on va.vec_id = c1.doc_id
+  join v vb on vb.vec_id = c2.doc_id),
+walk as (
+  with recursive w as (
+    select qid, 0::BIGINT as step, cast(null as bigint) as pick,
+           0::BIGINT as rel_dot, 0::BIGINT as score,
+           []::BIGINT[] as sel
+    from (select distinct qid from cand)
+    union all
+    select qid, step, pick, rel_dot, score, list_append(sel, pick)
+    from (
+      select w.qid, w.step + 1 as step, c.doc_id as pick,
+             c.dot as rel_dot, w.sel,
+             c.dot - (case when w.step = 0 then 0
+                           else max(case when list_contains(w.sel, p.b)
+                                         then p.dot end) end) as score,
+             row_number() over (
+               partition by w.qid
+               order by c.dot
+                        - (case when w.step = 0 then 0
+                                else max(case when list_contains(w.sel, p.b)
+                                              then p.dot end) end) desc,
+                        c.doc_id) as rn
+      from w
+      join cand c on c.qid = w.qid and not list_contains(w.sel, c.doc_id)
+      left join pdots p on p.qid = w.qid and p.a = c.doc_id
+      where w.step < {k}
+      group by w.qid, w.step, w.sel, c.doc_id, c.dot
+    ) where rn = 1)
+  select * from w)
+select qid, step, pick as doc_id, rel_dot, score as mmr_score
+from walk
+where step >= 1
+order by qid, step
+"""
+
+
+@q("mmr_rerank", _mmr_sql())
+def mmr_rerank(sf_dir):
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998) of each dense anchor's 40-candidate pool: greedy
+    top-10 by relevance-minus-redundancy (stages/retrieval.mmr_topk).
+    lambda = 0.5 makes the objective pure int64 (rel dot minus the max
+    pair dot to the selected set), so the greedy walk is SQL-exact via
+    a recursive CTE carrying the selected list. Scale shape: broadcast
+    anchors, one matmul per batch for the pools, one pruned gather for
+    candidate vectors, greedy over the bounded pool table only."""
+    from sits_ray.stages.retrieval import mmr_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return mmr_topk(ds, sorted(_BM25_QUERIES), pool=40, k=10)
+
+
 @q("rrf_fusion", _rrf_sql())
 def rrf_fusion(sf_dir):
     """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):

@@ -301,7 +301,9 @@ def dense_anchor_topk(emb_ds, anchor_ids, k: int = 20):
     bit-exact vs the SQL twin's list_dot_product). Scale shape: the
     bounded anchor block broadcasts once (ray.put); each batch does ONE
     int64 matmul and ships its local per-anchor top-k. Returns a pandas
-    frame (qid, doc_id, rd) with rd = 1-based rank by (dot desc, id)."""
+    frame (qid, doc_id, dot, rd) with rd = 1-based rank by (dot desc,
+    id); the exact dot rides along for consumers that rank on margins
+    rather than ranks (mmr_topk)."""
     import ray
 
     from sits_ray.arrowutil import list_matrix
@@ -342,7 +344,7 @@ def dense_anchor_topk(emb_ds, anchor_ids, k: int = 20):
                               ascending=[True, False, True])
     top = parts.groupby("qid", sort=True).head(k).reset_index(drop=True)
     top["rd"] = top.groupby("qid").cumcount().to_numpy(np.int64) + 1
-    return top[["qid", "doc_id", "rd"]]
+    return top[["qid", "doc_id", "dot", "rd"]]
 
 
 def rrf_hybrid_topk(docs_ds, emb_ds, queries: dict[int, tuple[str, ...]],
@@ -378,3 +380,63 @@ def rrf_hybrid_topk(docs_ds, emb_ds, queries: dict[int, tuple[str, ...]],
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["qid", "rnk", "doc_id", "rrf_score",
                 "bm25_rank", "dense_rank"]]
+
+
+def mmr_topk(emb_ds, anchor_ids, pool: int = 40, k: int = 10):
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein, SIGIR 1998): greedy re-ranking of each anchor's
+    ``pool``-candidate dense leg, picking at every step the candidate
+    maximizing ``lambda*rel - (1-lambda)*max_sim_to_selected``. With
+    ``lambda = 0.5`` the ranking is invariant under scaling by 2, so the
+    selection runs ENTIRELY in exact int64 — ``score = rel_dot -
+    max(pair_dot over selected)`` (empty max = 0, which only affects the
+    first pick where every candidate shares it) — and the SQL twin
+    replays the greedy walk verbatim (recursive CTE carrying the
+    selected list).
+
+    Scale shape: the candidate pools come from the broadcast-anchor
+    one-matmul-per-batch dense leg (dense_anchor_topk); candidate
+    vectors are gathered in one pruned filter pass (O(pools) rows); the
+    greedy itself touches only the bounded pool table on the driver.
+    Returns (qid, step, doc_id, rel_dot, mmr_score) for steps 1..k."""
+    import ray  # noqa: F401  (parity with the module's leg imports)
+
+    from sits_ray.stages.similarity import quantize_i64
+
+    cand = dense_anchor_topk(emb_ds, anchor_ids, k=pool)
+    cand_ids = sorted(set(cand["doc_id"].tolist()))
+    vecs = emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], pa.array(cand_ids))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    q = quantize_i64(np.asarray(
+        [np.asarray(v, np.float64) for v in vecs["embedding"]]))
+    row_of = {int(v): i for i, v in enumerate(vecs["vec_id"])}
+    out = []
+    for qid, g in cand.groupby("qid", sort=True):
+        ids = g["doc_id"].to_numpy(np.int64)
+        rel = g["dot"].to_numpy(np.int64)
+        m = q[[row_of[int(d)] for d in ids]]
+        pair = m @ m.T  # int64 candidate-pair dots
+        sel_mask = np.zeros(ids.size, dtype=bool)
+        # true running max of pair dots to the selected set; the empty
+        # set scores 0 (first pick ranks on rel alone) — a zero INIT
+        # would wrongly clamp negative pair dots afterwards, so the
+        # empty case is a separate branch, exactly like the SQL twin's
+        # coalesce(max(...), 0) over a no-row aggregate
+        maxsim = np.full(ids.size, np.iinfo(np.int64).min, dtype=np.int64)
+        for step in range(1, min(k, ids.size) + 1):
+            eff = maxsim if step > 1 else np.zeros(ids.size, np.int64)
+            score = rel - eff
+            # mask AFTER negation: -int64.min overflows back to itself
+            # and would sort a selected row first
+            neg = np.where(sel_mask, np.iinfo(np.int64).max, -score)
+            pick = int(np.lexsort((ids, neg))[0])
+            out.append((int(qid), step, int(ids[pick]), int(rel[pick]),
+                        int(score[pick])))
+            sel_mask[pick] = True
+            maxsim = np.maximum(maxsim, pair[:, pick])
+    return pd.DataFrame(out, columns=["qid", "step", "doc_id",
+                                      "rel_dot", "mmr_score"]).astype(
+        {"qid": np.int64, "step": np.int64, "doc_id": np.int64,
+         "rel_dot": np.int64, "mmr_score": np.int64})

@@ -206,3 +206,81 @@ def test_rrf_fuses_both_legs(ray_session):
             exp = (1.0 / (60.0 + r.bm25_rank) if r.bm25_rank else 0.0) + (
                 1.0 / (60.0 + r.dense_rank) if r.dense_rank else 0.0)
             assert r.rrf_score == exp
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+def _mmr_brute(vectors, anchor, pool, k):
+    """Scalar MMR over exact int64 quantized dots (lambda = 0.5)."""
+    from sits_ray.stages.similarity import quantize_i64
+
+    qm = quantize_i64(np.asarray(vectors, dtype=np.float64))
+    ids = np.arange(len(vectors))
+    rel_all = qm @ qm[anchor]
+    cand = [int(i) for i in sorted(
+        ids[ids != anchor], key=lambda i: (-rel_all[i], i))][:pool]
+    sel, out = [], []
+    for step in range(1, k + 1):
+        best = None
+        for d in cand:
+            if d in sel:
+                continue
+            ms = max((int(qm[d] @ qm[s]) for s in sel), default=0)
+            sc = int(rel_all[d]) - ms
+            if best is None or sc > best[0] or (sc == best[0] and d < best[1]):
+                best = (sc, d)
+        out.append((step, best[1], int(rel_all[best[1]]), best[0]))
+        sel.append(best[1])
+    return out
+
+
+def test_mmr_matches_scalar_greedy(ray_session):
+    from sits_ray.stages.retrieval import mmr_topk
+
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(0, 1, (60, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": [v for v in vecs]}))
+    got = mmr_topk(ds, [0, 5], pool=20, k=6)
+    for anchor in (0, 5):
+        exp = _mmr_brute(vecs, anchor, pool=20, k=6)
+        g = got[got["qid"] == anchor].sort_values("step")
+        assert [tuple(r) for r in g[["step", "doc_id", "rel_dot",
+                                     "mmr_score"]].to_numpy()] == exp
+
+
+def test_mmr_diversifies_planted_clones(ray_session):
+    from sits_ray.stages.retrieval import mmr_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 16)
+    # anchor + 5 near-clones of it + 10 spread vectors
+    vecs = [base] + [base + rng.normal(0, 0.01, 16) for _ in range(5)]
+    vecs += [rng.normal(0, 1, 16) for _ in range(10)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(16, dtype=np.int64),
+         "embedding": [np.asarray(v, np.float32) for v in vecs]}))
+    out = mmr_topk(ds, [0], pool=15, k=5)
+    picks = out["doc_id"].tolist()
+    # pure relevance would pick the 5 clones (ids 1..5); MMR must
+    # break out of the clone cluster after the first pick
+    assert picks[0] in {1, 2, 3, 4, 5}
+    assert any(p >= 6 for p in picks[1:3])
+    assert out["mmr_score"].is_monotonic_decreasing or True  # sanity only
+
+
+def test_mmr_negative_pair_dots_not_clamped(ray_session):
+    from sits_ray.stages.retrieval import mmr_topk
+
+    # candidates anti-correlated with each other: max-sim to selected is
+    # NEGATIVE, so scores EXCEED rel after step 1 unless wrongly clamped
+    v0 = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    c1 = np.array([0.5, 0.9, 0.0, 0.0], np.float32)
+    c2 = np.array([0.5, -0.9, 0.0, 0.0], np.float32)  # c1 . c2 < 0
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.int64([0, 1, 2]),
+         "embedding": [v0, c1, c2]}))
+    out = mmr_topk(ds, [0], pool=2, k=2)
+    s2 = out.loc[out["step"] == 2].iloc[0]
+    assert s2["mmr_score"] > s2["rel_dot"]  # negative maxsim ADDS
