@@ -9134,6 +9134,116 @@ def conformal_sets(sf_dir):
     return ds.map_batches(conf, batch_format="pyarrow")
 
 
+# --- confident-learning label-noise detection over the seeded scorer --------
+def _confident_noise_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    qs = ", ".join(
+        f"cast(floor(exp(l{j} - mx) / z * 1000000.0e0 + 0.5e0) as bigint)"
+        f" as q{j}" for j in range(4)
+    )
+    return f"""
+with s as (
+  select e.vec_id, cast(e.label % 4 as bigint) as g,
+         {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings e),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+qq as (select vec_id, g, {qs} from zt),
+t as (select g as j, cast(sum([q0, q1, q2, q3][g + 1]) as bigint) as sj,
+             cast(count(*) as bigint) as nj
+      from qq group by 1),
+cand as (
+  select qq.vec_id, qq.g, k.k, [q0, q1, q2, q3][k.k + 1] as qk,
+         [q0, q1, q2, q3][qq.g + 1] as qg
+  from qq
+  cross join (select unnest([0, 1, 2, 3]) as k) k
+  join t on t.j = k.k
+  where [q0, q1, q2, q3][k.k + 1] * t.nj >= t.sj),
+best as (
+  select vec_id, g, k as suggested, qk, qg,
+         row_number() over (partition by vec_id order by qk desc, k) as rn
+  from cand)
+select vec_id, g as given_label, cast(suggested as bigint) as suggested_label,
+       qg as q_given, qk as q_suggested
+from best
+where rn = 1 and suggested <> g
+order by vec_id
+"""
+
+
+@q("confident_label_noise", _confident_noise_sql())
+def confident_label_noise(sf_dir):
+    """Confident-learning label-noise detection (Northcutt, Jiang & Chuang
+    2021 / cleanlab): an example is flagged when its predicted
+    probability for some OTHER class reaches that class's self-confidence
+    threshold (the mean predicted probability among examples GIVEN that
+    class); the suggested label is the highest-probability passing class.
+    Probabilities from the seeded scorer quantize to 1e-6 ints (the
+    calibration_bins cents discipline) so thresholds are exact rationals
+    (S_j, N_j) and every comparison cross-multiplies in int64 —
+    order-free, shuffle-free (two streaming passes: 4-row partials, then
+    broadcast thresholds). Given classes are label % 4 to match the
+    4-class scorer. SQL-exact end-to-end."""
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+
+    def _q(t: pa.Table):
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        q = np.floor(p * 1000000.0 + 0.5).astype(np.int64)
+        g = t["label"].to_numpy().astype(np.int64) % 4
+        return q, g
+
+    def partial(t: pa.Table) -> pa.Table:
+        q, g = _q(t)
+        js, ss, ns = [], [], []
+        for j in range(4):
+            m = g == j
+            js.append(j)
+            ss.append(int(q[m, j].sum()))
+            ns.append(int(m.sum()))
+        return pa.table({"j": pa.array(js, pa.int64()),
+                         "sj": pa.array(ss, pa.int64()),
+                         "nj": pa.array(ns, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    th = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby("j", sort=True)[["sj", "nj"]].sum())
+    S = th["sj"].to_numpy(np.int64)
+    N = th["nj"].to_numpy(np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        q, g = _q(t)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        n = q.shape[0]
+        best_k = np.full(n, -1, dtype=np.int64)
+        best_q = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        for k in range(4):
+            if N[k] == 0:
+                continue
+            ok = q[:, k] * N[k] >= S[k]
+            better = ok & (q[:, k] > best_q)  # ascending k: ties keep lower
+            best_k = np.where(better, k, best_k)
+            best_q = np.where(better, q[:, k], best_q)
+        keep = (best_k >= 0) & (best_k != g)
+        qg = q[np.arange(n), g]
+        return pa.table({
+            "vec_id": pa.array(vid[keep]),
+            "given_label": pa.array(g[keep]),
+            "suggested_label": pa.array(best_k[keep]),
+            "q_given": pa.array(qg[keep]),
+            "q_suggested": pa.array(best_q[keep]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 # --- CUSUM spike detection (eventops.cusum_kernel) ---------------------------
 @q(
     "cusum_alarms",

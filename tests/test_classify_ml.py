@@ -161,3 +161,69 @@ def test_calibration_bins_counts_and_identities(ray_session):
     assert (out["gap"] == (out["acc"] - out["avg_conf"]).abs()).all()
     # 4-class softmax confidence is > 0.25 -> bins 0/1 empty
     assert not set(out["bin"]) & {0, 1}
+
+
+# --- confident-learning label noise -------------------------------------------
+
+def test_confident_label_noise_scalar_parity(ray_session):
+    """Brute-force CL replication on sf0.001 must match the distributed
+    two-pass query row-for-row (thresholds as exact rationals)."""
+    import pyarrow.parquet as pq
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.queries import QUERIES
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["confident_label_noise"](sf)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got) \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    model = make_linear_model(64, 4, seed=13)
+    p = softmax(list_matrix(t["embedding"]) @ model["W"] + model["b"])
+    q = np.floor(p * 1e6 + 0.5).astype(np.int64)
+    g = t["label"].to_numpy().astype(np.int64) % 4
+    rows = []
+    for i in range(q.shape[0]):
+        best = None
+        for k in range(4):
+            nk = int((g == k).sum())
+            sk = int(q[g == k, k].sum())
+            if nk and q[i, k] * nk >= sk:
+                if best is None or q[i, k] > best[1]:
+                    best = (k, int(q[i, k]))
+        if best and best[0] != g[i]:
+            rows.append((int(t["vec_id"][i].as_py()), int(g[i]),
+                         best[0], int(q[i, g[i]]), best[1]))
+    exp = pd.DataFrame(rows, columns=["vec_id", "given_label",
+                                      "suggested_label", "q_given",
+                                      "q_suggested"]).sort_values("vec_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    assert len(exp) > 0  # random labels vs seeded scorer: noise exists
+
+
+def test_confident_label_noise_clean_labels_unflagged(ray_session):
+    """If every given label equals the scorer's argmax, thresholds are
+    the mean of the WINNING probabilities — no other class can reach its
+    own threshold on a softmax winner-take-most geometry, so nothing is
+    flagged on a strongly separated synthetic set."""
+    from sits_ray.kernels.ml import softmax
+
+    rng = np.random.default_rng(6)
+    W = np.eye(4) * 8.0  # 4 features = 4 classes, strong separation
+    X = np.zeros((80, 4))
+    y = np.repeat(np.arange(4), 20)
+    X[np.arange(80), y] = 1.0 + rng.random(80) * 0.1
+    p = softmax(X @ W)
+    q = np.floor(p * 1e6 + 0.5).astype(np.int64)
+    flagged = 0
+    for i in range(80):
+        for k in range(4):
+            nk = int((y == k).sum())
+            sk = int(q[y == k, k].sum())
+            if q[i, k] * nk >= sk and k != y[i]:
+                flagged += 1
+                break
+    assert flagged == 0
