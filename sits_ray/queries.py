@@ -8509,6 +8509,44 @@ def js_drift_value(sf_dir):
 
 
 @q(
+    "ks_drift_value",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (
+  select cast(floor(value / 0.01e0) as bigint) as bin,
+         cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+         cast(count(*) filter (where us > st.mid) as bigint) as n_b
+  from e cross join st
+  group by 1),
+t as (select cast(sum(n_a) as bigint) as ta, cast(sum(n_b) as bigint) as tb
+      from c),
+cum as (select bin,
+               cast(sum(n_a) over (order by bin) as bigint) as ca,
+               cast(sum(n_b) over (order by bin) as bigint) as cb
+        from c),
+g as (select bin, abs(ca * t.tb - cb * t.ta) as gap from cum cross join t),
+best as (select bin, cast(gap as bigint) as gap
+         from g order by gap desc, bin limit 1)
+select t.ta as n_a, t.tb as n_b, best.gap as d_num,
+       cast(best.gap as double) / cast(t.ta * t.tb as double) as ks_d,
+       best.bin as at_bin
+from best cross join t
+""",
+)
+def ks_drift_value(sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test between time halves
+    (stages/drift.ks_drift) — the bin-free nonparametric member of the
+    monitor family (PSI: binned joint support; JSD: binned full support;
+    KS: max ECDF gap). Integer-exact: D is maximized as
+    |ca*tb - cb*ta| over cumulative int64 counts on the 0.01-grid with
+    smallest-bin tie-break, then divided once."""
+    from sits_ray.stages.drift import ks_drift
+
+    return ks_drift(_events(sf_dir, columns=["value", "ts"]))
+
+
+@q(
     "hbos_outliers",
     """
 with e as (

@@ -102,6 +102,38 @@ def psi_drift(ds, value_col: str = "value", ts_col: str = "ts",
     )
 
 
+def ks_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between time halves —
+    the canonical nonparametric drift test (Smirnov 1939), completing
+    the monitor family: PSI (binned, joint support), JSD (binned, full
+    support), KS (bin-free, distribution shape). Values quantize to
+    a 0.01-wide integer grid (``floor(v / 0.01)`` — the hist_value
+    binning convention at cent granularity, monotone so the ECDF order
+    is preserved); D = max |F_a - F_b| is evaluated as the exact integer
+    maximization ``max |ca*tb - cb*ta|`` over cumulative counts (no
+    float ECDFs), then divided ONCE. Ties in the maximizer resolve to
+    the smallest cents value.
+
+    Scale shape: same two passes as the binned monitors — integer
+    midpoint split from (min, max) partials, then per-batch
+    (cents, period) count partials; only O(distinct cents x blocks)
+    rows reach the driver and the cumsum runs over the bounded sorted
+    histogram. Returns one row: (n_a, n_b, d_num, ks_d, at_bin) with
+    ``ks_d = d_num / (n_a * n_b)`` the one float division."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width=0.01)
+    ca = c["n_a"].to_numpy(np.int64).cumsum()
+    cb = c["n_b"].to_numpy(np.int64).cumsum()
+    gap = np.abs(ca * tb - cb * ta)
+    i = int(np.argmax(gap))  # first max == smallest bin (sorted)
+    d_num = int(gap[i])
+    return pd.DataFrame([{
+        "n_a": np.int64(ta), "n_b": np.int64(tb),
+        "d_num": np.int64(d_num),
+        "ks_d": d_num / (ta * tb),
+        "at_bin": np.int64(c["bin"].to_numpy(np.int64)[i]),
+    }])
+
+
 def js_drift(ds, value_col: str = "value", ts_col: str = "ts",
              bin_width: float = 10.0) -> pd.DataFrame:
     """Per-bin Jensen-Shannon contributions between time halves over the

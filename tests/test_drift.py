@@ -132,3 +132,49 @@ def test_js_batching_invariance(ray_session):
     one = js_drift(_events(vals, ts))
     many = js_drift(_events(vals, ts).repartition(13))
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- Kolmogorov-Smirnov two-sample test --------------------------------------
+
+def test_ks_matches_scipy_style_brute(ray_session):
+    from sits_ray.stages.drift import ks_drift
+
+    rng = np.random.default_rng(19)
+    a = rng.normal(50, 10, 400)
+    b = rng.normal(65, 10, 300)
+    vals = np.r_[a, b]
+    ts = np.r_[np.arange(400), 10_000 + np.arange(300)]
+    out = ks_drift(_events(vals, ts))
+    # brute-force ECDF gap on the same 0.01 grid
+    qa = np.floor(a / 0.01).astype(np.int64)
+    qb = np.floor(b / 0.01).astype(np.int64)
+    grid = np.unique(np.r_[qa, qb])
+    fa = np.searchsorted(np.sort(qa), grid, side="right")
+    fb = np.searchsorted(np.sort(qb), grid, side="right")
+    gap = np.abs(fa * len(b) - fb * len(a))
+    assert out.loc[0, "d_num"] == gap.max()
+    assert out.loc[0, "ks_d"] == gap.max() / (len(a) * len(b))
+    assert out.loc[0, "at_bin"] == grid[int(np.argmax(gap))]
+    # a 1.5-sigma shift is a large KS
+    assert out.loc[0, "ks_d"] > 0.4
+
+
+def test_ks_identical_halves_zero(ray_session):
+    from sits_ray.stages.drift import ks_drift
+
+    vals = np.r_[np.arange(100) % 7, np.arange(100) % 7].astype(float)
+    ts = np.r_[np.arange(100), 1000 + np.arange(100)]
+    out = ks_drift(_events(vals, ts))
+    assert out.loc[0, "d_num"] == 0
+    assert out.loc[0, "ks_d"] == 0.0
+
+
+def test_ks_batching_invariance(ray_session):
+    from sits_ray.stages.drift import ks_drift
+
+    rng = np.random.default_rng(1)
+    vals = rng.exponential(20, 500)
+    ts = np.arange(500) * 3
+    one = ks_drift(_events(vals, ts))
+    many = ks_drift(_events(vals, ts).repartition(11))
+    pd.testing.assert_frame_equal(one, many)
