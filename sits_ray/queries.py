@@ -8509,6 +8509,73 @@ def js_drift_value(sf_dir):
 
 
 @q(
+    "decayed_type_volume",
+    """
+with e as (select event_type,
+                  epoch_us(ts) // 604800000000 as wk
+           from events),
+mx as (select max(wk) as mw from e),
+c as (select event_type, least(mx.mw - wk, 120) as k,
+             cast(count(*) as bigint) as y
+      from e cross join mx group by 1, 2),
+km as (select cast(max(k) as bigint) as kmax from c),
+n as (select event_type,
+             cast(sum(cast(y as hugeint)
+                      * (1::hugeint << cast(km.kmax - k as integer)))
+                  as hugeint) as num
+      from c cross join km group by 1)
+select n.event_type,
+       cast(n.num as double)
+         / cast(1::hugeint << cast(km.kmax as integer) as double) as decayed
+from n cross join km
+order by decayed desc, event_type
+""",
+)
+def decayed_type_volume(sf_dir):
+    """Exponentially decayed volume per event type with a one-week
+    half-life — the streaming 'what is hot NOW' ranking (decayed
+    frequency, Cormode et al. forward-decay family): each event weighs
+    2^-k for k = whole weeks before the corpus max. EXACT by
+    construction: the decayed sum is the dyadic rational
+    (sum y_k * 2^(kmax-k)) / 2^kmax — an integer numerator (Python
+    bigint / SQL HUGEINT) over a power of two, converted once to
+    double. k clamps at 120 weeks (weight 2^-120, zero at double scale
+    yet still exact) so the int128 shift can never overflow on
+    multi-year spans. Scale shape: per-batch (type, week) count
+    partials, bounded driver fold, zero shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        wk = us // 604_800_000_000
+        df = pd.DataFrame({"event_type":
+                           t["event_type"].to_numpy(zero_copy_only=False),
+                           "wk": wk})
+        g = df.groupby(["event_type", "wk"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"event_type": pa.array(gi["event_type"]),
+                         "wk": pa.array(gi["wk"].to_numpy(np.int64)),
+                         "y": pa.array(g.to_numpy(np.int64))})
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["event_type", "wk"], sort=True)["y"].sum()
+           .reset_index())
+    mw = int(c["wk"].max())
+    c["k"] = np.minimum(mw - c["wk"], 120)
+    c = c.groupby(["event_type", "k"], sort=True)["y"].sum().reset_index()
+    kmax = int(c["k"].max())
+    rows = []
+    for et, g in c.groupby("event_type", sort=True):
+        num = sum(int(y) << (kmax - int(k))
+                  for y, k in zip(g["y"], g["k"]))
+        rows.append((et, float(num) / float(1 << kmax)))
+    out = pd.DataFrame(rows, columns=["event_type", "decayed"])
+    return out.sort_values(["decayed", "event_type"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+@q(
     "ks_drift_value",
     """
 with e as (select value, epoch_us(ts) as us from events),

