@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     # kernel family (trend/mase/ccf share the shape; one representative)
     "bm25_topk",
     "mase_seasonal3",
+    # round-4h families: two-pass bounded-histogram monitors (psi/jsd/ks/
+    # hbos/benford/gini share the shape; one representative), per-conv
+    # recursive-walk DP (kleinberg/croston/variance-ratio; one), and the
+    # broadcast-anchor greedy re-rank over bounded pools
+    "ks_drift_value",
+    "kleinberg_bursts",
+    "mmr_rerank",
 ]
 
 

@@ -15,6 +15,7 @@ The transcript-shaped time-series queries run over the ``events`` table
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -7701,6 +7702,85 @@ def heavy_hitter_tokens_q(sf_dir):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return heavy_hitter_tokens(ds, k=10, cap=2048)
+
+
+_ZIPF_V = 1000
+
+
+@q(
+    "zipf_slope",
+    f"""
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents),
+c as (select w, cast(count(*) as bigint) as cnt from tok group by 1),
+r as (select w, cnt,
+             row_number() over (order by cnt desc, w) as rk
+      from c qualify rk <= {_ZIPF_V}),
+f as (select
+        cast(count(*) as bigint) as nv,
+        list_reduce(list_prepend(0.0e0,
+          list(ln(cast(rk as double)) order by rk)), (a, b) -> a + b) as sx,
+        list_reduce(list_prepend(0.0e0,
+          list(ln(cast(cnt as double)) order by rk)), (a, b) -> a + b) as sy,
+        list_reduce(list_prepend(0.0e0,
+          list(ln(cast(rk as double)) * ln(cast(cnt as double))
+               order by rk)), (a, b) -> a + b) as sxy,
+        list_reduce(list_prepend(0.0e0,
+          list(ln(cast(rk as double)) * ln(cast(rk as double))
+               order by rk)), (a, b) -> a + b) as sxx
+      from r)
+select nv as n_ranked,
+       (nv * sxy - sx * sy) / (nv * sxx - sx * sx) as slope,
+       (sy - ((nv * sxy - sx * sy) / (nv * sxx - sx * sx)) * sx) / nv
+         as intercept
+from f
+where nv >= 2
+""",
+)
+def zipf_slope(sf_dir):
+    """Zipf-law fit of the corpus rank-frequency curve: OLS slope of
+    ln(count) on ln(rank) over the top-1000 tokens (natural language
+    sits near -1; the Heaps-law companion of vocab_heaps — together the
+    standard 'is this corpus linguistically natural?' screen). Per-batch
+    token-count partials combine inside map_batches (text never
+    shuffles, the tfidf precedent); ranking and the regression run on
+    the bounded 1000-row driver table. SQL-exact: ln via math.log per
+    ranked row, all four OLS sums as strict-sequential folds in rank
+    order (engine loop == SQL list_reduce), pinned slope/intercept
+    expression trees."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = ex.value_counts()
+        return pd.DataFrame({"w": g.index.to_numpy(dtype=object),
+                             "cnt": g.to_numpy(np.int64)})
+
+    c = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("w", sort=False)["cnt"].sum().reset_index())
+    c = c.sort_values(["cnt", "w"], ascending=[False, True]) \
+         .head(_ZIPF_V).reset_index(drop=True)
+    nv = len(c)
+    if nv < 2:  # degenerate corpus: no regression (SQL: where nv >= 2)
+        return pd.DataFrame({"n_ranked": pd.Series([], dtype=np.int64),
+                             "slope": pd.Series([], dtype=np.float64),
+                             "intercept": pd.Series([], dtype=np.float64)})
+    sx = sy = sxy = sxx = 0.0
+    for rk, cnt in zip(range(1, nv + 1), c["cnt"]):
+        x = math.log(float(rk))
+        y = math.log(float(int(cnt)))
+        sx = sx + x
+        sy = sy + y
+        sxy = sxy + x * y
+        sxx = sxx + x * x
+    slope = (nv * sxy - sx * sy) / (nv * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nv
+    return pd.DataFrame([{"n_ranked": np.int64(nv), "slope": slope,
+                          "intercept": intercept}])
 
 
 @q(

@@ -381,3 +381,43 @@ def test_collocations_bruteforce(ray_session, tmp_path):
     pairs = {g[:2] for g in got}
     assert {("strong", "tea"), ("weak", "coffee")} <= pairs
     assert got[0][:2] == ("weak", "coffee")
+
+
+def test_zipf_slope_near_minus_one_on_zipfian(ray_session):
+    """A synthetic corpus drawn from an exact Zipf distribution recovers
+    slope ~ -1; a uniform-frequency corpus recovers slope ~ 0."""
+    import math
+
+    import ray.data as rd
+    from sits_ray.queries import QUERIES, _ZIPF_V
+
+    # build documents whose token counts are exactly zipfian: token_i
+    # appears floor(C/i) times
+    def wname(i):
+        a, b = divmod(i, 26)
+        return "w" + chr(97 + a) + chr(97 + b)
+
+    words = [wname(i) for i in range(300)]
+    toks = []
+    for i, w in enumerate(words, start=1):
+        toks.extend([w] * (3000 // i))
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rng.shuffle(toks)
+    import pandas as pd
+    docs = [" ".join(toks[i::40]) for i in range(40)]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame({"text": docs}).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        out = QUERIES["zipf_slope"](d)
+    assert -1.15 < out.loc[0, "slope"] < -0.85
+    # uniform corpus
+    toks_u = [w for w in words for _ in range(10)]
+    docs_u = [" ".join(toks_u[i::10]) for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame({"text": docs_u}).to_parquet(
+            os.path.join(d, "documents.parquet"))
+        out_u = QUERIES["zipf_slope"](d)
+    assert abs(out_u.loc[0, "slope"]) < 0.05
+    assert out_u.loc[0, "n_ranked"] == 300
