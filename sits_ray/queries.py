@@ -10349,3 +10349,54 @@ def rrf_fusion(sf_dir):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return rrf_hybrid_topk(docs, embs, _BM25_QUERIES, k_leg=20, k=10, c=60)
+
+
+@q(
+    "mannwhitney_drift",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (
+  select cast(floor(value / 0.01e0) as bigint) as bin,
+         cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+         cast(count(*) filter (where us > st.mid) as bigint) as n_b
+  from e cross join st
+  group by 1),
+t as (select cast(sum(n_a) as hugeint) as ta,
+             cast(sum(n_b) as hugeint) as tb,
+             cast(sum(n_a + n_b) as hugeint) as n
+      from c),
+r as (select n_a, n_b,
+             2 * (sum(n_a + n_b) over (order by bin) - (n_a + n_b))
+               + (n_a + n_b) + 1 as dmr
+      from c),
+s as (select
+        cast(sum(cast(n_a as hugeint) * cast(dmr as hugeint)) as hugeint)
+          as r2a,
+        cast(sum(cast(n_a + n_b as hugeint) * cast(n_a + n_b as hugeint)
+                 * cast(n_a + n_b as hugeint) - (n_a + n_b)) as hugeint)
+          as tie3
+      from r),
+u as (select s.r2a - t.ta * (t.ta + 1) as u2 from s cross join t)
+select cast(t.ta as bigint) as n_a,
+       cast(t.tb as bigint) as n_b,
+       cast(u.u2 as bigint) as u2,
+       cast(u.u2 as double) / cast(2 * t.ta * t.tb as double) as auc,
+       cast(u.u2 - t.ta * t.tb as double)
+         / (2.0e0 * sqrt(
+              cast(t.ta * t.tb * ((t.n + 1) * t.n * (t.n - 1) - s.tie3)
+                   as double)
+              / cast(12 * t.n * (t.n - 1) as double))) as z
+from u cross join t cross join s
+""",
+)
+def mannwhitney_drift(sf_dir):
+    """Mann-Whitney U rank-sum drift test between time halves
+    (stages/drift.mw_drift) — the stochastic-ordering member of the
+    monitor family; auc = U/(n_a*n_b) is the AUROC of 'early beats
+    late'. Integer-exact doubled midranks on the 0.01 grid; z uses the
+    exact rational tie-corrected variance, one sqrt (IEEE
+    correctly-rounded, libm == DuckDB)."""
+    from sits_ray.stages.drift import mw_drift
+
+    return mw_drift(_events(sf_dir, columns=["value", "ts"]))

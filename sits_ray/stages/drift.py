@@ -134,6 +134,53 @@ def ks_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFrame:
     }])
 
 
+def mw_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test between time halves — the
+    stochastic-ordering member of the monitor family (PSI/JSD: binned
+    divergences; KS: max ECDF gap; MW: has the LEVEL shifted?). The
+    normalized statistic ``auc = U_a / (n_a * n_b)`` is exactly the
+    AUROC of 'an early value exceeds a late value' (P(A > B) + 0.5
+    P(A = B)), so 0.5 means no level drift.
+
+    Integer-exact core: values quantize to the 0.01 cents grid (monotone
+    — rank order preserved), tie groups get DOUBLED midranks
+    ``dmr = 2*before + t + 1`` (always odd integers, no halves), so the
+    rank sum ``r2a = sum n_a * dmr`` and ``u2 = 2*U_a = r2a - ta*(ta+1)``
+    are exact Python bigints (SQL HUGEINT). The tie-corrected normal
+    approximation uses the exact rational variance
+    ``var = ta*tb*((n+1)*n*(n-1) - sum(t^3 - t)) / (12*n*(n-1))`` —
+    integer numerator/denominator, divided once in doubles; z and auc
+    each perform their float ops in the same tree as the SQL twin
+    (cast-then-divide, one sqrt — sqrt is IEEE correctly-rounded so
+    libm == DuckDB bit-exact).
+
+    Scale shape: identical to the other monitors — two stateless passes,
+    per-batch (cents, period) count partials, O(distinct cents x blocks)
+    rows to the driver, rank arithmetic on the bounded sorted histogram.
+    (At >= 1e10 rows the hugeint variance numerator would need the
+    double-early path; int128 holds to ~1e9 rows per period.)
+
+    Returns one row: (n_a, n_b, u2, auc, z)."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width=0.01)
+    n_a = c["n_a"].to_numpy(np.int64)
+    n_b = c["n_b"].to_numpy(np.int64)
+    t = n_a + n_b
+    before = np.concatenate(([0], t.cumsum()[:-1]))
+    dmr = 2 * before + t + 1  # doubled midranks, odd integers
+    r2a = sum(int(a) * int(d) for a, d in zip(n_a, dmr))
+    u2 = r2a - ta * (ta + 1)
+    n = ta + tb
+    tie3 = sum(int(x) ** 3 - int(x) for x in t)
+    var_num = ta * tb * ((n + 1) * n * (n - 1) - tie3)
+    var_den = 12 * n * (n - 1)
+    z = (float(u2 - ta * tb)
+         / (2.0 * math.sqrt(float(var_num) / float(var_den))))
+    return pd.DataFrame([{
+        "n_a": np.int64(ta), "n_b": np.int64(tb), "u2": np.int64(u2),
+        "auc": float(u2) / float(2 * ta * tb), "z": z,
+    }])
+
+
 def js_drift(ds, value_col: str = "value", ts_col: str = "ts",
              bin_width: float = 10.0) -> pd.DataFrame:
     """Per-bin Jensen-Shannon contributions between time halves over the

@@ -178,3 +178,62 @@ def test_ks_batching_invariance(ray_session):
     one = ks_drift(_events(vals, ts))
     many = ks_drift(_events(vals, ts).repartition(11))
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- Mann-Whitney U / AUC drift ----------------------------------------------
+
+def test_mw_matches_scipy_style_brute(ray_session):
+    from sits_ray.stages.drift import mw_drift
+
+    rng = np.random.default_rng(23)
+    a = rng.normal(50, 10, 400)
+    b = rng.normal(58, 10, 300)
+    vals = np.r_[a, b]
+    ts = np.r_[np.arange(400), 10_000 + np.arange(300)]
+    out = mw_drift(_events(vals, ts))
+    # brute-force midrank U on the same 0.01 grid
+    qa = np.floor(a / 0.01)
+    qb = np.floor(b / 0.01)
+    allv = np.r_[qa, qb]
+    ranks = pd.Series(allv).rank(method="average").to_numpy()
+    r_a = ranks[: len(a)].sum()
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    assert out.loc[0, "u2"] == int(round(2 * u_a))
+    assert out.loc[0, "auc"] == float(int(round(2 * u_a))) / float(
+        2 * len(a) * len(b))
+    # an 0.8-sigma downward level shift: early < late -> auc well below 0.5
+    assert out.loc[0, "auc"] < 0.4
+    assert out.loc[0, "z"] < -3.0
+
+
+def test_mw_identical_halves_centered(ray_session):
+    from sits_ray.stages.drift import mw_drift
+
+    vals = np.r_[np.arange(100) % 9, np.arange(100) % 9].astype(float)
+    ts = np.r_[np.arange(100), 1000 + np.arange(100)]
+    out = mw_drift(_events(vals, ts))
+    # identical composition -> U exactly ta*tb/2 -> auc exactly 0.5, z 0
+    assert out.loc[0, "u2"] == 100 * 100
+    assert out.loc[0, "auc"] == 0.5
+    assert out.loc[0, "z"] == 0.0
+
+
+def test_mw_all_early_wins(ray_session):
+    from sits_ray.stages.drift import mw_drift
+
+    vals = np.r_[np.full(50, 99.0), np.full(60, 1.0)]
+    ts = np.r_[np.arange(50), 1000 + np.arange(60)]
+    out = mw_drift(_events(vals, ts))
+    assert out.loc[0, "auc"] == 1.0      # every early value beats every late
+    assert out.loc[0, "u2"] == 2 * 50 * 60
+
+
+def test_mw_batching_invariance(ray_session):
+    from sits_ray.stages.drift import mw_drift
+
+    rng = np.random.default_rng(7)
+    vals = rng.exponential(30, 500)
+    ts = np.arange(500) * 3
+    one = mw_drift(_events(vals, ts))
+    many = mw_drift(_events(vals, ts).repartition(11))
+    pd.testing.assert_frame_equal(one, many)
