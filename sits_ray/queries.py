@@ -10400,3 +10400,45 @@ def mannwhitney_drift(sf_dir):
     from sits_ray.stages.drift import mw_drift
 
     return mw_drift(_events(sf_dir, columns=["value", "ts"]))
+
+
+@q(
+    "spearman_value_latency",
+    """
+with l as (
+  select user_id, value, epoch_us(ts) as us,
+         lag(epoch_us(ts)) over (partition by user_id
+                                 order by ts, event_id) as pus
+  from events),
+p as (
+  select cast(floor(cast(value as double) * 100 + 0.5) as bigint) as qx,
+         us - pus as qy
+  from l where pus is not null),
+hx as (select qx as q, cast(count(*) as bigint) as t from p group by 1),
+rx as (select q, 2 * (sum(t) over (order by q) - t) + t + 1 as dmr from hx),
+hy as (select qy as q, cast(count(*) as bigint) as t from p group by 1),
+ry as (select q, 2 * (sum(t) over (order by q) - t) + t + 1 as dmr from hy),
+j as (select cast(rx.dmr as hugeint) as dx, cast(ry.dmr as hugeint) as dy
+      from p join rx on rx.q = p.qx join ry on ry.q = p.qy),
+s as (select cast(count(*) as hugeint) as n,
+             sum(dx * dy) as sxy, sum(dx) as sx, sum(dy) as sy,
+             sum(dx * dx) as sxx, sum(dy * dy) as syy
+      from j)
+select cast(s.n as bigint) as n,
+       cast(s.n * s.sxy - s.sx * s.sy as double)
+         / (sqrt(cast(s.n * s.sxx - s.sx * s.sx as double))
+            * sqrt(cast(s.n * s.syy - s.sy * s.sy as double))) as rho
+from s
+""",
+)
+def spearman_value_latency(sf_dir):
+    """Corpus-level Spearman rho between event value and inter-event
+    latency (stages/rankcorr.spearman_value_latency) — the global-rank
+    sibling of the per-conversation Kendall tau. Global midranks WITHOUT
+    a global sort: bounded value/gap histograms -> doubled midranks
+    (odd integers) -> broadcast searchsorted lookup -> int64 product
+    partials; rho is exact-integer until two IEEE sqrts and one
+    division."""
+    from sits_ray.stages.rankcorr import spearman_value_latency as sp
+
+    return sp(_events(sf_dir, columns=["user_id", "event_id", "ts", "value"]))
