@@ -10442,3 +10442,38 @@ def spearman_value_latency(sf_dir):
     from sits_ray.stages.rankcorr import spearman_value_latency as sp
 
     return sp(_events(sf_dir, columns=["user_id", "event_id", "ts", "value"]))
+
+
+@q(
+    "k_anonymity_audit",
+    """
+with c as (
+  select lang, source, n_chars // 100 as b,
+         cast(count(*) as bigint) as cnt
+  from documents group by 1, 2, 3),
+t as (select cast(sum(cnt) as bigint) as total,
+             cast(count(*) as bigint) as n_classes from c),
+ks as (select unnest([2, 5, 10]) as k)
+select cast(ks.k as bigint) as k,
+       t.n_classes,
+       cast(count(*) filter (where c.cnt < ks.k) as bigint)
+         as n_risky_classes,
+       cast(coalesce(sum(cnt) filter (where c.cnt < ks.k), 0) as bigint)
+         as n_risky_records,
+       cast(coalesce(sum(cnt) filter (where c.cnt < ks.k), 0) as bigint)
+         / cast(t.total as double) as risk_frac
+from c cross join ks cross join t
+group by ks.k, t.n_classes, t.total
+order by k
+""",
+)
+def k_anonymity_audit(sf_dir):
+    """k-anonymity privacy audit of document metadata (stages/curation.
+    k_anonymity): equivalence classes over (lang, source, length bucket),
+    risky classes/records at k in {2, 5, 10}. Bounded class table,
+    zero shuffle, one bigint/bigint division per row."""
+    from sits_ray.stages.curation import k_anonymity
+
+    return k_anonymity(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source", "n_chars"]))

@@ -500,3 +500,53 @@ def dsir_scores(ds, target_lang: str = "en", n_buckets: int = 128):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def k_anonymity(ds, k_values=(2, 5, 10), bucket: int = 100) -> pd.DataFrame:
+    """k-anonymity audit over the document metadata (Sweeney 2002): can
+    a record be singled out by its quasi-identifiers alone? The QI tuple
+    is ``(lang, source, n_chars // bucket)`` — the release-shaped
+    attributes a scraped-corpus card would publish. For each k the audit
+    reports how many equivalence classes are smaller than k and how many
+    records sit in them (those records are re-identifiable at that k).
+
+    Scale shape: per-batch (lang, source, size-bucket) count partials
+    fold to the bounded driver-side class table (|langs| x |sources| x
+    |buckets| rows — independent of corpus size); the corpus never
+    shuffles and text never leaves the read. All counts are int64;
+    ``risk_frac`` is the one bigint/bigint double division, so the SQL
+    twin is bit-exact.
+
+    Returns one row per k: (k, n_classes, n_risky_classes,
+    n_risky_records, risk_frac)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "b": t["n_chars"].to_numpy(zero_copy_only=False) // bucket,
+        })
+        g = df.groupby(["lang", "source", "b"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"lang": pa.array(gi["lang"]),
+                         "source": pa.array(gi["source"]),
+                         "b": pa.array(gi["b"].to_numpy(np.int64)),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["lang", "source", "b"], sort=True)["cnt"].sum()
+           .reset_index())
+    total = int(c["cnt"].sum())
+    sizes = c["cnt"].to_numpy(np.int64)
+    rows = []
+    for k in k_values:
+        risky = sizes < k
+        rows.append({
+            "k": np.int64(k),
+            "n_classes": np.int64(len(sizes)),
+            "n_risky_classes": np.int64(int(risky.sum())),
+            "n_risky_records": np.int64(int(sizes[risky].sum())),
+            "risk_frac": int(sizes[risky].sum()) / total,
+        })
+    return pd.DataFrame(rows)

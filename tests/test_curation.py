@@ -330,3 +330,43 @@ def test_dsir_scores_matches_brute_and_separates(ray_session):
     byid = out.set_index("doc_id")["dsir_logw"]
     # English docs must outscore German docs under the en-target weights
     assert min(byid[0], byid[1]) > max(byid[2], byid[3])
+
+
+# --- k-anonymity audit --------------------------------------------------------
+
+def test_k_anonymity_counts(ray_session):
+    import ray.data as rd
+    from sits_ray.stages.curation import k_anonymity
+
+    # classes: (en,web,0):3  (en,web,1):1  (fr,book,0):2
+    df = pd.DataFrame({
+        "lang":   ["en"] * 4 + ["fr"] * 2,
+        "source": ["web"] * 4 + ["book"] * 2,
+        "n_chars": [10, 20, 30, 150, 40, 50],
+    })
+    out = k_anonymity(rd.from_pandas(df), k_values=(2, 3))
+    k2 = out.loc[out["k"] == 2].iloc[0]
+    assert k2["n_classes"] == 3
+    assert k2["n_risky_classes"] == 1          # the singleton (en,web,1)
+    assert k2["n_risky_records"] == 1
+    assert k2["risk_frac"] == 1 / 6
+    k3 = out.loc[out["k"] == 3].iloc[0]
+    assert k3["n_risky_classes"] == 2          # sizes 1 and 2 both < 3
+    assert k3["n_risky_records"] == 3
+    assert k3["risk_frac"] == 3 / 6
+
+
+def test_k_anonymity_batching_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from sits_ray.stages.curation import k_anonymity
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "fr", "de"], 500),
+        "source": rng.choice(["web", "book"], 500),
+        "n_chars": rng.integers(0, 1000, 500),
+    })
+    one = k_anonymity(rd.from_pandas(df))
+    many = k_anonymity(rd.from_pandas(df).repartition(11))
+    pd.testing.assert_frame_equal(one, many)
