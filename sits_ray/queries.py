@@ -10477,3 +10477,52 @@ def k_anonymity_audit(sf_dir):
     return k_anonymity(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["lang", "source", "n_chars"]))
+
+
+def _ams_sql(r: int = 8, seed: int = 37) -> str:
+    from sits_ray.stages.sketch import ams_constants
+
+    a, b = ams_constants(r, seed)
+    horner = (
+        "list_reduce(list_prepend(cast(0 as bigint),"
+        " list_transform(regexp_extract_all(to_hex(encode(w)), '..'),"
+        " c -> cast(concat('0x', c) as bigint))),"
+        " (h, c) -> (h * 1000003 + c) % 2147483647)"
+    )
+    zs = "\n  union all\n".join(
+        f"  select {j} as j, cast(sum((1 - 2 * (({int(a[j])} * th"
+        f" + {int(b[j])}) % 2147483647 % 2)) * f) as bigint) as z"
+        " from tc"
+        for j in range(r)
+    )
+    return f"""
+with tok as (
+  select w, {horner} as th
+  from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)),
+tc as (select w, th, cast(count(*) as bigint) as f from tok group by 1, 2),
+z as (
+{zs}),
+tot as (select cast(sum(f) as bigint) as n_tokens,
+               cast(count(*) as bigint) as n_distinct,
+               cast(sum(cast(f as hugeint) * f) as bigint) as f2_exact
+        from tc)
+select tot.n_tokens, tot.n_distinct, tot.f2_exact,
+       cast((select sum(cast(z as hugeint) * z) from z) as double)
+         / 8.0e0 as f2_est
+from tot
+"""
+
+
+@q("ams_f2_tokens", _ams_sql())
+def ams_f2_tokens(sf_dir):
+    """AMS tug-of-war F2 sketch over the token stream (stages/sketch.
+    ams_f2_tokens): 8 signed O(1)-state counters with affine parity
+    signs over the Horner/M31 token hash, mean of squares as the
+    estimate, EXACT F2 certified alongside via the part_aggregate
+    high-cardinality path. All integer; the one division is by 8
+    (lossless)."""
+    from sits_ray.stages.sketch import ams_f2_tokens as run
+
+    return run(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"]))

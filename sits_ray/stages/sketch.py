@@ -492,3 +492,87 @@ def kmv_type_jaccard(ds, k: int = 256, key_col: str = "user_id",
     return pd.DataFrame(rows, columns=["type_a", "type_b", "kk",
                                        "n_common", "jaccard_est"]).astype(
         {"kk": np.int64, "n_common": np.int64})
+
+
+# --- AMS tug-of-war F2 sketch (Alon, Matias & Szegedy 1996) ------------------
+
+def ams_constants(r: int = 8, seed: int = 37):
+    """Deterministic affine sign-hash constants, shared verbatim with the
+    generated SQL twin (the cms_constants discipline)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _CMS_P, size=r, dtype=np.int64)
+    b = rng.integers(0, _CMS_P, size=r, dtype=np.int64)
+    return a, b
+
+
+def ams_f2_tokens(ds, text_col: str = "text", r: int = 8,
+                  seed: int = 37, n_parts: int = 32) -> pd.DataFrame:
+    """Second frequency moment (F2 = sum_t f_t^2 — the self-join size /
+    repeat-rate of the token stream) via the AMS tug-of-war sketch:
+    ``r`` estimators, each an O(1)-state signed counter
+    ``Z_j = sum_t sign_j(t) * f_t`` with 4-wise-ish affine parity signs
+    ``sign_j(t) = 1 - 2*((a_j*h(t) + b_j) mod P mod 2)``; the estimate
+    is ``mean_j Z_j^2``. E[Z^2] = F2 — the sketch needs O(r) integers
+    per batch REGARDLESS of vocabulary, completing the sketch family
+    (HLL: distincts, CMS: point frequencies, KMV: similarity, AMS:
+    repeat mass).
+
+    Certification: the EXACT F2 rides along through
+    ``hashagg.part_aggregate`` over (token, partial-count) rows — the
+    repo's high-cardinality path (never ``Dataset.groupby`` on a vocab
+    key) — so the driver gate pins the estimator against truth
+    cross-engine. Everything is integer until the one exact
+    division by ``r`` (a power of two, so even that is lossless);
+    token hash is the Horner/Mersenne-31 byte fold and the whole
+    pipeline — signs, Z folds, squares, exact recount — replays
+    bit-exactly in DuckDB.
+
+    Returns one row: (n_tokens, n_distinct, f2_exact, f2_est)."""
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.hashagg import part_aggregate
+    from sits_ray.stages.joins import _right_as_table
+
+    a, b = ams_constants(r, seed)
+
+    def token_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        vc = ex.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "f": vc.to_numpy(np.int64)})
+
+    pairs = ds.map_batches(token_counts, batch_format="pandas")
+
+    def z_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"j": pd.Series([], dtype=np.int64),
+                                 "z": pd.Series([], dtype=np.int64)})
+        h = fingerprint_batch(list(df["token"]))
+        f = df["f"].to_numpy(np.int64)
+        rows = [{"j": np.int64(-1), "z": int(f.sum())}]
+        for j in range(r):
+            sign = 1 - 2 * (((a[j] * h + b[j]) % _CMS_P) % 2)
+            rows.append({"j": np.int64(j), "z": int(np.dot(sign, f))})
+        return pd.DataFrame(rows)
+
+    zt = _right_as_table(pairs.map_batches(z_partial, batch_format="pandas"))
+    zp = (pd.DataFrame({"j": zt["j"].to_numpy(), "z": zt["z"].to_numpy()})
+            .groupby("j", as_index=False)["z"].sum())
+    n_tokens = int(zp.loc[zp["j"] == -1, "z"].sum())
+    z = zp.loc[zp["j"] >= 0].sort_values("j")["z"].to_numpy(np.int64)
+
+    def exact_part(g: pd.DataFrame) -> pd.DataFrame:
+        ft = g.groupby("token")["f"].sum().to_numpy(np.int64)
+        return pd.DataFrame({"f2": [int(np.dot(ft, ft))],
+                             "nd": [int(ft.size)]})
+
+    ex = part_aggregate(pairs, exact_part, key_col="token",
+                        n_parts=n_parts).to_pandas()
+    f2_exact = int(ex["f2"].sum())
+    n_distinct = int(ex["nd"].sum())
+    z2 = sum(int(v) * int(v) for v in z)
+    return pd.DataFrame([{
+        "n_tokens": np.int64(n_tokens), "n_distinct": np.int64(n_distinct),
+        "f2_exact": np.int64(f2_exact),
+        "f2_est": float(z2) / float(r),
+    }])

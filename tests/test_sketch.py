@@ -3,6 +3,7 @@ error-bound bookkeeping, and vocab stats vs pandas brute force."""
 
 import numpy as np
 import pandas as pd
+import ray.data as rd
 
 from sits_ray.stages.sketch import _ERR_TOKEN, _batch_sketch
 
@@ -222,3 +223,47 @@ def test_kmv_batching_invariance(ray_session):
     pd.testing.assert_frame_equal(one.reset_index(drop=True),
                                   many.reset_index(drop=True))
     assert len(one) == 3  # all unordered pairs
+
+
+# --- AMS tug-of-war F2 --------------------------------------------------------
+
+def test_ams_exact_f2_and_estimator_sanity(ray_session):
+    from sits_ray.stages.sketch import ams_f2_tokens
+
+    docs = ["the cat the dog", "the cat", "bird"]
+    out = ams_f2_tokens(rd.from_pandas(pd.DataFrame({"text": docs})))
+    # the x3, cat x2, dog, bird -> F2 = 9 + 4 + 1 + 1 = 15
+    assert out.loc[0, "n_tokens"] == 7
+    assert out.loc[0, "n_distinct"] == 4
+    assert out.loc[0, "f2_exact"] == 15
+    assert out.loc[0, "f2_est"] > 0
+
+
+def test_ams_estimate_tracks_f2_at_scale(ray_session):
+    from sits_ray.stages.sketch import ams_f2_tokens
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(200)]
+    # Zipf-ish frequencies so F2 is dominated by a few heavy tokens
+    weights = 1.0 / np.arange(1, 201)
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=40, p=weights))
+            for _ in range(300)]
+    out = ams_f2_tokens(rd.from_pandas(pd.DataFrame({"text": docs})))
+    exact = out.loc[0, "f2_exact"]
+    est = out.loc[0, "f2_est"]
+    # 8 estimators: expect the estimate within ~50% of truth (seeded,
+    # deterministic — this pins the realized accuracy, not a tolerance)
+    assert abs(est - exact) / exact < 0.5
+
+
+def test_ams_batching_invariance(ray_session):
+    from sits_ray.stages.sketch import ams_f2_tokens
+
+    rng = np.random.default_rng(2)
+    docs = [" ".join(rng.choice(["a", "b", "c", "d", "e"], size=20))
+            for _ in range(120)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    one = ams_f2_tokens(ds)
+    many = ams_f2_tokens(ds.repartition(9))
+    pd.testing.assert_frame_equal(one, many)
