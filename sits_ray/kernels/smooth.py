@@ -348,3 +348,37 @@ def croston(m: np.ndarray, alpha: float = 0.2):
         q = np.where(pos, 1.0, q + 1.0)
         nd += pos
     return z, p, nd
+
+
+def pacf_durbin_levinson(r: np.ndarray) -> np.ndarray:
+    """Partial autocorrelations phi_kk from autocorrelations r_1..r_K via
+    the Durbin-Levinson recursion (Box & Jenkins), vectorized over rows
+    (series). Float contract: every inner product over j accumulates
+    LEFT-TO-RIGHT from 0.0 (``acc = (..(0 + t_1) + t_2)..``) and the
+    step is ``a = (r_{k+1} - acc_num) / (1 - acc_den)`` — the exact tree
+    the recursive-CTE SQL twin replays with ``list_reduce(list_prepend(
+    0.0e0, ...))`` folds. NaN rows propagate untouched.
+
+    r: (m, K) matrix; returns (m, K) with column k-1 = phi_kk at lag k.
+    """
+    r = np.asarray(r, dtype=np.float64)
+    m, K = r.shape
+    pacf = np.empty((m, K))
+    phi = np.zeros((m, K))
+    phi[:, 0] = r[:, 0]
+    pacf[:, 0] = r[:, 0]
+    for k in range(1, K):            # extending order k -> k+1 (1-based)
+        acc_num = np.zeros(m)
+        acc_den = np.zeros(m)
+        for j in range(k):           # 1-based j+1 = 1..k, in order
+            acc_num = acc_num + phi[:, j] * r[:, k - 1 - j]
+            acc_den = acc_den + phi[:, j] * r[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = (r[:, k] - acc_num) / (1.0 - acc_den)
+        new = phi.copy()
+        for j in range(k):
+            new[:, j] = phi[:, j] - a * phi[:, k - 1 - j]
+        new[:, k] = a
+        phi = new
+        pacf[:, k] = a
+    return pacf

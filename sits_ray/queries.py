@@ -47,6 +47,22 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+def _i2d(x: str) -> str:
+    """Exact integer->double cast for |x| < 2^85, as SQL. DuckDB's native
+    HUGEINT->DOUBLE cast is NOT correctly rounded (measured: ~9% of
+    55-bit, ~1% of 64-70-bit values land 1 ulp off Python's float(int),
+    which IS correctly rounded; BIGINT->DOUBLE is exact hardware). The
+    two-limb form — high limb times 4294967296 (exact product, <= 53
+    significant bits) plus the sub-2^32 remainder, ONE rounded add — is
+    the correctly-rounded sum of an exact decomposition, so it equals
+    float(int) bit-for-bit. DuckDB ``//`` truncates toward zero with a
+    sign-matching ``%``, so the decomposition stays exact for negatives.
+    Use this (not a bare cast) whenever a SQL twin casts an integer that
+    can exceed 2^53."""
+    return (f"(cast(({x}) // 4294967296 as double) * 4294967296e0"
+            f" + cast(({x}) % 4294967296 as double))")
+
+
 def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
@@ -8595,7 +8611,7 @@ with e as (select event_type,
                   epoch_us(ts) // 604800000000 as wk
            from events),
 mx as (select max(wk) as mw from e),
-c as (select event_type, least(mx.mw - wk, 120) as k,
+c as (select event_type, least(mx.mw - wk, 45) as k,
              cast(count(*) as bigint) as y
       from e cross join mx group by 1, 2),
 km as (select cast(max(k) as bigint) as kmax from c),
@@ -8605,7 +8621,8 @@ n as (select event_type,
                   as hugeint) as num
       from c cross join km group by 1)
 select n.event_type,
-       cast(n.num as double)
+       (cast(n.num // 4294967296 as double) * 4294967296e0
+        + cast(n.num % 4294967296 as double))
          / cast(1::hugeint << cast(km.kmax as integer) as double) as decayed
 from n cross join km
 order by decayed desc, event_type
@@ -8619,9 +8636,11 @@ def decayed_type_volume(sf_dir):
     construction: the decayed sum is the dyadic rational
     (sum y_k * 2^(kmax-k)) / 2^kmax — an integer numerator (Python
     bigint / SQL HUGEINT) over a power of two, converted once to
-    double. k clamps at 120 weeks (weight 2^-120, zero at double scale
-    yet still exact) so the int128 shift can never overflow on
-    multi-year spans. Scale shape: per-batch (type, week) count
+    double via the exact two-limb cast (bare HUGEINT->DOUBLE mis-rounds
+    mid-width ints — see _i2d). k clamps at 45 weeks (weight 2^-45 ~
+    3e-14, below double's relative precision of any live term) so the
+    numerator stays inside the two-limb exact range (< 2^85) up to
+    ~10^12 events. Scale shape: per-batch (type, week) count
     partials, bounded driver fold, zero shuffle."""
 
     def partial(t: pa.Table) -> pa.Table:
@@ -8642,7 +8661,7 @@ def decayed_type_volume(sf_dir):
            .groupby(["event_type", "wk"], sort=True)["y"].sum()
            .reset_index())
     mw = int(c["wk"].max())
-    c["k"] = np.minimum(mw - c["wk"], 120)
+    c["k"] = np.minimum(mw - c["wk"], 45)
     c = c.groupby(["event_type", "k"], sort=True)["y"].sum().reset_index()
     kmax = int(c["k"].max())
     rows = []
@@ -10381,14 +10400,14 @@ u as (select s.r2a - t.ta * (t.ta + 1) as u2 from s cross join t)
 select cast(t.ta as bigint) as n_a,
        cast(t.tb as bigint) as n_b,
        cast(u.u2 as bigint) as u2,
-       cast(u.u2 as double) / cast(2 * t.ta * t.tb as double) as auc,
-       cast(u.u2 - t.ta * t.tb as double)
-         / (2.0e0 * sqrt(
-              cast(t.ta * t.tb * ((t.n + 1) * t.n * (t.n - 1) - s.tie3)
-                   as double)
-              / cast(12 * t.n * (t.n - 1) as double))) as z
+       {U2} / {DEN2} as auc,
+       {ZN}
+         / (2.0e0 * sqrt({TATB} * ({KQ} / {VD}))) as z
 from u cross join t cross join s
-""",
+""".format(U2=_i2d("u.u2"), DEN2=_i2d("2 * t.ta * t.tb"),
+           ZN=_i2d("u.u2 - t.ta * t.tb"), TATB=_i2d("t.ta * t.tb"),
+           KQ=_i2d("(t.n + 1) * t.n * (t.n - 1) - s.tie3"),
+           VD=_i2d("12 * t.n * (t.n - 1)")),
 )
 def mannwhitney_drift(sf_dir):
     """Mann-Whitney U rank-sum drift test between time halves
@@ -10421,15 +10440,17 @@ ry as (select q, 2 * (sum(t) over (order by q) - t) + t + 1 as dmr from hy),
 j as (select cast(rx.dmr as hugeint) as dx, cast(ry.dmr as hugeint) as dy
       from p join rx on rx.q = p.qx join ry on ry.q = p.qy),
 s as (select cast(count(*) as hugeint) as n,
-             sum(dx * dy) as sxy, sum(dx) as sx, sum(dy) as sy,
+             sum(dx * dy) as sxy,
              sum(dx * dx) as sxx, sum(dy * dy) as syy
-      from j)
-select cast(s.n as bigint) as n,
-       cast(s.n * s.sxy - s.sx * s.sy as double)
-         / (sqrt(cast(s.n * s.sxx - s.sx * s.sx as double))
-            * sqrt(cast(s.n * s.syy - s.sy * s.sy as double))) as rho
-from s
-""",
+      from j),
+abc as (select n, sxy - n * (n + 1) * (n + 1) as a,
+               sxx - n * (n + 1) * (n + 1) as b,
+               syy - n * (n + 1) * (n + 1) as c
+        from s)
+select cast(n as bigint) as n,
+       {A} / (sqrt({B}) * sqrt({C})) as rho
+from abc
+""".format(A=_i2d("a"), B=_i2d("b"), C=_i2d("c")),
 )
 def spearman_value_latency(sf_dir):
     """Corpus-level Spearman rho between event value and inter-event
@@ -10526,3 +10547,121 @@ def ams_f2_tokens(sf_dir):
 
     return run(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"]))
+
+
+def _pacf_sql(K: int = 5) -> str:
+    leads = ",\n             ".join(
+        f"lead(y, {k}) over win as y{k}" for k in range(1, K + 1))
+    phs = ",\n             ".join(
+        f"sum(cast(y as hugeint) * y{k}) as p{k},"
+        f" cast(sum(y + y{k}) as hugeint) as h{k}"
+        for k in range(1, K + 1))
+    rs = ",\n              ".join(
+        _i2d(f"n*n*p{k} - n*s*h{k} + (n-{k})*s*s")
+        + "\n               / " + _i2d("n*n*qq - n*s*s")
+        for k in range(1, K + 1))
+    return _GAPFILL_1D_CTES + f""",
+g as (select conv_id, bucket_ts,
+             cast(floor(mean_latency * 100.0e0 + 0.5e0) as bigint) as y
+      from filled_grid),
+w as (select conv_id, y,
+             {leads}
+      from g window win as (partition by conv_id order by bucket_ts)),
+a as (select conv_id, cast(count(*) as hugeint) as n,
+             cast(sum(y) as hugeint) as s,
+             sum(cast(y as hugeint) * y) as qq,
+             {phs}
+      from w group by 1 having count(*) > {K + 1}),
+r as (select conv_id, cast(n as bigint) as n_days,
+             [{rs}] as rs
+      from a where n*n*qq - n*s*s <> 0),
+walk as (
+  with recursive wk as (
+    select conv_id, n_days, rs, 1 as k, [rs[1]] as phi from r
+    union all
+    select conv_id, n_days, rs, k + 1,
+           list_append(
+             list_transform(generate_series(1, k),
+                            j -> phi[j] - a * phi[k + 1 - j]),
+             a) as phi
+    from (select conv_id, n_days, rs, k, phi,
+                 (rs[k + 1]
+                  - list_reduce(list_prepend(0.0e0,
+                      list_transform(generate_series(1, k),
+                                     j -> phi[j] * rs[k + 1 - j])),
+                      (x, y) -> x + y))
+                 / (1.0e0
+                    - list_reduce(list_prepend(0.0e0,
+                        list_transform(generate_series(1, k),
+                                       j -> phi[j] * rs[j])),
+                        (x, y) -> x + y)) as a
+          from wk where k < {K}))
+  select * from wk)
+select conv_id, cast(k as bigint) as lag, n_days, phi[k] as pacf
+from walk
+order by conv_id, lag
+"""
+
+
+@q("pacf_daily", _pacf_sql())
+def pacf_daily(sf_dir):
+    """Partial autocorrelation (lags 1-5) per conversation over the
+    gap-filled daily latency series via the Durbin-Levinson recursion
+    (kernels/smooth.pacf_durbin_levinson) — the AR-order diagnostic
+    completing the serial-dependence family (acf_lags: raw ACF;
+    variance_ratio_7d: random-walk test). Autocorrelations are exact
+    integer rationals (cents quantization, hugeint moments) divided
+    once; the DL recursion's inner products fold left-to-right from
+    0.0 exactly as the recursive-CTE twin replays. Nested-form map,
+    no per-conv shuffle; convs need > 6 days and nonzero variance."""
+    from sits_ray.kernels.smooth import pacf_durbin_levinson
+    from sits_ray.stages.series_ops import series_features
+
+    K = 5
+
+    def fn(mat):
+        m, t = mat.shape
+        res = {f"pacf_{k}": np.full(m, np.nan) for k in range(1, K + 1)}
+        if t <= K + 1:
+            return res
+        y = np.floor(mat * 100.0 + 0.5).astype(np.int64)
+        s = y.sum(axis=1)
+        qq = (y * y).sum(axis=1)
+        p = [(y[:, :-k] * y[:, k:]).sum(axis=1) for k in range(1, K + 1)]
+        h = [(y[:, :-k] + y[:, k:]).sum(axis=1) for k in range(1, K + 1)]
+        r = np.full((m, K), np.nan)
+        for i in range(m):  # conv-level Python-bigint moments (hugeint twin)
+            si, qi = int(s[i]), int(qq[i])
+            den = t * t * qi - t * si * si
+            if den == 0:
+                continue
+            for k in range(1, K + 1):
+                num = (t * t * int(p[k - 1][i]) - t * si * int(h[k - 1][i])
+                       + (t - k) * si * si)
+                r[i, k - 1] = float(num) / float(den)
+        pac = pacf_durbin_levinson(r)
+        for k in range(1, K + 1):
+            res[f"pacf_{k}"] = pac[:, k - 1]
+        return res
+
+    nested = _nested_tier(sf_dir, "1d")
+
+    def run(b: pa.Table) -> pa.Table:
+        tbl = series_features(
+            b, fn,
+            extra_builders={"n_days": lambda lens: lens.astype(np.int64)})
+        df = tbl.to_pandas()
+        df = df[~np.isnan(df["pacf_1"].to_numpy())]
+        long = df.melt(id_vars=["conv_id", "n_days"],
+                       value_vars=[f"pacf_{k}" for k in range(1, K + 1)],
+                       var_name="lagname", value_name="pacf")
+        long["lag"] = long["lagname"].str.slice(5).astype(np.int64)
+        long = long.sort_values(["conv_id", "lag"])
+        return pa.table({
+            "conv_id": pa.array(long["conv_id"]),
+            "lag": pa.array(long["lag"].to_numpy(np.int64)),
+            "n_days": pa.array(long["n_days"].to_numpy(np.int64)),
+            "pacf": pa.array(long["pacf"].to_numpy(np.float64)),
+        })
+
+    return nested.map_batches(run, batch_format="pyarrow")

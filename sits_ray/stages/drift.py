@@ -171,10 +171,14 @@ def mw_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFrame:
     u2 = r2a - ta * (ta + 1)
     n = ta + tb
     tie3 = sum(int(x) ** 3 - int(x) for x in t)
-    var_num = ta * tb * ((n + 1) * n * (n - 1) - tie3)
+    # variance factored as (ta*tb) * (K / (12n(n-1))) so every integer
+    # cast stays within the SQL twin's exact two-limb range (< 2^85;
+    # the fused numerator ta*tb*K is ~n^5 and DuckDB's bare
+    # HUGEINT->DOUBLE cast mis-rounds mid-width integers)
+    kq = (n + 1) * n * (n - 1) - tie3
     var_den = 12 * n * (n - 1)
     z = (float(u2 - ta * tb)
-         / (2.0 * math.sqrt(float(var_num) / float(var_den))))
+         / (2.0 * math.sqrt(float(ta * tb) * (float(kq) / float(var_den)))))
     return pd.DataFrame([{
         "n_a": np.int64(ta), "n_b": np.int64(tb), "u2": np.int64(u2),
         "auc": float(u2) / float(2 * ta * tb), "z": z,

@@ -122,10 +122,15 @@ def spearman_value_latency(ds) -> pd.DataFrame:
 
     parts = pairs.map_batches(prod_partial, batch_format="pyarrow").to_pandas()
     sxy = sum(int(v) for v in parts["sxy"])
-    num = n * sxy - sx * sy
-    den_x = n * sxx - sx * sx
-    den_y = n * syy - sy * sy
-    rho = (float(num)
-           / (math.sqrt(float(den_x)) * math.sqrt(float(den_y)))
-           if den_x > 0 and den_y > 0 else float("nan"))
+    # sum of doubled midranks is n(n+1) identically — lets the common
+    # factor n cancel ALGEBRAICALLY (rho = A / (sqrt(B) * sqrt(C)));
+    # the smaller integers stay within the SQL twin's exact-cast range
+    # (|x| < 2^85 two-limb cast) to ~2e8 pair rows
+    assert sx == n * (n + 1) and sy == n * (n + 1)
+    t2 = n * (n + 1) * (n + 1)
+    a = sxy - t2
+    b = sxx - t2
+    c = syy - t2
+    rho = (float(a) / (math.sqrt(float(b)) * math.sqrt(float(c)))
+           if b > 0 and c > 0 else float("nan"))
     return pd.DataFrame([{"n": np.int64(n), "rho": rho}])

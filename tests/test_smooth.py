@@ -322,3 +322,59 @@ def test_croston_edge_rows():
     # constant demand every other day: p converges toward 2
     z2, p2, nd2 = croston(np.array([[2, 0] * 20], dtype=np.float64))
     assert abs(p2[0] - 2.0) < 0.2 and abs(z2[0] - 2.0) < 1e-12
+
+
+# --- Durbin-Levinson PACF -----------------------------------------------------
+
+def test_pacf_ar1_cutoff():
+    from sits_ray.kernels.smooth import pacf_durbin_levinson
+
+    # AR(1): pacf lag 1 = r1; lags >= 2 ~ 0 (exact for the textbook
+    # recursion when r_k = r1^k exactly)
+    r1 = 0.6
+    r = np.array([[r1, r1**2, r1**3, r1**4, r1**5]])
+    p = pacf_durbin_levinson(r)[0]
+    assert p[0] == r1
+    assert np.all(np.abs(p[1:]) < 1e-12)
+
+
+def test_pacf_matches_scalar_recursion():
+    from sits_ray.kernels.smooth import pacf_durbin_levinson
+
+    rng = np.random.default_rng(13)
+    # random correlations (kept small so the recursion is stable)
+    r = rng.uniform(-0.3, 0.3, size=(7, 5))
+    got = pacf_durbin_levinson(r)
+
+    def scalar(rr):
+        K = len(rr)
+        phi = [0.0] * K
+        phi[0] = rr[0]
+        out = [rr[0]]
+        for k in range(1, K):
+            acc_n = 0.0
+            acc_d = 0.0
+            for j in range(k):
+                acc_n = acc_n + phi[j] * rr[k - 1 - j]
+                acc_d = acc_d + phi[j] * rr[j]
+            a = (rr[k] - acc_n) / (1.0 - acc_d)
+            new = phi[:]
+            for j in range(k):
+                new[j] = phi[j] - a * phi[k - 1 - j]
+            new[k] = a
+            phi = new
+            out.append(a)
+        return out
+
+    for i in range(7):
+        exp = scalar(list(r[i]))
+        assert got[i].tolist() == exp  # bit-exact: same fold order
+
+
+def test_pacf_nan_rows_propagate():
+    from sits_ray.kernels.smooth import pacf_durbin_levinson
+
+    r = np.array([[np.nan] * 5, [0.5, 0.25, 0.125, 0.0625, 0.03125]])
+    p = pacf_durbin_levinson(r)
+    assert np.all(np.isnan(p[0]))
+    assert not np.any(np.isnan(p[1]))
