@@ -10665,3 +10665,52 @@ def pacf_daily(sf_dir):
         })
 
     return nested.map_batches(run, batch_format="pyarrow")
+
+
+@q(
+    "lof_embeddings",
+    """
+with v as (
+  select vec_id,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings),
+n2 as (select vec_id, q,
+              cast(list_dot_product(q, q) as bigint) as nn
+       from v),
+p as (select a.vec_id as a, b.vec_id as b,
+             a.nn + b.nn - 2 * cast(list_dot_product(a.q, b.q) as bigint)
+               as d2
+      from n2 a join n2 b on b.vec_id <> a.vec_id),
+nb as (select a, b, d2,
+              row_number() over (partition by a order by d2, b) as rnk
+       from p),
+knn as (select * from nb where rnk <= 5),
+kd as (select a as vid, cast(max(d2) as bigint) as kdist from knn group by 1),
+reach as (select k.a, k.b, k.rnk, greatest(kd.kdist, k.d2) as r
+          from knn k join kd on kd.vid = k.b),
+s as (select a, cast(sum(r) as bigint) as sr from reach group by 1),
+l as (select k.a,
+             list_reduce(list_prepend(0.0e0,
+               list(cast(sa.sr as double) / cast(sb.sr as double)
+                    order by k.rnk)),
+               (x, y) -> x + y) / 5.0e0 as lof
+      from knn k
+      join s sa on sa.a = k.a
+      join s sb on sb.a = k.b
+      group by k.a)
+select l.a as vec_id, kd.kdist, s.sr as s_reach, l.lof
+from l join kd on kd.vid = l.a join s on s.a = l.a
+order by vec_id
+""",
+)
+def lof_embeddings(sf_dir):
+    """Local Outlier Factor (k=5) over the embedding table
+    (stages/outlier.lof_embeddings): squared-Euclidean LOF on the int64
+    quantization grid — exact integer kNN, k-distances and reach sums;
+    lof = rank-ordered fold of S(a)/S(b) divided once by k. Broadcast
+    Gram blocks per batch, bounded n x k driver finish."""
+    from sits_ray.stages.outlier import lof_embeddings as run
+
+    return run(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]))

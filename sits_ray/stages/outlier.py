@@ -144,3 +144,89 @@ def benford_digits(ds, value_col: str = "value") -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["digit", "n_obs", "p_expected",
                                        "contrib"]).astype(
         {"digit": np.int64, "n_obs": np.int64})
+
+
+def lof_embeddings(ds, k: int = 5) -> pd.DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over the
+    embedding table — the density-based member of the outlier family
+    (HBOS: histogram rarity; Hampel/CUSUM/matrix-profile: per-series).
+    LOF compares each point's local reachability density to its
+    neighbors': ~1 inside any uniform-density region (whatever its
+    scale), >> 1 for points whose neighborhood is much sparser than
+    their neighbors' neighborhoods.
+
+    Variant contract (pinned on both engines): squared Euclidean
+    distances over the PQ family's ``floor(x*10000 + 0.5)`` int64
+    quantization — monotone in true distance, so the kNN sets and
+    k-distances are the classic ones while every distance, reach
+    distance and reach SUM stays an exact int64. Neighbor sets are
+    exactly k with (d2, id) tie-break (the with-ties variant is not
+    deterministic). lrd ratios collapse algebraically:
+    ``lrd(b)/lrd(a) = S(a)/S(b)`` with ``S(x) = sum of reach
+    distances``, so ``lof(a) = fold_{b in N(a), rank order}
+    (S(a)/S(b)) / k`` — k float divisions folded left-to-right from
+    0.0 then ONE division by k, the exact tree the SQL twin replays.
+
+    Scale shape: the quantized matrix broadcasts once (ray.put); each
+    batch computes one exact int64 Gram block ``|a|^2 + |b|^2 - 2ab``
+    and ships only its (rows x k) neighbor table; the driver finishes
+    on the bounded n x k table. At corpus scale the broadcast side
+    becomes the IVF-bucketed candidate set (stages/similarity.ivf
+    layout) — same kernel, pruned candidates."""
+    import ray
+
+    t = ds.to_pandas()
+    q = np.floor(
+        np.stack(t["embedding"].to_numpy()).astype(np.float64) * 10000.0
+        + 0.5
+    ).astype(np.int64)
+    ids = t["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    q, ids = q[order], ids[order]
+    nn = (q * q).sum(axis=1)
+    ref = ray.put((q, ids, nn))
+
+    def knn_batch(b: pd.DataFrame) -> pd.DataFrame:
+        qq, aid, an = ray.get(ref)
+        bq = np.floor(
+            np.stack(b["embedding"].to_numpy()).astype(np.float64) * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        bids = b["vec_id"].to_numpy(np.int64)
+        bn = (bq * bq).sum(axis=1)
+        d2 = bn[:, None] + an[None, :] - 2 * (bq @ qq.T)
+        rows = []
+        for i in range(len(bids)):
+            d = d2[i].copy()
+            self_pos = np.searchsorted(aid, bids[i])
+            d[self_pos] = np.iinfo(np.int64).max  # exclude self
+            sel = np.lexsort((aid, d))[:k]
+            rows.append(pd.DataFrame({
+                "a": bids[i], "rnk": np.arange(1, k + 1, dtype=np.int64),
+                "b": aid[sel], "d2": d[sel]}))
+        return pd.concat(rows, ignore_index=True)
+
+    from sits_ray.stages.joins import _right_as_table
+
+    kt = _right_as_table(ds.map_batches(knn_batch, batch_format="pandas"))
+    knn = pd.DataFrame({c: kt[c].to_numpy() for c in ("a", "rnk", "b", "d2")})
+    kdist = knn.groupby("a")["d2"].max()  # rank-k distance
+    reach = np.maximum(kdist.reindex(knn["b"]).to_numpy(np.int64),
+                       knn["d2"].to_numpy(np.int64))
+    knn["r"] = reach
+    s = knn.groupby("a")["r"].sum().astype(np.int64)  # S(x), exact int
+    sa = s.reindex(knn["a"]).to_numpy(np.int64)
+    sb = s.reindex(knn["b"]).to_numpy(np.int64)
+    with np.errstate(divide="ignore"):
+        knn["term"] = sa.astype(np.float64) / sb.astype(np.float64)
+    knn = knn.sort_values(["a", "rnk"])
+    out_rows = []
+    for a_id, g in knn.groupby("a", sort=True):
+        acc = 0.0
+        for v in g["term"].to_numpy():   # left-to-right fold, rank order
+            acc = acc + v
+        out_rows.append({"vec_id": np.int64(a_id),
+                         "kdist": np.int64(int(kdist[a_id])),
+                         "s_reach": np.int64(int(s[a_id])),
+                         "lof": acc / float(k)})
+    return pd.DataFrame(out_rows)

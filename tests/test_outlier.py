@@ -128,3 +128,74 @@ def test_benford_excludes_nonpositive_and_batches(ray_session):
     many = benford_digits(
         rd.from_pandas(pd.DataFrame({"value": vals})).repartition(11))
     pd.testing.assert_frame_equal(out, many)
+
+
+# --- Local Outlier Factor -----------------------------------------------------
+
+def _emb_ds(vecs):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+    }))
+
+
+def test_lof_flags_planted_outlier(ray_session):
+    from sits_ray.stages.outlier import lof_embeddings
+
+    rng = np.random.default_rng(11)
+    # a tight cluster + one far-away point
+    cluster = rng.normal(0.0, 0.05, size=(30, 8))
+    outlier = np.full((1, 8), 3.0)
+    out = lof_embeddings(_emb_ds(np.vstack([cluster, outlier])), k=5)
+    lof = out.set_index("vec_id")["lof"]
+    assert lof[30] == lof.max()
+    assert lof[30] > 2.0                      # far point: much sparser
+    assert (lof.drop(30) < lof[30] / 2).all()  # clear separation
+
+
+def test_lof_uniform_density_near_one(ray_session):
+    from sits_ray.stages.outlier import lof_embeddings
+
+    # regular grid: every interior point's density matches its neighbors
+    xs, ys = np.meshgrid(np.arange(6, dtype=float), np.arange(6, dtype=float))
+    grid = np.c_[xs.ravel(), ys.ravel()]
+    out = lof_embeddings(_emb_ds(grid), k=5)
+    assert ((out["lof"] > 0.6) & (out["lof"] < 1.6)).all()
+
+
+def test_lof_matches_scalar_brute(ray_session):
+    from sits_ray.stages.outlier import lof_embeddings
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, size=(40, 4))
+    k = 5
+    out = lof_embeddings(_emb_ds(vecs), k=k).set_index("vec_id")
+    q = np.floor(vecs * 10000.0 + 0.5).astype(np.int64)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nbr = {}
+    for a in range(40):
+        sel = np.lexsort((np.arange(40), d2[a]))[:k]
+        nbr[a] = sel
+    kdist = {a: int(d2[a][nbr[a]].max()) for a in range(40)}
+    s = {a: sum(max(kdist[int(b)], int(d2[a][b])) for b in nbr[a])
+         for a in range(40)}
+    for a in range(40):
+        acc = 0.0
+        for b in nbr[a]:
+            acc = acc + float(s[a]) / float(s[int(b)])
+        assert out.loc[a, "lof"] == acc / float(k)   # bit-exact
+        assert out.loc[a, "kdist"] == kdist[a]
+        assert out.loc[a, "s_reach"] == s[a]
+
+
+def test_lof_batching_invariance(ray_session):
+    from sits_ray.stages.outlier import lof_embeddings
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, size=(60, 6))
+    one = lof_embeddings(_emb_ds(vecs), k=5)
+    many = lof_embeddings(_emb_ds(vecs).repartition(7), k=5)
+    pd.testing.assert_frame_equal(one.reset_index(drop=True),
+                                  many.reset_index(drop=True))
