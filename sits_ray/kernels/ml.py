@@ -129,3 +129,24 @@ def accuracy_metrics(cm: np.ndarray, area_weights: np.ndarray | None = None) -> 
         "producer_acc": pa,
         "user_acc": ua,
     }
+
+
+def pav_blocks(cq, n, nc):
+    """Pool-adjacent-violators over confidence groups sorted by ``cq``:
+    returns the isotonic (nondecreasing accuracy) block partition as
+    parallel lists (lo, hi, n, n_correct). ALL-INTEGER: the violation
+    test is the cross-multiplied ``nc_prev * n_cur > nc_cur * n_prev``
+    (strict — equal-mean neighbors stay separate blocks, a deterministic
+    tie rule both engines share), so the block structure is an exact
+    pure function of the counts; rates are divided once downstream.
+    Driver-side over the bounded confidence-grid group table."""
+    stack: list[list[int]] = []
+    for c, cnt, cor in zip(cq, n, nc):
+        stack.append([int(c), int(c), int(cnt), int(cor)])
+        while (len(stack) >= 2
+               and stack[-2][3] * stack[-1][2] > stack[-1][3] * stack[-2][2]):
+            top = stack.pop()
+            prev = stack.pop()
+            stack.append([prev[0], top[1], prev[2] + top[2],
+                          prev[3] + top[3]])
+    return stack

@@ -10714,3 +10714,129 @@ def lof_embeddings(sf_dir):
 
     return run(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]))
+
+
+def _isotonic_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    cases = []
+    for j in range(3):
+        conds = " and ".join(f"p{j} >= p{k}" for k in range(j + 1, 4))
+        cases.append(f"when {conds} then {j}")
+    argmax = "case " + " ".join(cases) + " else 3 end"
+    return f"""
+with s as (
+  select vec_id, label, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+p as (select vec_id, label,
+             exp(l0 - mx) / z as p0, exp(l1 - mx) / z as p1,
+             exp(l2 - mx) / z as p2, exp(l3 - mx) / z as p3
+      from zt),
+c as (select vec_id,
+             greatest(p0, p1, p2, p3) as conf,
+             ({argmax}) = (label % 4) as correct
+      from p),
+b as (select cast(floor(conf * 1000000 + 0.5) as bigint) as cq, correct
+      from c),
+g0 as (select cq, cast(count(*) as bigint) as n,
+              cast(count(*) filter (where correct) as bigint) as nc
+       from b group by 1),
+g as (select cq, n, nc,
+             cast(row_number() over (order by cq) as bigint) as idx
+      from g0),
+ng as (select cast(count(*) as bigint) as m from g),
+walk as (
+  with recursive w as (
+    select 0::bigint as i,
+           []::bigint[] as los, []::bigint[] as his,
+           []::bigint[] as ns, []::bigint[] as ncs
+    union all
+    select case when w2.viol then w2.i else w2.i + 1 end,
+           case when w2.viol
+                then w2.los[1:len(w2.los) - 1]
+                else list_append(w2.los, g.cq) end,
+           case when w2.viol
+                then list_append(w2.his[1:len(w2.his) - 2],
+                                 w2.his[len(w2.his)])
+                else list_append(w2.his, g.cq) end,
+           case when w2.viol
+                then list_append(w2.ns[1:len(w2.ns) - 2],
+                                 w2.ns[len(w2.ns) - 1] + w2.ns[len(w2.ns)])
+                else list_append(w2.ns, g.n) end,
+           case when w2.viol
+                then list_append(w2.ncs[1:len(w2.ncs) - 2],
+                                 w2.ncs[len(w2.ncs) - 1] + w2.ncs[len(w2.ncs)])
+                else list_append(w2.ncs, g.nc) end
+    from (select w.*,
+                 len(w.ns) >= 2
+                 and w.ncs[len(w.ns) - 1] * w.ns[len(w.ns)]
+                     > w.ncs[len(w.ns)] * w.ns[len(w.ns) - 1] as viol
+          from w) w2
+    cross join ng
+    left join g on (not w2.viol) and g.idx = w2.i + 1
+    where w2.viol or w2.i < ng.m)
+  select * from w),
+fin as (
+  select * from (
+    select w.*, ng.m,
+           len(w.ns) >= 2
+           and w.ncs[len(w.ns) - 1] * w.ns[len(w.ns)]
+               > w.ncs[len(w.ns)] * w.ns[len(w.ns) - 1] as viol
+    from walk w cross join ng)
+  where i = m and not viol)
+select row_number() over (order by lo) as block_id,
+       lo, hi, n, n_correct,
+       n_correct / n as rate
+from (select unnest(los) as lo, unnest(his) as hi,
+             unnest(ns) as n, unnest(ncs) as n_correct
+      from fin)
+order by block_id
+"""
+
+
+@q("isotonic_calibration", _isotonic_sql())
+def isotonic_calibration(sf_dir):
+    """Isotonic (PAV) calibration of the seeded scorer (Zadrozny &
+    Elkan 2002): pool-adjacent-violators over the 1e-6 confidence grid
+    against label%4 correctness — the monotone-fit companion of
+    calibration_bins' fixed deciles. ALL-INTEGER: per-batch (conf_q,
+    n, n_correct) partials fold on the driver (bounded by the grid),
+    the violation test cross-multiplies counts (kernels/ml.pav_blocks),
+    and the fitted rate is ONE bigint/bigint division per block; the
+    SQL twin replays the merge walk as a stack-carrying recursive
+    CTE."""
+    from sits_ray.kernels.ml import pav_blocks, softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        conf = p.max(axis=1)
+        pred = p.argmax(axis=1)
+        truth = t["label"].to_numpy() % 4
+        cq = np.floor(conf * 1000000.0 + 0.5).astype(np.int64)
+        out = pd.DataFrame({
+            "cq": cq, "n": 1,
+            "nc": (pred == truth).astype(np.int64),
+        }).groupby("cq", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cq", sort=True)[["n", "nc"]].sum().reset_index()
+    blocks = pav_blocks(g["cq"].to_numpy(np.int64),
+                        g["n"].to_numpy(np.int64),
+                        g["nc"].to_numpy(np.int64))
+    return pd.DataFrame([{
+        "block_id": np.int64(i + 1),
+        "lo": np.int64(lo), "hi": np.int64(hi),
+        "n": np.int64(cnt), "n_correct": np.int64(cor),
+        "rate": cor / cnt,
+    } for i, (lo, hi, cnt, cor) in enumerate(blocks)])

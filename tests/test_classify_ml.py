@@ -227,3 +227,36 @@ def test_confident_label_noise_clean_labels_unflagged(ray_session):
                 flagged += 1
                 break
     assert flagged == 0
+
+
+# --- PAV isotonic blocks ------------------------------------------------------
+
+def test_pav_textbook_merge():
+    from sits_ray.kernels.ml import pav_blocks
+
+    # rates 1.0, 0.0, 0.5 -> first two pool to 0.5, then NO strict
+    # violation against the last block (0.5 == 0.5 stays separate)
+    blocks = pav_blocks([10, 20, 30], [2, 2, 2], [2, 0, 1])
+    assert blocks == [[10, 20, 4, 2], [30, 30, 2, 1]]
+
+
+def test_pav_already_isotonic_untouched():
+    from sits_ray.kernels.ml import pav_blocks
+
+    blocks = pav_blocks([1, 2, 3], [4, 4, 4], [1, 2, 3])
+    assert blocks == [[1, 1, 4, 1], [2, 2, 4, 2], [3, 3, 4, 3]]
+
+
+def test_pav_cascading_merge_and_monotone_rates():
+    from sits_ray.kernels.ml import pav_blocks
+
+    rng = np.random.default_rng(7)
+    n = rng.integers(1, 9, 50)
+    nc = np.array([rng.integers(0, c + 1) for c in n])
+    blocks = pav_blocks(np.arange(50), n, nc)
+    rates = [c / t for (_, _, t, c) in blocks]
+    assert all(rates[i] <= rates[i + 1] for i in range(len(rates) - 1))
+    assert sum(b[2] for b in blocks) == int(n.sum())
+    assert sum(b[3] for b in blocks) == int(nc.sum())
+    # contiguous, ordered coverage
+    assert blocks[0][0] == 0 and blocks[-1][1] == 49
