@@ -10840,3 +10840,133 @@ def isotonic_calibration(sf_dir):
         "n": np.int64(cnt), "n_correct": np.int64(cor),
         "rate": cor / cnt,
     } for i, (lo, hi, cnt, cor) in enumerate(blocks)])
+
+
+@q(
+    "mutual_info_type_hod",
+    """
+with e as (select event_type, hour(ts) as hod from events),
+c as (select event_type, hod, cast(count(*) as bigint) as n
+      from e group by 1, 2),
+t as (select cast(sum(n) as bigint) as total from c),
+mx as (select event_type, cast(sum(n) as bigint) as nx from c group by 1),
+my as (select hod, cast(sum(n) as bigint) as ny from c group by 1)
+select c.event_type, cast(c.hod as bigint) as hod, c.n,
+       c.n / cast(t.total as double) as p,
+       (c.n / cast(t.total as double))
+         * ln(cast(c.n * t.total as double)
+              / cast(mx.nx * my.ny as double)) as contrib
+from c
+join mx using (event_type) join my using (hod)
+cross join t
+order by event_type, hod
+""",
+)
+def mutual_info_type_hod(sf_dir):
+    """Mutual information between event type and hour-of-day — the
+    dependence audit over the joint census ('do tool calls cluster at
+    specific hours?'); sum(contrib) is MI in nats, zero iff independent.
+    One stateless pass of per-batch (type, hod) count partials to the
+    bounded (types x 24) driver table, zero shuffle; each contribution
+    is (n/N) * ln(n*N / (nx*ny)) with exact-int cast operands (< 2^53
+    at any gate scale) and ln via math.log (libm == DuckDB)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hod": hod.astype(np.int64),
+        })
+        g = df.groupby(["event_type", "hod"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"event_type": pa.array(gi["event_type"]),
+                         "hod": pa.array(gi["hod"].to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["event_type", "hod"], sort=True)["n"].sum()
+           .reset_index())
+    total = int(c["n"].sum())
+    nx = c.groupby("event_type")["n"].sum()
+    ny = c.groupby("hod")["n"].sum()
+    nxv = nx.reindex(c["event_type"]).to_numpy(np.int64)
+    nyv = ny.reindex(c["hod"]).to_numpy(np.int64)
+    nv = c["n"].to_numpy(np.int64)
+    p = np.empty(len(c)); contrib = np.empty(len(c))
+    for i in range(len(c)):
+        p[i] = int(nv[i]) / float(total)
+        contrib[i] = p[i] * math.log(
+            float(int(nv[i]) * total) / float(int(nxv[i]) * int(nyv[i])))
+    return pd.DataFrame({
+        "event_type": c["event_type"], "hod": c["hod"].to_numpy(np.int64),
+        "n": nv, "p": p, "contrib": contrib,
+    })
+
+
+@q(
+    "dbscan_embeddings",
+    """
+with v as (
+  select vec_id,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings),
+n2 as (select vec_id, q,
+              cast(list_dot_product(q, q) as bigint) as nn
+       from v),
+p as (select a.vec_id as a, b.vec_id as b,
+             a.nn + b.nn - 2 * cast(list_dot_product(a.q, b.q) as bigint)
+               as d2
+      from n2 a join n2 b on b.vec_id <> a.vec_id),
+nb as (select a, b, d2,
+              row_number() over (partition by a order by d2, b) as rnk
+       from p),
+kd as (select a as vid, d2 as kdv from nb where rnk = 3),
+eps as (select kdv as eps2 from (
+          select kdv, vid,
+                 row_number() over (order by kdv, vid) as r,
+                 count(*) over () as n
+          from kd)
+        where r = (n + 1) // 2),
+e as (select a, b from p cross join eps where d2 <= eps.eps2),
+deg as (select a, cast(count(*) as bigint) as dg from e group by 1),
+core as (select a as vid from deg where dg >= 3),
+ce as (select e.a, e.b from e
+       where e.a in (select vid from core)
+         and e.b in (select vid from core)),
+reach as (
+  with recursive w as (
+    select vid as a, vid as b from core
+    union
+    select w.a, ce.b from w join ce on ce.a = w.b)
+  select * from w),
+lab as (select a as vid, cast(min(b) as bigint) as cluster
+        from reach group by 1),
+border as (select e.a as vid, cast(min(l.cluster) as bigint) as cluster
+           from e join lab l on l.vid = e.b
+           where e.a not in (select vid from core)
+           group by 1)
+select n2.vec_id,
+       case when lab.vid is not null then 'core'
+            when border.vid is not null then 'border'
+            else 'noise' end as role,
+       coalesce(lab.cluster, border.cluster, -1) as cluster
+from n2
+left join lab on lab.vid = n2.vec_id
+left join border on border.vid = n2.vec_id
+order by n2.vec_id
+""",
+)
+def dbscan_embeddings(sf_dir):
+    """DBSCAN over the quantized embedding space (stages/dbscan):
+    density-adaptive eps^2 = lower-median 3rd-NN squared distance,
+    minPts=4, clusters = core-graph components labeled by min vec_id,
+    border points take the smallest core-neighbor label, rest noise.
+    All-integer (exact kNN, integer eps selection, min-label
+    components), so the SQL twin — including the recursive reachability
+    closure — is bit-exact."""
+    from sits_ray.stages.dbscan import dbscan_embeddings as run
+
+    return run(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]))
