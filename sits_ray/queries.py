@@ -10970,3 +10970,72 @@ def dbscan_embeddings(sf_dir):
 
     return run(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]))
+
+
+_DP_HORNER = (
+    "list_reduce(list_prepend(cast(0 as bigint),"
+    " list_transform(regexp_extract_all(to_hex(encode(event_type)), '..'),"
+    " c -> cast(concat('0x', c) as bigint))),"
+    " (h, c) -> (h * 1000003 + c) % 2147483647)"
+)
+
+
+@q(
+    "dp_noisy_type_counts",
+    f"""
+with c as (select event_type, cast(count(*) as bigint) as n
+           from events group by 1),
+h0 as (select event_type, n,
+              (({_DP_HORNER}) % 2147483647) * 747796405 + 2891336453 as a0
+       from c),
+h1 as (select event_type, n, (a0 % 2147483648) as a from h0),
+h2 as (select event_type, n, xor(a, a >> 13) as b from h1),
+h3 as (select event_type, n,
+              xor((b * 1000003) % 2147483647,
+                  ((b * 1000003) % 2147483647) >> 7) as cc from h2),
+h as (select event_type, n, (cc * 69621) % 2147483647 as m from h3),
+u as (select event_type, n,
+             (cast(m as double) + 0.5e0) / 2147483647e0 as uu from h),
+l as (select event_type, n, uu,
+             -(case when uu >= 0.5e0 then 1.0e0 else -1.0e0 end)
+               * ln(1.0e0 - 2.0e0 * abs(uu - 0.5e0)) as noise
+      from u)
+select event_type, n, noise, cast(n as double) + noise as noisy_n
+from l
+order by event_type
+""",
+)
+def dp_noisy_type_counts(sf_dir):
+    """Differentially-private per-type counts via the Laplace mechanism
+    (Dwork et al. 2006) with a SEEDED inverse-CDF draw — the mechanism
+    certification companion of the k_anonymity audit (the per-type
+    uniform comes from the repo's Horner/M31 hash + integer avalanche,
+    so the draw is a deterministic pure function and the whole
+    mechanism — counts, uniforms, sign, ln — replays bit-exactly in
+    SQL; a deployment would swap the seed source for real entropy,
+    everything else unchanged). eps = 1, sensitivity 1:
+    noise = -sign(u - 1/2) * ln(1 - 2|u - 1/2|). Per-batch count
+    partials, bounded type table, math.log on the driver."""
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.sketch import kmv_mix
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False).size()
+        return pa.table({"event_type": pa.array(g.index.to_numpy(object)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    ds = _events(sf_dir, columns=["event_type"])
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", sort=True)["n"].sum().reset_index())
+    h = fingerprint_batch(list(c["event_type"]))
+    m = kmv_mix(h)
+    rows = []
+    for et, n, mi in zip(c["event_type"], c["n"], m):
+        uu = (float(int(mi)) + 0.5) / 2147483647.0
+        s = 1.0 if uu >= 0.5 else -1.0
+        noise = -s * math.log(1.0 - 2.0 * abs(uu - 0.5))
+        rows.append({"event_type": et, "n": np.int64(n),
+                     "noise": noise, "noisy_n": float(int(n)) + noise})
+    return pd.DataFrame(rows)

@@ -370,3 +370,35 @@ def test_k_anonymity_batching_invariance(ray_session):
     one = k_anonymity(rd.from_pandas(df))
     many = k_anonymity(rd.from_pandas(df).repartition(11))
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- DP Laplace mechanism (seeded) ---------------------------------------------
+
+def test_dp_noise_distribution_properties(ray_session):
+    # inverse-CDF sanity on the deterministic draw chain itself
+    import math
+    import numpy as np
+    from sits_ray.kernels.text import fingerprint_batch
+    from sits_ray.stages.sketch import kmv_mix
+
+    names = [f"type_{i}" for i in range(2000)]
+    m = kmv_mix(fingerprint_batch(names))
+    u = (m.astype(np.float64) + 0.5) / 2147483647.0
+    assert ((u > 0) & (u < 1)).all()
+    noise = np.array([
+        -(1.0 if x >= 0.5 else -1.0) * math.log(1.0 - 2.0 * abs(x - 0.5))
+        for x in u])
+    # Laplace(b=1): mean ~ 0, E|X| = 1, P(|X| <= ln 2) = 1/2
+    assert abs(noise.mean()) < 0.1
+    assert abs(np.abs(noise).mean() - 1.0) < 0.1
+    frac = (np.abs(noise) <= math.log(2.0)).mean()
+    assert abs(frac - 0.5) < 0.05
+
+
+def test_dp_noisy_counts_deterministic(ray_session):
+    from sits_ray.queries import QUERIES
+
+    a = QUERIES["dp_noisy_type_counts"]("/root/testdata/sf0.001")
+    b = QUERIES["dp_noisy_type_counts"]("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["noisy_n"] != a["n"]).all()   # noise actually applied
