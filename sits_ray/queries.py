@@ -11039,3 +11039,80 @@ def dp_noisy_type_counts(sf_dir):
         rows.append({"event_type": et, "n": np.int64(n),
                      "noise": noise, "noisy_n": float(int(n)) + noise})
     return pd.DataFrame(rows)
+
+
+def _jl_sql(n_out: int = 16, seed: int = 43) -> str:
+    from sits_ray.stages.similarity import jl_constants
+
+    a, b = jl_constants(seed)
+    return f"""
+with v as (
+  select vec_id,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint)) as q
+  from embeddings
+  where vec_id < 32),
+flat as (
+  select vec_id, unnest(q) as qi,
+         generate_subscripts(q, 1) - 1 as i
+  from v),
+pv as (
+  select f.vec_id, js.j,
+         cast(sum(f.qi * (1 - 2 * ((({a} * (f.i * {n_out} + js.j) + {b})
+                                    % 2147483647) % 2))) as bigint) as y
+  from flat f cross join (select unnest(generate_series(0, {n_out - 1})) as j) js
+  group by 1, 2),
+prs as (
+  select a.vec_id as va, a.q as qa, bb.q as qb
+  from v a join v bb on bb.vec_id = a.vec_id + 1
+  where a.vec_id % 2 = 0),
+orig as (
+  select va,
+         cast(list_dot_product(qa, qa) + list_dot_product(qb, qb)
+              - 2 * list_dot_product(qa, qb) as bigint) as d2_orig
+  from prs),
+proj as (
+  select p1.vec_id as va,
+         cast(sum((p1.y - p2.y) * (p1.y - p2.y)) as bigint) as d2_proj
+  from pv p1 join pv p2 on p2.vec_id = p1.vec_id + 1 and p2.j = p1.j
+  where p1.vec_id % 2 = 0
+  group by 1)
+select o.va as vec_a, o.va + 1 as vec_b, o.d2_orig, p.d2_proj,
+       cast(p.d2_proj as double)
+         / cast({n_out} * o.d2_orig as double) as ratio
+from orig o join proj p using (va)
+order by vec_a
+"""
+
+
+@q("jl_distortion_pairs", _jl_sql())
+def jl_distortion_pairs(sf_dir):
+    """Johnson-Lindenstrauss sign-projection certificate: 16 probe
+    pairs (2t, 2t+1), original vs 64->16 projected squared distance and
+    the distortion ratio d2_proj / (16 * d2_orig) ~ 1 (Achlioptas 2003;
+    stages/similarity.jl_project). Everything integer until the one
+    ratio division — projection, distances and the +/-1 matrix replay
+    bit-exactly in SQL."""
+    from sits_ray.stages.similarity import jl_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    probes = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 32)),
+        batch_format="pyarrow")
+    proj = jl_project(probes)
+    t = proj.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.floor(np.stack(t["embedding"].to_numpy()).astype(np.float64)
+                 * 10000.0 + 0.5).astype(np.int64)
+    y = np.stack(t["proj"].to_numpy()).astype(np.int64)
+    ids = t["vec_id"].to_numpy(np.int64)
+    rows = []
+    for s in range(0, len(ids) - 1, 2):
+        if ids[s] % 2 != 0 or ids[s + 1] != ids[s] + 1:
+            continue
+        d2o = int(((q[s] - q[s + 1]) ** 2).sum())
+        d2p = int(((y[s] - y[s + 1]) ** 2).sum())
+        rows.append({"vec_a": np.int64(ids[s]), "vec_b": np.int64(ids[s] + 1),
+                     "d2_orig": np.int64(d2o), "d2_proj": np.int64(d2p),
+                     "ratio": float(d2p) / float(16 * d2o)})
+    return pd.DataFrame(rows)

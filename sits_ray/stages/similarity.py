@@ -1024,3 +1024,47 @@ def hard_negative_topk(ds, n_anchors: int = 64, k: int = 3):
     top = parts.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
     top["rnk"] = top.groupby("anchor_id").cumcount().to_numpy(np.int64) + 1
     return top[["anchor_id", "rnk", "neg_id", "dot_q"]].astype(np.int64)
+
+
+# --- Johnson-Lindenstrauss sign projection -----------------------------------
+
+_JL_P = (1 << 31) - 1
+
+
+def jl_constants(seed: int = 43):
+    """Affine sign-hash constants for the +/-1 projection matrix, shared
+    verbatim with the SQL twin (the cms/ams constants discipline)."""
+    rng = np.random.default_rng(seed)
+    return (int(rng.integers(1, _JL_P)), int(rng.integers(0, _JL_P)))
+
+
+def jl_sign_matrix(n_in: int = 64, n_out: int = 16, seed: int = 43):
+    """Deterministic +/-1 matrix: entry (i, j) has sign
+    ``1 - 2*(((a*(i*n_out + j) + b) mod P) mod 2)`` — replayable cell by
+    cell in SQL, no materialized state."""
+    a, b = jl_constants(seed)
+    k = np.arange(n_in * n_out, dtype=np.int64).reshape(n_in, n_out)
+    return (1 - 2 * (((a * k + b) % _JL_P) % 2)).astype(np.int64)
+
+
+def jl_project(ds, n_out: int = 16, seed: int = 43,
+               emb_col: str = "embedding"):
+    """Johnson-Lindenstrauss dimensionality reduction as a streaming
+    stage: project the quantized int64 embeddings through the seeded
+    +/-1 matrix (Achlioptas 2003 database-friendly variant) — the scale
+    path that shrinks ANN candidate vectors 4x before indexing. The
+    projection is an exact int64 matmul (q in [-2e4, 2e4]^64, signs
+    +/-1 -> |y_j| <= 1.3e6), zero float, zero shuffle; appended as a
+    ``proj`` list column. E[|ya - yb|^2] = n_out * |qa - qb|^2, the
+    distortion certificate ``jl_distortion_pairs`` pins per-pair."""
+    s = jl_sign_matrix(64, n_out, seed)
+
+    def add(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            np.stack(t[emb_col].to_numpy()).astype(np.float64) * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        y = q @ s
+        return t.append_column("proj", pa.array(list(y)))
+
+    return ds.map_batches(add, batch_format="pyarrow")

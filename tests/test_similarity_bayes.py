@@ -467,3 +467,40 @@ def test_hard_negative_topk_bruteforce(ray_session):
     lab_of = dict(zip(df.vec_id, df.label))
     for r in out.itertuples():
         assert lab_of[r.neg_id] != lab_of[r.anchor_id]
+
+
+# --- Johnson-Lindenstrauss sign projection -------------------------------------
+
+def test_jl_projection_exact_and_distortion(ray_session):
+    import ray.data as rd
+    from sits_ray.stages.similarity import jl_project, jl_sign_matrix
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(0, 1, size=(40, 64)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": list(vecs)}))
+    out = jl_project(ds).to_pandas().sort_values("vec_id")
+    q = np.floor(vecs.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+    s = jl_sign_matrix()
+    assert s.shape == (64, 16) and set(np.unique(s)) == {-1, 1}
+    y = np.stack(out["proj"].to_numpy()).astype(np.int64)
+    assert (y == q @ s).all()                    # exact integer matmul
+    # JL guarantee in expectation: mean pairwise distortion ~ 1
+    ratios = []
+    for a in range(0, 40, 2):
+        d2o = int(((q[a] - q[a + 1]) ** 2).sum())
+        d2p = int(((y[a] - y[a + 1]) ** 2).sum())
+        ratios.append(d2p / (16 * d2o))
+    m = float(np.mean(ratios))
+    assert 0.7 < m < 1.3
+    assert all(0.05 < r < 4.0 for r in ratios)  # chi2_16/16 tails
+
+
+def test_jl_sign_matrix_balanced():
+    from sits_ray.stages.similarity import jl_sign_matrix
+
+    s = jl_sign_matrix()
+    # parity hash should be near-balanced over the 1024 cells
+    frac = (s == 1).mean()
+    assert 0.4 < frac < 0.6
