@@ -11116,3 +11116,22 @@ def jl_distortion_pairs(sf_dir):
                      "d2_orig": np.int64(d2o), "d2_proj": np.int64(d2p),
                      "ratio": float(d2p) / float(16 * d2o)})
     return pd.DataFrame(rows)
+
+
+@q("ahash_image_dups")
+def ahash_image_dups(sf_dir):
+    """Perceptual-hash (aHash) near-duplicate image detection over the
+    deterministic synthetic raster table — the multimodal member of the
+    dedup family (stages/multimodal.ahash_image_dups): all-integer
+    64-bit average hash (cross-multiplied cell means), 4x16-bit band
+    blocking through the part_aggregate path, vectorized XOR-popcount
+    verify at Hamming <= 10. Rows-only check (image decode is not
+    SQL-expressible); planted-duplicate recall, the distance-3
+    pigeonhole guarantee and batching invariance are pinned in
+    tests/test_multimodal.py."""
+    from sits_ray.stages.multimodal import ahash_image_dups as run
+    from sits_ray.stages.multimodal import synth_image_dup_table
+
+    sf = _sf_of_dir(sf_dir)
+    n = max(48, int(sf * 4800))
+    return run(rd.from_arrow(synth_image_dup_table(n=n, seed=17)))

@@ -574,3 +574,168 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             "height": pa.array(np.array(heights, dtype=np.int32)),
         }
     )
+
+
+# --- perceptual-hash (aHash) image near-duplicates ---------------------------
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average-hash of an RGB image, ALL-INTEGER: grayscale is the
+    unnormalized r+g+b sum (scale-free), the 8x8 grid uses
+    ``floor(i*h/8)`` cell boundaries with prefix-sum cell totals, and
+    bit (i, j) fires iff ``cell_sum * total_px > total_sum * cell_px``
+    (cross-multiplied means — no division, no float, so the hash is an
+    exact pure function of the pixels). Row-major bit order, bit 0 =
+    cell (0, 0). Brightness/contrast-shift tolerant by construction
+    (the classic aHash property)."""
+    g = img.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    p = np.zeros((h + 1, w + 1), dtype=np.int64)
+    p[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    rb = (np.arange(9, dtype=np.int64) * h) // 8
+    cb = (np.arange(9, dtype=np.int64) * w) // 8
+    cs = (p[rb[1:], :][:, cb[1:]] - p[rb[:-1], :][:, cb[1:]]
+          - p[rb[1:], :][:, cb[:-1]] + p[rb[:-1], :][:, cb[:-1]])
+    cpx = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    total = int(p[h, w])
+    bits = (cs * (h * w)) > (total * cpx)
+    val = np.uint64(0)
+    for k, b in enumerate(bits.ravel()):
+        if b:
+            val |= np.uint64(1) << np.uint64(k)
+    return int(val.astype(np.int64).view(np.int64))
+
+
+def _decode_image(mime: str, payload: bytes) -> np.ndarray:
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    return decode_stub(mime, payload)
+
+
+def ahash_image_dups(ds, max_hamming: int = 10, n_parts: int = 16):
+    """Perceptual near-duplicate image detection — the multimodal member
+    of the dedup family (exact/MinHash/SimHash/edit-distance: text;
+    embedding-cosine: vectors; aHash: rasters). Three stages:
+
+    1. decode + hash: stateless ``map_batches`` (PPM/PNG via the real
+       pure-numpy codecs) -> thin (media_id, ahash int64) rows; rasters
+       never cross a shuffle;
+    2. band blocking: the 64-bit hash splits into 4 x 16-bit bands
+       (SimHash's pigeonhole rule: <= 10 differing bits leave at least
+       one of 4 bands intact... for distance <= 3 ALWAYS, and
+       empirically almost-always at 10); candidate pairs form inside
+       (band, value) buckets via the part_aggregate high-cardinality
+       path, O(bucket^2) bounded by duplicate-group sizes;
+    3. verify: vectorized XOR popcount on the bounded candidate set;
+       pairs with Hamming distance <= ``max_hamming`` survive.
+
+    Returns (media_a, media_b, hamming) sorted. Recall contract: any
+    pair within Hamming distance 3 is GUARANTEED found (4-band
+    pigeonhole); larger distances up to the threshold are found unless
+    all four bands differ — the standard banded-LSH trade, visible and
+    testable."""
+    import pandas as pd
+
+    from sits_ray.stages.hashagg import part_aggregate
+    from sits_ray.stages.joins import _right_as_table
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        mids = t["media_id"].to_numpy(zero_copy_only=False)
+        mimes = t["mime"].to_pylist()
+        pays = t["payload"].to_pylist()
+        out_id, out_h = [], []
+        for mid, mime, pay in zip(mids, mimes, pays):
+            if not mime.startswith("image/"):
+                continue
+            out_id.append(int(mid))
+            out_h.append(ahash64(_decode_image(mime, pay)))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "ahash": pa.array(out_h, pa.int64())})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow",
+                            batch_size=16)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ahash"].to_numpy(np.int64).view(np.uint64)
+        rows = []
+        for b in range(4):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64)
+            rows.append(pd.DataFrame({
+                "bkey": band * 4 + b,
+                "media_id": df["media_id"].to_numpy(np.int64),
+                "ahash": df["ahash"].to_numpy(np.int64)}))
+        return pd.concat(rows, ignore_index=True)
+
+    banded = hashed.map_batches(band_rows, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("bkey", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["media_id"].to_numpy(np.int64)
+            hs = grp["ahash"].to_numpy(np.int64)
+            o = np.argsort(ids)
+            ids, hs = ids[o], hs[o]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({
+                "a": ids[iu], "b": ids[ju],
+                "ha": hs[iu], "hb": hs[ju]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "ha": pd.Series([], dtype=np.int64),
+                                 "hb": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = part_aggregate(banded, bucket_pairs, key_col="bkey",
+                          n_parts=n_parts)
+    ct = _right_as_table(cand)
+    df = pd.DataFrame({c: ct[c].to_numpy() for c in ("a", "b", "ha", "hb")})
+    df = df.drop_duplicates(["a", "b"])
+    x = (df["ha"].to_numpy(np.int64) ^ df["hb"].to_numpy(np.int64)
+         ).view(np.uint64)
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    df["hamming"] = ham.astype(np.int64)
+    out = (df.loc[df["hamming"] <= max_hamming, ["a", "b", "hamming"]]
+             .rename(columns={"a": "media_a", "b": "media_b"})
+             .sort_values(["media_a", "media_b"]).reset_index(drop=True))
+    return out
+
+
+def synth_image_dup_table(n: int = 48, seed: int = 17) -> pa.Table:
+    """Deterministic image table with PLANTED near-duplicates: every
+    third image is a noised copy of its predecessor (a few pixels
+    perturbed — tiny Hamming distance), the rest are independent random
+    rasters. PPM/PNG alternate so both codecs sit on the path."""
+    rng = np.random.default_rng(seed)
+    payloads, mimes = [], []
+    prev = None
+    for i in range(n):
+        if i % 3 == 2 and prev is not None:
+            img = prev.copy()
+            h, w, _ = img.shape
+            for _ in range(3):  # perturb 3 pixels slightly
+                r, c = int(rng.integers(0, h)), int(rng.integers(0, w))
+                img[r, c] = np.clip(
+                    img[r, c].astype(np.int64) + rng.integers(-8, 9, 3),
+                    0, 255).astype(np.uint8)
+        else:
+            w, h = int(rng.integers(16, 33)), int(rng.integers(16, 33))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        prev = img
+        if i % 2 == 0:
+            payloads.append(encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+        else:
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "mime": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.zeros(n, dtype=np.int32)),
+        "height": pa.array(np.zeros(n, dtype=np.int32)),
+    })

@@ -210,3 +210,45 @@ def test_frame_sampler_actor_pool(ray_session):
         assert (g.frame_idx < n).all()
         assert (g.n_frames == n).all()
         assert (g.feature.str.len() == 64).all()
+
+
+# --- aHash perceptual near-dup --------------------------------------------------
+
+def test_ahash_invariant_to_brightness_shift():
+    from sits_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(30, 200, size=(24, 20, 3), dtype=np.uint8)
+    up = np.clip(img.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    # uniform brightness shift preserves which cells beat the mean
+    assert ahash64(img) == ahash64(up)
+
+
+def test_ahash_planted_dups_found_no_cross_pairs(ray_session):
+    import ray.data as rd
+    from sits_ray.stages.multimodal import (ahash_image_dups,
+                                            synth_image_dup_table)
+
+    tbl = synth_image_dup_table(n=48, seed=17)
+    out = ahash_image_dups(rd.from_arrow(tbl))
+    planted = {(i - 1, i) for i in range(2, 48, 3)}
+    got = set(zip(out["media_a"], out["media_b"]))
+    # every planted noised copy is recovered
+    assert planted <= got
+    # planted pairs sit at tiny Hamming distance
+    pl = out[[(a, b) in planted for a, b in zip(out["media_a"],
+                                                out["media_b"])]]
+    assert (pl["hamming"] <= 6).all()
+    # random independent rasters never collide at <= 10 bits here
+    assert got - planted == set()
+
+
+def test_ahash_dups_batching_invariance(ray_session):
+    import ray.data as rd
+    from sits_ray.stages.multimodal import (ahash_image_dups,
+                                            synth_image_dup_table)
+
+    tbl = synth_image_dup_table(n=30, seed=5)
+    one = ahash_image_dups(rd.from_arrow(tbl))
+    many = ahash_image_dups(rd.from_arrow(tbl).repartition(7))
+    pd.testing.assert_frame_equal(one, many)
