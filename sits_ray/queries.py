@@ -11135,3 +11135,103 @@ def ahash_image_dups(sf_dir):
     sf = _sf_of_dir(sf_dir)
     n = max(48, int(sf * 4800))
     return run(rd.from_arrow(synth_image_dup_table(n=n, seed=17)))
+
+
+@q(
+    "assoc_rules_types",
+    """
+with b as (select distinct user_id, event_type from events),
+nt as (select cast(count(distinct user_id) as bigint) as nconv from events),
+m as (select event_type, cast(count(*) as bigint) as n from b group by 1),
+pr as (select a.event_type as ante, bb.event_type as cons,
+              cast(count(*) as bigint) as n_ab
+       from b a join b bb
+         on bb.user_id = a.user_id and bb.event_type <> a.event_type
+       group by 1, 2)
+select pr.ante, pr.cons, pr.n_ab, ma.n as n_ante, mc.n as n_cons,
+       pr.n_ab / cast(nt.nconv as double) as support,
+       pr.n_ab / cast(ma.n as double) as confidence,
+       cast(pr.n_ab * nt.nconv as double)
+         / cast(ma.n * mc.n as double) as lift
+from pr
+join m ma on ma.event_type = pr.ante
+join m mc on mc.event_type = pr.cons
+cross join nt
+order by ante, cons
+""",
+)
+def assoc_rules_types(sf_dir):
+    """Association rules over per-conversation event-type baskets
+    (Agrawal & Srikant 1994): for every ordered type pair a -> b,
+    support / confidence / lift from exact integer co-occurrence
+    counts — the market-basket audit ('conversations that search also
+    click?'). Scale shape: per-batch distinct (conv, type) partials,
+    ONE part_aggregate pass keyed by conv emits each conversation's
+    type pairs exactly once, pair counts fold on the bounded
+    types x types driver table; divisions are exact-int casts."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({"user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                         "event_type": pa.array(df["event_type"])})
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    pairs_in = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def conv_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.drop_duplicates().groupby("user_id", sort=False):
+            ts = sorted(grp["event_type"])
+            n = len(ts)
+            if n == 0:
+                continue
+            rows.append(pd.DataFrame({
+                "ante": np.repeat(ts, n),
+                "cons": np.tile(ts, n)}))
+        if not rows:
+            return pd.DataFrame({"ante": pd.Series([], dtype=object),
+                                 "cons": pd.Series([], dtype=object),
+                                 "n_ab": pd.Series([], dtype=np.int64)})
+        d = pd.concat(rows, ignore_index=True)
+        d = d[d["ante"] != d["cons"]]
+        g2 = d.groupby(["ante", "cons"], sort=False).size()
+        gi = g2.index.to_frame(index=False)
+        gi["n_ab"] = g2.to_numpy(np.int64)
+        # singles ride along as sentinel rows (cons = '') for marginals
+        sing = g.drop_duplicates().groupby("event_type", sort=False).size()
+        si = sing.index.to_frame(index=False)
+        si.columns = ["ante"]
+        si["cons"] = ""
+        si["n_ab"] = sing.to_numpy(np.int64)
+        return pd.concat([gi, si], ignore_index=True)
+
+    agg = part_aggregate(pairs_in, conv_pairs, key_col="user_id",
+                         n_parts=32).to_pandas()
+    agg = agg.groupby(["ante", "cons"], sort=True)["n_ab"].sum().reset_index()
+    singles = (agg.loc[agg["cons"] == ""].set_index("ante")["n_ab"])
+    pr = agg.loc[agg["cons"] != ""].reset_index(drop=True)
+
+    def nconv_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.table({"user_id": pa.array(
+            df["user_id"].drop_duplicates().to_numpy(np.int64))})
+
+    uc = ds.map_batches(nconv_partial, batch_format="pyarrow").to_pandas()
+    nconv = int(uc["user_id"].nunique())
+    na = singles.reindex(pr["ante"]).to_numpy(np.int64)
+    nc = singles.reindex(pr["cons"]).to_numpy(np.int64)
+    nab = pr["n_ab"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "ante": pr["ante"], "cons": pr["cons"], "n_ab": nab,
+        "n_ante": na, "n_cons": nc,
+        "support": np.array([int(x) / float(nconv) for x in nab]),
+        "confidence": np.array([int(x) / float(y)
+                                for x, y in zip(nab, na)]),
+        "lift": np.array([float(int(x) * nconv) / float(int(a) * int(c))
+                          for x, a, c in zip(nab, na, nc)]),
+    })
