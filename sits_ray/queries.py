@@ -11235,3 +11235,52 @@ def assoc_rules_types(sf_dir):
         "lift": np.array([float(int(x) * nconv) / float(int(a) * int(c))
                           for x, a, c in zip(nab, na, nc)]),
     })
+
+
+@q(
+    "welch_drift",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (
+  select cast(floor(value / 0.01e0) as bigint) as bin,
+         cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+         cast(count(*) filter (where us > st.mid) as bigint) as n_b
+  from e cross join st
+  group by 1),
+s as (select
+        cast(sum(n_a) as hugeint) as ta, cast(sum(n_b) as hugeint) as tb,
+        cast(sum(cast(bin as hugeint) * n_a) as hugeint) as sa,
+        cast(sum(cast(bin as hugeint) * n_b) as hugeint) as sb,
+        cast(sum(cast(bin as hugeint) * bin * n_a) as hugeint) as qa,
+        cast(sum(cast(bin as hugeint) * bin * n_b) as hugeint) as qb
+      from c),
+v as (select cast(ta as bigint) as n_a, cast(tb as bigint) as n_b,
+             {SA} / {TA} as m1, {SB} / {TB} as m2,
+             {VNA} / {VDA} as v1,
+             {VNB} / {VDB} as v2,
+             cast(ta as bigint) as ta_i, cast(tb as bigint) as tb_i
+      from s)
+select n_a, n_b, m1 as mean_a, m2 as mean_b,
+       (m1 - m2) / sqrt(v1 / cast(ta_i as double) + v2 / cast(tb_i as double))
+         as t_stat,
+       ((v1 / cast(ta_i as double) + v2 / cast(tb_i as double))
+        * (v1 / cast(ta_i as double) + v2 / cast(tb_i as double)))
+       / ((v1 / cast(ta_i as double)) * (v1 / cast(ta_i as double))
+            / cast(ta_i - 1 as double)
+          + (v2 / cast(tb_i as double)) * (v2 / cast(tb_i as double))
+            / cast(tb_i - 1 as double)) as df
+from v
+""".format(SA=_i2d("sa"), TA=_i2d("ta"), SB=_i2d("sb"), TB=_i2d("tb"),
+           VNA=_i2d("ta * qa - sa * sa"), VDA=_i2d("ta * (ta - 1)"),
+           VNB=_i2d("tb * qb - sb * sb"), VDB=_i2d("tb * (tb - 1)")),
+)
+def welch_drift(sf_dir):
+    """Welch's unequal-variance t-test between time halves
+    (stages/drift.welch_drift) — the parametric mean-shift member of
+    the monitor family, on the cents grid so every moment is an exact
+    integer (two-limb exact casts); t and the Welch-Satterthwaite df
+    are pinned float trees."""
+    from sits_ray.stages.drift import welch_drift as run
+
+    return run(_events(sf_dir, columns=["value", "ts"]))

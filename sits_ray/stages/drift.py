@@ -213,3 +213,39 @@ def js_drift(ds, value_col: str = "value", ts_col: str = "ts",
         {"bin": c["bin"].to_numpy(np.int64), "n_a": n_a, "n_b": n_b,
          "p": p, "q": qv, "contrib": contrib}
     )
+
+
+def welch_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFrame:
+    """Welch's unequal-variance t-test between time halves — the
+    parametric member of the monitor family (MW: stochastic ordering;
+    KS: shape; Welch: mean shift in value units). Values quantize to
+    the 0.01 cents grid so every moment is an exact integer (the MW
+    contract); mean and variance are single divisions of exact-cast
+    integers (``var = (n*qq - s^2) / (n*(n-1))`` on the cents scale),
+    and t / Welch-Satterthwaite df are pinned float trees:
+    ``se2 = v1/n1 + v2/n2``, ``t = (m1 - m2)/sqrt(se2)``,
+    ``df = se2^2 / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1))``. Same
+    two-pass zero-shuffle shape as the other monitors. Returns one row
+    (n_a, n_b, mean_a, mean_b, t_stat, df) in CENTS units."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width=0.01)
+    b = c["bin"].to_numpy(np.int64)
+    n_a = c["n_a"].to_numpy(np.int64)
+    n_b = c["n_b"].to_numpy(np.int64)
+    sa = sum(int(x) * int(y) for x, y in zip(b, n_a))
+    sb = sum(int(x) * int(y) for x, y in zip(b, n_b))
+    qa = sum(int(x) * int(x) * int(y) for x, y in zip(b, n_a))
+    qb = sum(int(x) * int(x) * int(y) for x, y in zip(b, n_b))
+    m1 = float(sa) / float(ta)
+    m2 = float(sb) / float(tb)
+    v1 = float(ta * qa - sa * sa) / float(ta * (ta - 1))
+    v2 = float(tb * qb - sb * sb) / float(tb * (tb - 1))
+    se_a = v1 / float(ta)
+    se_b = v2 / float(tb)
+    se2 = se_a + se_b
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    df = (se2 * se2) / (se_a * se_a / float(ta - 1)
+                        + se_b * se_b / float(tb - 1))
+    return pd.DataFrame([{
+        "n_a": np.int64(ta), "n_b": np.int64(tb),
+        "mean_a": m1, "mean_b": m2, "t_stat": t_stat, "df": df,
+    }])

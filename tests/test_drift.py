@@ -237,3 +237,37 @@ def test_mw_batching_invariance(ray_session):
     one = mw_drift(_events(vals, ts))
     many = mw_drift(_events(vals, ts).repartition(11))
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- Welch's t-test -------------------------------------------------------------
+
+def test_welch_matches_scipy_style_brute(ray_session):
+    from sits_ray.stages.drift import welch_drift
+
+    rng = np.random.default_rng(29)
+    a = rng.normal(50, 10, 400)
+    b = rng.normal(54, 14, 300)
+    vals = np.r_[a, b]
+    ts = np.r_[np.arange(400), 10_000 + np.arange(300)]
+    out = welch_drift(_events(vals, ts))
+    qa = np.floor(a / 0.01)
+    qb = np.floor(b / 0.01)
+    m1, m2 = qa.mean(), qb.mean()
+    v1, v2 = qa.var(ddof=1), qb.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t = (m1 - m2) / np.sqrt(se2)
+    df = se2**2 / ((v1 / len(a))**2 / (len(a) - 1)
+                   + (v2 / len(b))**2 / (len(b) - 1))
+    assert abs(out.loc[0, "t_stat"] - t) < 1e-9
+    assert abs(out.loc[0, "df"] - df) < 1e-6
+    assert out.loc[0, "t_stat"] < -3.0  # planted +4 shift detected
+
+
+def test_welch_identical_halves_zero_t(ray_session):
+    from sits_ray.stages.drift import welch_drift
+
+    vals = np.r_[np.arange(100) % 9, np.arange(100) % 9].astype(float)
+    ts = np.r_[np.arange(100), 1000 + np.arange(100)]
+    out = welch_drift(_events(vals, ts))
+    assert out.loc[0, "t_stat"] == 0.0
+    assert out.loc[0, "mean_a"] == out.loc[0, "mean_b"]
