@@ -11284,3 +11284,49 @@ def welch_drift(sf_dir):
     from sits_ray.stages.drift import welch_drift as run
 
     return run(_events(sf_dir, columns=["value", "ts"]))
+
+
+@q(
+    "bigram_nll_scores",
+    """
+with tok as (
+  select doc_id, i, l[i] as w
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents),
+       unnest(generate_series(1, len(l))) as u(i)),
+bi as (select doc_id, i,
+              lag(w) over (partition by doc_id order by i) as prev, w
+       from tok),
+b2 as (select doc_id, i, prev, w from bi where prev is not null),
+cnt2 as (select prev, w, count(*)::BIGINT as c2 from b2 group by 1, 2),
+cnt1 as (select w, count(*)::BIGINT as c1 from tok group by 1),
+vv as (select count(*)::BIGINT as v from cnt1),
+lp as (select b2.doc_id, b2.i,
+              -ln((cnt2.c2 + 1)::DOUBLE / (cnt1.c1 + vv.v)) as nl
+       from b2
+       join cnt2 on cnt2.prev = b2.prev and cnt2.w = b2.w
+       join cnt1 on cnt1.w = b2.prev, vv),
+agg as (select doc_id, count(*)::BIGINT as nb,
+               list_reduce(list_prepend(0.0, list(nl order by i)),
+                           (a, b) -> a + b) as s
+        from lp group by 1)
+select doc_id, nb + 1 as n_tokens, s / nb as nll from agg
+""",
+)
+def bigram_nll_scores(sf_dir):
+    """Bigram LM quality scoring with add-one smoothing — the
+    context-aware rung above unigram_nll_scores (KenLM-lite):
+    P(w | prev) = (c2 + 1) / (c1(prev) + V), per-document mean NLL over
+    positions with a predecessor (stages/lmscore.bigram_nll). Bigram
+    counts through the part_aggregate high-cardinality path, bounded
+    distinct-bigram broadcast, SEQUENTIAL per-doc fold in position
+    order — SQL-exact via the ordered list_reduce, ln via libm on exact
+    integer ratios."""
+    from sits_ray.stages.lmscore import (bigram_nll, corpus_bigram_counts,
+                                         corpus_unigram_counts)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    uni, _total = corpus_unigram_counts(ds)
+    bi = corpus_bigram_counts(ds)
+    return bigram_nll(ds, bi, uni)

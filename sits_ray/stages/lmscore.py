@@ -130,3 +130,91 @@ def unigram_nll(ds, counts: pd.DataFrame, total: int,
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def corpus_bigram_counts(ds, text_col: str = "text", n_parts: int = 32):
+    """Distributed (prev, w, cnt) bigram table via the part_aggregate
+    high-cardinality path (composite 'prev w' key), plus the unigram
+    marginals and vocab size the add-one smoother needs."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
+        rows = []
+        for ts in toks:
+            for a, b in zip(ts[:-1], ts[1:]):
+                rows.append(a + " " + b)
+        if not rows:
+            return pd.DataFrame({"pair": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = pd.Series(rows).value_counts()
+        return pd.DataFrame({"pair": vc.index.astype(str),
+                             "cnt": vc.to_numpy(dtype="int64")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pair", as_index=False, sort=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+    return part_aggregate(pairs, merge, key_col="pair",
+                          n_parts=n_parts).to_pandas()
+
+
+def bigram_nll(ds, bi: pd.DataFrame, uni: pd.DataFrame,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean bigram NLL with add-one smoothing:
+    ``P(w | prev) = (c2(prev, w) + 1) / (c1(prev) + V)`` — the KenLM-lite
+    quality signal one rung above :func:`unigram_nll` (context-aware:
+    scrambled-but-lexically-normal text scores badly here and fine
+    there). Docs with fewer than two tokens are dropped.
+
+    Float contract: each conditional is an exact integer ratio, ln goes
+    through math.log on the bounded DISTINCT-bigram driver table, and
+    the per-doc fold accumulates sequentially in position order — the
+    unigram_nll ordered-fold contract, replayed by the SQL twin's
+    list_reduce. The broadcast is the distinct-bigram table (bounded by
+    corpus bigram diversity; floor rare bigrams at true corpus scale)."""
+    import math
+
+    c1 = {t: int(c) for t, c in zip(uni["token"], uni["cnt"])}
+    v = len(c1)
+    logp = {
+        p: math.log((int(c) + 1) / (c1[p.split(" ", 1)[0]] + v))
+        for p, c in zip(bi["pair"], bi["cnt"])
+    }
+    ref = ray.put(logp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cache = _lut_cache()
+        key = ref.hex()
+        lut = cache.get(key)
+        if lut is None:
+            while len(cache) >= 4:
+                cache.pop(next(iter(cache)))
+            lut = cache[key] = ray.get(ref)
+        toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
+        ids = df[id_col].to_numpy()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        keep = lens >= 2
+        out_id = ids[keep]
+        out_n = lens[keep]
+        flats = []
+        for ts in toks[keep]:
+            flats.extend(lut[a + " " + b] for a, b in zip(ts[:-1], ts[1:]))
+        flat = np.asarray(flats, dtype=np.float64)
+        nb = out_n - 1
+        offs = np.concatenate([[0], np.cumsum(nb)])
+        nll = np.empty(nb.size, dtype=np.float64)
+        for length in np.unique(nb):
+            rows = np.flatnonzero(nb == length)
+            idx = offs[rows][:, None] + np.arange(length)
+            m = flat[idx]
+            acc = np.zeros(rows.size, dtype=np.float64)
+            for j in range(int(length)):
+                acc = acc + (-m[:, j])
+            nll[rows] = acc / np.float64(length)
+        return pd.DataFrame({id_col: out_id,
+                             "n_tokens": out_n, "nll": nll})
+
+    return ds.map_batches(score, batch_format="pandas")

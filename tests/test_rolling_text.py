@@ -421,3 +421,53 @@ def test_zipf_slope_near_minus_one_on_zipfian(ray_session):
         out_u = QUERIES["zipf_slope"](d)
     assert abs(out_u.loc[0, "slope"]) < 0.05
     assert out_u.loc[0, "n_ranked"] == 300
+
+
+# --- bigram LM scoring -----------------------------------------------------------
+
+def test_bigram_nll_matches_scalar_twin(ray_session):
+    import math
+    import ray.data as rd
+    from sits_ray.stages.lmscore import (bigram_nll, corpus_bigram_counts,
+                                         corpus_unigram_counts)
+
+    docs = ["the cat sat on the mat", "the cat ran", "dogs bark", "a"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                                      "text": docs}))
+    uni, _ = corpus_unigram_counts(ds)
+    bi = corpus_bigram_counts(ds)
+    out = (bigram_nll(ds, bi, uni).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 3 ('a') has < 2 tokens -> dropped
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    # scalar twin
+    from collections import Counter
+    toks = [d.split() for d in docs]
+    c1 = Counter(w for t in toks for w in t)
+    c2 = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    v = len(c1)
+    for _, row in out.iterrows():
+        t = toks[int(row["doc_id"])]
+        acc = 0.0
+        for a, b in zip(t, t[1:]):
+            acc = acc + (-math.log((c2[(a, b)] + 1) / (c1[a] + v)))
+        assert row["nll"] == acc / (len(t) - 1)      # bit-exact
+        assert row["n_tokens"] == len(t)
+
+
+def test_bigram_nll_context_sensitivity(ray_session):
+    # scrambled word order shares the unigram profile but scores worse
+    # under the bigram model
+    import ray.data as rd
+    from sits_ray.stages.lmscore import (bigram_nll, corpus_bigram_counts,
+                                         corpus_unigram_counts)
+
+    base = "the quick brown fox jumps over the lazy dog"
+    scram = "dog the over quick lazy jumps fox brown the"
+    docs = [base] * 8 + [scram]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(9, dtype=np.int64),
+                                      "text": docs}))
+    uni, _ = corpus_unigram_counts(ds)
+    bi = corpus_bigram_counts(ds)
+    out = bigram_nll(ds, bi, uni).to_pandas().set_index("doc_id")
+    assert out.loc[8, "nll"] > out.loc[0, "nll"] + 0.5
