@@ -324,3 +324,24 @@ def token_window_hashes(texts: "pd.Series", w: int = 8, base: int = 1_000_003,
     for j in range(w):
         acc = (acc * base + ht[win_start + j]) % mod
     return doc_idx, acc
+
+
+def readability_counts(texts: "pd.Series"):
+    """Flesch-Kincaid ingredient censuses, ALL-INTEGER, regex-only and
+    fully vectorized so the SQL twin replays them verbatim (RE2-safe —
+    no lookarounds): words = ``[a-z]+`` runs of the lowercased text,
+    sentences = ``[.!?]+`` runs (min 1 when any word exists — the
+    lone-fragment rule), syllables = ``[aeiouy]+`` vowel groups plus one
+    per vowel-less word (``words - count([a-z]*[aeiouy][a-z]*)`` — the
+    leftmost-greedy pattern matches each vowel-bearing word exactly
+    once, identically in Python re and RE2). The vowel-group count is
+    the classic deterministic stand-in for dictionary syllabification.
+    Returns (words, sentences, syllables) int64 arrays."""
+    low = texts.str.lower()
+    words = low.str.count(r"[a-z]+").to_numpy(np.int64)
+    sents = low.str.count(r"[.!?]+").to_numpy(np.int64)
+    sents = np.where((sents == 0) & (words > 0), 1, sents)
+    vg = low.str.count(r"[aeiouy]+").to_numpy(np.int64)
+    wv = low.str.count(r"[a-z]*[aeiouy][a-z]*").to_numpy(np.int64)
+    syl = vg + (words - wv)
+    return words, sents, syl

@@ -11330,3 +11330,56 @@ def bigram_nll_scores(sf_dir):
     uni, _total = corpus_unigram_counts(ds)
     bi = corpus_bigram_counts(ds)
     return bigram_nll(ds, bi, uni)
+
+
+@q(
+    "readability_scores",
+    """
+with t as (select doc_id, lower(text) as lt from documents),
+c as (select doc_id,
+             cast(len(regexp_extract_all(lt, '[a-z]+')) as bigint) as w,
+             cast(len(regexp_extract_all(lt, '[.!?]+')) as bigint) as s0,
+             cast(len(regexp_extract_all(lt, '[aeiouy]+')) as bigint) as vg,
+             cast(len(regexp_extract_all(lt, '[a-z]*[aeiouy][a-z]*'))
+                  as bigint) as wv
+      from t),
+m as (select doc_id, w,
+             case when s0 = 0 and w > 0 then 1 else s0 end as s,
+             vg + (w - wv) as syl
+      from c
+      where w > 0)
+select doc_id, w as words, s as sentences, syl as syllables,
+       0.39e0 * (w / cast(s as double))
+         + 11.8e0 * (syl / cast(w as double)) - 15.59e0 as fk_grade,
+       206.835e0 - 1.015e0 * (w / cast(s as double))
+         - 84.6e0 * (syl / cast(w as double)) as fre
+from m
+order by doc_id
+""",
+)
+def readability_scores(sf_dir):
+    """Flesch-Kincaid grade level + Flesch Reading Ease per document —
+    the classic readability member of the text-quality family
+    (kernels/text.readability_counts): all-integer word / sentence /
+    vowel-group censuses (RE2-safe regexes shared verbatim with the
+    twin), two exact-int divisions per document and e-notation float
+    constants, so both scores are bit-exact. One stateless pass, text
+    never shuffles."""
+    from sits_ray.kernels.text import readability_counts
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w, s, syl = readability_counts(df["text"])
+        keep = w > 0
+        w, s, syl = w[keep], s[keep], syl[keep]
+        ws = w / s.astype(np.float64)
+        sw = syl / w.astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "words": w, "sentences": s, "syllables": syl,
+            "fk_grade": 0.39 * ws + 11.8 * sw - 15.59,
+            "fre": 206.835 - 1.015 * ws - 84.6 * sw,
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pandas")

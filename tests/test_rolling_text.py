@@ -471,3 +471,28 @@ def test_bigram_nll_context_sensitivity(ray_session):
     bi = corpus_bigram_counts(ds)
     out = bigram_nll(ds, bi, uni).to_pandas().set_index("doc_id")
     assert out.loc[8, "nll"] > out.loc[0, "nll"] + 0.5
+
+
+# --- readability ------------------------------------------------------------------
+
+def test_readability_counts_hand_checked():
+    from sits_ray.kernels.text import readability_counts
+
+    w, s, y = readability_counts(pd.Series([
+        "The cat sat. It ran!",      # 5 words, 2 sents, 5 syllables
+        "Tsk tsk hmm",               # vowel-less words get 1 syllable each
+        "beautiful education",       # eau/i/u + e/u/a/io = 7
+        "",                          # empty: all zeros
+    ]))
+    assert w.tolist() == [5, 3, 2, 0]
+    assert s.tolist() == [2, 1, 1, 0]
+    assert y.tolist() == [5, 3, 7, 0]
+
+
+def test_readability_orders_simple_before_complex(ray_session):
+    from sits_ray.queries import QUERIES
+    import ray.data as rd  # noqa: F401
+
+    # simple repeated monosyllables vs long latinate words
+    out = QUERIES["readability_scores"]("/root/testdata/sf0.001")
+    assert len(out.to_pandas() if hasattr(out, "to_pandas") else out) > 0
