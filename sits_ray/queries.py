@@ -11383,3 +11383,102 @@ def readability_scores(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(score, batch_format="pandas")
+
+
+@q(
+    "did_type_value",
+    """
+with e as (select event_type, value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (select event_type,
+             case when us <= st.mid then 0 else 1 end as post,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(floor(value / 0.01e0) as bigint)) as bigint) as s
+      from e cross join st group by 1, 2),
+tot as (select post, cast(sum(n) as bigint) as tn,
+               cast(sum(s) as bigint) as ts2
+        from c group by 1),
+m as (select c.event_type,
+             max(case when c.post = 0 then c.n end) as n_pre,
+             max(case when c.post = 1 then c.n end) as n_post,
+             max(case when c.post = 0 then c.s end) as s_pre,
+             max(case when c.post = 1 then c.s end) as s_post,
+             max(case when c.post = 0 then t.tn - c.n end) as rn_pre,
+             max(case when c.post = 1 then t.tn - c.n end) as rn_post,
+             max(case when c.post = 0 then t.ts2 - c.s end) as rs_pre,
+             max(case when c.post = 1 then t.ts2 - c.s end) as rs_post
+      from c join tot t using (post)
+      group by 1)
+select event_type, n_pre, n_post,
+       cast(s_post as double) / cast(n_post as double)
+         - cast(s_pre as double) / cast(n_pre as double) as delta_type,
+       cast(rs_post as double) / cast(rn_post as double)
+         - cast(rs_pre as double) / cast(rn_pre as double) as delta_rest,
+       (cast(s_post as double) / cast(n_post as double)
+          - cast(s_pre as double) / cast(n_pre as double))
+         - (cast(rs_post as double) / cast(rn_post as double)
+              - cast(rs_pre as double) / cast(rn_pre as double)) as did
+from m
+order by event_type
+""",
+)
+def did_type_value(sf_dir):
+    """Difference-in-differences per event type (the experimentation /
+    causal-audit member of the monitor family): each type's pre-to-post
+    mean-value change minus the same change in the REST of the corpus —
+    'did this event type drift more than the baseline?'. Cents-grid
+    integer sums per (type, period) fold on the bounded driver table
+    (zero shuffle); every mean is one exact-int division and the DiD is
+    the pinned four-mean tree."""
+
+    # two passes, like the drift core: global midpoint, then counts
+    from sits_ray.stages.drift import _ts_us
+
+    ds = _events(sf_dir, columns=["event_type", "value", "ts"])
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t["ts"])
+        if us.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(us.min())]),
+                         "hi": pa.array([int(us.max())])})
+
+    span = ds.map_batches(span_partial, batch_format="pyarrow").to_pandas()
+    mid = (int(span["lo"].min()) + int(span["hi"].max())) // 2
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t["ts"])
+        q = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     / 0.01).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "post": (us > mid).astype(np.int64), "q": q})
+        g = df.groupby(["event_type", "post"], sort=False).agg(
+            n=("q", "size"), s=("q", "sum")).reset_index()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "post": pa.array(g["post"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    c = (ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+           .groupby(["event_type", "post"], sort=True)[["n", "s"]].sum()
+           .reset_index())
+    tn = c.groupby("post")[["n", "s"]].sum()
+    rows = []
+    for et, g in c.groupby("event_type", sort=True):
+        gg = g.set_index("post")
+        if 0 not in gg.index or 1 not in gg.index:
+            continue
+        np_, sp_ = int(gg.loc[0, "n"]), int(gg.loc[0, "s"])
+        nq, sq = int(gg.loc[1, "n"]), int(gg.loc[1, "s"])
+        rnp = int(tn.loc[0, "n"]) - np_
+        rsp = int(tn.loc[0, "s"]) - sp_
+        rnq = int(tn.loc[1, "n"]) - nq
+        rsq = int(tn.loc[1, "s"]) - sq
+        dt = float(sq) / float(nq) - float(sp_) / float(np_)
+        dr = float(rsq) / float(rnq) - float(rsp) / float(rnp)
+        rows.append({"event_type": et, "n_pre": np.int64(np_),
+                     "n_post": np.int64(nq), "delta_type": dt,
+                     "delta_rest": dr, "did": dt - dr})
+    return pd.DataFrame(rows)
