@@ -11482,3 +11482,138 @@ def did_type_value(sf_dir):
                      "n_post": np.int64(nq), "delta_type": dt,
                      "delta_rest": dr, "did": dt - dr})
     return pd.DataFrame(rows)
+
+
+_ATTR_ITERS = 64
+
+
+@q(
+    "markov_attribution",
+    f"""
+with o as (select user_id, event_type,
+                  row_number() over (partition by user_id
+                                     order by ts, event_id) as i
+           from events),
+fp as (select user_id, min(i) as pi from o
+       where event_type = 'purchase' group by 1),
+kept as (select o.user_id, o.event_type, o.i
+         from o left join fp using (user_id)
+         where fp.pi is null or o.i <= fp.pi),
+tr0 as (select coalesce(lag(event_type) over (partition by user_id
+                                              order by i), '__start__') as src,
+                event_type as dst
+        from kept),
+endr as (select k.event_type as src, '__end__' as dst
+         from kept k
+         join (select user_id, max(i) as mi from kept group by 1) m
+           on m.user_id = k.user_id and k.i = m.mi
+         left join fp on fp.user_id = k.user_id
+         where fp.pi is null),
+trans as (select src, dst, cast(count(*) as bigint) as n
+          from (select * from tr0 union all select * from endr)
+          group by 1, 2),
+st as (select list_prepend('__start__',
+               list_append(list(distinct event_type order by event_type),
+                           '__end__')) as states
+       from events),
+sti as (select unnest(states) as s,
+               generate_subscripts(states, 1) as i
+        from st),
+vars as (select unnest(['(full)'] ||
+                       list(distinct event_type order by event_type)
+                         filter (where event_type <> 'purchase')) as variant
+         from events),
+vt as (select v.variant, t.src,
+              case when t.dst = v.variant then '__end__' else t.dst end as dst2,
+              cast(sum(t.n) as bigint) as n
+       from vars v cross join trans t
+       group by 1, 2, 3),
+rs as (select variant, src, cast(sum(n) as bigint) as tot
+       from vt group by 1, 2),
+cellv as (select v.variant, a.i, b.i as j,
+                 case when rs.tot is null
+                      then case when a.i = b.i then 1.0e0 else 0.0e0 end
+                      else coalesce(vt.n, 0) / cast(rs.tot as double) end as p
+          from vars v
+          cross join sti a cross join sti b
+          left join rs on rs.variant = v.variant and rs.src = a.s
+          left join vt on vt.variant = v.variant and vt.src = a.s
+                      and vt.dst2 = b.s),
+tmr as (select variant, i, list(p order by j) as row
+        from cellv group by 1, 2),
+tmm as (select variant, list(row order by i) as t from tmr group by 1),
+walk as (
+  with recursive w as (
+    select tmm.variant, 0 as k,
+           list_transform(st.states,
+             s -> case when s = 'purchase' then 1.0e0 else 0.0e0 end) as p
+    from tmm cross join st
+    union all
+    select w.variant, w.k + 1,
+           list_transform(generate_series(1, len(w.p)), i ->
+             list_reduce(list_prepend(0.0e0,
+               list_transform(generate_series(1, len(w.p)),
+                              j -> tmm.t[i][j] * w.p[j])),
+               (x, y) -> x + y))
+    from w join tmm on tmm.variant = w.variant
+    where w.k < {_ATTR_ITERS})
+  select variant, p[1] as cv from w where k = {_ATTR_ITERS})
+select v.variant as event_type,
+       f.cv as cv_full, v.cv as cv_without,
+       1.0e0 - v.cv / f.cv as removal_effect
+from walk v cross join (select cv from walk where variant = '(full)') f
+where v.variant <> '(full)'
+order by event_type
+""",
+)
+def markov_attribution(sf_dir):
+    """First-order Markov multi-touch attribution (removal effects —
+    Anderl et al. 2016): conversion = reaching 'purchase'; each
+    non-conversion event type's value is how much the chain's absorption
+    probability drops when transitions into it are redirected to the
+    '__end__' sink. Transition counts come from ONE conv-partitioned
+    vectorized kernel (stages/eventops.attribution_transitions_kernel);
+    the bounded (states^2) chain solves by exactly 64 pinned power
+    iterations with ascending-index folds - the recursive-CTE twin
+    replays matrix, iterations and divisions bit-for-bit. Rows with no
+    outgoing mass get identity self-loops (absorbing rule)."""
+    from sits_ray.stages.eventops import (attribution_transitions_kernel,
+                                          map_conv_partitions)
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+    parts = map_conv_partitions(
+        ds, attribution_transitions_kernel, key="user_id",
+        order_col="event_id", extra_cols=("event_type",))
+    trans = (parts.to_pandas()
+             .groupby(["src", "dst"], sort=True)["n"].sum().reset_index())
+    types = sorted(set(trans["dst"]) - {"__end__"}
+                   | set(trans["src"]) - {"__start__"})
+    states = ["__start__"] + types + ["__end__"]
+    si = {s: i for i, s in enumerate(states)}
+    ns = len(states)
+    variants = ["(full)"] + [t for t in types if t != "purchase"]
+    out = {}
+    for var in variants:
+        c = np.zeros((ns, ns), dtype=np.int64)
+        for src, dst, n in zip(trans["src"], trans["dst"], trans["n"]):
+            d = "__end__" if dst == var else dst
+            c[si[src], si[d]] += int(n)
+        tot = c.sum(axis=1)
+        t = np.zeros((ns, ns), dtype=np.float64)
+        for i in range(ns):
+            if tot[i] == 0:
+                t[i, i] = 1.0
+            else:
+                t[i] = c[i] / float(tot[i])
+        p = np.array([1.0 if s == "purchase" else 0.0 for s in states])
+        for _ in range(_ATTR_ITERS):
+            acc = np.zeros(ns)
+            for j in range(ns):        # ascending-index fold (SQL order)
+                acc = acc + t[:, j] * p[j]
+            p = acc
+        out[var] = float(p[0])
+    rows = [{"event_type": v, "cv_full": out["(full)"],
+             "cv_without": out[v],
+             "removal_effect": 1.0 - out[v] / out["(full)"]}
+            for v in variants if v != "(full)"]
+    return pd.DataFrame(rows)

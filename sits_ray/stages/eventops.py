@@ -1927,3 +1927,47 @@ def kleinberg_bursts_kernel(g: pa.Table) -> pa.Table:
         "n_bursts": pa.array(k[sel]),
         "viterbi_cost": pa.array(cost[sel]),
     })
+
+
+def attribution_transitions_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation first-order transition counts for Markov
+    attribution: paths run in (ts, order) order, truncate at the FIRST
+    'purchase' (the absorbing conversion), get a '__start__' source
+    before their first step and a '__end__' sink after their last step
+    when no purchase was reached. Emits (src, dst, n) partials —
+    vectorized (first-purchase cut via minimum.reduceat, shifted source
+    array), no per-conversation Python."""
+    _, codes, ts, order, ex, starts, ends = _sorted_partition(
+        g, ("event_type",))
+    et = ex["event_type"].astype(object)
+    n = codes.size
+    if n == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    idx = np.arange(n, dtype=np.int64)
+    isp = et == "purchase"
+    mp = np.where(isp, idx, 2 * n)
+    firstp = np.minimum.reduceat(mp, starts)  # 2n when no purchase
+    conv_of = np.repeat(np.arange(starts.size), ends - starts)
+    keep = idx <= firstp[conv_of]
+    et_k = et[keep]
+    codes_k = codes[keep]
+    starts_k = _seg_starts(codes_k)
+    src = np.empty(et_k.size, dtype=object)
+    if et_k.size:
+        src[1:] = et_k[:-1]
+    src[starts_k] = "__start__"
+    rows = pd.DataFrame({"src": src, "dst": et_k})
+    # terminal sink rows for conversations that never purchased
+    ends_k = np.r_[starts_k[1:], codes_k.size]
+    no_p = firstp == 2 * n
+    last_rows = ends_k[no_p] - 1
+    if last_rows.size:
+        rows = pd.concat([rows, pd.DataFrame(
+            {"src": et_k[last_rows], "dst": "__end__"})], ignore_index=True)
+    c = rows.groupby(["src", "dst"], sort=False).size()
+    ci = c.index.to_frame(index=False)
+    return pa.table({"src": pa.array(ci["src"]),
+                     "dst": pa.array(ci["dst"]),
+                     "n": pa.array(c.to_numpy(np.int64))})

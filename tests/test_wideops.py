@@ -1282,3 +1282,41 @@ def test_decayed_type_volume_dyadic_exactness(ray_session):
     exact = sum(Fraction(y, 2 ** k) for k, y in clamped.items())
     # the double is the correctly rounded value of the exact rational
     assert got == float(exact)
+
+
+# --- Markov removal-effect attribution --------------------------------------------
+
+def test_attribution_transitions_kernel_rules(ray_session):
+    import pyarrow as pa
+    from sits_ray.stages.eventops import attribution_transitions_kernel
+
+    # conv a: view -> click -> purchase -> error (post-purchase dropped)
+    # conv b: view -> error (no purchase -> __end__ sink)
+    g = pa.table({
+        "conv_id": ["a", "a", "a", "a", "b", "b"],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2], unit="s"),
+        "order": [1, 2, 3, 4, 1, 2],
+        "event_type": ["view", "click", "purchase", "error",
+                       "view", "error"],
+    })
+    out = attribution_transitions_kernel(g).to_pandas()
+    got = {(r["src"], r["dst"]): r["n"] for _, r in out.iterrows()}
+    assert got == {
+        ("__start__", "view"): 2,
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("view", "error"): 1,
+        ("error", "__end__"): 1,
+    }
+
+
+def test_markov_attribution_properties(ray_session):
+    from sits_ray.queries import QUERIES
+
+    out = QUERIES["markov_attribution"]("/root/testdata/sf0.001")
+    # every non-conversion type present, effects within [0, 1],
+    # cv_without <= cv_full (removing a channel never helps)
+    assert sorted(out["event_type"]) == ["click", "error", "signup", "view"]
+    assert ((out["removal_effect"] >= 0) & (out["removal_effect"] <= 1)).all()
+    assert (out["cv_without"] <= out["cv_full"] + 1e-12).all()
+    assert (out["cv_full"] > 0.5).all()   # most convs purchase eventually
