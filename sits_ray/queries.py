@@ -9855,6 +9855,56 @@ def km_survival_q(sf_dir):
     return km_survival(ds)
 
 
+# --- Nelson-Aalen cumulative hazard (eventops.nelson_aalen) -------------------
+@q(
+    "nelson_aalen",
+    """
+with u as (
+  select user_id, min(ts) as first_ts, max(ts) as last_ts,
+         min(case when event_type = 'purchase' then ts end) as death_ts
+  from events group by 1),
+d as (
+  select case when death_ts is not null then 1 else 0 end as ev,
+         (epoch_us(coalesce(death_ts, last_ts)) - epoch_us(first_ts))
+           // 3600000000 as t_hr
+  from u),
+km as (
+  select t_hr, cast(sum(ev) as bigint) as d_cnt,
+         cast(sum(1 - ev) as bigint) as c_cnt
+  from d group by 1),
+r as (
+  select t_hr, d_cnt, c_cnt,
+         cast(sum(d_cnt + c_cnt) over
+                (order by t_hr desc rows between unbounded preceding
+                 and current row) as bigint) as n_risk
+  from km)
+select a.t_hr, any_value(a.n_risk) as n_risk,
+       any_value(a.d_cnt) as n_events,
+       any_value(cast(a.d_cnt as double) / cast(a.n_risk as double))
+         as hazard_inc,
+       list_reduce(list_prepend(0.0e0,
+         list(cast(b.d_cnt as double) / cast(b.n_risk as double)
+              order by b.t_hr)),
+         (x, y) -> x + y) as cum_hazard
+from r a join r b on b.t_hr <= a.t_hr
+group by a.t_hr
+""",
+)
+def nelson_aalen_q(sf_dir):
+    """Nelson-Aalen cumulative conversion hazard: increments d_i/n_i on
+    the exact Kaplan-Meier risk table (birth = first event, death =
+    first purchase, censor = last event), summed in ascending-bucket
+    order. Same scale shape as km_survival (per-user triples + ONE
+    hash-partitioned merge; curve bounded by time range, not users).
+    SQL-exact: int64 risk counts, ONE exact division per increment,
+    np.add.accumulate == the twin's ordered list_reduce sum fold
+    (stages/eventops.nelson_aalen)."""
+    from sits_ray.stages.eventops import nelson_aalen
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return nelson_aalen(ds)
+
+
 # --- hard-negative mining (similarity.hard_negative_topk) ---------------------
 @q(
     "hard_negatives",

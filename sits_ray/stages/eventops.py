@@ -1739,28 +1739,18 @@ def markov_loglik(ds, n_parts: int = 32):
     return counts.map_batches(score, batch_format="pandas", batch_size=None)
 
 
-def km_survival(ds, death_type: str = "purchase",
-                unit_us: int = 3_600_000_000):
-    """Kaplan-Meier time-to-event survival curve (Kaplan & Meier 1958)
-    over user conversion: birth = a user's first event, death = their
-    first ``death_type`` event; users who never convert are
-    right-censored at their LAST event. One curve row per distinct
-    elapsed bucket (``unit_us``, default hours): at-risk count, deaths,
-    censorings and the product-limit survival estimate.
+def _risk_table(ds, death_type: str, unit_us: int) -> pd.DataFrame:
+    """Shared survival-analysis risk table: one row per distinct elapsed
+    bucket with (t_hr, d_cnt, c_cnt, n_risk). Birth = a user's first
+    event, death = their first ``death_type`` event, never-converting
+    users right-censored at their last event.
 
     Scale shape: per-batch (user, min_ts, max_ts, min_death_ts) partials
     combine inside map_batches, ONE hash-partitioned merge
     (part_aggregate - user_id is corpus-cardinality), then per-batch
     (t_bucket, ev) count partials fold to a driver-side table bounded by
     the corpus TIME RANGE / unit, never by user count. Raw events
-    shuffle only as per-user triples.
-
-    Exactness: buckets and risk counts are int64 (order-free); each KM
-    factor is ONE exact double division (n-d)/n and the survival product
-    accumulates via np.multiply.accumulate in ascending-bucket order - a
-    strict sequential fold, == the twin's ordered list_reduce with its
-    exact-identity 1.0 prepend (d=0 rows contribute a factor of exactly
-    1.0, an IEEE multiplicative identity on both sides)."""
+    shuffle only as per-user triples. All columns int64 (order-free)."""
     from sits_ray.stages.hashagg import part_aggregate
 
     NOD = np.iinfo(np.int64).max  # sentinel: no death event seen
@@ -1821,17 +1811,70 @@ def km_survival(ds, death_type: str = "purchase",
         spans.map_batches(km_partial, batch_format="pandas")
         .to_pandas().groupby("t_hr", sort=True).sum().reset_index()
     )
-    d = km["d_cnt"].to_numpy(np.int64)
-    c = km["c_cnt"].to_numpy(np.int64)
-    n_risk = (d + c)[::-1].cumsum()[::-1]
+    d = km["t_hr"].to_numpy(np.int64)
+    dc = km["d_cnt"].to_numpy(np.int64)
+    cc = km["c_cnt"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "t_hr": d,
+            "d_cnt": dc,
+            "c_cnt": cc,
+            "n_risk": (dc + cc)[::-1].cumsum()[::-1],
+        }
+    )
+
+
+def km_survival(ds, death_type: str = "purchase",
+                unit_us: int = 3_600_000_000):
+    """Kaplan-Meier time-to-event survival curve (Kaplan & Meier 1958)
+    over user conversion (risk table: ``_risk_table``).
+
+    Exactness: buckets and risk counts are int64 (order-free); each KM
+    factor is ONE exact double division (n-d)/n and the survival product
+    accumulates via np.multiply.accumulate in ascending-bucket order - a
+    strict sequential fold, == the twin's ordered list_reduce with its
+    exact-identity 1.0 prepend (d=0 rows contribute a factor of exactly
+    1.0, an IEEE multiplicative identity on both sides)."""
+    rt = _risk_table(ds, death_type, unit_us)
+    d = rt["d_cnt"].to_numpy(np.int64)
+    n_risk = rt["n_risk"].to_numpy(np.int64)
     factors = (n_risk - d).astype(np.float64) / n_risk.astype(np.float64)
     return pd.DataFrame(
         {
-            "t_hr": km["t_hr"].to_numpy(np.int64),
+            "t_hr": rt["t_hr"].to_numpy(np.int64),
             "n_risk": n_risk,
             "n_events": d,
-            "n_censored": c,
+            "n_censored": rt["c_cnt"].to_numpy(np.int64),
             "surv": np.multiply.accumulate(factors),
+        }
+    )
+
+
+def nelson_aalen(ds, death_type: str = "purchase",
+                 unit_us: int = 3_600_000_000):
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972, Aalen 1978)
+    over user conversion: H(t) = sum over event buckets <= t of d_i/n_i,
+    on the same risk table as ``km_survival`` (``_risk_table``; maps the
+    reference's survival-diagnostic family alongside the product-limit
+    curve — hazard increments expose WHEN conversion pressure spikes,
+    which the survival curve smooths over).
+
+    Exactness: each increment is ONE exact double division d/n on int64
+    operands; the cumulative hazard accumulates via np.add.accumulate in
+    ascending-bucket order — a strict sequential fold == the SQL twin's
+    ordered list_reduce sum with an exact 0.0 prepend (d=0 buckets add a
+    literal +0.0, an IEEE additive identity on both sides)."""
+    rt = _risk_table(ds, death_type, unit_us)
+    d = rt["d_cnt"].to_numpy(np.int64)
+    n_risk = rt["n_risk"].to_numpy(np.int64)
+    inc = d.astype(np.float64) / n_risk.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "t_hr": rt["t_hr"].to_numpy(np.int64),
+            "n_risk": n_risk,
+            "n_events": d,
+            "hazard_inc": inc,
+            "cum_hazard": np.add.accumulate(inc),
         }
     )
 

@@ -1170,6 +1170,36 @@ def test_km_survival_bruteforce_with_censoring(ray_session):
     assert out.surv.iloc[-1] == s2
 
 
+def test_nelson_aalen_bruteforce(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.eventops import nelson_aalen
+
+    HR = 3_600 * US
+    rows = []
+    # same cohort as the KM test: u1 d@2, u2 c@2, u3 d@0, u4 c@5
+    for uid, t_hr, typ in [
+        (1, 0, "view"), (1, 2, "purchase"), (1, 9, "view"),
+        (2, 0, "view"), (2, 2, "click"),
+        (3, 0, "purchase"),
+        (4, 0, "signup"), (4, 5, "view"),
+    ]:
+        rows.append(
+            {"user_id": uid, "ts": np.int64(t_hr * HR), "event_type": typ}
+        )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = nelson_aalen(rd.from_pandas(df))
+
+    assert out.t_hr.tolist() == [0, 2, 5]
+    assert out.n_risk.tolist() == [4, 3, 1]
+    assert out.n_events.tolist() == [1, 1, 0]
+    assert out.hazard_inc.tolist() == [1.0 / 4.0, 1.0 / 3.0, 0.0]
+    h0 = 1.0 / 4.0
+    h2 = h0 + 1.0 / 3.0
+    assert out.cum_hazard.tolist() == [h0, h2, h2 + 0.0]
+
+
 # --- Kleinberg two-state burst detection --------------------------------------
 
 def _kb_table(convs):
