@@ -9855,6 +9855,72 @@ def km_survival_q(sf_dir):
     return km_survival(ds)
 
 
+# --- multinomial Naive Bayes source classifier (stages/nbayes.py) -------------
+@q(
+    "naive_bayes_source",
+    """
+with tok as (
+  select doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) as tok
+  from documents),
+trn as (select * from tok where doc_id % 5 != 0),
+cnt as (select source, tok, cast(count(*) as bigint) as c
+        from trn group by 1, 2),
+ctot as (select source, cast(count(*) as bigint) as ct from trn group by 1),
+vocab as (select distinct tok from trn),
+vn as (select cast(count(*) as bigint) as v from vocab),
+logp as (
+  select g.source, g.tok,
+         cast(floor(ln(cast(coalesce(c.c, 0) + 1 as double)
+                       / cast(g.ct + (select v from vn) as double))
+                    * 1000000e0 + 0.5e0) as bigint) as q
+  from (select s.source, s.ct, vo.tok from ctot s cross join vocab vo) g
+  left join cnt c on c.source = g.source and c.tok = g.tok),
+prior as (
+  select source,
+         cast(floor(ln(cast(count(*) as double)
+                       / cast((select count(*) from documents
+                               where doc_id % 5 != 0) as double))
+                    * 1000000e0 + 0.5e0) as bigint) as qp
+  from documents where doc_id % 5 != 0 group by 1),
+tdoc as (select doc_id, source as true_source from documents
+         where doc_id % 5 = 0),
+tst as (select doc_id, tok from tok where doc_id % 5 = 0),
+scores as (
+  select td.doc_id, pr.source,
+         any_value(td.true_source) as true_source,
+         any_value(pr.qp) + coalesce(sum(lp.q), 0) as score
+  from tdoc td
+  cross join prior pr
+  left join tst t on t.doc_id = td.doc_id
+  left join logp lp on lp.source = pr.source and lp.tok = t.tok
+  group by td.doc_id, pr.source)
+select doc_id, source as pred_source, score, true_source,
+       cast(case when source = true_source then 1 else 0 end as bigint)
+         as correct
+from (select *, row_number() over (partition by doc_id
+                                   order by score desc, source asc) as rk
+      from scores)
+where rk = 1
+""",
+)
+def naive_bayes_source(sf_dir):
+    """Multinomial Naive Bayes source classifier over documents: train on
+    doc_id %% 5 != 0, score the held-out fifth (add-one smoothing,
+    McCallum & Nigam 1998). ONE streaming count pass (vocab x classes
+    bounded partials), one stateless scoring pass — no shuffle. SQL-exact
+    end-to-end: log-probs quantize to 1e-6 ints from exact-ratio doubles
+    through libm log (== DuckDB ln), per-doc scores are INTEGER sums
+    (order-free), argmax ties break by class name asc on both sides
+    (stages/nbayes.py)."""
+    from sits_ray.stages.nbayes import nb_classify, nb_train
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    model = nb_train(ds, train_pred=lambda df: df["doc_id"] % 5 != 0)
+    return nb_classify(ds, model, test_pred=lambda df: df["doc_id"] % 5 == 0)
+
+
 # --- Nelson-Aalen cumulative hazard (eventops.nelson_aalen) -------------------
 @q(
     "nelson_aalen",
