@@ -11733,3 +11733,40 @@ def markov_attribution(sf_dir):
              "removal_effect": 1.0 - out[v] / out["(full)"]}
             for v in variants if v != "(full)"]
     return pd.DataFrame(rows)
+
+
+# --- sequential pattern mining (stages/seqmine.py) -----------------------------
+@q(
+    "seq_patterns_topk",
+    """
+with f as (
+  select user_id, event_type, min(event_id) as fe
+  from events group by 1, 2),
+u as (select cast(count(distinct user_id) as bigint) as nu from events),
+p as (
+  select a.event_type as type_a, b.event_type as type_b,
+         cast(count(*) as bigint) as n_users
+  from f a
+  join f b on a.user_id = b.user_id and a.fe < b.fe
+          and a.event_type != b.event_type
+  group by 1, 2)
+select type_a, type_b, n_users,
+       cast(n_users as double) / cast(u.nu as double) as support_frac
+from p cross join u
+order by n_users desc, type_a asc, type_b asc
+limit 20
+""",
+)
+def seq_patterns_topk_q(sf_dir):
+    """Length-2 sequential pattern mining (GSP/PrefixSpan at k=2): top
+    ordered pairs <type_a before type_b> by user support, counting users
+    whose FIRST type_a event precedes their first type_b event. One
+    per-batch first-occurrence combiner + one part_aggregate shuffle on
+    user_id (O(n_parts) groups); only types^2 partials reach the driver.
+    Counts are int64 (order-free); support_frac divides two exact
+    bigint->double casts; sort (desc count, asc pair) is total, so the
+    top-20 cut is deterministic (stages/seqmine.py)."""
+    from sits_ray.stages.seqmine import seq_patterns_topk
+
+    return seq_patterns_topk(
+        _events(sf_dir, columns=["user_id", "event_id", "event_type"]))
