@@ -11770,3 +11770,49 @@ def seq_patterns_topk_q(sf_dir):
 
     return seq_patterns_topk(
         _events(sf_dir, columns=["user_id", "event_id", "event_type"]))
+
+
+# --- one-way ANOVA across event types (stages/drift.anova_oneway) --------------
+_ANOVA_T1 = ("list_reduce(list_prepend(0.0e0, list("
+             + _i2d("s * s") + " / " + _i2d("n")
+             + " order by event_type)), (a, b) -> a + b)")
+
+@q(
+    "anova_value_by_type",
+    f"""
+with c as (
+  select event_type, cast(floor(value / 0.01e0) as bigint) as bin,
+         cast(count(*) as bigint) as cnt
+  from events group by 1, 2),
+g as (select event_type,
+             cast(sum(cnt) as hugeint) as n,
+             cast(sum(cast(bin as hugeint) * cnt) as hugeint) as s,
+             cast(sum(cast(bin as hugeint) * bin * cnt) as hugeint) as q
+      from c group by 1),
+t as (select cast(count(*) as bigint) as k,
+             cast(sum(n) as hugeint) as nn,
+             cast(sum(s) as hugeint) as ss,
+             cast(sum(q) as hugeint) as qq,
+             {_ANOVA_T1} as t1
+      from g),
+sel as (select k, cast(nn as bigint) as n_total,
+               t1 - {_i2d("ss * ss")} / {_i2d("nn")} as ssb,
+               {_i2d("qq")} - t1 as ssw
+        from t)
+select k as k_groups, n_total, ssb, ssw,
+       (ssb / cast(k - 1 as double))
+         / (ssw / cast(n_total - k as double)) as f_stat,
+       ssb / (ssb + ssw) as eta_sq
+from sel
+""",
+)
+def anova_value_by_type(sf_dir):
+    """One-way ANOVA F of event value across event types
+    (stages/drift.anova_oneway): k-group mean-shift monitor on the
+    cents grid — all moments exact integers from (type, bin) census
+    partials, between-group term folded in type-asc order with two-limb
+    exact casts, ssb/ssw/F/eta^2 pinned float trees. Two streaming
+    passes, zero shuffle."""
+    from sits_ray.stages.drift import anova_oneway
+
+    return anova_oneway(_events(sf_dir, columns=["event_type", "value"]))

@@ -249,3 +249,59 @@ def welch_drift(ds, value_col: str = "value", ts_col: str = "ts") -> pd.DataFram
         "n_a": np.int64(ta), "n_b": np.int64(tb),
         "mean_a": m1, "mean_b": m2, "t_stat": t_stat, "df": df,
     }])
+
+
+def anova_oneway(ds, group_col: str = "event_type",
+                 value_col: str = "value") -> pd.DataFrame:
+    """One-way ANOVA F-test of value across groups — the k-group
+    generalization of ``welch_drift``'s two-sample mean-shift monitor
+    (pooled-variance form; Fisher 1925). Values quantize to the 0.01
+    cents grid so every per-group moment (n, sum, sum-of-squares) is an
+    exact integer folded from per-batch (group, bin) census partials —
+    two streaming passes, zero shuffle, bounded driver state.
+
+    Float contract (mirrored by the SQL twin): the between-group term
+    ``t1 = sum_g (s_g^2 / n_g)`` folds in GROUP-NAME ASC order with
+    exact two-limb integer->double casts per operand; then
+    ``ssb = t1 - S^2/N``, ``ssw = Q - t1``,
+    ``f = (ssb/(k-1)) / (ssw/(N-k))``, ``eta_sq = ssb/(ssb+ssw)`` are
+    pinned float trees. Returns one row
+    (k_groups, n_total, ssb, ssw, f_stat, eta_sq), cents scale."""
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df[value_col].to_numpy(np.float64) / 0.01).astype(
+            np.int64)
+        g = (pd.DataFrame({"g": df[group_col].to_numpy(), "bin": b})
+             .groupby(["g", "bin"], sort=False, observed=True)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(census, batch_format="pandas").to_pandas()
+    c = parts.groupby(["g", "bin"], sort=True)["n"].sum().reset_index()
+
+    stats: dict[str, tuple[int, int, int]] = {}
+    for gname, sub in c.groupby("g", sort=True):
+        bb = sub["bin"].to_numpy(np.int64)
+        nn = sub["n"].to_numpy(np.int64)
+        n = int(nn.sum())
+        s = sum(int(x) * int(y) for x, y in zip(bb, nn))
+        qq = sum(int(x) * int(x) * int(y) for x, y in zip(bb, nn))
+        stats[str(gname)] = (n, s, qq)
+
+    k = len(stats)
+    N = sum(v[0] for v in stats.values())
+    S = sum(v[1] for v in stats.values())
+    Q = sum(v[2] for v in stats.values())
+    t1 = 0.0
+    for gname in sorted(stats):            # group-name asc fold (SQL order)
+        n, s, _ = stats[gname]
+        t1 = t1 + float(s * s) / float(n)
+    ssb = t1 - float(S * S) / float(N)
+    ssw = float(Q) - t1
+    f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return pd.DataFrame([{
+        "k_groups": np.int64(k), "n_total": np.int64(N),
+        "ssb": ssb, "ssw": ssw, "f_stat": f,
+        "eta_sq": ssb / (ssb + ssw),
+    }])
