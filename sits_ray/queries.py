@@ -11816,3 +11816,96 @@ def anova_value_by_type(sf_dir):
     from sits_ray.stages.drift import anova_oneway
 
     return anova_oneway(_events(sf_dir, columns=["event_type", "value"]))
+
+
+# --- l-diversity privacy audit (stages/curation.l_diversity) -------------------
+@q(
+    "l_diversity_audit",
+    """
+with c as (
+  select lang, n_chars // 100 as b, source,
+         cast(count(*) as bigint) as cnt
+  from documents group by 1, 2, 3),
+cls as (select lang, b, cast(count(distinct source) as bigint) as l,
+               cast(sum(cnt) as bigint) as n
+        from c group by 1, 2),
+t as (select cast(sum(n) as bigint) as total,
+             cast(count(*) as bigint) as n_classes from cls),
+ls as (select unnest([2, 3, 5]) as lv)
+select cast(ls.lv as bigint) as l,
+       t.n_classes,
+       cast(count(*) filter (where cls.l < ls.lv) as bigint)
+         as n_risky_classes,
+       cast(coalesce(sum(n) filter (where cls.l < ls.lv), 0) as bigint)
+         as n_risky_records,
+       cast(coalesce(sum(n) filter (where cls.l < ls.lv), 0) as bigint)
+         / cast(t.total as double) as risk_frac
+from cls cross join ls cross join t
+group by ls.lv, t.n_classes, t.total
+order by l
+""",
+)
+def l_diversity_audit(sf_dir):
+    """l-diversity audit (stages/curation.l_diversity): classes over
+    (lang, length-bucket) quasi-identifiers, sensitive attribute =
+    source; rows per l in {2,3,5} counting classes with < l distinct
+    sensitive values and records inside them. Bounded census, zero
+    shuffle, one bigint/bigint division per row."""
+    from sits_ray.stages.curation import l_diversity
+
+    return l_diversity(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source", "n_chars"]))
+
+
+# --- t-closeness EMD audit (stages/curation.t_closeness) -----------------------
+@q(
+    "t_closeness_audit",
+    f"""
+with bx as (select lang, source, n_chars // 100 as b from documents),
+cnt as (select lang, source, b, cast(count(*) as bigint) as c
+        from bx group by 1, 2, 3),
+bks as (select distinct b from bx),
+cls as (select distinct lang, source from bx),
+g as (select b, cast(count(*) as bigint) as gc from bx group by 1),
+tot as (select cast(count(*) as bigint) as t from bx),
+mm as (select cast(count(*) as bigint) as m from bks),
+grid as (select cls.lang, cls.source, bks.b,
+                coalesce(cnt.c, 0) as c, g.gc
+         from cls cross join bks
+         left join cnt on cnt.lang = cls.lang and cnt.source = cls.source
+                      and cnt.b = bks.b
+         join g on g.b = bks.b),
+cum as (select lang, source, b,
+               cast(sum(c) over w as hugeint) as cc,
+               cast(sum(gc) over w as hugeint) as cg,
+               cast(sum(c) over (partition by lang, source) as hugeint) as n
+        from grid
+        window w as (partition by lang, source order by b
+                     rows unbounded preceding)),
+d as (select lang, source, cast(any_value(n) as bigint) as n_recs,
+             cast(sum(abs(cc * (select t from tot) - cg * n)) as hugeint)
+               as dn
+      from cum
+      where b < (select max(b) from bks)
+      group by 1, 2)
+select lang, source, n_recs,
+       {_i2d("dn")}
+         / {_i2d("cast(n_recs as hugeint) * (select t from tot)"
+                 " * ((select m from mm) - 1)")} as emd
+from d
+order by emd desc, lang asc, source asc
+""",
+)
+def t_closeness_audit(sf_dir):
+    """t-closeness audit (stages/curation.t_closeness): per (lang,
+    source) class, EMD between the class's ordered length-bucket
+    distribution and the corpus-global one over the shared zero-filled
+    grid. Integer cumulative censuses make the EMD numerator exact;
+    emd = ONE double division of two-limb exactly-cast integers —
+    SQL-exact. Bounded census, zero shuffle."""
+    from sits_ray.stages.curation import t_closeness
+
+    return t_closeness(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source", "n_chars"]))

@@ -550,3 +550,112 @@ def k_anonymity(ds, k_values=(2, 5, 10), bucket: int = 100) -> pd.DataFrame:
             "risk_frac": int(sizes[risky].sum()) / total,
         })
     return pd.DataFrame(rows)
+
+
+def l_diversity(ds, l_values=(2, 3, 5), bucket: int = 100) -> pd.DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the sequel to
+    ``k_anonymity``: a class can be large (k-anonymous) yet still leak
+    if every record in it shares the same SENSITIVE value. QI tuple =
+    ``(lang, n_chars // bucket)``; sensitive attribute = ``source``.
+    For each l the audit counts classes with fewer than l distinct
+    sensitive values and the records inside them.
+
+    Same scale shape as k_anonymity: per-batch (lang, bucket, source)
+    count partials fold to a bounded driver table; the corpus never
+    shuffles. All integers; ``risk_frac`` is the one bigint/bigint
+    double division. Returns one row per l: (l, n_classes,
+    n_risky_classes, n_risky_records, risk_frac)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "b": t["n_chars"].to_numpy(zero_copy_only=False) // bucket,
+            "source": t["source"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "b", "source"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"lang": pa.array(gi["lang"]),
+                         "b": pa.array(gi["b"].to_numpy(np.int64)),
+                         "source": pa.array(gi["source"]),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["lang", "b", "source"], sort=True)["cnt"].sum()
+           .reset_index())
+    cls = (c.groupby(["lang", "b"], sort=True)
+             .agg(l=("source", "nunique"), n=("cnt", "sum"))
+             .reset_index())
+    total = int(cls["n"].sum())
+    ls = cls["l"].to_numpy(np.int64)
+    ns = cls["n"].to_numpy(np.int64)
+    rows = []
+    for lv in l_values:
+        risky = ls < lv
+        rows.append({
+            "l": np.int64(lv),
+            "n_classes": np.int64(len(cls)),
+            "n_risky_classes": np.int64(int(risky.sum())),
+            "n_risky_records": np.int64(int(ns[risky].sum())),
+            "risk_frac": int(ns[risky].sum()) / total,
+        })
+    return pd.DataFrame(rows)
+
+
+def t_closeness(ds, bucket: int = 100) -> pd.DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): per
+    QI class ``(lang, source)``, the Earth Mover's Distance between the
+    class's distribution of the ORDERED sensitive attribute
+    (``n_chars // bucket``) and the corpus-global distribution. For a
+    1-D ordered domain with unit adjacent ground distance,
+    ``EMD = (1/(m-1)) * sum_k |cumP_k - cumQ_k|`` over the global
+    bucket grid (zero-filled for buckets the class misses).
+
+    Integer-exact core: with T = corpus size, n = class size,
+    cum class counts cc_k and cum global counts cg_k,
+    ``D = sum_{k<m} |cc_k*T - cg_k*n|`` is an exact integer and
+    ``emd = D / (n*T*(m-1))`` is ONE double division of exactly-cast
+    integers — the SQL twin replays it bit-for-bit. Bounded census,
+    zero shuffle. Returns one row per class ordered by emd desc then
+    (lang, source): (lang, source, n_recs, emd)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "b": t["n_chars"].to_numpy(zero_copy_only=False) // bucket,
+        })
+        g = df.groupby(["lang", "source", "b"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"lang": pa.array(gi["lang"]),
+                         "source": pa.array(gi["source"]),
+                         "b": pa.array(gi["b"].to_numpy(np.int64)),
+                         "cnt": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["lang", "source", "b"], sort=True)["cnt"].sum()
+           .reset_index())
+    buckets = np.sort(c["b"].unique())
+    m = len(buckets)
+    gcum = (c.groupby("b", sort=True)["cnt"].sum()
+             .reindex(buckets, fill_value=0).cumsum().to_numpy())
+    T = int(c["cnt"].sum())
+    rows = []
+    for (lang, source), sub in c.groupby(["lang", "source"], sort=True):
+        cc = (sub.set_index("b")["cnt"].reindex(buckets, fill_value=0)
+                 .cumsum().to_numpy())
+        n = int(sub["cnt"].sum())
+        if m < 2:
+            rows.append({"lang": lang, "source": source,
+                         "n_recs": np.int64(n), "emd": 0.0})
+            continue
+        d = sum(abs(int(cc[k]) * T - int(gcum[k]) * n)
+                for k in range(m - 1))
+        rows.append({"lang": lang, "source": source,
+                     "n_recs": np.int64(n),
+                     "emd": float(d) / float(n * T * (m - 1))})
+    out = pd.DataFrame(rows)
+    return (out.sort_values(["emd", "lang", "source"],
+                            ascending=[False, True, True])
+               .reset_index(drop=True))
