@@ -11909,3 +11909,69 @@ def t_closeness_audit(sf_dir):
     return t_closeness(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["lang", "source", "n_chars"]))
+
+
+# --- integer-exact online perceptron (stages/perceptron.py) --------------------
+_PERC_DOT = ("cast(list_dot_product(wk.w, s.q) as bigint)")
+
+@q(
+    "perceptron_train_score",
+    f"""
+with v as (
+  select vec_id, label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint))
+           as q
+  from embeddings),
+trn as (
+  select vec_id, case when label = 0 then 1 else -1 end as y, q,
+         row_number() over (order by vec_id) as rk
+  from v where vec_id % 251 = 0
+  qualify rk <= 256),
+nt as (select cast(count(*) as bigint) as n from trn),
+walk as (
+  with recursive wk as (
+    select 0 as k,
+           list_transform(generate_series(1, 64),
+                          i -> cast(0 as bigint)) as w,
+           cast(0 as bigint) as b
+    union all
+    select k + 1,
+           case when mg <= 0
+                then list_transform(generate_series(1, 64),
+                                    i -> w[i] + y * q[i])
+                else w end,
+           case when mg <= 0 then b + y * 10000 else b end
+    from (select wk.k, wk.w, wk.b, s.y, s.q,
+                 s.y * ({_PERC_DOT} + wk.b) as mg
+          from wk join trn s on s.rk = wk.k + 1))
+  select w, b from wk, nt where wk.k = nt.n)
+select cast(v.label as bigint) as label,
+       cast(count(*) as bigint) as n,
+       cast(count(*) filter
+              (where cast(list_dot_product(walk.w, v.q) as bigint)
+                       + walk.b > 0) as bigint) as n_pred_pos,
+       cast(count(*) filter
+              (where (cast(list_dot_product(walk.w, v.q) as bigint)
+                        + walk.b > 0) = (v.label = 0)) as bigint)
+         as n_correct
+from v cross join walk
+group by 1 order by 1
+""",
+)
+def perceptron_train_score(sf_dir):
+    """Online perceptron trained on the seeded vec_id %% 251 sample
+    (first 256 in id order) and scored over the FULL embeddings corpus
+    (stages/perceptron.py). Integer-exact end to end: quantized features
+    on the shared 1e4 grid, int64 weight replay (ties update), int64
+    margins at scoring — the SQL twin replays training as a recursive
+    CTE carrying BIGINT[64] weights and certifies the learned model via
+    per-label prediction censuses. One bounded driver gather + one
+    stateless vectorized scoring pass; zero shuffle."""
+    from sits_ray.stages.perceptron import (perceptron_score,
+                                            perceptron_train_int)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    model = perceptron_train_int(ds)
+    return perceptron_score(ds, model)
