@@ -11975,3 +11975,63 @@ def perceptron_train_score(sf_dir):
                          columns=["vec_id", "embedding", "label"])
     model = perceptron_train_int(ds)
     return perceptron_score(ds, model)
+
+
+# --- TextRank keywords (stages/textrank.py) -------------------------------------
+@q(
+    "textrank_keywords",
+    """
+with tok as (
+  select doc_id, i, l[i] as w
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents),
+       unnest(generate_series(1, len(l))) as u(i)),
+cnt as (select w, cast(count(*) as bigint) as c from tok group by 1),
+voc as (select w, c from (
+          select w, c, row_number() over (order by c desc, w asc) as rk
+          from cnt) where rk <= 64),
+bi as (select doc_id, i,
+              lag(w) over (partition by doc_id order by i) as p, w
+       from tok),
+e0 as (select least(p, w) as a, greatest(p, w) as b,
+              cast(count(*) as bigint) as n
+       from bi
+       where p is not null and p != w
+         and p in (select w from voc) and w in (select w from voc)
+       group by 1, 2),
+ed as (select a as src, b as dst, n from e0
+       union all
+       select b, a, n from e0),
+wu as (select src, cast(sum(n) as bigint) as wsum from ed group by 1),
+walk as (
+  with recursive pr as (
+    select 0 as k, w as word, cast(1000000000 as hugeint) as r from voc
+    union all
+    select p.k + 1, p.word,
+           150000000 + (85 * coalesce(cb.s, 0)) // 100
+    from pr p
+    left join (
+      select ed.dst, sum((p2.r * ed.n) // wu.wsum) as s
+      from pr p2
+      join ed on ed.src = p2.word
+      join wu on wu.src = p2.word
+      group by ed.dst) cb on cb.dst = p.word
+    where p.k < 10)
+  select word, cast(r as bigint) as rank_int from pr where k = 10)
+select row_number() over (order by rank_int desc, word asc) as rnk,
+       walk.word, voc.c as cnt, rank_int
+from walk join voc on voc.w = walk.word
+order by rnk
+""",
+)
+def textrank_keywords(sf_dir):
+    """TextRank keyword extraction (stages/textrank.py; Mihalcea & Tarau
+    2004): integer PageRank over the adjacent-token co-occurrence graph
+    of the exact global top-64 vocabulary. Two streaming passes + one
+    bounded part_aggregate shuffle; the 64-node walk replays on the
+    driver in arbitrary-precision ints with only non-negative floor
+    divisions, so the recursive-CTE twin is bit-exact."""
+    from sits_ray.stages.textrank import textrank_keywords as run
+
+    return run(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"]))
