@@ -12035,3 +12035,46 @@ def textrank_keywords(sf_dir):
 
     return run(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"]))
+
+
+# --- chi-square independence: type x hour (stages/drift.chi2_independence) -----
+@q(
+    "chi2_type_hour",
+    f"""
+with c as (
+  select event_type as t, (epoch_us(ts) // 3600000000) % 24 as h,
+         cast(count(*) as bigint) as o
+  from events group by 1, 2),
+r as (select t, cast(sum(o) as hugeint) as rt from c group by 1),
+cc as (select h, cast(sum(o) as hugeint) as ct from c group by 1),
+tt as (select cast(sum(o) as hugeint) as tot,
+              cast(count(*) as bigint) as n_cells from c),
+u as (select list_reduce(list_prepend(0.0e0,
+        list({_i2d("cast(c.o as hugeint) * c.o")}
+             / {_i2d("r.rt * cc.ct")}
+             order by c.t asc, c.h asc)), (a, b) -> a + b) as s
+      from c join r using (t) join cc using (h)),
+sel as (select tt.n_cells,
+               (select cast(count(*) as bigint) from r) as n_rows,
+               (select cast(count(*) as bigint) from cc) as n_cols,
+               {_i2d("tt.tot")} * (u.s - 1.0e0) as chi2,
+               tt.tot as tot
+        from u cross join tt)
+select n_cells, n_rows, n_cols,
+       cast((n_rows - 1) * (n_cols - 1) as bigint) as dof, chi2,
+       sqrt(chi2 / ({_i2d("tot")}
+                    * cast(least(n_rows - 1, n_cols - 1) as double)))
+         as cramers_v
+from sel
+""",
+)
+def chi2_type_hour(sf_dir):
+    """Pearson chi-square independence audit of event type vs hour of
+    day (stages/drift.chi2_independence) — the frequentist companion to
+    mutual_info_type_hod. Integer censuses; per-cell O^2/(r*c) terms as
+    exact-cast double divisions folded in (type, hour) order;
+    chi2 = T*(sum-1) and Cramer's V pinned float trees. One streaming
+    census, zero shuffle."""
+    from sits_ray.stages.drift import chi2_independence
+
+    return chi2_independence(_events(sf_dir, columns=["event_type", "ts"]))

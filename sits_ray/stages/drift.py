@@ -305,3 +305,54 @@ def anova_oneway(ds, group_col: str = "event_type",
         "ssb": ssb, "ssw": ssw, "f_stat": f,
         "eta_sq": ssb / (ssb + ssw),
     }])
+
+
+def chi2_independence(ds, type_col: str = "event_type",
+                      ts_col: str = "ts") -> pd.DataFrame:
+    """Pearson chi-square independence test of event type vs hour-of-day
+    — the classic contingency-table audit next to mutual_info_type_hod
+    (same table, frequentist statistic instead of information). One
+    per-batch (type, hour) census fold to a bounded driver table; zero
+    shuffle.
+
+    Exactness contract (mirrored by the SQL twin): with cell counts O,
+    row totals r, column totals c, grand total T, the identity
+    ``chi2 = T * (sum_cells O^2/(r*c) - 1)`` keeps every numerator and
+    denominator an exact integer; per-cell terms are single double
+    divisions of two-limb exactly-cast integers, folded in
+    (type asc, hour asc) order, and ``cramers_v =
+    sqrt(chi2 / (T * min(R-1, C-1)))`` is a pinned float tree. Returns
+    one row: (n_cells, n_rows, n_cols, dof, chi2, cramers_v)."""
+
+    def census(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        hour = (us // 3600000000) % 24
+        g = (pd.DataFrame({
+                "t": t[type_col].to_numpy(zero_copy_only=False),
+                "h": hour})
+             .groupby(["t", "h"], sort=False).size()
+             .rename("o").reset_index())
+        return pa.table({"t": pa.array(g["t"]),
+                         "h": pa.array(g["h"].to_numpy(np.int64)),
+                         "o": pa.array(g["o"].to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby(["t", "h"], sort=True)["o"].sum().reset_index())
+    rt = c.groupby("t", sort=True)["o"].sum()
+    ct = c.groupby("h", sort=True)["o"].sum()
+    T = int(c["o"].sum())
+    s = 0.0
+    for _, row in c.iterrows():          # bounded: types x 24 cells
+        o = int(row["o"])
+        num = o * o
+        den = int(rt[row["t"]]) * int(ct[row["h"]])
+        s = s + float(num) / float(den)
+    nr, nc = len(rt), len(ct)
+    chi2 = float(T) * (s - 1.0)
+    k = min(nr - 1, nc - 1)
+    v = math.sqrt(chi2 / (float(T) * float(k)))
+    return pd.DataFrame([{
+        "n_cells": np.int64(len(c)), "n_rows": np.int64(nr),
+        "n_cols": np.int64(nc), "dof": np.int64((nr - 1) * (nc - 1)),
+        "chi2": chi2, "cramers_v": v,
+    }])
