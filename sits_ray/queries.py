@@ -63,6 +63,23 @@ def _i2d(x: str) -> str:
             f" + cast(({x}) % 4294967296 as double))")
 
 
+def _i3d(x: str) -> str:
+    """THREE-limb exact-replay cast for |x| beyond _i2d's 2^85 validity
+    (3x3 determinants reach ~1e29): high limb = x // 2^64 routed through
+    _i2d (so its own hugeint->double cast stays correctly rounded — a
+    bare cast of a >2^53 hugeint limb is NOT), middle/low limbs < 2^32
+    are exact casts. Two sequential rounded adds, so the result is not
+    always float(x)-correctly-rounded — the engine mirrors the identical
+    tree via stages/regression.i3d. Verified bit-identical on 30k random
+    signed ints up to 126 bits (both engines, both signs; trunc-division
+    limbs agree because DuckDB // and % are sign-matched)."""
+    return (f"({_i2d(f'(({x}) // 18446744073709551616)')}"
+            f" * 18446744073709551616e0"
+            f" + cast((({x}) // 4294967296) % 4294967296 as double)"
+            f" * 4294967296e0"
+            f" + cast(({x}) % 4294967296 as double))")
+
+
 def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
@@ -12078,3 +12095,63 @@ def chi2_type_hour(sf_dir):
     from sits_ray.stages.drift import chi2_independence
 
     return chi2_independence(_events(sf_dir, columns=["event_type", "ts"]))
+
+
+
+# --- two-factor OLS via integer normal equations (stages/regression.py) --------
+@q(
+    "ols_value_hour_tool",
+    f"""
+with e as (
+  select (epoch_us(ts) // 3600000000) % 24 as x1,
+         case when event_type = 'click' then 1 else 0 end as x2,
+         cast(floor(value / 0.01e0) as bigint) as y
+  from events),
+m as (select cast(count(*) as hugeint) as n,
+             cast(sum(x1) as hugeint) as sx1,
+             cast(sum(x2) as hugeint) as sx2,
+             cast(sum(x1 * x1) as hugeint) as sx11,
+             cast(sum(x1 * x2) as hugeint) as sx12,
+             cast(sum(x2 * x2) as hugeint) as sx22,
+             cast(sum(y) as hugeint) as sy,
+             cast(sum(x1 * y) as hugeint) as sx1y,
+             cast(sum(x2 * y) as hugeint) as sx2y,
+             sum(cast(y as hugeint) * y) as syy
+      from e),
+d as (select n, sy, sx1y, sx2y, syy,
+             n * (sx11*sx22 - sx12*sx12) - sx1 * (sx1*sx22 - sx12*sx2)
+               + sx2 * (sx1*sx12 - sx11*sx2) as det,
+             sy * (sx11*sx22 - sx12*sx12) - sx1 * (sx1y*sx22 - sx12*sx2y)
+               + sx2 * (sx1y*sx12 - sx11*sx2y) as det0,
+             n * (sx1y*sx22 - sx12*sx2y) - sy * (sx1*sx22 - sx12*sx2)
+               + sx2 * (sx1*sx2y - sx1y*sx2) as det1,
+             n * (sx11*sx2y - sx1y*sx12) - sx1 * (sx1*sx2y - sx1y*sx2)
+               + sy * (sx1*sx12 - sx11*sx2) as det2
+      from m),
+b as (select cast(n as bigint) as n_obs,
+             {_i3d("det0")} / {_i3d("det")} as beta0,
+             {_i3d("det1")} / {_i3d("det")} as beta_hour,
+             {_i3d("det2")} / {_i3d("det")} as beta_tool,
+             {_i3d("sy * sy")} / {_i3d("n")} as sy2n,
+             {_i3d("sy")} as syd,
+             {_i3d("sx1y")} as sx1yd,
+             {_i3d("sx2y")} as sx2yd,
+             {_i3d("syy")} as syyd
+      from d)
+select n_obs, beta0, beta_hour, beta_tool,
+       (((beta0 * syd + beta_hour * sx1yd) + beta_tool * sx2yd) - sy2n)
+         / (syyd - sy2n) as r2
+from b
+""",
+)
+def ols_value_hour_tool(sf_dir):
+    """Two-predictor OLS — cents ~ hour-of-day + is-tool-call — solved
+    in closed form by Cramer's rule over exact integer normal equations
+    (stages/regression.ols_two_factor). One streaming moment pass, zero
+    shuffle; determinants (~1e29) cast to double via the shared
+    three-limb exact-replay fold (_i3d / regression.i3d), betas single
+    divisions, R^2 a pinned float tree."""
+    from sits_ray.stages.regression import ols_two_factor
+
+    return ols_two_factor(
+        _events(sf_dir, columns=["value", "ts", "event_type"]))
