@@ -12155,3 +12155,51 @@ def ols_value_hour_tool(sf_dir):
 
     return ols_two_factor(
         _events(sf_dir, columns=["value", "ts", "event_type"]))
+
+
+
+# --- Kruskal-Wallis rank ANOVA (stages/drift.kruskal_wallis) -------------------
+_KW_S = ("list_reduce(list_prepend(0.0e0, list("
+         + _i3d("rg2 * rg2") + " / " + _i2d("ng") + " order by g asc)), (a, b) -> a + b)")
+
+@q(
+    "kruskal_value_by_type",
+    f"""
+with c as (
+  select event_type as g, cast(floor(value / 0.01e0) as bigint) as b,
+         cast(count(*) as bigint) as cnt
+  from events group by 1, 2),
+m as (select b, cast(sum(cnt) as bigint) as mb from c group by 1),
+d as (select b, 2 * sum(mb) over (order by b rows unbounded preceding)
+               - mb + 1 as db
+      from m),
+r as (select c.g,
+             cast(sum(cast(c.cnt as hugeint) * d.db) as hugeint) as rg2,
+             cast(sum(c.cnt) as hugeint) as ng
+      from c join d using (b) group by 1),
+nn as (select cast(sum(cnt) as hugeint) as n from c),
+s as (select {_KW_S} as s,
+             cast(count(*) as bigint) as k
+      from r),
+t as (select cast(sum(cast(mb as hugeint) * mb * mb - mb) as hugeint)
+               as tie from m),
+sel as (select cast(nn.n as bigint) as n_total, s.k as k_groups,
+               (3.0e0 * s.s) / {_i2d("nn.n * (nn.n + 1)")} - 3.0e0 * {_i2d("nn.n + 1")} as h_stat,
+               1.0e0 - {_i2d("t.tie")} / {_i2d("nn.n * nn.n * nn.n - nn.n")} as tie_correction
+        from nn, s, t)
+select n_total, k_groups, h_stat, tie_correction,
+       h_stat / tie_correction as h_corrected
+from sel
+""",
+)
+def kruskal_value_by_type(sf_dir):
+    """Kruskal-Wallis rank one-way ANOVA of event value across event
+    types (stages/drift.kruskal_wallis) — the nonparametric sibling of
+    anova_value_by_type, from the same bounded cents census: doubled
+    midranks keep every rank-sum an exact integer (no sort, no
+    per-value ranks), Rg2^2 casts through the three-limb fold, H and
+    the tie correction are pinned float trees. One streaming census,
+    zero shuffle."""
+    from sits_ray.stages.drift import kruskal_wallis
+
+    return kruskal_wallis(_events(sf_dir, columns=["event_type", "value"]))

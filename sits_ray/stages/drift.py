@@ -356,3 +356,58 @@ def chi2_independence(ds, type_col: str = "event_type",
         "n_cols": np.int64(nc), "dof": np.int64((nr - 1) * (nc - 1)),
         "chi2": chi2, "cramers_v": v,
     }])
+
+
+def kruskal_wallis(ds, group_col: str = "event_type",
+                   value_col: str = "value") -> pd.DataFrame:
+    """Kruskal-Wallis rank one-way ANOVA across groups (Kruskal & Wallis
+    1952) — the nonparametric sibling of ``anova_oneway``, from the SAME
+    bounded (group, cents-bin) census: with m_b the global count of bin
+    b (ascending), the DOUBLED midrank of every observation in b is the
+    exact integer ``d_b = 2*cum_before(b) + m_b + 1``, so each group's
+    doubled rank-sum ``Rg2 = sum_b c_gb * d_b`` is exact, and
+    ``sum_g Rg^2/n_g = (1/4) sum_g Rg2^2/n_g`` folds in group-asc order
+    as double divisions of exactly-cast integers (Rg2^2 reaches ~1e27
+    at sf0.1 — three-limb cast).
+
+    Float contract (mirrored by SQL): ``h = (3.0*s)/(N*(N+1)) -
+    3.0*(N+1)`` (the 12/4 folded into 3), tie correction
+    ``c = 1 - sum(m^3 - m)/(N^3 - N)``, ``h_corrected = h/c``. One
+    streaming census, zero shuffle. Returns one row:
+    (n_total, k_groups, h_stat, tie_correction, h_corrected)."""
+    from sits_ray.stages.regression import i3d
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df[value_col].to_numpy(np.float64) / 0.01).astype(
+            np.int64)
+        g = (pd.DataFrame({"g": df[group_col].to_numpy(), "b": b})
+             .groupby(["g", "b"], sort=False, observed=True)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    c = (ds.map_batches(census, batch_format="pandas").to_pandas()
+           .groupby(["g", "b"], sort=True)["cnt"].sum().reset_index())
+    m = c.groupby("b", sort=True)["cnt"].sum()
+    bins = m.index.to_numpy()
+    mb = m.to_numpy(np.int64)
+    cum = np.cumsum(mb)
+    db = {int(b): 2 * int(cu) - int(mm) + 1
+          for b, cu, mm in zip(bins, cum, mb)}    # = 2*cum_before + m + 1
+    N = int(mb.sum())
+    s = 0.0
+    k = 0
+    for gname, sub in c.groupby("g", sort=True):   # group-asc fold
+        rg2 = sum(int(x) * db[int(b)]
+                  for b, x in zip(sub["b"], sub["cnt"]))
+        ng = int(sub["cnt"].sum())
+        s = s + i3d(rg2 * rg2) / float(ng)
+        k += 1
+    h = (3.0 * s) / float(N * (N + 1)) - 3.0 * float(N + 1)
+    tie = sum(int(x) ** 3 - int(x) for x in mb)
+    corr = 1.0 - float(tie) / float(N ** 3 - N)
+    return pd.DataFrame([{
+        "n_total": np.int64(N), "k_groups": np.int64(k),
+        "h_stat": h, "tie_correction": corr,
+        "h_corrected": h / corr,
+    }])
