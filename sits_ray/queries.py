@@ -12203,3 +12203,66 @@ def kruskal_value_by_type(sf_dir):
     from sits_ray.stages.drift import kruskal_wallis
 
     return kruskal_wallis(_events(sf_dir, columns=["event_type", "value"]))
+
+
+# --- Viterbi regime decoding (eventops.viterbi_decode) -------------------------
+def _viterbi_sql() -> str:
+    from sits_ray.stages.eventops import (VITERBI_E, VITERBI_GAP_US,
+                                          VITERBI_PI, VITERBI_T)
+
+    (pi0, pi1) = VITERBI_PI
+    ((t00, t01), (t10, t11)) = VITERBI_T
+    ((e00, e01), (e10, e11)) = VITERBI_E
+    return f"""
+with e as (select user_id as conv, event_id, epoch_us(ts) as us
+           from events),
+o as (select conv,
+             row_number() over
+               (partition by conv order by us, event_id) as i,
+             us - lag(us) over
+               (partition by conv order by us, event_id) as gap
+      from e),
+obs as (select conv, cast(i - 1 as bigint) as k,
+               case when gap >= {VITERBI_GAP_US} then 1 else 0 end as b
+        from o where gap is not null),
+n as (select conv, cast(max(k) as bigint) as n_obs from obs group by 1),
+vt as (
+  with recursive w as (
+    select conv, cast(1 as bigint) as k,
+           cast({pi0} + case when b = 0 then {e00} else {e01} end
+                as bigint) as v0,
+           cast({pi1} + case when b = 0 then {e10} else {e11} end
+                as bigint) as v1
+    from obs where k = 1
+    union all
+    select w.conv, w.k + 1,
+           (case when w.v0 + {t00} >= w.v1 + {t10}
+                 then w.v0 + {t00} else w.v1 + {t10} end)
+             + case when o2.b = 0 then {e00} else {e01} end,
+           (case when w.v0 + {t01} >= w.v1 + {t11}
+                 then w.v0 + {t01} else w.v1 + {t11} end)
+             + case when o2.b = 0 then {e10} else {e11} end
+    from w join obs o2 on o2.conv = w.conv and o2.k = w.k + 1)
+  select * from w)
+select n.conv as conv_id, n.n_obs,
+       case when vt.v0 >= vt.v1 then vt.v0 else vt.v1 end as best_score,
+       cast(case when vt.v0 >= vt.v1 then 0 else 1 end as bigint)
+         as end_state
+from vt join n on n.conv = vt.conv and vt.k = n.n_obs
+order by conv_id
+"""
+
+
+@q("viterbi_regimes", _viterbi_sql())
+def viterbi_regimes(sf_dir):
+    """Per-conversation Viterbi regime decoding under a fixed 2-state
+    HMM over inter-event gap buckets (eventops.viterbi_decode) — the
+    max-plus DP sibling of the dtw min-plus lattice. Quantized-log
+    integer scores (libm log == DuckDB ln on the seeded constants), so
+    the whole trellis is int64 and the recursive-CTE twin replays it
+    exactly (ties prefer state 0 via matched >= arms). One conv shuffle,
+    whole-partition vectorized lockstep DP."""
+    from sits_ray.stages.eventops import viterbi_decode
+
+    return viterbi_decode(
+        _events(sf_dir, columns=["user_id", "event_id", "ts"]))

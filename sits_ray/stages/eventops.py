@@ -2014,3 +2014,92 @@ def attribution_transitions_kernel(g: pa.Table) -> pa.Table:
     return pa.table({"src": pa.array(ci["src"]),
                      "dst": pa.array(ci["dst"]),
                      "n": pa.array(c.to_numpy(np.int64))})
+
+
+# --- Viterbi regime decoding -------------------------------------------------
+# Fixed 2-state HMM over inter-event gap buckets, quantized-log integer
+# scores (the nbayes/lmscore contract: libm log == DuckDB ln, floor to
+# the 1e-6 grid, then ALL arithmetic is int64 max-plus — order-free and
+# bit-exact cross-engine). States: 0 = engaged, 1 = idle; observations:
+# 0 = short gap (< 60 s), 1 = long gap.
+
+def _qln(p: float) -> int:
+    import math
+
+    return math.floor(math.log(p) * 1000000.0 + 0.5)
+
+
+VITERBI_PI = (_qln(0.5), _qln(0.5))
+VITERBI_T = ((_qln(0.8), _qln(0.2)),     # engaged -> engaged/idle
+             (_qln(0.3), _qln(0.7)))     # idle    -> engaged/idle
+VITERBI_E = ((_qln(0.9), _qln(0.1)),     # engaged emits short/long
+             (_qln(0.2), _qln(0.8)))     # idle    emits short/long
+VITERBI_GAP_US = 60_000_000
+
+
+def viterbi_kernel(g: pa.Table) -> pa.Table:
+    """Per-conversation max-sum Viterbi forward DP, vectorized across
+    every conversation of the partition (lockstep loop over positions,
+    max conv length iterations). Ties prefer the lower state index on
+    both the max-plus recurrence and the final argmax — mirrored by the
+    twin's >= CASE arms. Conversations with < 2 events emit nothing
+    (no gap observations). Returns (conv_id, n_obs, best_score,
+    end_state)."""
+    conv_vals, codes, ts, order, ex, starts, ends = _sorted_partition(g)
+    empty = {
+        "conv_id": pa.array([], conv_vals.type if len(conv_vals)
+                            else pa.int64()),
+        "n_obs": pa.array([], pa.int64()),
+        "best_score": pa.array([], pa.int64()),
+        "end_state": pa.array([], pa.int64()),
+    }
+    if codes.size < 2:
+        return pa.table(empty)
+    same = codes[1:] == codes[:-1]
+    gaps = ts[1:] - ts[:-1]
+    # observation stream: one gap bucket per intra-conv adjacent pair
+    b_all = (gaps >= VITERBI_GAP_US).astype(np.int64)
+    keep = same
+    conv_of_obs = codes[1:][keep]
+    b = b_all[keep]
+    if b.size == 0:
+        return pa.table(empty)
+    ostarts = _seg_starts(conv_of_obs)
+    oends = np.r_[ostarts[1:], conv_of_obs.size]
+    lens = oends - ostarts
+    (pi0, pi1) = VITERBI_PI
+    ((t00, t01), (t10, t11)) = VITERBI_T
+    ((e00, e01), (e10, e11)) = VITERBI_E
+    b1 = b[ostarts]
+    v0 = pi0 + np.where(b1 == 0, e00, e01)
+    v1 = pi1 + np.where(b1 == 0, e10, e11)
+    for k in range(1, int(lens.max())):
+        mk = lens > k
+        bb = b[ostarts[mk] + k]
+        a0 = v0[mk] + t00
+        a1 = v1[mk] + t10
+        nv0 = np.where(a0 >= a1, a0, a1) + np.where(bb == 0, e00, e01)
+        a0 = v0[mk] + t01
+        a1 = v1[mk] + t11
+        nv1 = np.where(a0 >= a1, a0, a1) + np.where(bb == 0, e10, e11)
+        v0[mk] = nv0
+        v1[mk] = nv1
+    best = np.where(v0 >= v1, v0, v1)
+    end_state = np.where(v0 >= v1, 0, 1).astype(np.int64)
+    conv_col = conv_vals.take(pa.array(conv_of_obs[ostarts], pa.int64()))
+    return pa.table({
+        "conv_id": conv_col,
+        "n_obs": pa.array(lens.astype(np.int64)),
+        "best_score": pa.array(best.astype(np.int64)),
+        "end_state": pa.array(end_state),
+    })
+
+
+def viterbi_decode(ds, n_parts: int = 32):
+    """Viterbi regime decoding per conversation (the sits_detect_change
+    DP sibling: dtw.py is min-plus over a cost lattice, this is max-plus
+    over an HMM trellis). One conv shuffle + whole-partition vectorized
+    kernel; O(n_parts) groups."""
+    return map_conv_partitions(
+        ds, viterbi_kernel, key="user_id", order_col="event_id",
+        n_parts=n_parts)
