@@ -12266,3 +12266,75 @@ def viterbi_regimes(sf_dir):
 
     return viterbi_decode(
         _events(sf_dir, columns=["user_id", "event_id", "ts"]))
+
+
+# --- Adamic-Adar link prediction (textrank word graph) -------------------------
+@q(
+    "adamic_adar_words",
+    """
+with tok as (
+  select doc_id, i, l[i] as w
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents),
+       unnest(generate_series(1, len(l))) as u(i)),
+cnt as (select w, cast(count(*) as bigint) as c from tok group by 1),
+voc as (select w from (
+          select w, row_number() over (order by c desc, w asc) as rk
+          from cnt) where rk <= 64),
+bi as (select doc_id, i,
+              lag(w) over (partition by doc_id order by i) as p, w
+       from tok),
+ec as (select least(p, w) as a, greatest(p, w) as b,
+              cast(count(*) as bigint) as n
+       from bi
+       where p is not null and p != w
+         and p in (select w from voc) and w in (select w from voc)
+       group by 1, 2),
+sym as (select a as src, b as dst, n from ec
+        union all
+        select b, a, n from ec),
+topm as (select src, dst from (
+           select src, dst,
+                  row_number() over (partition by src
+                                     order by n desc, dst asc) as rk
+           from sym) where rk <= 10),
+e0 as (select distinct least(src, dst) as a, greatest(src, dst) as b
+       from topm),
+ed as (select a as src, b as dst from e0
+       union all
+       select b, a from e0),
+dg as (select src as node, cast(count(*) as bigint) as d
+       from ed group by 1),
+wdg as (select e1.src as y, e1.dst as x, e2.dst as z
+        from ed e1 join ed e2 on e2.src = e1.src and e1.dst < e2.dst),
+cand as (select w.x, w.z, w.y, dg.d
+         from wdg w join dg on dg.node = w.y
+         where not exists (select 1 from e0
+                           where e0.a = w.x and e0.b = w.z)),
+sc as (select x as word_a, z as word_b,
+              cast(count(*) as bigint) as n_common,
+              list_reduce(list_prepend(0.0e0,
+                list(1.0e0 / ln(cast(d as double)) order by y)),
+                (a, b) -> a + b) as aa_score
+       from cand group by 1, 2)
+select word_a, word_b, n_common, aa_score
+from sc
+order by aa_score desc, word_a asc, word_b asc
+limit 20
+""",
+)
+def adamic_adar_words_q(sf_dir):
+    """Top-20 Adamic-Adar link predictions over the adjacent-token word
+    graph (stages/textrank.adamic_adar_words; Adamic & Adar 2003):
+    distance-2 pairs of the top-10-per-node k-NN sparsified graph
+    (deterministic integer rule — the raw graph is complete on a small
+    vocab), scored by sum of
+    1/ln(distinct-neighbor degree) over common neighbors, folded
+    y-ascending (libm log == DuckDB ln), total-order top-k cut. Same
+    bounded two-pass scale shape as textrank_keywords; the generic
+    pair-graph form (driver tier + two-exchange wedge/fold tier) is
+    stages/graph.adamic_adar_topk."""
+    from sits_ray.stages.textrank import adamic_adar_words
+
+    return adamic_adar_words(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]))

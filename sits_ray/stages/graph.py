@@ -541,3 +541,144 @@ def triangle_stats(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         )
 
     return per_node.map_batches(fin, batch_format="pandas")
+
+
+# --- Adamic-Adar link prediction ----------------------------------------------
+def _aa_local(a: np.ndarray, b: np.ndarray, k: int):
+    """Driver tier: iterate middle nodes in ASCENDING id order so each
+    candidate pair's 1/ln(deg) contributions fold y-ascending — the
+    exact float order the SQL twin's ordered list_reduce replays."""
+    import math
+
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    ends = np.r_[starts[1:], src.size]
+    deg = {int(src[s]): int(e - s) for s, e in zip(starts, ends)}
+    lut = {d: 1.0 / math.log(float(d)) for d in set(deg.values()) if d > 1}
+    edge = set(zip(a.tolist(), b.tolist()))
+    acc: dict[tuple[int, int], tuple[int, float]] = {}
+    for s, e in zip(starts, ends):          # middle nodes ascending
+        d = int(e - s)
+        if d < 2:
+            continue
+        w = lut[d]
+        nbr = dst[s:e]                       # ascending (lexsort)
+        for i in range(d - 1):
+            x = int(nbr[i])
+            for j in range(i + 1, d):
+                z = int(nbr[j])
+                if (x, z) in edge:
+                    continue
+                c, sc = acc.get((x, z), (0, 0.0))
+                acc[(x, z)] = (c + 1, sc + w)   # y-ascending fold
+    rows = [(x, z, c, sc) for (x, z), (c, sc) in acc.items()]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return pd.DataFrame(rows[:k],
+                        columns=["doc_a", "doc_b", "n_common", "aa_score"])
+
+
+def adamic_adar_topk(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                     k: int = 20, local_edges: int = 8_000_000,
+                     n_parts: int = 32):
+    """Top-k Adamic-Adar link predictions (Adamic & Adar 2003) over an
+    undirected candidate-pair graph: for distance-2 non-edge pairs
+    (x, z), score = sum over common neighbors y of ``1/ln(deg(y))`` —
+    "which near-dup docs are probably duplicates the blocking missed".
+
+    Float contract: per-pair contributions fold in y-ASCENDING order
+    (libm log == DuckDB ln); the top-k cut orders by
+    (aa_score desc, doc_a asc, doc_b asc) — total, so deterministic.
+
+    Tiers like the rest of the family: bounded pair lists run on the
+    driver; past the threshold, wedges generate per middle node through
+    one ``part_aggregate`` (deg and the non-edge probe resolved against
+    the broadcast packed-edge array inside the kernel), pair scores fold
+    in a second pair-keyed exchange (whole key groups co-located, so
+    per-partition top-k partials merge to the exact global top-k)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "n_common": pd.Series([], dtype="int64"),
+        "aa_score": pd.Series([], dtype="float64"),
+    })
+    # returns a (typed) pandas DataFrame: the result is top-k-bounded,
+    # and Ray's from_pandas drops the schema of 0-row frames
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return empty
+    pdf = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+    a = pdf[a_col].to_numpy(dtype=np.int64)
+    b = pdf[b_col].to_numpy(dtype=np.int64)
+    if len(a) <= local_edges:
+        return _aa_local(a, b, k)
+
+    # distributed tier (the pair table itself is bounded blocking
+    # output — same broadcast justification as triangle_stats)
+    _M = np.int64(1) << np.int64(32)
+    if (a >= _M).any() or (b >= _M).any():
+        raise ValueError("adamic_adar_topk: ids must fit in 32 bits")
+    canon_ref = ray.put(np.sort(a * _M + b))
+    sym = pd.DataFrame({"src": np.concatenate([a, b]),
+                        "dst": np.concatenate([b, a])})
+    edges = rd.from_pandas(sym)
+
+    def wedges(gdf: pd.DataFrame) -> pd.DataFrame:
+        ekeys = ray.get(canon_ref)
+        out = []
+        for mid, grp in gdf.groupby("src", sort=True):
+            nbr = np.sort(grp["dst"].to_numpy(np.int64))
+            d = len(nbr)
+            if d < 2:
+                continue
+            w = 1.0 / math.log(float(d))
+            iu, ju = np.triu_indices(d, 1)
+            x, z = nbr[iu], nbr[ju]
+            pk = x * _M + z
+            pos = np.searchsorted(ekeys, pk)
+            pos[pos >= len(ekeys)] = len(ekeys) - 1
+            keep = ekeys[pos] != pk
+            out.append(pd.DataFrame({
+                "pk": pk[keep], "y": np.full(int(keep.sum()), int(mid),
+                                             dtype=np.int64),
+                "w": np.full(int(keep.sum()), w)}))
+        if not out:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    wt = part_aggregate(edges, wedges, key_col="src", n_parts=n_parts)
+
+    def fold_topk(gdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gdf):
+            return empty
+        g = gdf.sort_values(["pk", "y"], kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        lens = np.diff(np.r_[starts, pk.size])
+        sc = np.zeros(starts.size)
+        for i in range(int(lens.max())):       # sequential y-asc fold
+            mk = lens > i
+            sc[mk] += w[starts[mk] + i]
+        df = pd.DataFrame({
+            "doc_a": pk[starts] // _M, "doc_b": pk[starts] % _M,
+            "n_common": lens.astype(np.int64), "aa_score": sc})
+        return (df.sort_values(["aa_score", "doc_a", "doc_b"],
+                               ascending=[False, True, True]).head(k))
+
+    parts = part_aggregate(wt, fold_topk, key_col="pk",
+                           n_parts=n_parts).to_pandas()
+    return (parts.sort_values(["aa_score", "doc_a", "doc_b"],
+                              ascending=[False, True, True])
+                 .head(k).reset_index(drop=True))

@@ -58,18 +58,13 @@ def top_vocab(ds, v: int = 64, n_parts: int = 32) -> pd.DataFrame:
                  .head(v).reset_index(drop=True))
 
 
-def textrank_keywords(ds, v: int = 64, iters: int = 10,
-                      n_parts: int = 32) -> pd.DataFrame:
-    """Rank the top-v vocabulary by integer PageRank over the
-    adjacent-token co-occurrence graph. Returns one row per vocab word:
-    (rnk, word, cnt, rank_int) ordered by (rank_int desc, word asc)."""
-    voc = top_vocab(ds, v=v, n_parts=n_parts)
-    words = voc["token"].tolist()
-    vset = set(words)
+def _edge_partials_fn(vset: set):
+    """Per-batch adjacent-bigram census over an in-vocab word set:
+    vectorized explode/shift/filter, canonical (min, max) pairs,
+    self-pairs dropped. Shared by textrank_keywords and
+    adamic_adar_words."""
 
     def edge_partials(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized adjacent-bigram census: explode tokens with their
-        # doc index, pair w[i] with w[i+1] where the doc index matches
         empty = pd.DataFrame({"a": pd.Series([], dtype=str),
                               "b": pd.Series([], dtype=str),
                               "n": pd.Series([], dtype="int64")})
@@ -94,7 +89,19 @@ def textrank_keywords(ds, v: int = 64, iters: int = 10,
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    ed = (ds.map_batches(edge_partials, batch_format="pandas").to_pandas()
+    return edge_partials
+
+
+def textrank_keywords(ds, v: int = 64, iters: int = 10,
+                      n_parts: int = 32) -> pd.DataFrame:
+    """Rank the top-v vocabulary by integer PageRank over the
+    adjacent-token co-occurrence graph. Returns one row per vocab word:
+    (rnk, word, cnt, rank_int) ordered by (rank_int desc, word asc)."""
+    voc = top_vocab(ds, v=v, n_parts=n_parts)
+    words = voc["token"].tolist()
+    vset = set(words)
+    ed = (ds.map_batches(_edge_partials_fn(vset),
+                         batch_format="pandas").to_pandas()
             .groupby(["a", "b"], sort=True)["n"].sum().reset_index())
 
     # symmetrize; arbitrary-precision ints (exact at any corpus size)
@@ -129,3 +136,58 @@ def textrank_keywords(ds, v: int = 64, iters: int = 10,
               .reset_index(drop=True))
     out.insert(0, "rnk", np.arange(1, len(out) + 1, dtype=np.int64))
     return out
+
+
+def adamic_adar_words(ds, v: int = 64, k: int = 20,
+                      n_parts: int = 32) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the word co-occurrence graph:
+    for vocab word pairs at distance 2 that never co-occur adjacently,
+    score = sum over common neighbors y of ``1/ln(deg(y))`` with deg =
+    distinct-neighbor count — "which words behave like collocates
+    without ever touching". Same two streaming passes as
+    textrank_keywords; the 64-node AA runs on the driver via the shared
+    ``graph._aa_local`` fold (ids assigned in word-asc order, so the
+    y-ascending float fold == the twin's ordered list_reduce). Returns
+    top-k rows (word_a, word_b, n_common, aa_score) by
+    (score desc, word_a asc, word_b asc)."""
+    from sits_ray.stages.graph import _aa_local
+
+    voc = top_vocab(ds, v=v, n_parts=n_parts)
+    words = sorted(voc["token"].tolist())     # id order == word asc
+    vset = set(words)
+    wid = {w: i for i, w in enumerate(words)}
+    ed = (ds.map_batches(_edge_partials_fn(vset),
+                         batch_format="pandas").to_pandas()
+            .groupby(["a", "b"], sort=True)["n"].sum().reset_index())
+    if not ed.empty:
+        # per-node top-m sparsification (the k-NN-graph rule): a small
+        # vocab makes the raw co-occurrence graph complete, which has no
+        # distance-2 pairs for AA to score. Keep the union of every
+        # node's 10 strongest edges (ties by neighbor asc) — a
+        # deterministic integer rule the twin replays with row_number.
+        sym = pd.DataFrame({
+            "src": np.concatenate([ed["a"].to_numpy(),
+                                   ed["b"].to_numpy()]),
+            "dst": np.concatenate([ed["b"].to_numpy(),
+                                   ed["a"].to_numpy()]),
+            "n": np.concatenate([ed["n"].to_numpy(np.int64)] * 2),
+        })
+        top = (sym.sort_values(["src", "n", "dst"],
+                               ascending=[True, False, True])
+                  .groupby("src", sort=False).head(10))
+        lo = np.minimum(top["src"].to_numpy(), top["dst"].to_numpy())
+        hi = np.maximum(top["src"].to_numpy(), top["dst"].to_numpy())
+        ed = (pd.DataFrame({"a": lo, "b": hi})
+                .drop_duplicates().sort_values(["a", "b"])
+                .reset_index(drop=True))
+    if ed.empty:
+        return pd.DataFrame({"word_a": pd.Series([], dtype=str),
+                             "word_b": pd.Series([], dtype=str),
+                             "n_common": pd.Series([], dtype="int64"),
+                             "aa_score": pd.Series([], dtype="float64")})
+    a = np.asarray([wid[x] for x in ed["a"]], np.int64)
+    b = np.asarray([wid[x] for x in ed["b"]], np.int64)
+    out = _aa_local(a, b, k)
+    out["word_a"] = [words[i] for i in out["doc_a"]]
+    out["word_b"] = [words[i] for i in out["doc_b"]]
+    return out[["word_a", "word_b", "n_common", "aa_score"]]

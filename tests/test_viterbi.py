@@ -26,7 +26,6 @@ def _hand(b_seq):
     v0 = pi0 + e[0][b_seq[0]]
     v1 = pi1 + e[1][b_seq[0]]
     for b in b_seq[1:]:
-        nv0 = max(v0 + t00, v1 + t10) + e[0][b]  # max: py max picks first
         # tie -> prefer state 0 contribution: v0+t00 >= v1+t10 wins
         nv0 = (v0 + t00 if v0 + t00 >= v1 + t10 else v1 + t10) + e[0][b]
         nv1 = (v0 + t01 if v0 + t01 >= v1 + t11 else v1 + t11) + e[1][b]
