@@ -12338,3 +12338,61 @@ def adamic_adar_words_q(sf_dir):
 
     return adamic_adar_words(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+# --- generalized ESD daily-volume outliers (stages/outlier.esd_daily_volume) ---
+@q(
+    "esd_daily_volume",
+    f"""
+with recursive days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+w as (
+  select 0 as t, day, y from days
+  union all
+  select t + 1, day, y
+  from (select t, day, y,
+               row_number() over (order by ad desc, day asc) as rk
+        from (select t, day, y,
+                     abs(cast(count(*) over () as bigint) * y
+                         - sum(y) over ()) as ad
+              from w where t < 5))
+  where rk > 1),
+ag as (select t, cast(count(*) as bigint) as n,
+              cast(sum(y) as bigint) as s,
+              sum(cast(y as hugeint) * y) as q
+       from w group by 1),
+rem as (
+  select a.t + 1 as round, a.day
+  from w a
+  where a.t < 5
+    and not exists (select 1 from w b
+                    where b.t = a.t + 1 and b.day = a.day)
+    and exists (select 1 from w b2 where b2.t = a.t + 1)),
+sel as (select rem.round, rem.day as day_removed, ag.n, ag.s, ag.q,
+               abs(ag.n * d.y - ag.s) as d_num
+        from rem
+        join ag on ag.t = rem.round - 1
+        join days d on d.day = rem.day)
+select cast(round as bigint) as round, day_removed,
+       n as n_before, cast(d_num as bigint) as d_num,
+       case when n * q - cast(s as hugeint) * s = 0 then 0.0e0
+            else ({_i2d("d_num")} / {_i2d("n")})
+                 / sqrt({_i2d("n * q - cast(s as hugeint) * s")}
+                        / {_i2d("n * (n - 1)")}) end as r_stat
+from sel
+order by round
+""",
+)
+def esd_daily_volume_q(sf_dir):
+    """Generalized ESD iterative outlier removal over daily event
+    volumes (stages/outlier.esd_daily_volume; Rosner 1983): five rounds,
+    each removing the day maximizing the division-free integer deviation
+    |n*y - s| (ties day-asc) against the REMAINING days — masking-proof
+    where a one-shot z-score is not. r_stat is a pinned float tree of
+    exact casts. One streaming day census; the twin's recursive CTE
+    carries the remaining-day working set with window-aggregate argmax."""
+    from sits_ray.stages.outlier import esd_daily_volume
+
+    return esd_daily_volume(_events(sf_dir, columns=["ts"]))

@@ -230,3 +230,61 @@ def lof_embeddings(ds, k: int = 5) -> pd.DataFrame:
                          "s_reach": np.int64(int(s[a_id])),
                          "lof": acc / float(k)})
     return pd.DataFrame(out_rows)
+
+
+def esd_daily_volume(ds, rounds: int = 5,
+                     ts_col: str = "ts") -> pd.DataFrame:
+    """Generalized ESD iterative outlier removal (Rosner 1983) over the
+    daily event-volume series — the corpus-calendar anomaly audit next
+    to the per-series detectors: each round removes the day whose count
+    deviates most from the REMAINING days' mean, so one giant spike
+    cannot mask a second one (the masking problem plain z-scores have).
+
+    Integer-exact selection: with n remaining days, daily counts y and
+    their sum s, the argmax of ``|n*y - s|`` (ties -> day asc) equals
+    the argmax of |y - mean| without any division. The reported
+    ``r_stat = (d/n) / sqrt((n*q - s^2)/(n*(n-1)))`` (q = sum of y^2) is
+    a pinned float tree of exact-cast integers — the usual ESD test
+    statistic. One per-batch day census, bounded driver walk; the SQL
+    twin is a recursive CTE whose working set is the remaining-day
+    table, the argmax expressed with window aggregates over it. Returns
+    one row per round: (round, day_removed, n_before, d_num, r_stat)."""
+
+    def census(t: pa.Table) -> pa.Table:
+        us = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = us // 86400000000
+        g = pd.Series(day).value_counts()
+        return pa.table({"day": pa.array(g.index.to_numpy(np.int64)),
+                         "y": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("day", sort=True)["y"].sum().reset_index())
+    remaining = {int(d): int(y) for d, y in zip(c["day"], c["y"])}
+    rows = []
+    for t in range(1, rounds + 1):
+        if len(remaining) < 3:
+            break
+        n = len(remaining)
+        s = sum(remaining.values())
+        q = sum(y * y for y in remaining.values())
+        # argmax |n*y - s|, ties -> day asc
+        best_day, best_d = None, -1
+        for d in sorted(remaining):
+            dn = abs(n * remaining[d] - s)
+            if dn > best_d:
+                best_day, best_d = d, dn
+        # all-equal remaining days: deviation and variance are both 0 —
+        # report r_stat = 0 (the twin's CASE arm) instead of 0/0
+        if n * q - s * s == 0:
+            r_stat = 0.0
+        else:
+            var = float(n * q - s * s) / float(n * (n - 1))
+            r_stat = (float(best_d) / float(n)) / math.sqrt(var)
+        rows.append({"round": np.int64(t),
+                     "day_removed": np.int64(best_day),
+                     "n_before": np.int64(n),
+                     "d_num": np.int64(best_d),
+                     "r_stat": r_stat})
+        del remaining[best_day]
+    return pd.DataFrame(rows)
