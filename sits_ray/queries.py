@@ -12396,3 +12396,83 @@ def esd_daily_volume_q(sf_dir):
     from sits_ray.stages.outlier import esd_daily_volume
 
     return esd_daily_volume(_events(sf_dir, columns=["ts"]))
+
+
+# --- Wald-Wolfowitz runs test (stages/drift.runs_test_daily) -------------------
+@q(
+    "runs_test_daily",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+med as (select y as m from (
+          select y, row_number() over (order by y asc) as rk from days),
+          (select cast(count(*) as bigint) as n from days)
+        where rk = (n + 1) // 2),
+seq as (select day, y > med.m as s
+        from days, med where y != med.m),
+r as (select cast(count(*) as bigint) as n,
+             cast(count(*) filter (where s) as bigint) as n1,
+             cast(count(*) filter (where not s) as bigint) as n2,
+             cast(1 + count(*) filter (where s != prev) as bigint) as runs
+      from (select s, lag(s) over (order by day asc) as prev from seq))
+select n as n_days, n1 as n_above, n2 as n_below, runs as n_runs,
+       case when n1 = 0 or n2 = 0 or n < 3 then 0.0e0
+            else ({_i2d("runs")}
+                  - (1.0e0 + {_i2d("2 * n1 * n2")} / {_i2d("n")}))
+                 / sqrt({_i2d("2 * n1 * n2 * (2 * n1 * n2 - n)")}
+                        / {_i2d("n * n * (n - 1)")}) end as z
+from r
+""",
+)
+def runs_test_daily_q(sf_dir):
+    """Wald-Wolfowitz runs test on the daily event-volume series
+    (stages/drift.runs_test_daily): randomness audit of above/below-
+    median interleaving. Integer day census, lower nearest-rank median,
+    ties dropped, run count via one lag pass; mu/var/z pinned float
+    trees of exact casts. Zero shuffle."""
+    from sits_ray.stages.drift import runs_test_daily
+
+    return runs_test_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- McNemar paired tool-usage test (stages/drift.mcnemar_tool_halves) ---------
+@q(
+    "mcnemar_tool_halves",
+    """
+with e as (select user_id, epoch_us(ts) as us, event_type from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+f as (select user_id,
+             max(case when event_type = 'click' and us <= st.mid
+                      then 1 else 0 end) as a,
+             max(case when event_type = 'click' and us > st.mid
+                      then 1 else 0 end) as b
+      from e cross join st group by 1),
+c as (select cast(count(*) as bigint) as n_users,
+             cast(sum(case when a = 1 and b = 1 then 1 else 0 end)
+                  as bigint) as n_both,
+             cast(sum(case when a = 0 and b = 0 then 1 else 0 end)
+                  as bigint) as n_neither,
+             cast(sum(case when a = 1 and b = 0 then 1 else 0 end)
+                  as bigint) as n10,
+             cast(sum(case when a = 0 and b = 1 then 1 else 0 end)
+                  as bigint) as n01
+      from f)
+select n_users, n_both, n_neither, n10, n01,
+       case when n01 + n10 = 0 then 0.0e0
+            else cast((n01 - n10) * (n01 - n10) as double)
+                 / cast(n01 + n10 as double) end as chi2
+from c
+""",
+)
+def mcnemar_tool_halves_q(sf_dir):
+    """McNemar's paired test of within-user tool-usage change between
+    time halves (stages/drift.mcnemar_tool_halves): integer-midpoint
+    split, per-user paired flags OR-folded through one part_aggregate
+    (4-cell census per partition), chi2 = one exact-int double division
+    over the discordant cells."""
+    from sits_ray.stages.drift import mcnemar_tool_halves
+
+    return mcnemar_tool_halves(
+        _events(sf_dir, columns=["user_id", "ts", "event_type"]))

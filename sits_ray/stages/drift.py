@@ -40,7 +40,11 @@ import pyarrow.compute as pc
 
 
 def _ts_us(col) -> np.ndarray:
-    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+    # normalize to MICROSECONDS first: a bare int64 cast inherits the
+    # column's unit (ns for pandas-born timestamps, us for parquet) and
+    # the SQL twins are all epoch_us
+    return pc.cast(pc.cast(col, pa.timestamp("us")),
+                   pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def _period_bin_counts(ds, value_col: str, ts_col: str,
@@ -410,4 +414,121 @@ def kruskal_wallis(ds, group_col: str = "event_type",
         "n_total": np.int64(N), "k_groups": np.int64(k),
         "h_stat": h, "tie_correction": corr,
         "h_corrected": h / corr,
+    }])
+
+
+def runs_test_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily event-volume
+    series: are above-median and below-median days randomly interleaved,
+    or do they clump (trend/regime) or alternate (oscillation)? The
+    classic one-line randomness audit next to the heavier detectors
+    (cusum, kleinberg, variance_ratio).
+
+    Exactness contract (mirrored by the SQL twin): daily counts are
+    integers; the median is the LOWER nearest-rank element; median-equal
+    days drop (the standard treatment); the run count R and the
+    above/below counts n1/n2 are integers; ``mu = 1 + 2*n1*n2/n``,
+    ``var = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1))``,
+    ``z = (R - mu)/sqrt(var)`` are pinned float trees of exact casts.
+    One streaming day census, bounded driver walk, zero shuffle.
+    Returns one row: (n_days, n_above, n_below, n_runs, z)."""
+
+    def census(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        day = us // 86400000000
+        g = pd.Series(day).value_counts()
+        return pa.table({"day": pa.array(g.index.to_numpy(np.int64)),
+                         "y": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("day", sort=True)["y"].sum().reset_index())
+    ys = np.sort(c["y"].to_numpy(np.int64))
+    med = int(ys[(len(ys) + 1) // 2 - 1])
+    seq = c.loc[c["y"] != med].reset_index(drop=True)   # day-ordered
+    sgn = (seq["y"].to_numpy(np.int64) > med)
+    n1 = int(sgn.sum())
+    n2 = int((~sgn).sum())
+    n = n1 + n2
+    runs = int(1 + (sgn[1:] != sgn[:-1]).sum()) if n else 0
+    two = 2 * n1 * n2
+    # one-sided or tiny sequences have no sampling distribution — report
+    # z = 0 (the twin's CASE arm) instead of 0/0
+    if n1 == 0 or n2 == 0 or n < 3:
+        z = 0.0
+    else:
+        mu = 1.0 + float(two) / float(n)
+        var = float(two * (two - n)) / float(n * n * (n - 1))
+        z = (float(runs) - mu) / math.sqrt(var)
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "n_above": np.int64(n1),
+        "n_below": np.int64(n2), "n_runs": np.int64(runs), "z": z,
+    }])
+
+
+def mcnemar_tool_halves(ds, ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        user_col: str = "user_id",
+                        tool_type: str = "click") -> pd.DataFrame:
+    """McNemar's paired test (McNemar 1947): did users CHANGE their
+    tool-usage behavior between the two time halves? Each user is their
+    own control — pair (used tool in first half, used tool in second
+    half); only the discordant cells n01/n10 carry signal, and
+    ``chi2 = (n01 - n10)^2 / (n01 + n10)`` is one exact-int double
+    division. The paired complement of the two-sample monitors (welch/
+    mannwhitney compare value distributions; this compares within-user
+    flags).
+
+    Scale shape: integer-midpoint span pass (the welch convention), then
+    per-batch per-user flag partials OR-folded in one ``part_aggregate``
+    keyed by user (all rows of a user co-located), each partition
+    emitting only its 4-cell census — O(n_parts) rows to the driver.
+    Returns one row: (n_users, n_both, n_neither, n10, n01, chi2)."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        if us.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(us.min())]),
+                         "hi": pa.array([int(us.max())])})
+
+    span = ds.map_batches(span_partial, batch_format="pyarrow").to_pandas()
+    mid = (int(span["lo"].min()) + int(span["hi"].max())) // 2
+
+    def flag_partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        tool = df[type_col].to_numpy() == tool_type
+        g = (pd.DataFrame({
+                "u": df[user_col].to_numpy(),
+                "a": (tool & (us <= mid)).astype(np.int64),
+                "b": (tool & (us > mid)).astype(np.int64)})
+             .groupby("u", sort=False)[["a", "b"]].max().reset_index())
+        return g
+
+    pre = ds.map_batches(flag_partial, batch_format="pandas")
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("u", sort=False)[["a", "b"]].max()
+        a = f["a"].to_numpy(np.int64)
+        b = f["b"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "n_users": np.int64(len(f)),
+            "n_both": np.int64(int(((a == 1) & (b == 1)).sum())),
+            "n_neither": np.int64(int(((a == 0) & (b == 0)).sum())),
+            "n10": np.int64(int(((a == 1) & (b == 0)).sum())),
+            "n01": np.int64(int(((a == 0) & (b == 1)).sum())),
+        }])
+
+    parts = part_aggregate(pre, cells, key_col="u").to_pandas()
+    tot = parts.sum()
+    n01, n10 = int(tot["n01"]), int(tot["n10"])
+    chi2 = (0.0 if n01 + n10 == 0
+            else float((n01 - n10) * (n01 - n10)) / float(n01 + n10))
+    return pd.DataFrame([{
+        "n_users": np.int64(int(tot["n_users"])),
+        "n_both": np.int64(int(tot["n_both"])),
+        "n_neither": np.int64(int(tot["n_neither"])),
+        "n10": np.int64(n10), "n01": np.int64(n01), "chi2": chi2,
     }])
