@@ -12476,3 +12476,47 @@ def mcnemar_tool_halves_q(sf_dir):
 
     return mcnemar_tool_halves(
         _events(sf_dir, columns=["user_id", "ts", "event_type"]))
+
+
+# --- least-squares change point (stages/outlier.changepoint_daily_volume) ------
+@q(
+    "changepoint_daily_volume",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+tot as (select cast(count(*) as bigint) as n,
+               cast(sum(y) as bigint) as s from days),
+cum as (select day,
+               cast(sum(y) over (order by day
+                                 rows unbounded preceding) as bigint) as cs,
+               cast(row_number() over (order by day) as bigint) as i
+        from days),
+f as (select cum.day, cum.i as n_left, cum.cs as s_left,
+             tot.n - cum.i as n_right, tot.s - cum.cs as s_right,
+             {_i2d("cast(cum.cs as hugeint) * cum.cs")} / {_i2d("cum.i")}
+               + {_i2d("cast(tot.s - cum.cs as hugeint)"
+                       " * (tot.s - cum.cs)")}
+                 / {_i2d("tot.n - cum.i")} as fval,
+             tot.s as s, tot.n as n
+      from cum cross join tot
+      where cum.i < tot.n),
+best as (select * from f order by fval desc, day asc limit 1)
+select day as break_day, n_left, n_right,
+       {_i2d("s_left")} / {_i2d("n_left")} as mean_left,
+       {_i2d("s_right")} / {_i2d("n_right")} as mean_right,
+       fval - {_i2d("cast(s as hugeint) * s")} / {_i2d("n")} as gain
+from best
+""",
+)
+def changepoint_daily_volume_q(sf_dir):
+    """Single least-squares change point on the daily event-volume
+    series (stages/outlier.changepoint_daily_volume): the split
+    maximizing the two-segment between-SS, argmax taken over the pinned
+    double tree f = i2d(s_l^2)/i2d(n_l) + i2d(s_r^2)/i2d(n_r) so both
+    engines agree even at 1-ulp-close splits (tie -> day asc). One
+    streaming day census, bounded driver walk, zero shuffle."""
+    from sits_ray.stages.outlier import changepoint_daily_volume
+
+    return changepoint_daily_volume(_events(sf_dir, columns=["ts"]))

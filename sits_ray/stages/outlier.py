@@ -288,3 +288,54 @@ def esd_daily_volume(ds, rounds: int = 5,
                      "r_stat": r_stat})
         del remaining[best_day]
     return pd.DataFrame(rows)
+
+
+def changepoint_daily_volume(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Single least-squares change-point on the daily event-volume
+    series (the corpus-calendar analog of sits_detect_change's abrupt-
+    shift case, and the two-segment special case of the per-conv
+    segmenter in segment_activity_1d): pick the split day b maximizing
+    ``f(b) = s_l^2/n_l + s_r^2/n_r`` — equivalently minimizing the
+    two-segment SSE — where s/n are the left/right count sums and sizes.
+
+    Parity contract: every s and n is an exact integer from the day
+    census; f(b) is the pinned double tree
+    ``i2d(s_l^2)/i2d(n_l) + i2d(s_r^2)/i2d(n_r)``, IDENTICAL on both
+    engines, so the argmax (f desc, day asc) agrees even where two
+    splits are within 1 ulp. Returned ``gain = f - S^2/N`` is the
+    between-segment sum of squares. One streaming census, bounded
+    driver walk. Returns one row: (break_day, n_left, n_right,
+    mean_left, mean_right, gain)."""
+
+    def census(t: pa.Table) -> pa.Table:
+        us = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = us // 86400000000
+        g = pd.Series(day).value_counts()
+        return pa.table({"day": pa.array(g.index.to_numpy(np.int64)),
+                         "y": pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("day", sort=True)["y"].sum().reset_index())
+    days = c["day"].to_numpy(np.int64)
+    y = c["y"].to_numpy(np.int64)
+    S = sum(int(v) for v in y)       # total events (exact int)
+    N = len(y)                       # number of days
+    best = None
+    cs = 0
+    for i in range(N - 1):               # split AFTER index i (1-based n_l)
+        cs += int(y[i])
+        nl, nr = i + 1, N - i - 1
+        sl, sr = cs, S - cs
+        f = float(sl * sl) / float(nl) + float(sr * sr) / float(nr)
+        if best is None or f > best[0]:
+            best = (f, int(days[i]), nl, nr, sl, sr)
+    f, bday, nl, nr, sl, sr = best
+    gain = f - float(S * S) / float(N)
+    return pd.DataFrame([{
+        "break_day": np.int64(bday),
+        "n_left": np.int64(nl), "n_right": np.int64(nr),
+        "mean_left": float(sl) / float(nl),
+        "mean_right": float(sr) / float(nr),
+        "gain": gain,
+    }])
