@@ -12520,3 +12520,55 @@ def changepoint_daily_volume_q(sf_dir):
     from sits_ray.stages.outlier import changepoint_daily_volume
 
     return changepoint_daily_volume(_events(sf_dir, columns=["ts"]))
+
+
+# --- Rank-Biased Overlap drift of type rankings (retrieval.rbo_type_rankings) --
+@q(
+    "rbo_type_rankings",
+    """
+with e as (select event_type as t, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (select t,
+             cast(count(*) filter (where us <= st.mid) as bigint) as a,
+             cast(count(*) filter (where us > st.mid) as bigint) as b
+      from e cross join st group by 1),
+ra as (select t, row_number() over (order by a desc, t asc) as r
+       from c where a > 0),
+rb as (select t, row_number() over (order by b desc, t asc) as r
+       from c where b > 0),
+dd as (select least((select cast(count(*) as bigint) from ra),
+                    (select cast(count(*) as bigint) from rb)) as depth),
+pairs as (select ra.r as r1, rb.r as r2 from ra join rb using (t)),
+xs as (select d,
+              (select cast(count(*) as bigint) from pairs
+               where r1 <= d and r2 <= d) as xd
+       from (select unnest(generate_series(1, (select depth from dd)))
+               as d)),
+pw as (with recursive pwr(d, w) as (
+         select cast(1 as bigint), 1.0e0
+         union all
+         select d + 1, w * 0.9e0 from pwr
+         where d < (select depth from dd))
+       select * from pwr),
+s as (select coalesce(list_reduce(list_prepend(0.0e0,
+        list(pw.w * (cast(xs.xd as double) / cast(xs.d as double))
+             order by xs.d)),
+        (x, y) -> x + y), 0.0e0) as acc
+      from xs join pw on pw.d = xs.d)
+select dd.depth,
+       coalesce((select xd from xs where d = dd.depth), 0)
+         as overlap_at_depth,
+       (1.0e0 - 0.9e0) * s.acc as rbo
+from dd, s
+""",
+)
+def rbo_type_rankings_q(sf_dir):
+    """Rank-Biased Overlap between the event-type volume leaderboards of
+    the two time halves (stages/retrieval.rbo_type_rankings; Webber et
+    al. 2010): top-weighted ranking drift, p = 0.9. Integer censuses and
+    prefix overlaps; p-powers by sequential multiplication (never pow);
+    d-ascending ordered fold — SQL-exact. One streaming census, zero
+    shuffle."""
+    from sits_ray.stages.retrieval import rbo_type_rankings
+
+    return rbo_type_rankings(_events(sf_dir, columns=["event_type", "ts"]))

@@ -440,3 +440,71 @@ def mmr_topk(emb_ds, anchor_ids, pool: int = 40, k: int = 10):
                                       "rel_dot", "mmr_score"]).astype(
         {"qid": np.int64, "step": np.int64, "doc_id": np.int64,
          "rel_dot": np.int64, "mmr_score": np.int64})
+
+
+def rbo_type_rankings(events_ds, p: float = 0.9,
+                      ts_col: str = "ts",
+                      type_col: str = "event_type") -> pd.DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between the
+    event-type volume rankings of the two time halves — "did the traffic
+    mix reorder?", the ranking-level drift monitor next to the
+    distributional ones (psi/js/ks compare masses; RBO compares the
+    leaderboard itself, top-weighted by persistence p).
+
+    Truncated prefix form: ``rbo = (1-p) * sum_(d=1..D) p^(d-1) *
+    X_d/d`` with X_d = overlap of the two depth-d prefixes and
+    D = min(len A, len B). Parity contract: rankings order by
+    (count desc, type asc) — total; X_d and d are exact ints; p powers
+    build by SEQUENTIAL multiplication (never libm pow) and the sum
+    folds d-ascending; every term is ``pw * (X_d/d)`` — the identical
+    tree in the twin's ordered list_reduce. One (type, half) census
+    (integer-midpoint split, the welch convention), bounded driver walk.
+    Returns one row: (depth, overlap_at_depth, rbo)."""
+    import pyarrow.compute as pc
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        if us.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(us.min())]),
+                         "hi": pa.array([int(us.max())])})
+
+    span = events_ds.map_batches(span_partial,
+                                 batch_format="pyarrow").to_pandas()
+    mid = (int(span["lo"].min()) + int(span["hi"].max())) // 2
+
+    def census(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"t": t[type_col].to_numpy(
+                zero_copy_only=False),
+                "a": (us <= mid).astype(np.int64),
+                "b": (us > mid).astype(np.int64)})
+             .groupby("t", sort=False)[["a", "b"]].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = (events_ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("t", sort=True)[["a", "b"]].sum().reset_index())
+    ra = (c[c["a"] > 0].sort_values(["a", "t"], ascending=[False, True])
+          ["t"].tolist())
+    rb = (c[c["b"] > 0].sort_values(["b", "t"], ascending=[False, True])
+          ["t"].tolist())
+    depth = min(len(ra), len(rb))
+    acc = 0.0
+    pw = 1.0
+    xd = 0
+    sa: set = set()
+    sb: set = set()
+    for d in range(1, depth + 1):
+        sa.add(ra[d - 1])
+        sb.add(rb[d - 1])
+        xd = len(sa & sb)
+        acc = acc + pw * (float(xd) / float(d))
+        pw = pw * p
+    return pd.DataFrame([{
+        "depth": np.int64(depth),
+        "overlap_at_depth": np.int64(xd),
+        "rbo": (1.0 - p) * acc,
+    }])
