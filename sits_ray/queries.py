@@ -12572,3 +12572,78 @@ def rbo_type_rankings_q(sf_dir):
     from sits_ray.stages.retrieval import rbo_type_rankings
 
     return rbo_type_rankings(_events(sf_dir, columns=["event_type", "ts"]))
+
+
+# --- simple Good-Turing smoothing table (stages/sketch.good_turing_fof) --------
+@q(
+    "good_turing_fof",
+    """
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents),
+wc as (select w, cast(count(*) as bigint) as c from tok group by 1),
+fof as (select c as r, cast(count(*) as bigint) as n_r from wc group by 1),
+tot as (select cast(sum(c) as bigint) as n,
+               (select cast(coalesce(sum(n_r), 0) as bigint)
+                from fof where r = 1) as n1
+        from wc),
+rs as (select unnest(generate_series(1, 5)) as r)
+select cast(rs.r as bigint) as r,
+       cast(coalesce(f1.n_r, 0) as bigint) as n_r,
+       case when coalesce(f1.n_r, 0) = 0 then 0.0e0
+            else cast((rs.r + 1) * coalesce(f2.n_r, 0) as double)
+                 / cast(f1.n_r as double) end as r_star,
+       cast(tot.n1 as double) / cast(tot.n as double) as p_unseen
+from rs
+left join fof f1 on f1.r = rs.r
+left join fof f2 on f2.r = rs.r + 1
+cross join tot
+order by r
+""",
+)
+def good_turing_fof_q(sf_dir):
+    """Simple Good-Turing smoothing table over the corpus vocabulary
+    (stages/sketch.good_turing_fof): adjusted counts r* = (r+1)N_(r+1)/
+    N_r for r = 1..5 and unseen mass P0 = N1/N. One token-keyed
+    part_aggregate whose kernel emits only frequency-of-frequency
+    censuses; single exact-cast divisions."""
+    from sits_ray.stages.sketch import good_turing_fof
+
+    return good_turing_fof(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+# --- source vocabulary overlap (stages/sketch.source_vocab_overlap) ------------
+@q(
+    "source_vocab_overlap",
+    """
+with st as (
+  select distinct source, w
+  from (select source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+        from documents)),
+sz as (select source, cast(count(*) as bigint) as n from st group by 1),
+iv as (select a.source as src_a, b.source as src_b,
+              cast(count(*) as bigint) as inter
+       from st a join st b on a.w = b.w and a.source < b.source
+       group by 1, 2)
+select iv.src_a, iv.src_b, sa.n as n_a, sb.n as n_b, iv.inter,
+       cast(iv.inter as double)
+         / cast(sa.n + sb.n - iv.inter as double) as jaccard
+from iv
+join sz sa on sa.source = iv.src_a
+join sz sb on sb.source = iv.src_b
+order by src_a, src_b
+""",
+)
+def source_vocab_overlap_q(sf_dir):
+    """Pairwise vocabulary Jaccard between sources (stages/sketch.
+    source_vocab_overlap): distinct (source, token) partials, one
+    token-keyed part_aggregate emitting bounded pair censuses; jaccard
+    one exact-cast division. The domain-overlap audit for mixture
+    weighting."""
+    from sits_ray.stages.sketch import source_vocab_overlap
+
+    return source_vocab_overlap(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"]))

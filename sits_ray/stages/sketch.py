@@ -576,3 +576,125 @@ def ams_f2_tokens(ds, text_col: str = "text", r: int = 8,
         "f2_exact": np.int64(f2_exact),
         "f2_est": float(z2) / float(r),
     }])
+
+
+def good_turing_fof(ds, max_r: int = 5, text_col: str = "text",
+                    n_parts: int = 32) -> pd.DataFrame:
+    """Simple Good-Turing frequency-of-frequencies estimate (Good 1953;
+    Gale & Sampson 1995) over the corpus vocabulary: the adjusted count
+    ``r* = (r+1) * N_(r+1) / N_r`` for r = 1..max_r and the unseen-mass
+    estimate ``P0 = N1 / N`` — the smoothing table every n-gram LM
+    (bigram_nll_scores, markov_loglik) would consume at training time.
+
+    Scale shape: per-batch token-count partials, ONE part_aggregate
+    keyed by token (full counts of each word co-located) whose kernel
+    emits only its partition's frequency-of-frequency census — O(
+    distinct r) rows per partition — folded on the driver. All counts
+    int64; r* and P0 are single double divisions of exact casts.
+    Returns one row per r: (r, n_r, r_star, p_unseen)."""
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[text_col].str.lower().str.findall(r"[a-z]+")
+                .explode().dropna())
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = ex.value_counts()
+        return pd.DataFrame({"token": g.index.to_numpy(),
+                             "cnt": g.to_numpy(np.int64)})
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    pre = ds.map_batches(tok_partial, batch_format="pandas")
+
+    def fof_census(g: pd.DataFrame) -> pd.DataFrame:
+        wc = g.groupby("token", sort=False)["cnt"].sum()
+        f = wc.value_counts()
+        return pd.DataFrame({"r": f.index.to_numpy(np.int64),
+                             "n_r": f.to_numpy(np.int64)})
+
+    fof = (part_aggregate(pre, fof_census, key_col="token",
+                          n_parts=n_parts).to_pandas()
+           .groupby("r", sort=True)["n_r"].sum())
+    total = int(sum(int(r) * int(n) for r, n in fof.items()))
+    n1 = int(fof.get(1, 0))
+    p0 = float(n1) / float(total)
+    rows = []
+    for r in range(1, max_r + 1):
+        nr = int(fof.get(r, 0))
+        nr1 = int(fof.get(r + 1, 0))
+        rstar = (0.0 if nr == 0
+                 else float((r + 1) * nr1) / float(nr))
+        rows.append({"r": np.int64(r), "n_r": np.int64(nr),
+                     "r_star": rstar, "p_unseen": p0})
+    return pd.DataFrame(rows)
+
+
+def source_vocab_overlap(ds, text_col: str = "text",
+                         group_col: str = "source",
+                         n_parts: int = 32) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources — "how much do two
+    domains share a lexicon", the corpus-comparison audit a mixing
+    curriculum (dsir_importance, mix_temperature_sample) consults before
+    setting weights.
+
+    Scale shape: per-batch DISTINCT (source, token) partials, one
+    part_aggregate keyed by token — every token's source set lands in
+    one partition, whose kernel emits (a) one pair-count partial per
+    co-occurring source pair (sources are bounded, so <= |S|^2 rows)
+    and (b) per-source distinct-token partials via a sentinel row. All
+    counts int64; jaccard = inter / (n_a + n_b - inter) is one
+    exact-cast double division. Pairs with empty intersection are
+    omitted (the twin's inner join). Returns (src_a, src_b, n_a, n_b,
+    inter, jaccard) ordered by (src_a, src_b)."""
+    from itertools import combinations
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[text_col].str.lower().str.findall(r"[a-z]+")
+                .explode().dropna())
+        if ex.empty:
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "token": pd.Series([], dtype=str)})
+        out = pd.DataFrame({
+            "source": df[group_col].loc[ex.index].to_numpy(),
+            "token": ex.to_numpy()}).drop_duplicates()
+        return out
+
+    pre = ds.map_batches(distinct_partial, batch_format="pandas")
+
+    def pair_census(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.drop_duplicates(["source", "token"])
+        per_src = st.groupby("source", sort=True)["token"].nunique()
+        pair_counts: dict[tuple[str, str], int] = {}
+        for _, grp in st.groupby("token", sort=False):
+            srcs = sorted(grp["source"].unique())
+            for a, b in combinations(srcs, 2):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+        rows = [{"src_a": a, "src_b": b,
+                 "inter": np.int64(n), "n_src": np.int64(0)}
+                for (a, b), n in pair_counts.items()]
+        rows += [{"src_a": s, "src_b": "", "inter": np.int64(0),
+                  "n_src": np.int64(int(n))}
+                 for s, n in per_src.items()]
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "inter",
+                                           "n_src"])
+
+    parts = part_aggregate(pre, pair_census, key_col="token",
+                           n_parts=n_parts).to_pandas()
+    sz = (parts[parts["src_b"] == ""]
+          .groupby("src_a", sort=True)["n_src"].sum())
+    pairs = (parts[parts["src_b"] != ""]
+             .groupby(["src_a", "src_b"], sort=True)["inter"].sum()
+             .reset_index())
+    out = []
+    for a, b, inter in zip(pairs["src_a"], pairs["src_b"],
+                           pairs["inter"]):
+        na, nb, it = int(sz[a]), int(sz[b]), int(inter)
+        out.append({"src_a": a, "src_b": b,
+                    "n_a": np.int64(na), "n_b": np.int64(nb),
+                    "inter": np.int64(it),
+                    "jaccard": float(it) / float(na + nb - it)})
+    return pd.DataFrame(out, columns=["src_a", "src_b", "n_a", "n_b",
+                                      "inter", "jaccard"])
