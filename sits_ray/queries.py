@@ -12647,3 +12647,101 @@ def source_vocab_overlap_q(sf_dir):
     return source_vocab_overlap(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "text"]))
+
+
+# --- entropy rate of the type chain (eventops.entropy_rate) --------------------
+@q(
+    "entropy_rate_types",
+    """
+with e as (
+  select user_id, event_type as t,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as pt
+  from events),
+tr as (select pt as t_from, t as t_to from e where pt is not null),
+g as (select t_from, t_to, cast(count(*) as bigint) as c
+      from tr group by 1, 2),
+r as (select t_from, cast(sum(c) as bigint) as rtot from g group by 1),
+m as (select t_to, cast(sum(c) as bigint) as mc from g group by 1),
+tot as (select cast(sum(c) as bigint) as ct from g),
+hc as (select -list_reduce(list_prepend(0.0e0,
+         list((cast(g.c as double) / cast(tot.ct as double))
+              * ln(cast(g.c as double) / cast(r.rtot as double))
+              order by g.t_from, g.t_to)),
+         (a, b) -> a + b) as h_cond
+       from g join r using (t_from) cross join tot),
+hn as (select -list_reduce(list_prepend(0.0e0,
+         list((cast(m.mc as double) / cast(tot.ct as double))
+              * ln(cast(m.mc as double) / cast(tot.ct as double))
+              order by m.t_to)),
+         (a, b) -> a + b) as h_next
+       from m cross join tot)
+select tot.ct as n_transitions,
+       (select cast(count(*) as bigint) from m) as n_states,
+       hc.h_cond, hn.h_next,
+       hn.h_next - hc.h_cond as mutual_info
+from tot, hc, hn
+""",
+)
+def entropy_rate_types(sf_dir):
+    """Entropy rate of the event-type process (eventops.entropy_rate):
+    conditional entropy H(next|prev) of the global transition chain,
+    marginal H(next), and their difference (consecutive-turn mutual
+    information). One conv shuffle, alphabet^2 partials, ordered libm-ln
+    folds — SQL-exact."""
+    from sits_ray.stages.eventops import entropy_rate
+
+    return entropy_rate(
+        _events(sf_dir, columns=["user_id", "event_id", "ts",
+                                 "event_type"]))
+
+
+# --- Brown-Forsythe variance homogeneity (stages/drift.brown_forsythe) ---------
+@q(
+    "brown_forsythe_types",
+    f"""
+with cc as (
+  select event_type as g, cast(floor(value / 0.01e0) as bigint) as b,
+         cast(count(*) as bigint) as cnt
+  from events group by 1, 2),
+cm as (select g, b, cnt,
+              sum(cnt) over (partition by g order by b
+                             rows unbounded preceding) as cum,
+              sum(cnt) over (partition by g) as ng
+       from cc),
+med as (select g, min(b) as med from cm
+        where cum >= (ng + 1) // 2 group by 1),
+z as (select cc.g, abs(cc.b - med.med) as z, cc.cnt
+      from cc join med using (g)),
+gm as (select g, cast(sum(cnt) as hugeint) as n,
+              cast(sum(cast(z as hugeint) * cnt) as hugeint) as s,
+              cast(sum(cast(z as hugeint) * z * cnt) as hugeint) as q
+       from z group by 1),
+t as (select cast(count(*) as bigint) as k,
+             cast(sum(n) as hugeint) as nn,
+             cast(sum(s) as hugeint) as ss,
+             cast(sum(q) as hugeint) as qq,
+             list_reduce(list_prepend(0.0e0,
+               list({_i3d("s * s")} / {_i2d("n")} order by g)),
+               (a, b) -> a + b) as t1
+      from gm),
+sel as (select k, cast(nn as bigint) as n_total,
+               t1 - {_i3d("ss * ss")} / {_i2d("nn")} as ssb,
+               {_i2d("qq")} - t1 as ssw
+        from t)
+select k as k_groups, n_total, ssb, ssw,
+       (ssb / cast(k - 1 as double))
+         / (ssw / cast(n_total - k as double)) as f_stat
+from sel
+""",
+)
+def brown_forsythe_types(sf_dir):
+    """Brown-Forsythe variance-homogeneity test across event types
+    (stages/drift.brown_forsythe): one-way ANOVA on absolute deviations
+    from each type's lower nearest-rank MEDIAN — all from the shared
+    cents census, deviations exact integers, s^2 through the three-limb
+    cast, F the anova pinned tree. Completes the census trio (means /
+    ranks / spreads). Zero shuffle."""
+    from sits_ray.stages.drift import brown_forsythe
+
+    return brown_forsythe(_events(sf_dir, columns=["event_type", "value"]))

@@ -532,3 +532,58 @@ def mcnemar_tool_halves(ds, ts_col: str = "ts",
         "n_neither": np.int64(int(tot["n_neither"])),
         "n10": np.int64(n10), "n01": np.int64(n01), "chi2": chi2,
     }])
+
+
+def brown_forsythe(ds, group_col: str = "event_type",
+                   value_col: str = "value") -> pd.DataFrame:
+    """Brown-Forsythe test (1974) of variance homogeneity across groups
+    — the robust Levene variant: one-way ANOVA on absolute deviations
+    from each group's MEDIAN. Completes the census trio (anova_oneway:
+    means; kruskal_wallis: ranks; this: spreads).
+
+    All from the same bounded (group, cents-bin) census: the group
+    median is the lower nearest-rank bin (integer, from cumulative
+    counts), so every deviation z = |bin - med_g| is an exact integer
+    and the ANOVA moments are exact integer sums. The between-group fold
+    runs group-asc with s^2 through the THREE-limb cast (s^2 can pass
+    2^85); F is the same pinned tree as anova_oneway. Returns one row:
+    (k_groups, n_total, ssb, ssw, f_stat)."""
+    from sits_ray.stages.regression import i3d
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df[value_col].to_numpy(np.float64) / 0.01).astype(
+            np.int64)
+        g = (pd.DataFrame({"g": df[group_col].to_numpy(), "b": b})
+             .groupby(["g", "b"], sort=False, observed=True)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    c = (ds.map_batches(census, batch_format="pandas").to_pandas()
+           .groupby(["g", "b"], sort=True)["cnt"].sum().reset_index())
+    stats: dict[str, tuple[int, int, int]] = {}
+    for gname, sub in c.groupby("g", sort=True):
+        bb = sub["b"].to_numpy(np.int64)        # sorted asc within group
+        nn = sub["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(nn)
+        ng = int(cum[-1])
+        med = int(bb[np.searchsorted(cum, (ng + 1) // 2)])
+        z = np.abs(bb - med)
+        s = sum(int(zz) * int(w) for zz, w in zip(z, nn))
+        q = sum(int(zz) * int(zz) * int(w) for zz, w in zip(z, nn))
+        stats[str(gname)] = (ng, s, q)
+    k = len(stats)
+    N = sum(v[0] for v in stats.values())
+    S = sum(v[1] for v in stats.values())
+    Q = sum(v[2] for v in stats.values())
+    t1 = 0.0
+    for gname in sorted(stats):                 # group-asc fold
+        n, s, _ = stats[gname]
+        t1 = t1 + i3d(s * s) / float(n)
+    ssb = t1 - i3d(S * S) / float(N)
+    ssw = float(Q) - t1
+    f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return pd.DataFrame([{
+        "k_groups": np.int64(k), "n_total": np.int64(N),
+        "ssb": ssb, "ssw": ssw, "f_stat": f,
+    }])

@@ -2103,3 +2103,55 @@ def viterbi_decode(ds, n_parts: int = 32):
     return map_conv_partitions(
         ds, viterbi_kernel, key="user_id", order_col="event_id",
         n_parts=n_parts)
+
+
+def entropy_rate(ds, n_parts: int = 32) -> pd.DataFrame:
+    """Empirical entropy rate / predictability audit of the event-type
+    process: conditional entropy H(next | prev) of the corpus-global
+    first-order transition chain, the marginal entropy H(next) over the
+    same transition targets, and their difference (the mutual
+    information between consecutive types — how much one turn predicts
+    the next). The information-theoretic summary of the chain that
+    markov_loglik scores conversations against.
+
+    Scale shape: the same ONE conv shuffle as markov_loglik (sparse
+    per-conv transition counts via map_conv_partitions), alphabet^2
+    integer partials folded on the driver. Float contract: terms are
+    ``(c/C) * ln(c / r_i)`` and ``(m/C) * ln(m / C)`` — exact-int double
+    divisions through libm log (== DuckDB ln), folded in (t_from, t_to)
+    asc / t_to asc order with a leading 0.0 (the twin's ordered
+    list_reduce); entropies negate the folds at the end. Returns one
+    row: (n_transitions, n_states, h_cond, h_next, mutual_info)."""
+    import math
+
+    counts = map_conv_partitions(
+        ds, markov_counts_kernel, key="user_id", order_col="event_id",
+        extra_cols=("event_type",), n_parts=n_parts,
+    )
+
+    def gpart(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["t_from", "t_to"], sort=False)["c"]
+                  .sum().reset_index())
+
+    g = (counts.map_batches(gpart, batch_format="pandas").to_pandas()
+         .groupby(["t_from", "t_to"], sort=True)["c"].sum())
+    C = int(g.sum())
+    r = g.groupby(level=0).sum()
+    m = g.groupby(level=1).sum()
+    acc_c = 0.0
+    for (f, _t), c in g.items():            # (t_from, t_to) asc fold
+        acc_c = acc_c + (float(int(c)) / float(C)) * math.log(
+            float(int(c)) / float(int(r[f])))
+    acc_m = 0.0
+    for _t, mm in m.items():                # t_to asc fold
+        acc_m = acc_m + (float(int(mm)) / float(C)) * math.log(
+            float(int(mm)) / float(C))
+    h_cond = -acc_c
+    h_next = -acc_m
+    return pd.DataFrame([{
+        "n_transitions": np.int64(C),
+        "n_states": np.int64(len(m)),
+        "h_cond": h_cond,
+        "h_next": h_next,
+        "mutual_info": h_next - h_cond,
+    }])
