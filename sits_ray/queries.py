@@ -12745,3 +12745,86 @@ def brown_forsythe_types(sf_dir):
     from sits_ray.stages.drift import brown_forsythe
 
     return brown_forsythe(_events(sf_dir, columns=["event_type", "value"]))
+
+
+# --- Cohen's kappa between two seeded scorers ----------------------------------
+def _argmax_idx_sql(terms: list[str]) -> str:
+    """First-max label INDEX pick (np.argmax) over score expressions."""
+    cases = []
+    for j in range(len(terms) - 1):
+        conds = " and ".join(
+            f"{terms[j]} >= {terms[k]}" for k in range(j + 1, len(terms))
+        )
+        cases.append(f"when {conds} then cast({j} as bigint)")
+    return ("case " + " ".join(cases)
+            + f" else cast({len(terms) - 1} as bigint) end")
+
+
+def _kappa_sql() -> str:
+    la = _argmax_idx_sql(_mlr_logit_sql(11))
+    lb = _argmax_idx_sql(_mlr_logit_sql(12))
+    return f"""
+with lab as (select {la} as la, {lb} as lb from embeddings),
+c as (select la, lb, cast(count(*) as bigint) as n from lab group by 1, 2),
+r as (select la, cast(sum(n) as bigint) as rn from c group by 1),
+col as (select lb, cast(sum(n) as bigint) as cn from c group by 1),
+t as (select cast(sum(n) as bigint) as nn,
+             cast(coalesce(sum(n) filter (where la = lb), 0) as bigint)
+               as agree
+      from c),
+pe as (select cast(sum(cast(r.rn as hugeint) * col.cn) as hugeint) as num
+       from r join col on col.lb = r.la),
+sel as (select t.nn, t.agree,
+               cast(t.agree as double) / cast(t.nn as double) as po,
+               {_i2d("pe.num")} / {_i2d("cast(t.nn as hugeint) * t.nn")}
+                 as pe
+        from t, pe)
+select nn as n_rows, agree as n_agree, po, pe,
+       (po - pe) / (1.0e0 - pe) as kappa
+from sel
+"""
+
+
+@q("kappa_seeded_scorers", _kappa_sql())
+def kappa_seeded_scorers(sf_dir):
+    """Cohen's kappa agreement between two independently-seeded linear
+    scorers over the embeddings corpus (Cohen 1960) — the inter-rater
+    audit for ensemble/labeling pipelines: how much do two cheap
+    labelers agree beyond chance? One stateless vectorized scoring pass
+    (both weight sets broadcast in the closure), k x k integer confusion
+    partials folded on the driver; po/pe single exact-cast divisions,
+    kappa the pinned (po-pe)/(1-pe) tree. Argmax ties break first-max
+    on both engines (the classify_embeddings contract)."""
+    from sits_ray.arrowutil import list_matrix
+    from sits_ray.stages.classify import make_linear_model
+
+    m1 = make_linear_model(64, 4, seed=11)
+    m2 = make_linear_model(64, 4, seed=12)
+
+    def part(t: pa.Table) -> pa.Table:
+        m = list_matrix(t["embedding"]).astype(np.float64)
+        la = np.argmax(m @ m1["W"] + m1["b"], axis=1)
+        lb = np.argmax(m @ m2["W"] + m2["b"], axis=1)
+        g = (pd.DataFrame({"la": la, "lb": lb})
+             .groupby(["la", "lb"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.table({"la": pa.array(g["la"].to_numpy(np.int64)),
+                         "lb": pa.array(g["lb"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    c = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+         .map_batches(part, batch_format="pyarrow").to_pandas()
+         .groupby(["la", "lb"], sort=True)["n"].sum().reset_index())
+    N = int(c["n"].sum())
+    agree = int(c.loc[c["la"] == c["lb"], "n"].sum())
+    rn = c.groupby("la", sort=True)["n"].sum()
+    cn = c.groupby("lb", sort=True)["n"].sum()
+    pe_num = sum(int(rn[k]) * int(cn[k])
+                 for k in rn.index if k in cn.index)
+    po = float(agree) / float(N)
+    pe = float(pe_num) / float(N * N)
+    return pd.DataFrame([{
+        "n_rows": np.int64(N), "n_agree": np.int64(agree),
+        "po": po, "pe": pe, "kappa": (po - pe) / (1.0 - pe),
+    }])
