@@ -12828,3 +12828,50 @@ def kappa_seeded_scorers(sf_dir):
         "n_rows": np.int64(N), "n_agree": np.int64(agree),
         "po": po, "pe": pe, "kappa": (po - pe) / (1.0 - pe),
     }])
+
+
+# --- label-centroid cosine geometry (similarity.label_centroid_cosine) ---------
+@q(
+    "label_centroid_cosine",
+    f"""
+with x as (
+  select label,
+         generate_subscripts(embedding, 1) as d,
+         cast(floor(cast(unnest(embedding) as double) * 10000.0 + 0.5)
+              as bigint) as qv
+  from embeddings),
+s as (select label, d, cast(sum(qv) as bigint) as s
+      from x group by 1, 2),
+n as (select label, cast(count(*) as bigint) as n
+      from embeddings group by 1),
+dots as (select a.label as la, b.label as lb,
+                cast(sum(cast(a.s as hugeint) * b.s) as hugeint) as dab
+         from s a join s b on a.d = b.d and a.label < b.label
+         group by 1, 2),
+sd as (select label,
+              cast(sum(cast(s as hugeint) * s) as hugeint) as dd
+       from s group by 1)
+select cast(dots.la as bigint) as label_a,
+       cast(dots.lb as bigint) as label_b,
+       na.n as n_a, nb.n as n_b,
+       {_i2d("dots.dab")}
+         / (sqrt({_i2d("sa.dd")}) * sqrt({_i2d("sb.dd")})) as cosine
+from dots
+join sd sa on sa.label = dots.la
+join sd sb on sb.label = dots.lb
+join n na on na.label = dots.la
+join n nb on nb.label = dots.lb
+order by label_a, label_b
+""",
+)
+def label_centroid_cosine_q(sf_dir):
+    """Pairwise cosine between label centroids of the embedding corpus
+    (stages/similarity.label_centroid_cosine): quantized integer
+    per-label dim-sums (count cancels in the cosine), exact bigint dot
+    products, ONE pinned float tree per pair. One streaming pass, k x
+    dim driver state, zero shuffle — the class-entanglement audit."""
+    from sits_ray.stages.similarity import label_centroid_cosine
+
+    return label_centroid_cosine(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding", "label"]))

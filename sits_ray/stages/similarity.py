@@ -1068,3 +1068,65 @@ def jl_project(ds, n_out: int = 16, seed: int = 43,
         return t.append_column("proj", pa.array(list(y)))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def label_centroid_cosine(ds, vec_col: str = "embedding",
+                          label_col: str = "label") -> pd.DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS of the
+    embedding corpus — the class-geometry audit (which classes are
+    entangled?) behind sits_patterns-style prototype analysis and
+    hard-negative mining.
+
+    Exactness: embeddings quantize on the shared 1e4 grid, per-label
+    per-dim INTEGER sums fold from per-batch partials (one streaming
+    pass, zero shuffle, k x dim driver state); the count cancels in the
+    cosine, so ``cos(a, b) = dot(S_a, S_b) / (sqrt(dot(S_a, S_a)) *
+    sqrt(dot(S_b, S_b)))`` over exact integer dot products (Python
+    bigints on the driver — the int64 range is exceeded past ~1e4 rows
+    per label) with the one pinned float tree per pair. Returns
+    (label_a, label_b, n_a, n_b, cosine) for label_a < label_b,
+    ordered."""
+    import math
+
+    import pandas as pd
+
+    from sits_ray.arrowutil import list_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = quantize_i64(list_matrix(t[vec_col]))
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for lv in np.unique(lab):
+            sel = m[lab == lv]
+            s = sel.sum(axis=0, dtype=np.int64)
+            rows.append((int(lv), int(sel.shape[0]), s))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2].tolist() for r in rows],
+                          pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums: dict[int, list[int]] = {}
+    ns: dict[int, int] = {}
+    for lab, n, s in zip(parts["label"], parts["n"], parts["s"]):
+        lab = int(lab)
+        ns[lab] = ns.get(lab, 0) + int(n)
+        cur = sums.setdefault(lab, [0] * len(s))
+        for d, v in enumerate(s):
+            cur[d] += int(v)
+    labs = sorted(sums)
+    self_dot = {l: sum(v * v for v in sums[l]) for l in labs}
+    rows = []
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            dab = sum(x * y for x, y in zip(sums[a], sums[b]))
+            cos = (float(dab)
+                   / (math.sqrt(float(self_dot[a]))
+                      * math.sqrt(float(self_dot[b]))))
+            rows.append({"label_a": np.int64(a), "label_b": np.int64(b),
+                         "n_a": np.int64(ns[a]), "n_b": np.int64(ns[b]),
+                         "cosine": cos})
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "n_a",
+                                       "n_b", "cosine"])
