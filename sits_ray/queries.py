@@ -12875,3 +12875,54 @@ def label_centroid_cosine_q(sf_dir):
     return label_centroid_cosine(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["embedding", "label"]))
+
+
+# --- per-dimension information gain (similarity.dim_info_gain) -----------------
+@q(
+    "dim_info_gain",
+    """
+with x as (
+  select label, generate_subscripts(embedding, 1) as d,
+         case when floor(cast(unnest(embedding) as double)
+                          * 10000.0 + 0.5) > 0
+              then 1 else 0 end as s
+  from embeddings),
+c as (select d, s, label, cast(count(*) as bigint) as c
+      from x group by 1, 2, 3),
+ns as (select d, s, cast(sum(c) as bigint) as n_s from c group by 1, 2),
+tot as (select cast(count(*) as bigint) as n from embeddings),
+lt as (select label, cast(count(*) as bigint) as cl
+       from embeddings group by 1),
+hl as (select -list_reduce(list_prepend(0.0e0,
+         list((cast(cl as double) / cast((select n from tot) as double))
+              * ln(cast(cl as double)
+                   / cast((select n from tot) as double))
+              order by label)), (a, b) -> a + b) as h
+       from lt),
+hc as (select c.d,
+              -list_reduce(list_prepend(0.0e0,
+                list((cast(c.c as double)
+                      / cast((select n from tot) as double))
+                     * ln(cast(c.c as double) / cast(ns.n_s as double))
+                     order by c.s, c.label)), (a, b) -> a + b) as hcond
+       from c join ns using (d, s)
+       group by c.d)
+select cast(hc.d as bigint) as d,
+       hl.h - hc.hcond as info_gain,
+       hl.h as h_label, hc.hcond as h_cond
+from hc cross join hl
+order by info_gain desc, d asc
+limit 10
+""",
+)
+def dim_info_gain_q(sf_dir):
+    """Top-10 embedding dimensions by information gain of their sign
+    feature w.r.t. the label (stages/similarity.dim_info_gain): bounded
+    dim x sign x label integer census, ordered libm-ln entropy folds —
+    the feature-importance screen for the tree/pruning family.
+    SQL-exact."""
+    from sits_ray.stages.similarity import dim_info_gain
+
+    return dim_info_gain(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding", "label"]))
