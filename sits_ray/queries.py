@@ -12926,3 +12926,74 @@ def dim_info_gain_q(sf_dir):
     return dim_info_gain(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["embedding", "label"]))
+
+
+# --- day-of-week seasonality strength (drift.seasonality_strength_dow) ---------
+@q(
+    "seasonality_strength_dow",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+g as (select (day + 4) % 7 as dow,
+             cast(count(*) as hugeint) as n,
+             cast(sum(y) as hugeint) as s
+      from days group by 1),
+t as (select cast(count(*) as bigint) as nd,
+             cast(sum(y) as hugeint) as ss,
+             sum(cast(y as hugeint) * y) as qq
+      from days),
+f as (select list_reduce(list_prepend(0.0e0,
+        list({_i2d("s * s")} / {_i2d("n")} order by dow)),
+        (a, b) -> a + b) as t1
+      from g),
+sel as (select t.nd,
+               f.t1 - {_i2d("ss * ss")} / {_i2d("t.nd")} as ssb,
+               {_i2d("qq")} - {_i2d("ss * ss")} / {_i2d("t.nd")} as sst
+        from t, f)
+select nd as n_days, ssb, sst, ssb / sst as strength
+from sel
+""",
+)
+def seasonality_strength_dow_q(sf_dir):
+    """Day-of-week seasonality strength of event volume (stages/drift.
+    seasonality_strength_dow): eta^2 of the 7-group weekday split over
+    the bounded day census — dow = (epoch_day + 4) %% 7, pure integer,
+    no calendar functions; SSB dow-asc ordered fold. Zero shuffle."""
+    from sits_ray.stages.drift import seasonality_strength_dow
+
+    return seasonality_strength_dow(_events(sf_dir, columns=["ts"]))
+
+
+# --- Poisson dispersion index (drift.dispersion_daily) -------------------------
+@q(
+    "dispersion_daily",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+t as (select cast(count(*) as bigint) as n,
+             cast(sum(y) as hugeint) as s,
+             sum(cast(y as hugeint) * y) as q
+      from days),
+sel as (select n,
+               {_i2d("s")} / {_i2d("n")} as mean_daily,
+               {_i2d("n * q - s * s")} / {_i2d("n * (n - 1)")}
+                 as var_daily
+        from t)
+select n as n_days, mean_daily, var_daily,
+       var_daily / mean_daily as dispersion,
+       cast(n - 1 as double) * (var_daily / mean_daily) as chi2
+from sel
+""",
+)
+def dispersion_daily_q(sf_dir):
+    """Poisson dispersion index of daily event volumes (stages/drift.
+    dispersion_daily): variance-to-mean ratio with the (n-1)*D chi2
+    statistic — the calendar-level overdispersion audit. Exact integer
+    moments, pinned float trees, zero shuffle."""
+    from sits_ray.stages.drift import dispersion_daily
+
+    return dispersion_daily(_events(sf_dir, columns=["ts"]))

@@ -587,3 +587,69 @@ def brown_forsythe(ds, group_col: str = "event_type",
         "k_groups": np.int64(k), "n_total": np.int64(N),
         "ssb": ssb, "ssw": ssw, "f_stat": f,
     }])
+
+
+def _daily_counts(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Shared bounded day census: one per-batch value_counts pass."""
+
+    def census(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        day = us // 86400000000
+        g = pd.Series(day).value_counts()
+        return pa.table({"day": pa.array(g.index.to_numpy(np.int64)),
+                         "y": pa.array(g.to_numpy(np.int64))})
+
+    return (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+              .groupby("day", sort=True)["y"].sum().reset_index())
+
+
+def seasonality_strength_dow(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Day-of-week seasonality strength of the event-volume calendar:
+    the fraction of daily-count variance explained by the weekday —
+    ``strength = SSB(dow) / SST`` (eta^2 of the 7-group split), the
+    corpus-calendar summary next to the per-conv seasonal ops
+    (seasonal_residuals, holt_winters, goertzel).
+
+    dow = (epoch_day + 4) %% 7 (Monday = 0) — pure integer arithmetic,
+    identical on both engines, no calendar functions. Exact integer
+    moments from the bounded day census; SSB folds dow-asc with exact
+    casts; SST = Q - S^2/N. Returns one row:
+    (n_days, ssb, sst, strength)."""
+    c = _daily_counts(ds, ts_col)
+    c["dow"] = (c["day"].to_numpy(np.int64) + 4) % 7
+    N = len(c)
+    S = sum(int(v) for v in c["y"])
+    Q = sum(int(v) * int(v) for v in c["y"])
+    t1 = 0.0
+    for _d, sub in c.groupby("dow", sort=True):
+        sg = sum(int(v) for v in sub["y"])
+        t1 = t1 + float(sg * sg) / float(len(sub))
+    s2n = float(S * S) / float(N)
+    ssb = t1 - s2n
+    sst = float(Q) - s2n
+    return pd.DataFrame([{
+        "n_days": np.int64(N), "ssb": ssb, "sst": sst,
+        "strength": ssb / sst,
+    }])
+
+
+def dispersion_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Poisson dispersion (variance-to-mean) index of daily event
+    volumes — the corpus-calendar overdispersion audit (the per-conv
+    Fano factor's calendar sibling): D = 1 for a Poisson process,
+    >> 1 for clumped traffic. ``chi2 = (n-1) * D`` is the classical
+    dispersion test statistic. Exact integer moments; pinned trees
+    ``var = (n*q - s^2)/(n*(n-1))``, ``mean = s/n``, ``d = var/mean``.
+    Returns one row: (n_days, mean_daily, var_daily, dispersion,
+    chi2)."""
+    c = _daily_counts(ds, ts_col)
+    n = len(c)
+    s = sum(int(v) for v in c["y"])
+    q = sum(int(v) * int(v) for v in c["y"])
+    mean = float(s) / float(n)
+    var = float(n * q - s * s) / float(n * (n - 1))
+    d = var / mean
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "mean_daily": mean, "var_daily": var,
+        "dispersion": d, "chi2": float(n - 1) * d,
+    }])
