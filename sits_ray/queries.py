@@ -12952,7 +12952,9 @@ sel as (select t.nd,
                f.t1 - {_i2d("ss * ss")} / {_i2d("t.nd")} as ssb,
                {_i2d("qq")} - {_i2d("ss * ss")} / {_i2d("t.nd")} as sst
         from t, f)
-select nd as n_days, ssb, sst, ssb / sst as strength
+select nd as n_days, ssb, sst,
+       case when sst = 0.0e0 then 0.0e0 else ssb / sst end
+         as strength
 from sel
 """,
 )

@@ -627,9 +627,10 @@ def seasonality_strength_dow(ds, ts_col: str = "ts") -> pd.DataFrame:
     s2n = float(S * S) / float(N)
     ssb = t1 - s2n
     sst = float(Q) - s2n
+    # a perfectly flat calendar has SST = 0 — strength 0 (twin CASE arm)
     return pd.DataFrame([{
         "n_days": np.int64(N), "ssb": ssb, "sst": sst,
-        "strength": ssb / sst,
+        "strength": 0.0 if sst == 0.0 else ssb / sst,
     }])
 
 
