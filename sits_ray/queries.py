@@ -12999,3 +12999,81 @@ def dispersion_daily_q(sf_dir):
     from sits_ray.stages.drift import dispersion_daily
 
     return dispersion_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- turning-point randomness test (drift.turning_points_daily) ----------------
+@q(
+    "turning_points_daily",
+    """
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+w as (select day, y,
+             lag(y) over (order by day) as pl,
+             lead(y) over (order by day) as pr
+      from days),
+t as (select cast(count(*) as bigint) as n from days),
+tp as (select cast(count(*) filter (
+                where pl is not null and pr is not null
+                  and ((y > pl and y > pr) or (y < pl and y < pr)))
+              as bigint) as tt
+       from w)
+select t.n as n_days, tp.tt as n_turning,
+       2.0e0 * cast(t.n - 2 as double) / 3.0e0 as expected,
+       (cast(tp.tt as double)
+          - 2.0e0 * cast(t.n - 2 as double) / 3.0e0)
+         / sqrt(cast(16 * t.n - 29 as double) / 90.0e0) as z
+from t, tp
+""",
+)
+def turning_points_daily_q(sf_dir):
+    """Turning-point randomness test on daily event volumes
+    (stages/drift.turning_points_daily): strict local max/min census
+    with the classical 2(n-2)/3 expectation and (16n-29)/90 variance;
+    pinned z tree. Bounded day census, zero shuffle."""
+    from sits_ray.stages.drift import turning_points_daily
+
+    return turning_points_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- Bartels rank von Neumann test (drift.bartels_rvn_daily) -------------------
+@q(
+    "bartels_rvn_daily",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+t as (select cast(count(*) as bigint) as n from days),
+r as (select y as v, cast(count(*) as bigint) as tc
+      from days group by 1),
+d as (select v,
+             2 * sum(tc) over (order by v rows unbounded preceding)
+               - tc + 1 as dmr
+      from r),
+s as (select days.day, d.dmr from days join d on d.v = days.y),
+w as (select day, dmr, lead(dmr) over (order by day) as nxt from s),
+num as (select cast(sum((dmr - nxt) * (dmr - nxt)) as bigint) as num
+        from w where nxt is not null),
+den as (select cast(sum((s.dmr - (t.n + 1)) * (s.dmr - (t.n + 1)))
+                    as bigint) as den
+        from s, t)
+select t.n as n_days, num.num as rvn_num, den.den as rvn_den,
+       cast(num.num as double) / cast(den.den as double) as rvn,
+       (cast(num.num as double) / cast(den.den as double) - 2.0e0)
+         / sqrt({_i2d("4 * (t.n - 2) * (5 * t.n * t.n - 2 * t.n - 9)")}
+                / {_i2d("5 * t.n * (t.n + 1) * (t.n - 1) * (t.n - 1)")})
+         as z
+from t, num, den
+""",
+)
+def bartels_rvn_daily_q(sf_dir):
+    """Bartels rank von Neumann randomness test on daily event volumes
+    (stages/drift.bartels_rvn_daily): doubled midranks keep numerator,
+    denominator and the rank mean (exactly n+1) integer-exact; RVN one
+    division, z a pinned tree. The rank-based member of the randomness
+    suite (runs: levels; turning points: shape)."""
+    from sits_ray.stages.drift import bartels_rvn_daily
+
+    return bartels_rvn_daily(_events(sf_dir, columns=["ts"]))

@@ -654,3 +654,66 @@ def dispersion_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
         "n_days": np.int64(n), "mean_daily": mean, "var_daily": var,
         "dispersion": d, "chi2": float(n - 1) * d,
     }])
+
+
+def turning_points_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Turning-point test for randomness of the daily event-volume
+    series (Bienaymé 1874; Kendall's classic): count days that are a
+    STRICT local max or min of their immediate neighbors. For an iid
+    sequence E[T] = 2(n-2)/3 and Var[T] = (16n - 29)/90; too few
+    turning points = trend, too many = rapid oscillation. Completes the
+    randomness suite next to runs_test_daily (level-based) and
+    bartels_rvn_daily (rank-based).
+
+    Exactness: T and n are integers from the bounded day census (strict
+    comparisons, so tie plateaus simply contribute no turning point);
+    z = (T - 2*(n-2)/3) / sqrt((16n - 29)/90) is a pinned float tree of
+    exact casts. Returns one row: (n_days, n_turning, expected, z)."""
+    c = _daily_counts(ds, ts_col)
+    y = c["y"].to_numpy(np.int64)            # day-ordered
+    n = len(y)
+    mid, left, right = y[1:-1], y[:-2], y[2:]
+    t = int((((mid > left) & (mid > right))
+             | ((mid < left) & (mid < right))).sum())
+    exp = 2.0 * float(n - 2) / 3.0
+    var = float(16 * n - 29) / 90.0
+    z = (float(t) - exp) / math.sqrt(var)
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "n_turning": np.int64(t),
+        "expected": exp, "z": z,
+    }])
+
+
+def bartels_rvn_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Bartels rank von Neumann ratio test (Bartels 1982) — the
+    rank-based randomness member: ``RVN = sum (R_i - R_(i+1))^2 /
+    sum (R_i - Rbar)^2`` over the day-ordered ranks of daily volumes,
+    ~2 under randomness, < 2 for trend, > 2 for oscillation.
+
+    Integer-exact core: DOUBLED midranks (the kruskal_wallis trick)
+    make every rank an exact integer with doubled mean EXACTLY n+1, so
+    both the numerator and denominator are exact integer sums (the
+    shared factor 4 cancels in the ratio). ``z = (rvn - 2) /
+    sqrt(4*(n-2)*(5n^2 - 2n - 9) / (5n(n+1)(n-1)^2))`` is a pinned
+    float tree of exact casts. Returns one row:
+    (n_days, rvn_num, rvn_den, rvn, z)."""
+    c = _daily_counts(ds, ts_col)
+    y = c["y"].to_numpy(np.int64)            # day-ordered
+    n = len(y)
+    ys = np.sort(y)
+    # doubled midrank per distinct value: 2*cum_before + t + 1
+    vals, counts = np.unique(ys, return_counts=True)
+    cum = np.cumsum(counts)
+    dmr = {int(v): 2 * int(cu) - int(t) + 1
+           for v, cu, t in zip(vals, cum, counts)}
+    d = np.asarray([dmr[int(v)] for v in y], dtype=np.int64)
+    num = int(((d[:-1] - d[1:]) ** 2).sum())
+    den = int(((d - (n + 1)) ** 2).sum())
+    rvn = float(num) / float(den)
+    var = (float(4 * (n - 2) * (5 * n * n - 2 * n - 9))
+           / float(5 * n * (n + 1) * (n - 1) * (n - 1)))
+    z = (rvn - 2.0) / math.sqrt(var)
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "rvn_num": np.int64(num),
+        "rvn_den": np.int64(den), "rvn": rvn, "z": z,
+    }])
