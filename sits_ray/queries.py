@@ -13077,3 +13077,41 @@ def bartels_rvn_daily_q(sf_dir):
     from sits_ray.stages.drift import bartels_rvn_daily
 
     return bartels_rvn_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- Gumbel weekly-maxima fit (drift.gumbel_weekly_maxima) ---------------------
+@q(
+    "gumbel_weekly_maxima",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+wk as (select day // 7 as week, cast(max(y) as bigint) as m
+       from days group by 1),
+t as (select cast(count(*) as bigint) as n,
+             cast(sum(m) as hugeint) as s,
+             sum(cast(m as hugeint) * m) as q,
+             cast(max(m) as bigint) as mx
+      from wk),
+sel as (select n, mx,
+               {_i2d("s")} / {_i2d("n")} as mean_weekly,
+               {_i2d("n * q - s * s")} / {_i2d("n * (n - 1)")}
+                 as var_weekly
+        from t)
+select n as n_weeks, mx as max_weekly, mean_weekly, var_weekly,
+       sqrt(6.0e0 * var_weekly) / 3.141592653589793e0 as beta,
+       mean_weekly - 0.5772156649015329e0
+         * (sqrt(6.0e0 * var_weekly) / 3.141592653589793e0) as mu
+from sel
+""",
+)
+def gumbel_weekly_maxima_q(sf_dir):
+    """Gumbel method-of-moments fit over weekly maxima of daily event
+    volume (stages/drift.gumbel_weekly_maxima): integer block maxima
+    from the bounded day census, exact moment trees, beta/mu via shared
+    IEEE pi/gamma literals (sqrt only — no libm exp risk). The
+    capacity-planning extreme-value audit."""
+    from sits_ray.stages.drift import gumbel_weekly_maxima
+
+    return gumbel_weekly_maxima(_events(sf_dir, columns=["ts"]))

@@ -717,3 +717,35 @@ def bartels_rvn_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
         "n_days": np.int64(n), "rvn_num": np.int64(num),
         "rvn_den": np.int64(den), "rvn": rvn, "z": z,
     }])
+
+
+def gumbel_weekly_maxima(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Gumbel extreme-value fit over WEEKLY maxima of daily event
+    volume (Gumbel 1958, method of moments) — the capacity-planning
+    audit: block maxima of a light-tailed process are Gumbel, and the
+    location/scale pair answers "how big a day should we provision
+    for?". Week = epoch_day // 7 (pure integer blocks).
+
+    Exactness: weekly maxima are integers from the bounded day census;
+    mean and variance are exact-cast rational trees; ``beta =
+    sqrt(6*var) / pi`` and ``mu = mean - gamma*beta`` use the IEEE
+    literals 3.141592653589793 and 0.5772156649015329 written
+    identically on both engines (no exp/ln — only sqrt, which is
+    correctly rounded). Returns one row: (n_weeks, max_weekly,
+    mean_weekly, var_weekly, beta, mu)."""
+    c = _daily_counts(ds, ts_col)
+    c["week"] = c["day"].to_numpy(np.int64) // 7
+    m = c.groupby("week", sort=True)["y"].max()
+    n = len(m)
+    s = sum(int(v) for v in m)
+    q = sum(int(v) * int(v) for v in m)
+    mean = float(s) / float(n)
+    var = float(n * q - s * s) / float(n * (n - 1))
+    beta = math.sqrt(6.0 * var) / 3.141592653589793
+    mu = mean - 0.5772156649015329 * beta
+    return pd.DataFrame([{
+        "n_weeks": np.int64(n),
+        "max_weekly": np.int64(int(m.max())),
+        "mean_weekly": mean, "var_weekly": var,
+        "beta": beta, "mu": mu,
+    }])
