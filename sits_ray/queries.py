@@ -13115,3 +13115,74 @@ def gumbel_weekly_maxima_q(sf_dir):
     from sits_ray.stages.drift import gumbel_weekly_maxima
 
     return gumbel_weekly_maxima(_events(sf_dir, columns=["ts"]))
+
+
+# --- Hurst exponent by R/S analysis (drift.hurst_rs_daily) ---------------------
+@q(
+    "hurst_rs_daily",
+    f"""
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+idx as (select y, row_number() over (order by day) - 1 as i from days),
+ws as (select unnest([8, 16, 32]) as w),
+b as (select ws.w, idx.i // ws.w as blk, (idx.i % ws.w) + 1 as k, idx.y
+      from idx cross join ws),
+st as (select w, blk, cast(count(*) as bigint) as cnt,
+              cast(sum(y) as bigint) as s,
+              sum(cast(y as hugeint) * y) as q
+       from b group by 1, 2),
+fb as (select * from st where cnt = w),
+z as (select b.w, b.blk, b.k,
+             cast(b.w as bigint)
+               * sum(b.y) over (partition by b.w, b.blk order by b.k
+                                rows unbounded preceding)
+               - b.k * f.s as z
+      from b join fb f using (w, blk)),
+r as (select w, blk,
+             greatest(cast(max(z) as bigint), 0)
+               - least(cast(min(z) as bigint), 0) as rsc
+      from z group by 1, 2),
+rsb as (select r.w, r.blk,
+               (cast(r.rsc as double) / cast(r.w as double))
+                 / (sqrt({_i2d("f.w * f.q - f.s * f.s")})
+                    / cast(r.w as double)) as rs
+        from r join fb f on f.w = r.w and f.blk = r.blk
+        where f.w * f.q - f.s * f.s > 0),
+rw as (select w, cast(count(*) as bigint) as n_blocks,
+              list_reduce(list_prepend(0.0e0, list(rs order by blk)),
+                          (a, b) -> a + b)
+                / cast(count(*) as double) as rs_mean
+       from rsb group by 1),
+pts as (select w, n_blocks, rs_mean,
+               ln(cast(w as double)) as x, ln(rs_mean) as yy
+        from rw),
+fit as (select cast(count(*) as bigint) as m,
+               list_reduce(list_prepend(0.0e0, list(x order by w)),
+                           (a, b) -> a + b) as sx,
+               list_reduce(list_prepend(0.0e0, list(yy order by w)),
+                           (a, b) -> a + b) as sy,
+               list_reduce(list_prepend(0.0e0, list(x * yy order by w)),
+                           (a, b) -> a + b) as sxy,
+               list_reduce(list_prepend(0.0e0, list(x * x order by w)),
+                           (a, b) -> a + b) as sxx
+        from pts)
+select cast(pts.w as bigint) as w, pts.n_blocks, pts.rs_mean,
+       case when fit.m < 2 then 0.0e0
+            else (cast(fit.m as double) * fit.sxy - fit.sx * fit.sy)
+                 / (cast(fit.m as double) * fit.sxx - fit.sx * fit.sx)
+            end as hurst
+from pts cross join fit
+order by w
+""",
+)
+def hurst_rs_daily_q(sf_dir):
+    """Hurst exponent of daily event volumes by rescaled-range analysis
+    (stages/drift.hurst_rs_daily): integer scaled cumulative deviations
+    per dyadic block (w in 8/16/32), pinned per-block R/S trees,
+    block-asc mean folds, log-log OLS slope with libm ln — SQL-exact.
+    The long-memory diagnostic of the calendar family."""
+    from sits_ray.stages.drift import hurst_rs_daily
+
+    return hurst_rs_daily(_events(sf_dir, columns=["ts"]))
