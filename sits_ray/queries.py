@@ -13186,3 +13186,79 @@ def hurst_rs_daily_q(sf_dir):
     from sits_ray.stages.drift import hurst_rs_daily
 
     return hurst_rs_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- Cox-Stuart trend test (drift.cox_stuart_daily) ----------------------------
+@q(
+    "cox_stuart_daily",
+    """
+with days as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as y
+  from events group by 1),
+idx as (select y, row_number() over (order by day) - 1 as i from days),
+t as (select cast(count(*) as bigint) as n from days),
+p as (select a.y as ya, b.y as yb
+      from idx a join idx b
+        on b.i = a.i + (select n // 2 from t)
+      where a.i < (select n // 2 from t)),
+s as (select cast(count(*) filter (where yb > ya) as bigint) as up,
+             cast(count(*) filter (where yb < ya) as bigint) as down
+      from p)
+select t.n as n_days, s.up + s.down as n_pairs, s.up as n_up,
+       s.down as n_down,
+       case when s.up + s.down = 0 then 0.0e0
+            else cast(2 * s.up - (s.up + s.down) as double)
+                 / sqrt(cast(s.up + s.down as double)) end as z
+from t, s
+""",
+)
+def cox_stuart_daily_q(sf_dir):
+    """Cox-Stuart sign trend test on daily event volumes (stages/drift.
+    cox_stuart_daily): half-calendar pairing, strict sign census, ties
+    dropped, pinned z tree. The monotone-drift member of the calendar
+    randomness suite."""
+    from sits_ray.stages.drift import cox_stuart_daily
+
+    return cox_stuart_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- Pettitt change-point test (drift.pettitt_daily) ---------------------------
+@q(
+    "pettitt_daily",
+    """
+with d2 as (select epoch_us(ts) // 86400000000 as day,
+              cast(count(*) as bigint) as y
+       from events group by 1),
+idx as (select day, y, row_number() over (order by day) - 1 as i
+        from d2),
+t as (select cast(count(*) as bigint) as n from d2),
+pr as (select a.i as i, b.i as j,
+              cast(case when a.y > b.y then 1
+                        when a.y < b.y then -1 else 0 end as bigint)
+                as sgn
+       from idx a join idx b on b.i > a.i),
+u as (select tt.i as t,
+             cast(sum(pr.sgn) as bigint) as u
+      from (select distinct i from idx
+            where i < (select n - 1 from t)) tt
+      join pr on pr.i <= tt.i and pr.j > tt.i
+      group by 1),
+best as (select * from u
+         order by abs(u) desc, t asc limit 1)
+select t.n as n_days,
+       (select day from idx where i = best.t) as break_day,
+       best.u as u_stat, cast(abs(best.u) as bigint) as k_stat,
+       cast(abs(best.u) as double)
+         / cast((best.t + 1) * (t.n - best.t - 1) as double) as k_norm
+from best, t
+""",
+)
+def pettitt_daily_q(sf_dir):
+    """Pettitt rank change-point test on daily event volumes
+    (stages/drift.pettitt_daily): integer sign-sum U_t maximized over
+    splits (ties earliest), the nonparametric twin of
+    changepoint_daily_volume. Bounded O(n_days^2) driver walk."""
+    from sits_ray.stages.drift import pettitt_daily
+
+    return pettitt_daily(_events(sf_dir, columns=["ts"]))

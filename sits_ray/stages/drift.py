@@ -815,3 +815,56 @@ def hurst_rs_daily(ds, windows=(8, 16, 32), ts_col: str = "ts"
     out = pd.DataFrame(rows)
     out["hurst"] = hurst
     return out
+
+
+def cox_stuart_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Cox-Stuart trend test (1955) on daily event volumes: pair day i
+    with day i + n//2 (odd middle day dropped), count strict increases
+    vs decreases across the half-calendar gap — the sign-test trend
+    member of the calendar family (turning points: shape; runs: levels;
+    this: monotone drift). Ties drop; under no trend S+ ~ Binomial(m,
+    1/2), ``z = (2*S+ - m) / sqrt(m)`` (the continuity-free form, one
+    exact tree). Returns one row: (n_days, n_pairs, n_up, n_down, z)."""
+    c = _daily_counts(ds, ts_col)
+    y = c["y"].to_numpy(np.int64)
+    n = len(y)
+    h = n // 2
+    a = y[:h]
+    b = y[n - h:]
+    up = int((b > a).sum())
+    down = int((b < a).sum())
+    m = up + down
+    z = (0.0 if m == 0
+         else float(2 * up - m) / math.sqrt(float(m)))
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "n_pairs": np.int64(m),
+        "n_up": np.int64(up), "n_down": np.int64(down), "z": z,
+    }])
+
+
+def pettitt_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Pettitt nonparametric change-point test (1979) on daily event
+    volumes — the rank-based twin of changepoint_daily_volume (which
+    fits means): ``U_t = sum_(i<=t, j>t) sign(y_i - y_j)``; the split
+    maximizing |U_t| (ties -> earliest day) is the most likely change
+    point, robust to outliers. Everything is integer (signs, sums,
+    argmax); the one float column is k_norm = K / (pairs at t*). O(n^2)
+    on the bounded day census. Returns one row:
+    (n_days, break_day, u_stat, k_stat, k_norm)."""
+    c = _daily_counts(ds, ts_col)
+    y = c["y"].to_numpy(np.int64)
+    days = c["day"].to_numpy(np.int64)
+    n = len(y)
+    sgn = np.sign(y[:, None] - y[None, :]).astype(np.int64)  # (i, j)
+    best = None
+    for t in range(n - 1):
+        u = int(sgn[:t + 1, t + 1:].sum())
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), u, t)
+    k, u, t = best
+    npairs = (t + 1) * (n - t - 1)
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "break_day": np.int64(int(days[t])),
+        "u_stat": np.int64(u), "k_stat": np.int64(k),
+        "k_norm": float(k) / float(npairs),
+    }])
