@@ -13262,3 +13262,87 @@ def pettitt_daily_q(sf_dir):
     from sits_ray.stages.drift import pettitt_daily
 
     return pettitt_daily(_events(sf_dir, columns=["ts"]))
+
+
+# --- decile QQ drift between halves (drift.qq_drift_deciles) -------------------
+@q(
+    "qq_drift_deciles",
+    """
+with e as (select value, epoch_us(ts) as us from events),
+st as (select (min(us) + max(us)) // 2 as mid from e),
+c as (select cast(floor(value / 0.01e0) as bigint) as bin,
+             cast(count(*) filter (where us <= st.mid) as bigint) as n_a,
+             cast(count(*) filter (where us > st.mid) as bigint) as n_b
+      from e cross join st group by 1),
+cum as (select bin,
+               sum(n_a) over (order by bin rows unbounded preceding)
+                 as ca,
+               sum(n_b) over (order by bin rows unbounded preceding)
+                 as cb
+        from c),
+t as (select cast(sum(n_a) as bigint) as ta,
+             cast(sum(n_b) as bigint) as tb from c),
+ds_ as (select unnest(generate_series(1, 9)) as d)
+select cast(ds_.d as bigint) as decile,
+       (select min(bin) from cum where ca * 10 >= ds_.d * t.ta) as v_a,
+       (select min(bin) from cum where cb * 10 >= ds_.d * t.tb) as v_b,
+       (select min(bin) from cum where cb * 10 >= ds_.d * t.tb)
+         - (select min(bin) from cum where ca * 10 >= ds_.d * t.ta)
+         as shift
+from ds_ cross join t
+order by decile
+""",
+)
+def qq_drift_deciles_q(sf_dir):
+    """Decile-level quantile drift between time halves (stages/drift.
+    qq_drift_deciles): lower nearest-rank cents deciles per half from
+    the integer census, shift = exact cents difference — WHERE the
+    distribution moved, complementing psi/js/ks/mw. Zero shuffle."""
+    from sits_ray.stages.drift import qq_drift_deciles
+
+    return qq_drift_deciles(_events(sf_dir, columns=["value", "ts"]))
+
+
+# --- value skewness / kurtosis (drift.value_moments) ---------------------------
+@q(
+    "value_moments",
+    f"""
+with c as (select cast(floor(value / 0.01e0) as bigint) as bin,
+                  cast(count(*) as bigint) as cnt
+           from events group by 1),
+s as (select cast(sum(cnt) as bigint) as n,
+             cast(sum(cast(bin as hugeint) * cnt) as hugeint) as s1,
+             cast(sum(cast(bin as hugeint) * bin * cnt) as hugeint) as s2,
+             cast(sum(cast(bin as hugeint) * bin * bin * cnt) as hugeint)
+               as s3,
+             cast(sum(cast(bin as hugeint) * bin * bin * bin * cnt)
+                  as hugeint) as s4
+      from c),
+m as (select n,
+             {_i3d("s1")} / {_i3d("n")} as mean,
+             {_i3d("s2")} / {_i3d("n")} as s2n,
+             {_i3d("s3")} / {_i3d("n")} as s3n,
+             {_i3d("s4")} / {_i3d("n")} as s4n
+      from s),
+mu as (select n, mean,
+              s2n - mean * mean as mu2,
+              s3n - 3.0e0 * mean * s2n
+                + 2.0e0 * ((mean * mean) * mean) as mu3,
+              s4n - 4.0e0 * mean * s3n
+                + 6.0e0 * (mean * mean) * s2n
+                - 3.0e0 * ((mean * mean) * (mean * mean)) as mu4
+       from m)
+select n, mean as mean_cents,
+       mu3 / sqrt(mu2 * mu2 * mu2) as g1_skew,
+       mu4 / (mu2 * mu2) - 3.0e0 as g2_kurt
+from mu
+""",
+)
+def value_moments_q(sf_dir):
+    """Skewness and excess kurtosis of event values on the cents grid
+    (stages/drift.value_moments): exact integer raw power sums (s4 ~
+    1e30, three-limb cast), pinned central-moment double trees mirrored
+    operand-for-operand. One streaming census, zero shuffle."""
+    from sits_ray.stages.drift import value_moments
+
+    return value_moments(_events(sf_dir, columns=["value"]))

@@ -868,3 +868,78 @@ def pettitt_daily(ds, ts_col: str = "ts") -> pd.DataFrame:
         "u_stat": np.int64(u), "k_stat": np.int64(k),
         "k_norm": float(k) / float(npairs),
     }])
+
+
+def qq_drift_deciles(ds, value_col: str = "value",
+                     ts_col: str = "ts") -> pd.DataFrame:
+    """Decile-level quantile drift between the two time halves: the
+    lower nearest-rank cents value of each decile (10%..90%) in each
+    half and the integer shift between them — the quantile-table view
+    of distribution drift (psi/js: density; ks: max gap; mw: level;
+    this: WHERE in the distribution the movement happened).
+
+    All integers: cents census per half (the welch split), deciles by
+    cumulative-count selection ``ceil(p * n)`` (lower nearest rank),
+    shift = exact cents difference. Returns one row per decile:
+    (decile, v_a, v_b, shift)."""
+    c, ta, tb = _period_bin_counts(ds, value_col, ts_col, bin_width=0.01)
+    bins = c["bin"].to_numpy(np.int64)
+    ca = c["n_a"].to_numpy(np.int64).cumsum()
+    cb = c["n_b"].to_numpy(np.int64).cumsum()
+    rows = []
+    for d in range(1, 10):
+        # lower nearest rank: smallest bin with cum*10 >= d*n
+        ka = int(bins[np.searchsorted(ca * 10, d * ta)])
+        kb = int(bins[np.searchsorted(cb * 10, d * tb)])
+        rows.append({"decile": np.int64(d), "v_a": np.int64(ka),
+                     "v_b": np.int64(kb),
+                     "shift": np.int64(kb - ka)})
+    return pd.DataFrame(rows)
+
+
+def value_moments(ds, value_col: str = "value") -> pd.DataFrame:
+    """Skewness and excess kurtosis of the value distribution on the
+    cents grid — the shape summary beside summary_* (location/scale)
+    and benford (digits). Raw power sums s1..s4 are exact integers from
+    the bounded census (s4 reaches ~1e30 — the three-limb cast); the
+    central moments and g1/g2 are PINNED double trees over those casts
+    (mu2 = s2/n - mean^2 etc.) — mirrored operand-for-operand by the
+    twin, so cross-engine parity holds bit-for-bit even where the
+    centered subtraction cancels. Returns one row:
+    (n, mean_cents, g1_skew, g2_kurt)."""
+    import pyarrow as _pa
+
+    from sits_ray.stages.regression import i3d
+
+    def census(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = np.floor(v / 0.01).astype(np.int64)
+        g = pd.Series(b).value_counts()
+        return pa.table({"bin": _pa.array(g.index.to_numpy(np.int64)),
+                         "cnt": _pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("bin", sort=True)["cnt"].sum().reset_index())
+    n = int(c["cnt"].sum())
+    s1 = s2 = s3 = s4 = 0
+    for b, k in zip(c["bin"], c["cnt"]):
+        b, k = int(b), int(k)
+        s1 += b * k
+        s2 += b * b * k
+        s3 += b * b * b * k
+        s4 += b * b * b * b * k
+    nd = i3d(n)
+    mean = i3d(s1) / nd
+    s2n = i3d(s2) / nd
+    s3n = i3d(s3) / nd
+    s4n = i3d(s4) / nd
+    mm = mean * mean
+    mu2 = s2n - mm
+    mu3 = s3n - 3.0 * mean * s2n + 2.0 * (mm * mean)
+    mu4 = s4n - 4.0 * mean * s3n + 6.0 * mm * s2n - 3.0 * (mm * mm)
+    g1 = mu3 / math.sqrt(mu2 * mu2 * mu2)
+    g2 = mu4 / (mu2 * mu2) - 3.0
+    return pd.DataFrame([{
+        "n": np.int64(n), "mean_cents": mean,
+        "g1_skew": g1, "g2_kurt": g2,
+    }])
