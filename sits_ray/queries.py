@@ -13346,3 +13346,71 @@ def value_moments_q(sf_dir):
     from sits_ray.stages.drift import value_moments
 
     return value_moments(_events(sf_dir, columns=["value"]))
+
+
+# --- trimmed / winsorized mean (drift.trimmed_mean_value) ----------------------
+@q(
+    "trimmed_mean_value",
+    """
+with c as (select cast(floor(value / 0.01e0) as bigint) as bin,
+                  cast(count(*) as bigint) as cnt
+           from events group by 1),
+cum as (select bin, cnt,
+               sum(cnt) over (order by bin rows unbounded preceding)
+                 as cum
+        from c),
+t as (select cast(sum(cnt) as bigint) as n,
+             (cast(sum(cnt) as bigint) * 5) // 100 as k from c),
+kept as (select bin,
+                greatest(least(cum, t.n - t.k)
+                         - greatest(cum - cnt, t.k), 0) as kc
+         from cum cross join t),
+s as (select cast(sum(cast(bin as hugeint) * kc) as hugeint) as st
+      from kept),
+b as (select (select min(bin) from cum, t where cum >= t.k + 1) as lo,
+             (select min(bin) from cum, t where cum >= t.n - t.k) as hi)
+select t.n, t.k as k_trim, b.lo as lo_cents, b.hi as hi_cents,
+       (cast((s.st) // 4294967296 as double) * 4294967296e0 + cast((s.st) % 4294967296 as double)) / cast(t.n - 2 * t.k as double)
+         as trimmed_mean,
+       (cast((s.st + cast(t.k as hugeint) * b.lo + cast(t.k as hugeint) * b.hi) // 4294967296 as double) * 4294967296e0 + cast((s.st + cast(t.k as hugeint) * b.lo + cast(t.k as hugeint) * b.hi) % 4294967296 as double))
+         / cast(t.n as double) as winsorized_mean
+from t, s, b
+""",
+)
+def trimmed_mean_value_q(sf_dir):
+    """5%%-trimmed and winsorized means of event value on the cents grid
+    (stages/drift.trimmed_mean_value): exact integer per-bin kept
+    counts (partial tail bins by row count), single exact-cast
+    divisions. The robust-location summary; zero shuffle."""
+    from sits_ray.stages.drift import trimmed_mean_value
+
+    return trimmed_mean_value(_events(sf_dir, columns=["value"]))
+
+
+# --- per-source duplication factor (dedup.dup_factor_by_source) ----------------
+@q(
+    "dup_factor_by_source",
+    """
+with d as (select source, md5(text) as h from documents),
+g as (select source,
+             cast(count(*) as bigint) as n_docs,
+             cast(count(distinct h) as bigint) as n_distinct
+      from d group by 1)
+select source, n_docs, n_distinct,
+       cast(n_docs - n_distinct as double) / cast(n_docs as double)
+         as dup_frac
+from g
+order by source
+""",
+)
+def dup_factor_by_source_q(sf_dir):
+    """Per-source duplication factor (stages/dedup.dup_factor_by_source):
+    docs vs distinct md5 texts per source (hashlib == DuckDB md5,
+    verified), digest-keyed part_aggregate so text never shuffles and
+    only per-source count partials reach the driver; dup_frac one
+    exact-cast division."""
+    from sits_ray.stages.dedup import dup_factor_by_source
+
+    return dup_factor_by_source(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"]))

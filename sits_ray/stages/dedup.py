@@ -1590,3 +1590,56 @@ def editdist_near_dups(ds, prefix_len: int = 16, max_dist: int = 40,
     pruned = ds.map_batches(heads, batch_format="pandas")
     return part_aggregate(pruned, block_pairs, key_col="prefix",
                           n_parts=n_parts)
+
+
+def dup_factor_by_source(ds, text_col: str = "text",
+                         group_col: str = "source",
+                         n_parts: int = 32) -> pd.DataFrame:
+    """Per-source duplication factor: documents vs DISTINCT texts per
+    source — the corpus-card "how redundant is each domain" audit that
+    decides which source needs the heavy near-dup pass first.
+
+    Scale shape: texts hash to md5 per batch (hashlib.md5 over UTF-8 ==
+    DuckDB ``md5()``, verified), per-batch DISTINCT (digest, source)
+    partials, one part_aggregate keyed by digest (all copies of a text
+    co-located) whose kernel emits only per-source distinct-count
+    partials; doc counts fold from a census pass on the same partials.
+    Text never shuffles; all counts int64; ``dup_frac = (n_docs -
+    n_distinct) / n_docs`` is one exact-cast division. Returns one row
+    per source: (source, n_docs, n_distinct, dup_frac), source-asc."""
+    import hashlib
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def digest_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
+        out = pd.DataFrame({"h": h, "source": df[group_col].to_numpy()})
+        g = (out.groupby(["h", "source"], sort=False).size()
+                .rename("n_docs").reset_index())
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    pre = ds.map_batches(digest_partial, batch_format="pandas")
+
+    def per_digest(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one digest are here: per (digest, source) the doc
+        # count sums; distinct contribution is 1 per (digest, source)
+        agg = (g.groupby(["h", "source"], sort=False)["n_docs"].sum()
+                 .reset_index())
+        out = (agg.groupby("source", sort=False)
+                  .agg(n_docs=("n_docs", "sum"),
+                       n_distinct=("h", "size")).reset_index())
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    parts = part_aggregate(pre, per_digest, key_col="h",
+                           n_parts=n_parts).to_pandas()
+    out = (parts.groupby("source", sort=True)[["n_docs", "n_distinct"]]
+                .sum().reset_index())
+    nd = out["n_docs"].to_numpy(np.int64)
+    nu = out["n_distinct"].to_numpy(np.int64)
+    out["n_docs"] = nd
+    out["n_distinct"] = nu
+    out["dup_frac"] = (nd - nu) / nd      # bigint/bigint -> double
+    return out

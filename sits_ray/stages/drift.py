@@ -943,3 +943,45 @@ def value_moments(ds, value_col: str = "value") -> pd.DataFrame:
         "n": np.int64(n), "mean_cents": mean,
         "g1_skew": g1, "g2_kurt": g2,
     }])
+
+
+def trimmed_mean_value(ds, trim_frac: float = 0.05,
+                       value_col: str = "value") -> pd.DataFrame:
+    """Trimmed and winsorized means of the value distribution on the
+    cents grid — the robust-location summary (outlier-proof where the
+    plain mean is not), computed EXACTLY from the bounded census:
+    k = n * trim_frac rows drop (trim) or clamp (winsorize) at each
+    tail, with per-bin kept counts
+    ``kept = clip(min(cum, n-k) - max(cum - cnt, k), 0)`` — pure
+    integer arithmetic, partial bins handled by row count, no
+    approximation. Means are single exact-cast divisions. Returns one
+    row: (n, k_trim, lo_cents, hi_cents, trimmed_mean,
+    winsorized_mean)."""
+    import pyarrow as _pa
+
+    def census(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = np.floor(v / 0.01).astype(np.int64)
+        g = pd.Series(b).value_counts()
+        return pa.table({"bin": _pa.array(g.index.to_numpy(np.int64)),
+                         "cnt": _pa.array(g.to_numpy(np.int64))})
+
+    c = (ds.map_batches(census, batch_format="pyarrow").to_pandas()
+           .groupby("bin", sort=True)["cnt"].sum().reset_index())
+    bins = c["bin"].to_numpy(np.int64)
+    cnt = c["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    k = int(n * 5) // 100 if trim_frac == 0.05 else int(n * trim_frac)
+    kept = (np.minimum(cum, n - k)
+            - np.maximum(cum - cnt, k)).clip(min=0)
+    s_t = sum(int(b) * int(kc) for b, kc in zip(bins, kept))
+    lo = int(bins[np.searchsorted(cum, k + 1)])
+    hi = int(bins[np.searchsorted(cum, n - k)])
+    tm = float(s_t) / float(n - 2 * k)
+    wm = float(s_t + k * lo + k * hi) / float(n)
+    return pd.DataFrame([{
+        "n": np.int64(n), "k_trim": np.int64(k),
+        "lo_cents": np.int64(lo), "hi_cents": np.int64(hi),
+        "trimmed_mean": tm, "winsorized_mean": wm,
+    }])
