@@ -13414,3 +13414,90 @@ def dup_factor_by_source_q(sf_dir):
     return dup_factor_by_source(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "text"]))
+
+
+# --- Chao1 vocabulary richness (sketch.chao1_vocab_richness) -------------------
+@q(
+    "chao1_vocab_richness",
+    """
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+  from documents),
+wc as (select w, cast(count(*) as bigint) as c from tok group by 1),
+fof as (select c as r, cast(count(*) as bigint) as n_r
+        from wc group by 1),
+t as (select cast(sum(r * n_r) as bigint) as n_tokens,
+             cast(sum(n_r) as bigint) as d,
+             cast(coalesce(sum(n_r) filter (where r = 1), 0) as bigint)
+               as n1,
+             cast(coalesce(sum(n_r) filter (where r = 2), 0) as bigint)
+               as n2
+      from fof)
+select n_tokens, d as n_distinct, n1, n2,
+       case when n2 > 0
+            then cast(d as double)
+                 + cast(n1 * n1 as double) / cast(2 * n2 as double)
+            else cast(d as double)
+                 + cast(n1 * (n1 - 1) as double)
+                   / cast(2 * (n2 + 1) as double) end as chao1
+from t
+""",
+)
+def chao1_vocab_richness_q(sf_dir):
+    """Chao1 total-vocabulary lower bound from singleton/doubleton
+    counts (stages/sketch.chao1_vocab_richness): the capture-recapture
+    companion to good_turing_fof and vocab_heaps — one token-keyed
+    part_aggregate of FoF censuses, one exact-cast division (bias-
+    corrected arm at N2 = 0)."""
+    from sits_ray.stages.sketch import chao1_vocab_richness
+
+    return chao1_vocab_richness(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+# --- source-mix Shannon diversity ----------------------------------------------
+@q(
+    "source_diversity",
+    """
+with c as (select source, cast(count(*) as bigint) as n
+           from documents group by 1),
+t as (select cast(sum(n) as bigint) as total,
+             cast(count(*) as bigint) as k from c),
+h as (select -list_reduce(list_prepend(0.0e0,
+        list((cast(n as double) / cast(t.total as double))
+             * ln(cast(n as double) / cast(t.total as double))
+             order by source)), (a, b) -> a + b) as h
+      from c cross join t)
+select t.total as n_docs, t.k as n_sources, h.h as shannon_h,
+       h.h / ln(cast(t.k as double)) as evenness
+from t, h
+""",
+)
+def source_diversity(sf_dir):
+    """Shannon diversity and Pielou evenness of the source mix —
+    the one-row corpus-balance summary a mixture curriculum reads
+    first. Bounded source census, source-asc ordered libm-ln fold
+    (== DuckDB ln), one division for evenness. Zero shuffle."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["source"].value_counts()
+        return pd.DataFrame({"source": g.index.to_numpy(),
+                             "n": g.to_numpy(np.int64)})
+
+    c = (ds.map_batches(census, batch_format="pandas").to_pandas()
+           .groupby("source", sort=True)["n"].sum())
+    total = int(c.sum())
+    k = len(c)
+    acc = 0.0
+    for _s, n in c.items():                 # source-asc fold
+        p = float(int(n)) / float(total)
+        acc = acc + p * math.log(p)
+    h = -acc
+    return pd.DataFrame([{
+        "n_docs": np.int64(total), "n_sources": np.int64(k),
+        "shannon_h": h, "evenness": h / math.log(float(k)),
+    }])

@@ -698,3 +698,53 @@ def source_vocab_overlap(ds, text_col: str = "text",
                     "jaccard": float(it) / float(na + nb - it)})
     return pd.DataFrame(out, columns=["src_a", "src_b", "n_a", "n_b",
                                       "inter", "jaccard"])
+
+
+def chao1_vocab_richness(ds, text_col: str = "text",
+                         n_parts: int = 32) -> pd.DataFrame:
+    """Chao1 lower-bound estimate of TOTAL vocabulary size (Chao 1984)
+    from the observed frequency-of-frequencies: ``chao1 = D +
+    N1^2 / (2*N2)`` (singletons vs doubletons) — "how many words exist
+    that we haven't seen yet", the capture-recapture companion to the
+    Good-Turing unseen-mass table and the vocab_heaps growth curve.
+
+    Same scale shape as good_turing_fof (one token-keyed part_aggregate
+    emitting FoF censuses); all integers, chao1 one exact-cast division
+    (bias-corrected ``N1*(N1-1)/(2*(N2+1))`` arm when N2 = 0). Returns
+    one row: (n_tokens, n_distinct, n1, n2, chao1)."""
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[text_col].str.lower().str.findall(r"[a-z]+")
+                .explode().dropna())
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = ex.value_counts()
+        return pd.DataFrame({"token": g.index.to_numpy(),
+                             "cnt": g.to_numpy(np.int64)})
+
+    from sits_ray.stages.hashagg import part_aggregate
+
+    pre = ds.map_batches(tok_partial, batch_format="pandas")
+
+    def fof_census(g: pd.DataFrame) -> pd.DataFrame:
+        wc = g.groupby("token", sort=False)["cnt"].sum()
+        f = wc.value_counts()
+        return pd.DataFrame({"r": f.index.to_numpy(np.int64),
+                             "n_r": f.to_numpy(np.int64)})
+
+    fof = (part_aggregate(pre, fof_census, key_col="token",
+                          n_parts=n_parts).to_pandas()
+           .groupby("r", sort=True)["n_r"].sum())
+    d = int(fof.sum())
+    total = int(sum(int(r) * int(n) for r, n in fof.items()))
+    n1 = int(fof.get(1, 0))
+    n2 = int(fof.get(2, 0))
+    if n2 > 0:
+        chao1 = float(d) + float(n1 * n1) / float(2 * n2)
+    else:
+        chao1 = float(d) + float(n1 * (n1 - 1)) / float(2 * (n2 + 1))
+    return pd.DataFrame([{
+        "n_tokens": np.int64(total), "n_distinct": np.int64(d),
+        "n1": np.int64(n1), "n2": np.int64(n2), "chao1": chao1,
+    }])
