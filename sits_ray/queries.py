@@ -13501,3 +13501,39 @@ def source_diversity(sf_dir):
         "n_docs": np.int64(total), "n_sources": np.int64(k),
         "shannon_h": h, "evenness": h / math.log(float(k)),
     }])
+
+
+# --- tool-adoption latency deciles (eventops.adoption_latency_deciles) ---------
+@q(
+    "adoption_latency_deciles",
+    """
+with f as (
+  select user_id,
+         min(epoch_us(ts)) as us,
+         min(epoch_us(ts)) filter (where event_type = 'click') as tus
+  from events group by 1),
+t as (select cast(count(*) as bigint) as n_users,
+             cast(count(tus) as bigint) as n_adopters from f),
+d as (select (tus - us) // 86400000000 as d, cast(count(*) as bigint) as n
+      from f where tus is not null group by 1),
+cum as (select d, sum(n) over (order by d rows unbounded preceding)
+               as cum from d),
+qs as (select unnest(generate_series(1, 9)) as q)
+select cast(qs.q as bigint) as decile,
+       (select min(d) from cum
+        where cum * 10 >= qs.q * t.n_adopters) as latency_days,
+       t.n_adopters, t.n_users
+from qs cross join t
+order by decile
+""",
+)
+def adoption_latency_deciles_q(sf_dir):
+    """Tool-adoption latency deciles (eventops.adoption_latency_deciles):
+    whole days from each user's first event to their first tool call,
+    lower nearest-rank deciles over adopters only. Per-user min
+    partials through one part_aggregate; bounded day census; all
+    integer — no float anywhere."""
+    from sits_ray.stages.eventops import adoption_latency_deciles
+
+    return adoption_latency_deciles(
+        _events(sf_dir, columns=["user_id", "ts", "event_type"]))

@@ -2155,3 +2155,59 @@ def entropy_rate(ds, n_parts: int = 32) -> pd.DataFrame:
         "h_next": h_next,
         "mutual_info": h_next - h_cond,
     }])
+
+
+def adoption_latency_deciles(ds, tool_type: str = "click",
+                             n_parts: int = 32) -> pd.DataFrame:
+    """Tool-adoption latency distribution: per user, whole days from
+    their FIRST event to their FIRST tool call (non-adopters excluded),
+    summarized as lower nearest-rank deciles — the activation-funnel
+    timing audit next to funnel_stages/retention_cohorts.
+
+    Scale shape: per-batch per-user (min ts, min tool ts) partials, one
+    part_aggregate keyed by user (mins finish exactly), then only a
+    bounded latency-day census reaches the driver. All integers; no
+    float at all. Returns one row per decile: (decile, latency_days)
+    plus the n_adopters/n_users counts repeated."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    def mins_partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tool = df["event_type"].to_numpy() == tool_type
+        d = pd.DataFrame({"u": df["user_id"].to_numpy(), "us": us,
+                          "tus": np.where(tool, us, np.int64(2**62))})
+        g = d.groupby("u", sort=False).agg(
+            us=("us", "min"), tus=("tus", "min")).reset_index()
+        return g
+
+    pre = ds.map_batches(mins_partial, batch_format="pandas")
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("u", sort=False).agg(
+            us=("us", "min"), tus=("tus", "min"))
+        n_users = len(f)
+        ad = f[f["tus"] < 2**62]
+        days = ((ad["tus"].to_numpy(np.int64)
+                 - ad["us"].to_numpy(np.int64)) // 86400000000)
+        vc = pd.Series(days).value_counts()
+        out = pd.DataFrame({"d": vc.index.to_numpy(np.int64),
+                            "n": vc.to_numpy(np.int64)})
+        sent = pd.DataFrame({"d": np.asarray([-1], np.int64),
+                             "n": np.asarray([n_users], np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
+
+    parts = part_aggregate(pre, census, key_col="u",
+                           n_parts=n_parts).to_pandas()
+    n_users = int(parts.loc[parts["d"] == -1, "n"].sum())
+    c = (parts[parts["d"] >= 0].groupby("d", sort=True)["n"].sum())
+    n_ad = int(c.sum())
+    cum = c.cumsum().to_numpy()
+    dd = c.index.to_numpy(np.int64)
+    rows = []
+    for q in range(1, 10):
+        v = int(dd[np.searchsorted(cum * 10, q * n_ad)])
+        rows.append({"decile": np.int64(q),
+                     "latency_days": np.int64(v),
+                     "n_adopters": np.int64(n_ad),
+                     "n_users": np.int64(n_users)})
+    return pd.DataFrame(rows)
