@@ -11900,18 +11900,25 @@ cum as (select lang, source, b,
         from grid
         window w as (partition by lang, source order by b
                      rows unbounded preceding)),
-d as (select lang, source, cast(any_value(n) as bigint) as n_recs,
+csz as (select lang, source, cast(count(*) as bigint) as n_recs
+        from bx group by 1, 2),
+d as (select lang, source,
              cast(sum(abs(cc * (select t from tot) - cg * n)) as hugeint)
                as dn
       from cum
       where b < (select max(b) from bks)
       group by 1, 2)
-select lang, source, n_recs,
-       {_i2d("dn")}
-         / {_i2d("cast(n_recs as hugeint) * (select t from tot)"
-                 " * ((select m from mm) - 1)")} as emd
-from d
-order by emd desc, lang asc, source asc
+-- left join + CASE: with a single global bucket (m=1) d is empty but
+-- every class must still emit an emd=0 row, matching the engine
+-- (ADVICE r4); for m >= 2 the join is total so this is a no-op
+select csz.lang, csz.source, csz.n_recs,
+       case when (select m from mm) < 2 then 0.0e0
+            else {_i2d("coalesce(d.dn, 0)")}
+                 / {_i2d("cast(csz.n_recs as hugeint)"
+                         " * (select t from tot)"
+                         " * ((select m from mm) - 1)")} end as emd
+from csz left join d on d.lang = csz.lang and d.source = csz.source
+order by emd desc, csz.lang asc, csz.source asc
 """,
 )
 def t_closeness_audit(sf_dir):
@@ -12369,7 +12376,10 @@ rem as (
   where a.t < 5
     and not exists (select 1 from w b
                     where b.t = a.t + 1 and b.day = a.day)
-    and exists (select 1 from w b2 where b2.t = a.t + 1)),
+    and exists (select 1 from w b2 where b2.t = a.t + 1)
+    -- engine stops once fewer than 3 days remain (standard ESD needs
+    -- n >= 3); mirror that here or short calendars diverge (ADVICE r4)
+    and (select count(*) from w b3 where b3.t = a.t) >= 3),
 sel as (select rem.round, rem.day as day_removed, ag.n, ag.s, ag.q,
                abs(ag.n * d.y - ag.s) as d_num
         from rem
@@ -12415,7 +12425,11 @@ seq as (select day, y > med.m as s
 r as (select cast(count(*) as bigint) as n,
              cast(count(*) filter (where s) as bigint) as n1,
              cast(count(*) filter (where not s) as bigint) as n2,
-             cast(1 + count(*) filter (where s != prev) as bigint) as runs
+             -- empty seq (every day equals the median) has ZERO runs;
+             -- a bare 1 + count(*) would claim one (ADVICE r4)
+             cast(case when count(*) = 0 then 0
+                       else 1 + count(*) filter (where s != prev)
+                  end as bigint) as runs
       from (select s, lag(s) over (order by day asc) as prev from seq))
 select n as n_days, n1 as n_above, n2 as n_below, runs as n_runs,
        case when n1 = 0 or n2 = 0 or n < 3 then 0.0e0

@@ -2201,6 +2201,16 @@ def adoption_latency_deciles(ds, tool_type: str = "click",
     n_users = int(parts.loc[parts["d"] == -1, "n"].sum())
     c = (parts[parts["d"] >= 0].groupby("d", sort=True)["n"].sum())
     n_ad = int(c.sum())
+    if n_ad == 0:
+        # no adopters: the twin's scalar subquery yields NULL latency
+        # for every decile — mirror that instead of indexing an empty
+        # cum array (ADVICE r4)
+        return pd.DataFrame({
+            "decile": np.arange(1, 10, dtype=np.int64),
+            "latency_days": pd.array([pd.NA] * 9, dtype="Int64"),
+            "n_adopters": np.zeros(9, dtype=np.int64),
+            "n_users": np.full(9, n_users, dtype=np.int64),
+        })
     cum = c.cumsum().to_numpy()
     dd = c.index.to_numpy(np.int64)
     rows = []

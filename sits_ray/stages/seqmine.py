@@ -48,10 +48,15 @@ def _pair_counts(df: pd.DataFrame) -> pd.DataFrame:
             .size().rename("n_users").reset_index())
     out.columns = ["type_a", "type_b", "n_users"]
     out["n_users"] = out["n_users"].astype(np.int64)
-    # disjoint user partitions -> partial distinct-user counts sum exactly
+    out["is_total"] = np.zeros(len(out), dtype=np.int8)
+    # disjoint user partitions -> partial distinct-user counts sum
+    # exactly; the total-users row is tagged with a dedicated marker
+    # column, NOT an in-band key value — a genuine empty-string
+    # event_type must count as a normal key (ADVICE r4)
     sent = pd.DataFrame({
         "type_a": [""], "type_b": [""],
         "n_users": np.asarray([f["user_id"].nunique()], dtype=np.int64),
+        "is_total": np.asarray([1], dtype=np.int8),
     })
     return pd.concat([out, sent], ignore_index=True)
 
@@ -68,8 +73,8 @@ def seq_patterns_topk(ds, k: int = 20, n_parts: int = 32) -> pd.DataFrame:
     pre = ds.map_batches(_first_partial, batch_format="pandas")
     parts = part_aggregate(pre, _pair_counts, key_col="user_id",
                            n_parts=n_parts).to_pandas()
-    total = int(parts.loc[parts["type_a"] == "", "n_users"].sum())
-    pairs = (parts[parts["type_a"] != ""]
+    total = int(parts.loc[parts["is_total"] == 1, "n_users"].sum())
+    pairs = (parts[parts["is_total"] == 0]
              .groupby(["type_a", "type_b"], sort=False, observed=True)
              ["n_users"].sum().reset_index())
     pairs["n_users"] = pairs["n_users"].astype(np.int64)

@@ -672,20 +672,23 @@ def source_vocab_overlap(ds, text_col: str = "text",
             srcs = sorted(grp["source"].unique())
             for a, b in combinations(srcs, 2):
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
-        rows = [{"src_a": a, "src_b": b,
+        # per-source size partials ride a dedicated marker column, NOT
+        # an in-band src_b="" sentinel — a genuine empty-string source
+        # must behave as a normal key (ADVICE r4)
+        rows = [{"src_a": a, "src_b": b, "is_size": np.int8(0),
                  "inter": np.int64(n), "n_src": np.int64(0)}
                 for (a, b), n in pair_counts.items()]
-        rows += [{"src_a": s, "src_b": "", "inter": np.int64(0),
-                  "n_src": np.int64(int(n))}
+        rows += [{"src_a": s, "src_b": "", "is_size": np.int8(1),
+                  "inter": np.int64(0), "n_src": np.int64(int(n))}
                  for s, n in per_src.items()]
-        return pd.DataFrame(rows, columns=["src_a", "src_b", "inter",
-                                           "n_src"])
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "is_size",
+                                           "inter", "n_src"])
 
     parts = part_aggregate(pre, pair_census, key_col="token",
                            n_parts=n_parts).to_pandas()
-    sz = (parts[parts["src_b"] == ""]
+    sz = (parts[parts["is_size"] == 1]
           .groupby("src_a", sort=True)["n_src"].sum())
-    pairs = (parts[parts["src_b"] != ""]
+    pairs = (parts[parts["is_size"] == 0]
              .groupby(["src_a", "src_b"], sort=True)["inter"].sum()
              .reset_index())
     out = []
