@@ -7777,26 +7777,17 @@ def zipf_slope(sf_dir):
     sits near -1; the Heaps-law companion of vocab_heaps — together the
     standard 'is this corpus linguistically natural?' screen). Per-batch
     token-count partials combine inside map_batches (text never
-    shuffles, the tfidf precedent); ranking and the regression run on
-    the bounded 1000-row driver table. SQL-exact: ln via math.log per
-    ranked row, all four OLS sums as strict-sequential folds in rank
-    order (engine loop == SQL list_reduce), pinned slope/intercept
-    expression trees."""
+    shuffles, the tfidf precedent); ranking moves through the
+    token-keyed part_aggregate + per-partition top-V cut
+    (stages/sketch.zipf_topv — the driver sees O(n_parts x V) rows,
+    never the vocabulary); the regression runs on the bounded 1000-row
+    driver table. SQL-exact: ln via math.log per ranked row, all four
+    OLS sums as strict-sequential folds in rank order (engine loop ==
+    SQL list_reduce), pinned slope/intercept expression trees."""
+    from sits_ray.stages.sketch import zipf_topv
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
-        if ex.empty:
-            return pd.DataFrame({"w": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype="int64")})
-        g = ex.value_counts()
-        return pd.DataFrame({"w": g.index.to_numpy(dtype=object),
-                             "cnt": g.to_numpy(np.int64)})
-
-    c = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-           .groupby("w", sort=False)["cnt"].sum().reset_index())
-    c = c.sort_values(["cnt", "w"], ascending=[False, True]) \
-         .head(_ZIPF_V).reset_index(drop=True)
+    c = zipf_topv(ds, v=_ZIPF_V)
     nv = len(c)
     if nv < 2:  # degenerate corpus: no regression (SQL: where nv >= 2)
         return pd.DataFrame({"n_ranked": pd.Series([], dtype=np.int64),
@@ -9785,41 +9776,16 @@ def collocations_topk(sf_dir):
     (Church & Hanks PMI family with the log dropped — lift =
     N*c(a,b) / (c(a)*c(b)) is an integer-ratio double, rank-equivalent
     to PMI and bit-exact cross-engine; min support 5). Distributed
-    shape: per-batch bigram/unigram partials combine inside map_batches
-    (vocab-sized, the tfidf precedent), driver folds the bounded
-    partial tables and ranks — the corpus never shuffles."""
+    shape (stages/sketch.collocations_topk): per-batch bigram/unigram
+    partials ride ONE composite-keyed part_aggregate; the support cut
+    applies IN-partition on finished counts, the unigram table stays
+    distributed, and the driver pulls only the bounded survivors +
+    totals + the survivors' unigram rows — no bigram-vocabulary
+    driver materialization."""
+    from sits_ray.stages.sketch import collocations_topk as _colloc
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lists = df["text"].str.lower().str.findall(r"[a-z]+")
-        ex = lists.explode().dropna()
-        vc = ex.value_counts()
-        rows_u = pd.DataFrame({"w1": vc.index, "w2": "", "c": vc.to_numpy()})
-        # vectorized bigram counts: flatten with doc boundaries masked
-        flat = ex.to_numpy(dtype=object)
-        doc_of = pd.Index(df.index).get_indexer(ex.index)
-        if flat.size > 1:
-            same = doc_of[1:] == doc_of[:-1]
-            b = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
-            gb = b.groupby(["w1", "w2"], sort=False).size().reset_index()
-            gb.columns = ["w1", "w2", "c"]
-        else:
-            gb = pd.DataFrame({"w1": [], "w2": [], "c": []})
-        return pd.concat([rows_u, gb], ignore_index=True)
-
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    agg = parts.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
-    uni = agg[agg["w2"] == ""].set_index("w1")["c"]
-    bi = agg[agg["w2"] != ""].copy()
-    bi = bi[bi["c"] >= 5]
-    n = np.int64(agg.loc[agg["w2"] != "", "c"].sum())  # total bigram count
-    bi["ca"] = uni.loc[bi["w1"]].to_numpy(np.int64)
-    bi["cb"] = uni.loc[bi["w2"]].to_numpy(np.int64)
-    cab = bi["c"].to_numpy(np.int64)
-    bi["lift"] = (n * cab) / (bi["ca"].to_numpy(np.int64) * bi["cb"].to_numpy(np.int64))
-    bi = bi.sort_values(["lift", "w1", "w2"], ascending=[False, True, True]).head(20)
-    out = bi.rename(columns={"c": "cab"})[["w1", "w2", "cab", "ca", "cb", "lift"]]
-    return out.reset_index(drop=True)
+    return _colloc(ds, k=20, min_support=5)
 
 
 # --- Kaplan-Meier conversion survival (eventops.km_survival) ------------------
