@@ -165,8 +165,47 @@ def detect_heavy_convs(paths, threshold: int, key: str = "conv_id",
     return heavy, succ_map
 
 
+#: stage-1 emits ``n_tasks x (n_parts + 2)`` object refs; beyond this
+#: many the driver's per-ref bookkeeping (submission latency + ref-table
+#: memory, measured in BASELINE.md "ref fan-out" table) outweighs the
+#: extra read parallelism, so files coalesce into groups. The floor of
+#: session-CPU groups keeps stage-1 parallelism intact either way.
+DEFAULT_MAX_STAGE1_REFS = 262_144
+
+
+def _coalesce_paths(paths, n_parts: int, max_stage1_refs: int | None,
+                    min_groups: int | None = None) -> list[list[str]]:
+    """Bound stage 1's object-ref fan-out (VERDICT r4 "at-scale design
+    risk"): with ``n_files x n_parts`` refs past ``max_stage1_refs``,
+    hash-free CONTIGUOUS grouping of the path list (preserves any
+    time/key ordering of the input layout for locality) shrinks the ref
+    matrix to ``n_groups x n_parts``. Grouping never changes results:
+    stage 2 concatenates per-partition chunks across tasks and every
+    per-task artifact (counts, order-independent checksums, donors
+    under GLOBAL heavy_info) is a commutative merge — pinned by
+    test_exchange_coalesce byte-identity.
+
+    ``min_groups`` (default: session CPUs) floors stage-1 parallelism;
+    when the floor wins, refs = min_groups x n_parts > max_stage1_refs
+    by design (parallelism is worth more than the last refs)."""
+    if max_stage1_refs is None or len(paths) * n_parts <= max_stage1_refs:
+        return [[p] for p in paths]
+    if min_groups is None:
+        import ray as _ray
+
+        min_groups = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
+        )
+    n_groups = max(1, max_stage1_refs // max(n_parts, 1))
+    n_groups = min(len(paths), max(n_groups, min(min_groups, len(paths))))
+    chunks = np.array_split(np.arange(len(paths)), n_groups)
+    return [[paths[i] for i in ch] for ch in chunks if len(ch)]
+
+
 def _split_one(
-    path: str,
+    path: str | list[str],
     columns: list[str],
     n_parts: int,
     key: str,
@@ -180,7 +219,14 @@ def _split_one(
     import time as _time
 
     _cpu0 = _time.process_time()
-    tbl = pq.read_table(path, columns=columns)
+    if isinstance(path, (list, tuple)):
+        # coalesced file-group (ref fan-out bound): one task reads the
+        # whole group; all downstream per-task state merges commutatively
+        tbl = pa.concat_tables(
+            [pq.read_table(p, columns=columns) for p in path]
+        )
+    else:
+        tbl = pq.read_table(path, columns=columns)
     prep = prepare_turns(
         tbl, key=key, ts_col=ts_col, order_col=order_col,
         tool_col=tool_col, n_parts=n_parts,
@@ -389,13 +435,14 @@ def _durable_publish(tmp: str, dst: str) -> None:
 def _stage1(
     paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
     decide_parts, only_parts, salt_turn_threshold, salt_window_us,
-    heavy_info,
+    heavy_info, max_stage1_refs=DEFAULT_MAX_STAGE1_REFS,
 ):
     """Shared stage-1 orchestration for BOTH exchange variants (r4
     review: the fused and unfused paths had drifted copies — one
     fingerprint/salting fix must land in both by construction). Returns
     ``(refmat, input_rows_by_part, input_chk_by_part, parts,
-    stage1_cpu_ms)``."""
+    stage1_cpu_ms)``. ``refmat`` has one row per file GROUP (see
+    :func:`_coalesce_paths`), not per file."""
     import ray as _ray
 
     _validate_salt_window(salt_turn_threshold, salt_window_us, tiers)
@@ -404,16 +451,20 @@ def _stage1(
     else:
         cols = columns
     if salt_turn_threshold and heavy_info is None:
+        # detection is GLOBAL (set + succession map), so grouping below
+        # cannot change which convs salt or where donors route
         heavy_info = detect_heavy_convs(
             paths, salt_turn_threshold, key=key, ts_col=ts_col,
             window_us=salt_window_us,
         )
     heavy_ref = _ray.put(heavy_info) if heavy_info is not None else None
+    groups = _coalesce_paths(paths, n_parts, max_stage1_refs)
     split = _ray.remote(num_returns=n_parts + 2)(_split_one)
     refmat = [
-        split.remote(p, cols, n_parts, key, ts_col, order_col, tool_col,
+        split.remote(g[0] if len(g) == 1 else list(g), cols, n_parts, key,
+                     ts_col, order_col, tool_col,
                      salt_turn_threshold, salt_window_us, heavy_ref)
-        for p in paths
+        for g in groups
     ]
     counts_raw = np.stack(_ray.get([r[n_parts] for r in refmat]))
     stage1_cpu_ms = int(counts_raw[:, n_parts].sum())
@@ -528,6 +579,7 @@ def rollup_exchange_fused(
     stage2_num_cpus: float = 1,
     heavy_info=None,
     on_part_done=None,
+    max_stage1_refs: int | None = DEFAULT_MAX_STAGE1_REFS,
 ):
     """Fused exchange: stage 1 split, stage 2 build+encode+write per
     partition. Returns ``(stats_rows, input_rows_by_part)`` where
@@ -544,12 +596,13 @@ def rollup_exchange_fused(
     refmat, input_rows_by_part, input_chk_by_part, parts, stage1_cpu_ms = _stage1(
         paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
         decide_parts, None, salt_turn_threshold, salt_window_us, heavy_info,
+        max_stage1_refs,
     )
     build = _ray.remote(num_cpus=stage2_num_cpus)(_build_write_part)
     stat_refs = [
         build.remote(
             tiers, gapfill, dedup, out_dir, write_blocks,
-            *[refmat[f][p] for f in range(len(paths))],
+            *[refmat[f][p] for f in range(len(refmat))],
         )
         for p in parts
     ]
@@ -595,6 +648,7 @@ def rollup_exchange(
     salt_turn_threshold: int | None = None,
     salt_window_us: int = 7 * 86_400_000_000,
     heavy_info=None,
+    max_stage1_refs: int | None = DEFAULT_MAX_STAGE1_REFS,
 ):
     """Two-stage exchange rollup.
 
@@ -608,13 +662,13 @@ def rollup_exchange(
     refmat, input_rows_by_part, input_chk_by_part, parts, _cpu_ms = _stage1(
         paths, tiers, n_parts, key, ts_col, order_col, tool_col, columns,
         decide_parts, only_parts, salt_turn_threshold, salt_window_us,
-        heavy_info,
+        heavy_info, max_stage1_refs,
     )
     build = ray.remote(_build_part)
     # every scheduled part has input rows (parts ⊆ input_rows_by_part), so
     # no build returns an empty/None table
     nested_refs = [
-        build.remote(tiers, gapfill, dedup, *[refmat[f][p] for f in range(len(paths))])
+        build.remote(tiers, gapfill, dedup, *[refmat[f][p] for f in range(len(refmat))])
         for p in parts
     ]
     import ray.data as rd
