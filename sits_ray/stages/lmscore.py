@@ -162,7 +162,8 @@ def corpus_bigram_counts(ds, text_col: str = "text", n_parts: int = 32):
 
 
 def bigram_nll(ds, bi: pd.DataFrame, uni: pd.DataFrame,
-               text_col: str = "text", id_col: str = "doc_id"):
+               text_col: str = "text", id_col: str = "doc_id",
+               max_broadcast_bigrams: int = 2_000_000):
     """Per-document mean bigram NLL with add-one smoothing:
     ``P(w | prev) = (c2(prev, w) + 1) / (c1(prev) + V)`` — the KenLM-lite
     quality signal one rung above :func:`unigram_nll` (context-aware:
@@ -173,26 +174,50 @@ def bigram_nll(ds, bi: pd.DataFrame, uni: pd.DataFrame,
     through math.log on the bounded DISTINCT-bigram driver table, and
     the per-doc fold accumulates sequentially in position order — the
     unigram_nll ordered-fold contract, replayed by the SQL twin's
-    list_reduce. The broadcast is the distinct-bigram table (bounded by
-    corpus bigram diversity; floor rare bigrams at true corpus scale)."""
+    list_reduce.
+
+    Broadcast bound (VERDICT r4 watch item): below
+    ``max_broadcast_bigrams`` distinct bigrams the full table ships and
+    scores are EXACT (the bench/gate path). Past it — open-vocabulary
+    web corpora, where distinct bigrams grow superlinearly in the
+    unigram vocabulary — the table is pruned KenLM-style to the top-K
+    bigrams under the deterministic total order (cnt desc, pair asc),
+    and every pruned or unseen bigram backs off to the smoother's
+    unseen mass ``P(w | prev) = 1 / (c1(prev) + V)``, which needs only
+    the unigram marginals (Heaps-bounded). Worker state is then
+    O(K + vocab) regardless of corpus size; pruning is the documented
+    approximation (a dropped bigram with true count c scores as if
+    c = 0). Docs whose bigrams are all kept score bit-identically to
+    the exact path (pinned by test_lmscore_cap)."""
     import math
 
     c1 = {t: int(c) for t, c in zip(uni["token"], uni["cnt"])}
     v = len(c1)
+    if len(bi) > max_broadcast_bigrams:
+        bi = (bi.sort_values(["cnt", "pair"], ascending=[False, True])
+                .head(max_broadcast_bigrams))
+        # backoff needs log(1/(c1(prev)+V)) per PREV token only; the
+        # literal 1/(c+v) ratio (NOT -log(c+v) — off by an ulp when
+        # 1/(c+v) is inexact) keeps it on the same float tree as the
+        # kept-bigram terms
+        back = {t: math.log(1 / (c + v)) for t, c in c1.items()}
+    else:
+        back = None
     logp = {
         p: math.log((int(c) + 1) / (c1[p.split(" ", 1)[0]] + v))
         for p, c in zip(bi["pair"], bi["cnt"])
     }
-    ref = ray.put(logp)
+    ref = ray.put((logp, back))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         cache = _lut_cache()
         key = ref.hex()
-        lut = cache.get(key)
-        if lut is None:
+        got = cache.get(key)
+        if got is None:
             while len(cache) >= 4:
                 cache.pop(next(iter(cache)))
-            lut = cache[key] = ray.get(ref)
+            got = cache[key] = ray.get(ref)
+        lut, backoff = got
         toks = df[text_col].str.lower().str.findall(_TOKEN_RE)
         ids = df[id_col].to_numpy()
         lens = toks.str.len().to_numpy(dtype=np.int64)
@@ -200,8 +225,20 @@ def bigram_nll(ds, bi: pd.DataFrame, uni: pd.DataFrame,
         out_id = ids[keep]
         out_n = lens[keep]
         flats = []
-        for ts in toks[keep]:
-            flats.extend(lut[a + " " + b] for a, b in zip(ts[:-1], ts[1:]))
+        if backoff is None:
+            # exact path: every corpus bigram is in the table (loud
+            # KeyError otherwise — foreign counts must not score 0)
+            for ts in toks[keep]:
+                flats.extend(
+                    lut[a + " " + b] for a, b in zip(ts[:-1], ts[1:])
+                )
+        else:
+            # pruned path: missing bigram -> the add-one unseen mass
+            # log(1/(c1(prev)+V)); prev itself unseen stays a KeyError
+            for ts in toks[keep]:
+                for a, b in zip(ts[:-1], ts[1:]):
+                    p = lut.get(a + " " + b)
+                    flats.append(backoff[a] if p is None else p)
         flat = np.asarray(flats, dtype=np.float64)
         nb = out_n - 1
         offs = np.concatenate([[0], np.cumsum(nb)])

@@ -496,3 +496,51 @@ def test_readability_orders_simple_before_complex(ray_session):
     # simple repeated monosyllables vs long latinate words
     out = QUERIES["readability_scores"]("/root/testdata/sf0.001")
     assert len(out.to_pandas() if hasattr(out, "to_pandas") else out) > 0
+
+
+def test_bigram_nll_forced_cap(ray_session):
+    """Broadcast bound (VERDICT r4 watch item): with
+    max_broadcast_bigrams forcing a prune, (a) kept-only docs score
+    bit-identically to the exact path, (b) pruned bigrams back off to
+    the add-one unseen mass 1/(c1(prev)+V), matching a scalar replay of
+    the PRUNED model."""
+    import math
+
+    import ray.data as rd
+    from collections import Counter
+
+    from sits_ray.stages.lmscore import (bigram_nll, corpus_bigram_counts,
+                                         corpus_unigram_counts)
+
+    # 'the cat' is frequent (kept under any top-K); 'dogs bark' is rare
+    docs = ["the cat sat", "the cat ran", "the cat sat", "dogs bark run"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                                      "text": docs}))
+    uni, _ = corpus_unigram_counts(ds)
+    bi = corpus_bigram_counts(ds)
+    exact = (bigram_nll(ds, bi, uni).to_pandas()
+             .sort_values("doc_id").set_index("doc_id"))
+    capped = (bigram_nll(ds, bi, uni, max_broadcast_bigrams=3).to_pandas()
+              .sort_values("doc_id").set_index("doc_id"))
+
+    # deterministic top-3 cut (cnt desc, pair asc)
+    kept = set(bi.sort_values(["cnt", "pair"], ascending=[False, True])
+                 .head(3)["pair"])
+    toks = [d.split() for d in docs]
+    c1 = Counter(w for t in toks for w in t)
+    c2 = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    v = len(c1)
+    for did, t in enumerate(toks):
+        pairs = list(zip(t, t[1:]))
+        acc = 0.0
+        for a, b in pairs:
+            if f"{a} {b}" in kept:
+                acc += -math.log((c2[(a, b)] + 1) / (c1[a] + v))
+            else:
+                acc += -math.log(1 / (c1[a] + v))
+        assert capped.loc[did, "nll"] == acc / len(pairs)
+        if all(f"{a} {b}" in kept for a, b in pairs):
+            assert capped.loc[did, "nll"] == exact.loc[did, "nll"]
+    # pruned docs must score WORSE than exact (mass removed)
+    assert (capped["nll"] >= exact["nll"]).all()
+    assert (capped["nll"] > exact["nll"]).any()
