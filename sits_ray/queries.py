@@ -3235,8 +3235,9 @@ def simhash_poly(sf_dir):
     algorithm shape, as charshingle_near_dups does for MinHash): 16-bit
     signatures over polynomial token hashes, weights = token counts.
     Vectorized batch kernel (one fingerprint_batch over unique tokens +
-    one reduceat); production 64-bit blake2b SimHash stays in
-    stages/dedup.SimHashStage."""
+    one reduceat); the production 64-bit md5 SimHash
+    (stages/dedup.SimHashStage) is itself SQL-exact since r5
+    (simhash_signatures)."""
     from sits_ray.kernels.text import simhash_poly_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3317,17 +3318,167 @@ def shuffle_order_docs(sf_dir):
 
 
 # --- near-dup: MinHash + LSH / SimHash -------------------------------------
-@q("minhash_near_dups")
+_M64 = "18446744073709551616"
+_U64MAX = "18446744073709551615"
+
+
+def _mm64(x: str, r: int) -> str:
+    """(x * r) mod 2^64 as ubigint — the numpy uint64 wraparound multiply.
+    hugeint is SIGNED int128, so a full u64*u64 product overflows; split
+    the variable operand 32/32: ``x*r mod 2^64 = (lo(x)*r +
+    ((hi(x)*r mod 2^32) << 32)) mod 2^64`` — every intermediate < 2^97."""
+    lo = f"cast(({x}) & 4294967295 as hugeint)"
+    hi = f"cast(({x}) >> 32 as hugeint)"
+    return (f"cast(({lo} * {r} + (({hi} * {r}) % 4294967296)"
+            f" * 4294967296) % {_M64} as ubigint)")
+
+
+def _minhash_md5_sql(n_perm: int = 64, bands: int = 16, k: int = 3,
+                     max_bucket: int = 128,
+                     threshold: float = 0.8) -> str:
+    """DuckDB twin of the PRODUCTION minhash_dedup path (rows-only until
+    r5; converted by the md5 token-hash switch — stages/dedup._token_hash):
+    md5-u64 token hash, XOR of position-multiplied token hashes mod 2^64
+    per k-window (shorter docs fold all tokens), the engine's seeded
+    affine permutations (literal VALUES) with uint64-wraparound a*s+b
+    then the one-round Mersenne-61 shift-add fold, min per perm, XOR-
+    multiply band hashes viewed as int64, the band_pairs smallest-ids
+    bucket cap, distinct candidate pairs, exact word-3-shingle Jaccard
+    verify >= threshold, and the engine's empty-result sentinel row."""
+    from sits_ray.stages.dedup import _SHINGLE_R, MinHasher
+
+    mh = MinHasher(n_perm=n_perm, k=k)
+    perm_vals = ", ".join(
+        f"({j}, {int(mh.a[j])}, {int(mh.b[j])})" for j in range(n_perm)
+    )
+    R = [int(v) for v in _SHINGLE_R]
+    r = n_perm // bands
+    p = (1 << 61) - 1
+    band_terms = [
+        _mm64(f"max(case when perm_id % {r} = {j} then sig end)", R[j % 8])
+        for j in range(r)
+    ]
+    bh = band_terms[0]
+    for t in band_terms[1:]:
+        bh = f"xor({bh}, {t})"
+    thr = repr(float(threshold))
+    return f"""
+with tok as (
+  select doc_id, unnest(l) as w, generate_subscripts(l, 1) as i,
+         len(l) as L
+  from (select doc_id, regexp_extract_all(lower(text), '\\w+') as l
+        from documents)),
+tokh as (
+  select w, cast(concat('0x', substr(md5(w), 1, 16)) as ubigint) as h
+  from (select distinct w from tok)),
+th as (
+  select t.doc_id, t.i, t.L, k2.h,
+         lead(k2.h, 1) over (partition by t.doc_id order by t.i) as h1,
+         lead(k2.h, 2) over (partition by t.doc_id order by t.i) as h2
+  from tok t join tokh k2 using (w)),
+sh as (
+  -- long docs: one shingle per k-window
+  select doc_id,
+         xor(xor({_mm64('h', R[0])}, {_mm64('h1', R[1])}),
+             {_mm64('h2', R[2])}) as s
+  from th where L >= {k} and h2 is not null
+  union all
+  -- short non-empty docs: ONE shingle folding all tokens
+  select doc_id,
+         case when L = 1 then {_mm64('h', R[0])}
+              else xor({_mm64('h', R[0])}, {_mm64('h1', R[1])}) end as s
+  from th where L < {k} and i = 1),
+perm(perm_id, a, b) as (select * from (values {perm_vals}) v),
+pv as (
+  select sh.doc_id, perm.perm_id,
+         cast((cast(a as hugeint) * cast(s as hugeint) + b) % {_M64}
+              as ubigint) as v
+  from sh cross join perm),
+sig0 as (
+  select doc_id, perm_id,
+         min(case when (v & {p}) + (v >> 61) >= {p}
+                  then (v & {p}) + (v >> 61) - {p}
+                  else (v & {p}) + (v >> 61) end) as sig
+  from pv group by 1, 2),
+sigf as (
+  select d.doc_id, pm.perm_id,
+         coalesce(s0.sig, cast({_U64MAX} as ubigint)) as sig
+  from documents d cross join perm pm
+  left join sig0 s0 on s0.doc_id = d.doc_id and s0.perm_id = pm.perm_id),
+bandh as (
+  select doc_id, perm_id // {r} as band_id, {bh} as bhu
+  from sigf group by doc_id, band_id),
+bint as (
+  select doc_id, band_id,
+         case when bhu >= 9223372036854775808
+              then cast(cast(bhu as hugeint) - {_M64} as bigint)
+              else cast(bhu as bigint) end as band_hash
+  from bandh),
+capped as (
+  select * from (
+    select band_id, band_hash, doc_id,
+           row_number() over (partition by band_id, band_hash
+                              order by doc_id) as rn
+    from bint)
+  where rn <= {max_bucket}),
+pairs as (
+  select distinct x.doc_id as doc_a, y.doc_id as doc_b
+  from capped x join capped y
+    on x.band_id = y.band_id and x.band_hash = y.band_hash
+       and x.doc_id < y.doc_id),
+wl as (select doc_id, regexp_extract_all(lower(text), '\\w+') as l
+       from documents),
+shs as (
+  select distinct doc_id, s from (
+    select doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] as s
+    from wl, unnest(range(1, len(l) - 1)) as u(i)
+    where len(l) >= {k}
+    union all
+    select doc_id, array_to_string(l, ' ') as s
+    from wl where len(l) > 0 and len(l) < {k})),
+cnts as (select doc_id, cast(count(*) as bigint) as ns
+         from shs group by 1),
+iv as (select p2.doc_a, p2.doc_b, cast(count(*) as bigint) as inter
+       from pairs p2
+       join shs a on a.doc_id = p2.doc_a
+       join shs b on b.doc_id = p2.doc_b and b.s = a.s
+       group by 1, 2),
+res as (
+  select p2.doc_a, p2.doc_b,
+         coalesce(ca.ns, 0) as na, coalesce(cb.ns, 0) as nb,
+         coalesce(iv.inter, 0) as inter
+  from pairs p2
+  left join iv on iv.doc_a = p2.doc_a and iv.doc_b = p2.doc_b
+  left join cnts ca on ca.doc_id = p2.doc_a
+  left join cnts cb on cb.doc_id = p2.doc_b),
+fin as (
+  select doc_a, doc_b,
+         case when na + nb = 0 then 1.0e0
+              else cast(inter as double)
+                   / cast(na + nb - inter as double) end as jaccard
+  from res)
+select doc_a, doc_b, jaccard from fin where jaccard >= {thr}
+union all
+select cast(-1 as bigint), cast(-1 as bigint), 0.0e0
+where not exists (select 1 from fin where jaccard >= {thr})
+"""
+
+
+@q("minhash_near_dups", _minhash_md5_sql())
 def minhash_near_dups(sf_dir):
     """MinHash+LSH near-duplicate pairs verified by 3-gram Jaccard >= 0.8
     (shingle->minhash->band->bucket groupby; text never crosses the
-    shuffle). Rows-only driver check; recall pinned in tests/test_dedup.py
+    shuffle). SQL-EXACT since r5 (was rows-only): the md5 token-hash
+    switch makes the full production chain — 64-bit hashes, uint64-
+    wraparound shingle combine, Mersenne-61 affine min-perms, band
+    hashes, bucket caps, Jaccard verify — replayable in DuckDB
+    (_minhash_md5_sql). Recall additionally pinned in tests/test_dedup.py
     on constructed duplicates."""
     from sits_ray.stages.dedup import minhash_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = minhash_dedup(ds, threshold=0.8)
-    # always emit at least a sentinel row so the rows-only check is stable
+    # always emit at least a sentinel row so the check is stable
     pdf = out.to_pandas()
     if pdf.empty:
         pdf = pd.DataFrame({"doc_a": [-1], "doc_b": [-1], "jaccard": [0.0]})
@@ -3407,8 +3558,8 @@ def minhash_poly_pairs(sf_dir):
     -> band hash -> capped bucket pairs — the way simhash_poly certifies
     SimHash and charshingle_near_dups certifies the verify step): 16
     perms / 4 bands over polynomial token hashes. The production 64-bit
-    blake2b path stays in stages/dedup.MinHashStage (rows-only
-    minhash_near_dups). Same scale shape as the production path: text
+    md5 path (stages/dedup.MinHashStage) is itself SQL-exact since r5
+    (minhash_near_dups). Same scale shape as the production path: text
     never shuffles, O(n_parts) groups via band_pairs/hashagg."""
     from sits_ray.stages.dedup import band_pairs, poly_band_rows
 
@@ -3485,7 +3636,8 @@ def simhash_poly_dups_q(sf_dir):
     certifies bucketing + Hamming verify): 32-bit polynomial SimHash,
     4 x 8-bit chunk LSH (pigeonhole-complete for radius < bands),
     capped buckets, distributed signature joins, popcount-LUT verify.
-    Production 64-bit blake2b SimHash stays rows-only."""
+    The production 64-bit md5 SimHash is itself SQL-exact since r5
+    (simhash_signatures)."""
     from sits_ray.stages.dedup import simhash_poly_dups
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3512,12 +3664,59 @@ def embedding_near_dups_q(sf_dir):
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-@q("simhash_signatures")
+def _simhash_md5_sql() -> str:
+    """DuckDB twin of the PRODUCTION SimHashStage (rows-only until r5;
+    converted by the md5 token-hash switch): per-(doc, token) occurrence
+    counts, md5-u64 token hashes on the DISTINCT vocabulary, the 64
+    per-bit +/-count sums (occurrence-weighted, exactly the stage's
+    reduceat over token rows), sign-pack to a ubigint signature (empty
+    docs -> 0), and the four 16-bit chunk columns."""
+    sums = ",\n         ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then cnt else -cnt end) as b{j}"
+        for j in range(64)
+    )
+    pack = " + ".join(
+        f"(case when b{j} > 0 then cast({1 << j} as hugeint)"
+        f" else cast(0 as hugeint) end)"
+        for j in range(64)
+    )
+    chunks = ",\n       ".join(
+        f"cast((sig >> {16 * c}) & 65535 as bigint) as chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+with tok as (
+  select doc_id, w, cast(count(*) as bigint) as cnt
+  from (select doc_id,
+               unnest(regexp_extract_all(lower(text), '\\w+')) as w
+        from documents)
+  group by 1, 2),
+tokh as (
+  select w, cast(concat('0x', substr(md5(w), 1, 16)) as ubigint) as h
+  from (select distinct w from tok)),
+bs as (
+  select t.doc_id,
+         {sums}
+  from tok t join tokh k using (w)
+  group by 1),
+sigs as (
+  select d.doc_id,
+         cast(coalesce({pack}, 0) as ubigint) as sig
+  from documents d left join bs using (doc_id))
+select doc_id, sig as simhash,
+       {chunks}
+from sigs
+"""
+
+
+@q("simhash_signatures", _simhash_md5_sql())
 def simhash_signatures(sf_dir):
     """64-bit SimHash signatures + 16-bit bucket chunks per document.
     Plain tasks with the per-worker stage cache (stages/dedup._simhash_rows)
     — the stage state is an incremental token cache, and the actor pool's
-    per-call spin-up was the measured dominant cost."""
+    per-call spin-up was the measured dominant cost. SQL-EXACT since r5
+    (was rows-only): md5 token hashes make the occurrence-weighted
+    per-bit sums and sign-pack replayable in DuckDB (_simhash_md5_sql)."""
     from sits_ray.stages.dedup import _simhash_rows
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -5873,8 +6072,8 @@ where cast(inter as double) / cast(na + nb - inter as double) >= 0.6
 def charshingle_near_dups(sf_dir):
     """Deterministic near-dup pairs: min-char-5-shingle blocking + EXACT
     n-gram Jaccard >= 0.6 (stages/dedup.charshingle_dedup). The SQL-
-    mechanizable member of the dedup family (MinHash/SimHash hash with
-    blake2b and can't have a DuckDB oracle); same distributed shape —
+    mechanizable member of the dedup family (and since r5 the md5-hash
+    switch made MinHash/SimHash oracle-able too); same distributed shape —
     text never shuffles for blocking, candidate texts return via hash
     joins."""
     return _charshingle_pairs(sf_dir)

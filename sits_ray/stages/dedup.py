@@ -65,7 +65,14 @@ _SHINGLE_R = np.array(
 
 
 def _token_hash(tok: str) -> int:
-    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+    """64-bit token hash = first 8 bytes of md5, big-endian. md5 (not
+    blake2b, r5 change) because DuckDB ships ``md5()``: the ENTIRE
+    production MinHash/SimHash chain is then SQL-replayable
+    (``cast(concat('0x', substr(md5(w),1,16)) as ubigint)`` — the
+    minhash_near_dups / simhash_signatures oracles), converting both
+    from rows-only to bit-exact gate rows. As an LSH mixer md5 and
+    blake2b are equivalent; security is irrelevant here."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
 
 
 def _combine_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
@@ -132,9 +139,7 @@ def simhash64(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        )
+        h = np.uint64(_token_hash(t))
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
@@ -716,9 +721,7 @@ class SimHashStage:
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
+                h = _token_hash(t)
                 cache[t] = h
             out[i] = h
         return out
