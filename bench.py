@@ -245,6 +245,25 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     ).count()
     series_family_sec = time.perf_counter() - t0
 
+    # SECOND flagship-scale pipeline (VERDICT r4 #7): the LLM-curation
+    # chain — quality gate -> char-shingle near-dup blocking -> exact
+    # Jaccard verify -> connected components -> keep list — so dedup-
+    # family regressions move a headline number, not just the sweep.
+    # Same protocol as the flagship: two runs, MIN reported; runs in
+    # the --scaling legs too (its own two-leg efficiency below).
+    from sits_ray.queries import QUERIES
+
+    curation_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    curation_runs = []
+    curation_kept = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        curation_kept = _consume(QUERIES["curation_keep_docs"](sf_dir))
+        curation_runs.append(round(time.perf_counter() - t0, 3))
+    curation_sec = min(curation_runs)
+
     # per-query protocol mirrors the flagship's: run twice, report the
     # MIN, record both — single cold runs were dominated by session
     # warm-up and the host's contention windows, not engine cost.
@@ -252,8 +271,6 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     queries: dict[str, float] = {}
     query_runs: dict[str, list] = {}
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
-        from sits_ray.queries import QUERIES
-
         for name in BENCH_QUERIES:
             pair = []
             for _ in range(2):
@@ -266,6 +283,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     phases = {
         **res.get("phases", {}),
         "series_family_decode_smooth_1h": round(series_family_sec, 2),
+        "curation_chain": round(curation_sec, 3),
     }
     # worker CPU seconds / (wall * cpus): how much of the wall the workers
     # actually computed — the scaling audit signal (a flat per-task CPU
@@ -287,6 +305,9 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         "cpu_efficiency": round(cpu_total / (flagship_sec * ncpu), 3) if cpu_total else None,
         "phases": phases,
         "series_family_rows_per_sec": round(smoothed_rows / series_family_sec),
+        "curation_docs_per_sec": round(curation_docs / curation_sec),
+        "curation_runs": curation_runs,
+        "curation_kept_docs": curation_kept,
     }
     ray.shutdown()
     return out
@@ -315,6 +336,8 @@ def run_scaling(sf_dir: str) -> dict:
     r_lo, r_hi = one(lo), one(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    c_lo = r_lo["phases"].get("curation_chain")
+    c_hi = r_hi["phases"].get("curation_chain")
     return {
         "metric": f"scaling efficiency (N={lo} vs 4N={hi} cpus, same input, fresh processes)",
         f"sec_{lo}": t_lo,
@@ -322,6 +345,12 @@ def run_scaling(sf_dir: str) -> dict:
         f"throughput_{lo}": r_lo["points_per_sec"],
         f"throughput_{hi}": r_hi["points_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # second headline (curation chain): its own two-leg efficiency
+        "curation_scaling_efficiency": (
+            round((c_lo / c_hi) / (hi / lo), 3) if c_lo and c_hi else None
+        ),
+        f"curation_docs_per_sec_{lo}": r_lo.get("curation_docs_per_sec"),
+        f"curation_docs_per_sec_{hi}": r_hi.get("curation_docs_per_sec"),
         "sf": r_lo["sf"],
         "phases_lo": r_lo.get("phases", {}),
         "phases_hi": r_hi.get("phases", {}),
