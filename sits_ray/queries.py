@@ -14005,3 +14005,143 @@ def adoption_latency_deciles_q(sf_dir):
 
     return adoption_latency_deciles(
         _events(sf_dir, columns=["user_id", "ts", "event_type"]))
+
+
+# --- multi-year timeline matching + circular alignment (r5, VERDICT #8) -------
+@q(
+    "timeline_match_segments",
+    """
+with dc as (
+  select epoch_us(o_orderdate) // 86400000000 as day,
+         cast(count(*) as bigint) as cnt
+  from orders group by 1),
+tl as (select day, cnt,
+              row_number() over (order by day) - 1 as idx
+       from dc),
+yrs as (select distinct year(date '1970-01-01' + cast(day as integer)) as y
+        from tl),
+refs(m, dd) as (select * from (values (2, 29), (9, 1)) v),
+cand as (
+  -- each reference (month, day) projected into EVERY timeline year,
+  -- day clamped to that year's month length (Feb 29 -> Feb 28 in
+  -- non-leap years) — the .timeline_match multi-year rule
+  select date_diff('day', date '1970-01-01',
+                   make_date(y, m, cast(least(
+                     dd, day(last_day(make_date(y, m, 1)))) as integer)))
+         as cdn
+  from yrs cross join refs),
+near as (
+  select c.cdn, t.idx,
+         row_number() over (partition by c.cdn
+                            order by abs(t.day - c.cdn), t.idx) as rk
+  from cand c cross join tl t),
+matched as (select distinct idx from near where rk = 1),
+seg as (
+  select t.day, t.cnt,
+         (select cast(count(*) as bigint) from matched m
+          where m.idx <= t.idx) as segment
+  from tl t)
+select segment,
+       cast(min(day) as bigint) as start_day,
+       cast(max(day) as bigint) as end_day,
+       cast(count(*) as bigint) as n_days,
+       cast(sum(cnt) as bigint) as n_orders
+from seg group by 1
+order by segment
+""",
+)
+def timeline_match_segments(sf_dir):
+    """Multi-year reference-break segmentation of the order calendar —
+    the e2e form of ``.timeline_match`` (timeline.py:165; reference
+    ``R/api_timeline.R:116-170``): each reference (month, day) projects
+    into EVERY year the 1995-2001 timeline spans (Feb 29 clamps to the
+    year's month length), the nearest timeline entry per projection
+    becomes a break (ties -> first index, = np.argmin), and the daily
+    order-count series splits into segments at the matched breaks
+    (segment of index j = breaks <= j). One bounded calendar census
+    (day-keyed, O(calendar) driver state), all integers — SQL-exact."""
+    import datetime as _dt
+
+    from sits_ray.timeline import timeline_match
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": g.index.to_numpy(np.int64),
+                             "cnt": g.to_numpy(np.int64)})
+
+    c = (ds.map_batches(census, batch_format="pandas").to_pandas()
+           .groupby("day", sort=True)["cnt"].sum().reset_index())
+    days = c["day"].to_numpy(np.int64)
+    cnts = c["cnt"].to_numpy(np.int64)
+    epoch = _dt.date(1970, 1, 1)
+    timeline = [epoch + _dt.timedelta(days=int(d)) for d in days]
+    # (2, 29) exercises the month-length clamp; year 2000 is only the
+    # carrier (the matcher uses month/day)
+    refs = [_dt.date(2000, 2, 29), _dt.date(2000, 9, 1)]
+    brk = np.asarray(timeline_match(timeline, refs), np.int64)
+    seg = np.searchsorted(brk, np.arange(days.size), side="right")
+    out = pd.DataFrame({"segment": seg, "day": days, "cnt": cnts})
+    g = out.groupby("segment", sort=True)
+    return pd.DataFrame({
+        "segment": np.asarray(list(g.groups), np.int64),
+        "start_day": g["day"].min().to_numpy(np.int64),
+        "end_day": g["day"].max().to_numpy(np.int64),
+        "n_days": g.size().to_numpy(np.int64),
+        "n_orders": g["cnt"].sum().to_numpy(np.int64),
+    })
+
+
+@q(
+    "align_circular_daily",
+    """
+with dc as (
+  select epoch_us(ts) // 86400000000 as day,
+         cast(count(*) as bigint) as cnt
+  from events group by 1),
+tl as (select day, cnt,
+              row_number() over (order by day) - 1 as idx
+       from dc),
+sh as (select idx as s from tl order by cnt desc, idx asc limit 1),
+nn as (select cast(count(*) as bigint) as n from tl)
+select t.idx as pos, cast(t.day as bigint) as day,
+       t2.cnt as aligned_cnt
+from tl t
+join tl t2 on t2.idx = (t.idx + (select s from sh)) % (select n from nn)
+order by pos
+""",
+)
+def align_circular_daily(sf_dir):
+    """Circular calendar alignment of the daily event-volume series —
+    the e2e form of ``.tibble_align_dates`` (kernels/bayes.
+    align_dates_circular; reference ``R/api_tibble.R:176-224``): the
+    series rolls so its peak day (ties -> first, = np.argmax) lands at
+    position 0, i.e. aligned[pos] = cnt[(pos + shift) % n] — the same
+    modular rule the reference uses to align sample series to a
+    reference year. Bounded day census, all integers — SQL-exact."""
+    from sits_ray.kernels.bayes import align_dates_circular
+
+    ds = _events(sf_dir, columns=["ts"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": g.index.to_numpy(np.int64),
+                             "cnt": g.to_numpy(np.int64)})
+
+    c = (ds.map_batches(census, batch_format="pandas").to_pandas()
+           .groupby("day", sort=True)["cnt"].sum().reset_index())
+    days = c["day"].to_numpy(np.int64)
+    cnts = c["cnt"].to_numpy(np.int64)
+    shift = int(np.argmax(cnts))
+    rolled = align_dates_circular(cnts, shift)
+    return pd.DataFrame({
+        "pos": np.arange(days.size, dtype=np.int64),
+        "day": days,
+        "aligned_cnt": rolled.astype(np.int64),
+    })
