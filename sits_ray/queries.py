@@ -14145,3 +14145,57 @@ def align_circular_daily(sf_dir):
         "day": days,
         "aligned_cnt": rolled.astype(np.int64),
     })
+
+
+# --- exact phrase search (stages/retrieval.phrase_search_topk, r5) -----------
+_PHRASES = {1: ("table", "hash"), 2: ("merge", "group"),
+            3: ("slow", "key"), 4: ("part", "filter", "small")}
+
+
+def _phrase_sql(k: int = 10) -> str:
+    """DuckDB twin of phrase_search_topk: positional token table, one
+    adjacency self-join per extra phrase term, integer hit counts,
+    deterministic (n_hits desc, doc_id) top-k per phrase."""
+    parts = []
+    for pid, terms in sorted(_PHRASES.items()):
+        joins = "".join(
+            f" join tok t{j} on t{j}.doc_id = t0.doc_id"
+            f" and t{j}.i = t0.i + {j} and t{j}.w = '{terms[j]}'"
+            for j in range(1, len(terms))
+        )
+        parts.append(
+            f"select cast({pid} as bigint) as phrase_id, t0.doc_id,"
+            f" cast(count(*) as bigint) as n_hits"
+            f" from tok t0{joins} where t0.w = '{terms[0]}'"
+            f" group by 2"
+        )
+    body = " union all ".join(parts)
+    return f"""
+with tok as (
+  select doc_id, unnest(l) as w, generate_subscripts(l, 1) as i
+  from (select doc_id, regexp_extract_all(lower(text), '\\w+') as l
+        from documents)),
+hits as ({body})
+select phrase_id, doc_id, n_hits from hits
+qualify row_number() over (partition by phrase_id
+                           order by n_hits desc, doc_id asc) <= {k}
+order by phrase_id, n_hits desc, doc_id
+"""
+
+
+@q("phrase_search_topk", _phrase_sql())
+def phrase_search_topk_q(sf_dir):
+    """Exact multi-word phrase search: top-10 docs per phrase by
+    adjacent-token occurrence count (stages/retrieval.
+    phrase_search_topk) — the positional complement of bm25_topk and
+    the standard decontamination / quotation-mining primitive. One
+    stateless corpus pass; per-batch vectorized L-way shifted equality
+    over the flat token stream with doc-boundary masking; counts
+    finish in-batch (doc = one row), so per-batch top-k partials are a
+    provable superset and the driver merges O(phrases x blocks x k)
+    rows. All integer; SQL twin = positional adjacency self-joins."""
+    from sits_ray.stages.retrieval import phrase_search_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return phrase_search_topk(ds, _PHRASES, k=10)

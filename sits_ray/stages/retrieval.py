@@ -508,3 +508,89 @@ def rbo_type_rankings(events_ds, p: float = 0.9,
         "overlap_at_depth": np.int64(xd),
         "rbo": (1.0 - p) * acc,
     }])
+
+
+def phrase_search_topk(docs_ds, phrases: dict[int, tuple[str, ...]],
+                       k: int = 10, text_col: str = "text",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """Exact multi-word PHRASE search: top-``k`` docs per phrase by
+    adjacent-token occurrence count — the positional complement of
+    :func:`bm25_topk` (bag-of-words) and the standard decontamination /
+    quotation-mining primitive ("find documents containing this exact
+    sequence"). Reference analog: the sits workflow's exact
+    time-pattern matching (`sits_get_data` exact lookups) applied to
+    token positions.
+
+    Scale shape: ONE stateless map_batches pass — per batch the token
+    stream flattens once (doc boundaries masked, the collocations
+    window trick) and each phrase is a vectorized L-way shifted
+    equality AND over the flat array; a doc lives wholly in its row,
+    so per-(phrase, doc) counts FINISH inside the batch and a
+    per-batch top-k partial is a provable superset of the global
+    top-k. The driver merges O(phrases x blocks x k) rows. Counts are
+    integers; the total order (n_hits desc, doc_id asc) makes the cut
+    deterministic. Returns (phrase_id, doc_id, n_hits) sorted
+    (phrase_id, n_hits desc, doc_id)."""
+    if not phrases:
+        raise ValueError("empty phrase set")
+    for pid, terms in phrases.items():
+        if len(terms) < 1:
+            raise ValueError(f"phrase {pid} is empty")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"phrase_id": [], "doc_id": [], "n_hits": []}
+        toks = df[text_col].str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        out = {c: np.asarray([], dtype=np.int64) for c in cols}
+        if ex.empty:
+            return pd.DataFrame(out)
+        flat = ex.to_numpy(dtype=object)
+        doc_pos = pd.Index(df.index).get_indexer(ex.index)
+        ids = df[id_col].to_numpy()
+        n = flat.size
+        frames = []
+        for pid, terms in phrases.items():
+            L = len(terms)
+            if n < L:
+                continue
+            m = flat[: n - L + 1] == terms[0]
+            for j in range(1, L):
+                m &= flat[j: n - L + 1 + j] == terms[j]
+            # a window is a real phrase hit iff it ends inside the doc
+            # it starts in (the MinHashStage window-validity rule)
+            m &= doc_pos[: n - L + 1] == doc_pos[L - 1:]
+            hit_docs = doc_pos[: n - L + 1][m]
+            if hit_docs.size == 0:
+                continue
+            cnt = np.bincount(hit_docs, minlength=len(df))
+            nz = np.flatnonzero(cnt)
+            part = pd.DataFrame({
+                "phrase_id": np.full(nz.size, pid, dtype=np.int64),
+                "doc_id": ids[nz].astype(np.int64),
+                "n_hits": cnt[nz].astype(np.int64),
+            })
+            # per-batch top-k partial: counts are final (doc = one row)
+            part = part.sort_values(
+                ["n_hits", "doc_id"], ascending=[False, True]
+            ).head(k)
+            frames.append(part)
+        if not frames:
+            return pd.DataFrame(out)
+        return pd.concat(frames, ignore_index=True)
+
+    merged = _gather(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["phrase_id", "doc_id", "n_hits"],
+    )
+    if merged.empty:
+        return pd.DataFrame({
+            "phrase_id": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_hits": pd.Series([], dtype=np.int64),
+        })
+    out = (merged.sort_values(["phrase_id", "n_hits", "doc_id"],
+                              ascending=[True, False, True])
+                 .groupby("phrase_id", sort=True).head(k)
+                 .reset_index(drop=True))
+    out["phrase_id"] = out["phrase_id"].astype(np.int64)
+    return out

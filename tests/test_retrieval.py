@@ -284,3 +284,56 @@ def test_mmr_negative_pair_dots_not_clamped(ray_session):
     out = mmr_topk(ds, [0], pool=2, k=2)
     s2 = out.loc[out["step"] == 2].iloc[0]
     assert s2["mmr_score"] > s2["rel_dot"]  # negative maxsim ADDS
+
+
+def test_phrase_search_exact_counts(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.retrieval import phrase_search_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "New York is in new york state",   # 'new york' x2 (case fold)
+            "york new york",                   # x1 (not at start)
+            "new newyork york",                # 0 (no adjacency)
+            "a b a b a b a",                   # overlapping 'a b' x3
+        ],
+    })
+    out = phrase_search_topk(rd.from_pandas(docs),
+                             {1: ("new", "york"), 2: ("a", "b")}, k=10)
+    p1 = out[out["phrase_id"] == 1].set_index("doc_id")["n_hits"]
+    assert p1.to_dict() == {0: 2, 1: 1}
+    p2 = out[out["phrase_id"] == 2].set_index("doc_id")["n_hits"]
+    assert p2.to_dict() == {3: 3}
+    # ordering: count desc then doc asc
+    assert out[out["phrase_id"] == 1]["doc_id"].tolist() == [0, 1]
+
+
+def test_phrase_search_no_cross_doc_window(ray_session):
+    """A phrase must not match across a document boundary even when the
+    flattened token stream makes the words adjacent."""
+    import ray.data as rd
+
+    from sits_ray.stages.retrieval import phrase_search_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["ends with new", "york starts here"],
+    })
+    out = phrase_search_topk(rd.from_pandas(docs),
+                             {1: ("new", "york")}, k=5)
+    assert len(out) == 0
+
+
+def test_phrase_search_topk_cut_deterministic(ray_session):
+    import ray.data as rd
+
+    from sits_ray.stages.retrieval import phrase_search_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["x y"] * 6,   # all tie at 1 hit
+    })
+    out = phrase_search_topk(rd.from_pandas(docs), {1: ("x", "y")}, k=3)
+    assert out["doc_id"].tolist() == [0, 1, 2]   # ties -> smallest ids
