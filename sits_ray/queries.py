@@ -14199,3 +14199,70 @@ def phrase_search_topk_q(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return phrase_search_topk(ds, _PHRASES, k=10)
+
+
+# --- sequence packing for training export (stages/packing.py, r5) ------------
+def _pack_sql(budget: int = 256, n_parts: int = 8) -> str:
+    """DuckDB twin of pack_sequences: the splitmix64 partition mix
+    replayed with 32/32-split u64 multiplies (_mm64), docs ordered
+    (n_tok desc, doc_id) per partition, the next-fit walk as a
+    per-partition recursive CTE with equi-keyed (part, rk) joins, and
+    fill_frac one exact int/int double division."""
+    x1 = "xor(cast(doc_id as ubigint), cast(doc_id as ubigint) >> 30)"
+    x2 = _mm64(x1, 0xBF58476D1CE4E5B9)
+    x3 = f"xor({x2}, {x2} >> 27)"
+    x4 = _mm64(x3, 0x94D049BB133111EB)
+    x5 = f"xor({x4}, {x4} >> 31)"
+    return f"""
+with recursive lens as (
+  select doc_id,
+         cast(len(regexp_extract_all(lower(text), '\\w+')) as bigint)
+           as n_tok,
+         cast({x5} % {n_parts} as bigint) as part
+  from documents),
+seqs as (
+  select part, n_tok, least(n_tok, {budget}) as t,
+         row_number() over (partition by part
+                            order by n_tok desc, doc_id asc) as rk
+  from lens),
+cnt as (select part, cast(count(*) as bigint) as n_docs,
+               cast(sum(n_tok) as bigint) as sum_tokens
+        from lens group by 1),
+w as (
+  select part, cast(0 as bigint) as rk, cast(0 as bigint) as rem,
+         cast(0 as bigint) as nb, cast(0 as bigint) as packed
+  from cnt
+  union all
+  select w.part, w.rk + 1,
+         case when s.t <= w.rem then w.rem - s.t
+              else {budget} - s.t end,
+         case when s.t <= w.rem then w.nb else w.nb + 1 end,
+         w.packed + s.t
+  from w join seqs s on s.part = w.part and s.rk = w.rk + 1)
+select c.part, c.n_docs, w.nb as n_bins, c.sum_tokens,
+       w.packed as sum_packed,
+       case when w.nb = 0 then 1.0e0
+            else cast(w.packed as double)
+                 / cast(w.nb * {budget} as double) end as fill_frac
+from w join cnt c on c.part = w.part and w.rk = c.n_docs
+order by c.part
+"""
+
+
+@q("pack_sequences_256", _pack_sql())
+def pack_sequences_256(sf_dir):
+    """Sequence packing for training export (stages/packing.
+    pack_sequences): per hash partition, documents ordered (n_tok
+    desc, doc_id) pack NEXT-FIT into 256-token bins (oversize docs
+    truncate to one full bin) — the padding-waste accounting step of a
+    pretraining exporter. Packing is per-shard by design (global
+    packing is inherently sequential; production packs per worker),
+    so the walk parallelizes over O(n_parts) groups and only the
+    bounded per-partition summary reaches the driver. All integers;
+    fill_frac one exact division; SQL twin replays the splitmix64
+    partition mix and the walk as a recursive CTE."""
+    from sits_ray.stages.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=256, n_parts=8)
