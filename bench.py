@@ -122,6 +122,61 @@ def _fix_block_types(t):
     return pa.table(cols)
 
 
+def _replicated_docs(sf_dir: str, rep: int):
+    """Deterministic rep-x corpus for the curation scaling legs: replica
+    k > 0 applies a seeded FULL token permutation per doc (a mere
+    rotation changes only one word boundary, so replicas stayed char-
+    shingle near-dups of the original and collapsed back to one rep in
+    CC — measured: 221 kept of 2000 at rep=4; with short corpus words
+    most 5-char shingles span boundaries, so a full permutation breaks
+    similarity) and offsets doc_id by k * 10^9. Written once to /tmp
+    (idempotent marker)."""
+    import glob as _glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    sf = _sf_of(sf_dir)
+    out = f"/tmp/sits_ray_bench/docs_rep{rep}_sf{sf}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        import numpy as np
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            toks = df["text"].str.split()
+            ids = df["doc_id"].to_numpy()
+            for k in range(rep):
+                if k == 0:
+                    texts = df["text"].to_numpy()
+                else:
+                    texts = np.array([
+                        " ".join(np.asarray(t, dtype=object)[
+                            np.random.default_rng(
+                                int(i) * 131 + k).permutation(len(t))
+                        ]) if t else ""
+                        for i, t in zip(ids, toks)
+                    ], dtype=object)
+                frames.append(pd.DataFrame({
+                    "doc_id": ids + k * 1_000_000_000,
+                    "text": texts,
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+        (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+           .map_batches(expand, batch_format="pandas")
+           .write_parquet(out))
+        with open(marker, "w") as fh:
+            fh.write(str(rep))
+    return rd.read_parquet(
+        sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    )
+
+
 def run_bench(sf_dir: str, ncpu: int) -> dict:
     import ray
 
@@ -251,16 +306,30 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     # family regressions move a headline number, not just the sweep.
     # Same protocol as the flagship: two runs, MIN reported; runs in
     # the --scaling legs too (its own two-leg efficiency below).
-    from sits_ray.queries import QUERIES
+    from sits_ray.queries import QUERIES, curation_chain
 
-    curation_docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    ).count()
+    # GRAFT_CURATION_REP > 1 (set by the --scaling legs): replicate the
+    # corpus with deterministic per-replica token rotations so the chain
+    # is COMPUTE-bound — at sf0.1's native 5k docs the whole chain ends
+    # in ~1.5 s and fixed costs (join/actor setup) dominate, which makes
+    # a two-leg efficiency number meaningless (measured 0.34 at rep=1).
+    rep = int(os.environ.get("GRAFT_CURATION_REP", "1"))
+    if rep > 1:
+        cur_in = _replicated_docs(sf_dir, rep)
+    else:
+        cur_in = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    curation_docs = cur_in.count()
     curation_runs = []
     curation_kept = 0
     for _ in range(2):
         t0 = time.perf_counter()
-        curation_kept = _consume(QUERIES["curation_keep_docs"](sf_dir))
+        if rep > 1:
+            curation_kept = _consume(curation_chain(cur_in))
+        else:
+            curation_kept = _consume(QUERIES["curation_keep_docs"](sf_dir))
         curation_runs.append(round(time.perf_counter() - t0, 3))
     curation_sec = min(curation_runs)
 
@@ -316,7 +385,9 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_QUERIES="0")
+                   GRAFT_BENCH_QUERIES="0",
+                   GRAFT_CURATION_REP=os.environ.get(
+                       "GRAFT_CURATION_REP", "8"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -7166,9 +7166,16 @@ def curation_keep_docs(sf_dir):
     elsewhere (text never shuffles for blocking; label propagation state
     is O(paired docs)); membership is resolved by a distributed left
     join, not a driver set. SQL-exact end to end."""
-    from sits_ray.stages.dedup import charshingle_dedup, connected_components
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curation_chain(ds)
+
+
+def curation_chain(ds):
+    """The curation pipeline body on any (doc_id, text) Dataset —
+    shared by the gate query above and bench.py's second headline
+    phase (which also runs it on a replicated compute-bound corpus for
+    the two-leg scaling measurement)."""
+    from sits_ray.stages.dedup import charshingle_dedup, connected_components
 
     _STOPS = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
 
@@ -14266,3 +14273,188 @@ def pack_sequences_256(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return pack_sequences(ds, budget=256, n_parts=8)
+
+
+# --- CCNet perplexity-bucket mixing audit (r5) --------------------------------
+@q(
+    "nll_terciles_by_source",
+    """
+with tok as (
+  select doc_id, i, l[i] as w
+  from (select doc_id, regexp_extract_all(lower(text), '[a-z]+') as l
+        from documents),
+       unnest(generate_series(1, len(l))) as u(i)),
+cnt as (select w, count(*)::BIGINT as c from tok group by 1),
+tot as (select sum(c)::BIGINT as t from cnt),
+lp as (select tok.doc_id, tok.i, -ln(cnt.c::DOUBLE / tot.t) as nl
+       from tok join cnt using (w), tot),
+agg as (
+  select doc_id, count(*)::BIGINT as n,
+         list_reduce(list_prepend(0.0, list(nl order by i)),
+                     (a, b) -> a + b) as s
+  from lp group by doc_id),
+nll as (select doc_id, s / n as nll from agg),
+cts as (select quantile_disc(nll, 1.0e0 / 3.0e0) as c1,
+               quantile_disc(nll, 2.0e0 / 3.0e0) as c2
+        from nll),
+bkt as (
+  select d.source, n.doc_id, n.nll,
+         case when n.nll <= cts.c1 then 0
+              when n.nll <= cts.c2 then 1
+              else 2 end as bucket
+  from nll n join documents d using (doc_id) cross join cts)
+select source, cast(bucket as bigint) as bucket,
+       cast(count(*) as bigint) as n_docs,
+       list_reduce(list_prepend(0.0e0, list(nll order by doc_id)),
+                   (a, b) -> a + b)
+         / cast(count(*) as double) as mean_nll
+from bkt
+group by 1, 2
+order by source, bucket
+""",
+)
+def nll_terciles_by_source(sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    document scores a unigram-LM mean NLL, the corpus splits at the
+    GLOBAL nearest-rank terciles (head/middle/tail), and the mix audit
+    reports per (source, bucket) document counts + mean NLL — the
+    table a perplexity-stratified sampler consumes. Distributed shape:
+    the lmscore pass (vocab broadcast, ordered per-doc folds), tercile
+    cuts via stages/quantile histogram-refinement selection (NO global
+    sort, no driver materialization of the score column), source
+    re-attached by adaptive join, and per-(source, bucket) means
+    folded SEQUENTIALLY in doc_id order inside a source-keyed
+    part_aggregate (all docs of one source co-located, reduceat ==
+    the twin's ordered list_reduce). Bounded driver table."""
+    from sits_ray.stages.hashagg import part_aggregate
+    from sits_ray.stages.joins import adaptive_join_unique
+    from sits_ray.stages.lmscore import corpus_unigram_counts, unigram_nll
+    from sits_ray.stages.quantile import exact_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    counts, total = corpus_unigram_counts(docs)
+    nll = unigram_nll(docs, counts, total).materialize()
+    cuts = exact_quantiles(nll, "nll", (1.0 / 3.0, 2.0 / 3.0))
+    c1, c2 = cuts[1.0 / 3.0], cuts[2.0 / 3.0]
+
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"])
+    j = adaptive_join_unique(nll, src, on="doc_id", right_on="doc_id",
+                             value_cols={"source": "source"})
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        v = g["nll"].to_numpy(np.float64)
+        b = np.where(v <= c1, 0, np.where(v <= c2, 1, 2))
+        key = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "bucket": b.astype(np.int64)})
+        grp = key.groupby(["source", "bucket"], sort=True)
+        sizes = grp.size()
+        # stable sort on the positional frame: within (source, bucket)
+        # rows stay in doc_id order; _seq_segment_sums gives the strict
+        # left-to-right fold (np.add.reduceat is PAIRWISE for floats —
+        # 22/60 last-ulp mismatches vs the twin before this)
+        from sits_ray.stages.regularize import _seq_segment_sums
+
+        order = key.sort_values(["source", "bucket"],
+                                kind="stable").index.to_numpy()
+        vv = v[order]
+        ends = np.cumsum(sizes.to_numpy())
+        offs = np.concatenate([[0], ends])[:-1]
+        sums = _seq_segment_sums(vv, offs, ends)
+        gi = sizes.index.to_frame(index=False)
+        return pd.DataFrame({
+            "source": gi["source"],
+            "bucket": gi["bucket"].to_numpy(np.int64),
+            "n_docs": sizes.to_numpy(np.int64),
+            "mean_nll": sums / sizes.to_numpy(np.float64),
+        })
+
+    parts = part_aggregate(j, census, key_col="source").to_pandas()
+    return (parts.sort_values(["source", "bucket"])
+                 .reset_index(drop=True))
+
+
+# --- Matryoshka prefix-dimension cosine certificate (r5) ----------------------
+_MRL_DIMS = (4, 8, 16, 32, 64)
+
+
+def _matryoshka_sql() -> str:
+    dims = ", ".join(f"({d})" for d in _MRL_DIMS)
+    nanb = "cast(na as hugeint) * nb"
+    return f"""
+with v as (
+  select vec_id,
+         list_transform(embedding,
+           e -> cast(floor(cast(e as double) * 10000.0 + 0.5) as bigint))
+           as q
+  from embeddings
+  where vec_id < 64),
+prs as (
+  select a.vec_id as va, a.q as qa, b.q as qb
+  from v a join v b on b.vec_id = a.vec_id + 1
+  where a.vec_id % 2 = 0),
+dims(d) as (select * from (values {dims}) x),
+el as (
+  select va, d, unnest(qa) as xa, unnest(qb) as xb,
+         generate_subscripts(qa, 1) as i
+  from prs cross join dims),
+agg as (
+  select va, d,
+         cast(coalesce(sum(xa * xb) filter (where i <= d), 0) as bigint)
+           as dot,
+         cast(coalesce(sum(xa * xa) filter (where i <= d), 0) as bigint)
+           as na,
+         cast(coalesce(sum(xb * xb) filter (where i <= d), 0) as bigint)
+           as nb
+  from el group by 1, 2)
+select va as vec_a, va + 1 as vec_b, cast(d as bigint) as dim, dot,
+       case when na = 0 or nb = 0 then 0.0e0
+            else cast(dot as double) / sqrt({_i2d(nanb)}) end as cosine
+from agg
+order by vec_a, dim
+""";
+
+
+@q("matryoshka_cosine_dims", _matryoshka_sql())
+def matryoshka_cosine_dims(sf_dir):
+    """Matryoshka-representation certificate (Kusupati et al. 2022):
+    for 32 probe pairs (2t, 2t+1), the cosine similarity computed at
+    prefix dimensions {4, 8, 16, 32, 64} — the truncation-quality
+    audit a dimension-adaptive retrieval deployment runs before
+    serving prefix embeddings. Integer-exact core: embeddings quantize
+    on the shared 1e-4 grid (similarity.quantize_i64), prefix dots and
+    norms are order-free int64 sums, and cosine is ONE pinned float
+    tree — exact-cast dot over sqrt of the two-limb exact cast of
+    na*nb (> 2^53, so _i2d not a bare hugeint cast). Bounded probe
+    pull (the jl_distortion precedent); dims with a zero prefix norm
+    report 0."""
+    import math as _math
+
+    from sits_ray.stages.similarity import quantize_i64
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    probes = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 64)),
+        batch_format="pyarrow")
+    t = probes.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = quantize_i64(np.stack(t["embedding"].to_numpy()))
+    ids = t["vec_id"].to_numpy(np.int64)
+    rows = []
+    for s in range(0, len(ids) - 1, 2):
+        if ids[s] % 2 != 0 or ids[s + 1] != ids[s] + 1:
+            continue
+        qa, qb = q[s], q[s + 1]
+        for d in _MRL_DIMS:
+            dot = int(np.dot(qa[:d], qb[:d]))
+            na = int(np.dot(qa[:d], qa[:d]))
+            nb = int(np.dot(qb[:d], qb[:d]))
+            cos = (0.0 if na == 0 or nb == 0
+                   else float(dot) / _math.sqrt(float(na * nb)))
+            rows.append({"vec_a": np.int64(ids[s]),
+                         "vec_b": np.int64(ids[s] + 1),
+                         "dim": np.int64(d), "dot": np.int64(dot),
+                         "cosine": cos})
+    return pd.DataFrame(rows)
