@@ -640,3 +640,32 @@ def sits_run_examples(sf_dir: str = "/root/testdata/sf0.001",
         rows.append({"name": name, "rows": int(n),
                      "sec": time.perf_counter() - t0})
     return pd.DataFrame(rows)
+
+
+def sits_view_table(nested_ds, n_out: int = 20,
+                    value_col: str = "mean_latency",
+                    limit_series: int = 1024) -> "pd.DataFrame":
+    """Plot-ready VIEW TABLE (the headless analog of the reference's
+    ~30 ``plot.*``/``sits_view`` renderers, ``R/sits_plot.R`` /
+    ``R/sits_view.R``: no plot stack in this engine, so the verb
+    returns the table a renderer consumes): per series the ``n_out``
+    LTTB-representative points, PIVOTED wide — rows = the union of
+    picked timestamps (sorted), one column per series, NaN where a
+    series has no picked point at that timestamp. Bounded export verb:
+    ``limit_series`` caps the pivot width (downsampled points per
+    series are already capped at n_out), so the driver table is at
+    most ``limit_series * n_out`` cells tall."""
+    import pandas as pd
+
+    from sits_ray.stages.series_ops import lttb_to_long
+
+    long = nested_ds.map_batches(
+        lambda b: lttb_to_long(b, n_out=n_out, value_col=value_col),
+        batch_format="pyarrow",
+    )
+    df = long.limit(limit_series * n_out).to_pandas()
+    # lttb_to_long emits (conv_id, bucket_ts, value)
+    pv = df.pivot_table(index="bucket_ts", columns="conv_id",
+                        values="value", aggfunc="first", sort=True)
+    pv.columns = [str(c) for c in pv.columns]
+    return pv.reset_index()

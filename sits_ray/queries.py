@@ -14458,3 +14458,106 @@ def matryoshka_cosine_dims(sf_dir):
                          "dim": np.int64(d), "dot": np.int64(dot),
                          "cosine": cos})
     return pd.DataFrame(rows)
+
+
+# --- retention-expiry planner (r5; the north rule's retention pass) ----------
+_RET_PLAN = (("1m", 60_000_000, 7), ("1h", 3_600_000_000, 14),
+             ("1d", 86_400_000_000, 21))
+
+
+def _retention_plan_sql() -> str:
+    arms = []
+    for tier, w, hd in _RET_PLAN:
+        arms.append(f"""
+select '{tier}' as tier, cast({hd} as bigint) as horizon_days,
+       cast(count(*) as bigint) as n_rows,
+       cast(count(*) filter (where b < cutoff - {hd * 86_400_000_000})
+            as bigint) as n_rows_expired,
+       cast(count(*) filter (where b >= cutoff - {hd * 86_400_000_000})
+            as bigint) as n_rows_kept,
+       cast(coalesce(sum(ne) filter
+            (where b < cutoff - {hd * 86_400_000_000}), 0) as bigint)
+         as n_events_expired,
+       cast(count(*) filter (where b < cutoff - {hd * 86_400_000_000})
+            as double) / cast(count(*) as double) as expired_frac
+from (select user_id, (epoch_us(ts) // {w}) * {w} as b,
+             cast(count(*) as bigint) as ne
+      from events group by 1, 2)
+cross join cut""")
+    body = " union all ".join(arms)
+    return f"""
+with mx as (select max(epoch_us(ts)) as m from events),
+cut as (select (m // 86400000000) * 86400000000 as cutoff from mx)
+{body}
+order by tier
+"""
+
+
+@q("retention_expiry_plan", _retention_plan_sql())
+def retention_expiry_plan(sf_dir):
+    """Retention-pass planner (the north rule's tiered-retention
+    semantics, the reference's timeline-validity pruning applied to
+    storage): per tier, how many (series, bucket) rows and raw events
+    would EXPIRE under the tier's horizon (1m/7d, 1h/14d, 1d/21d)
+    relative to the corpus's last whole day — the dry-run a retention
+    job prints before deleting. Scale shape: one tiny max-ts
+    aggregate, then per-batch (user, tier-bucket) partials finished in
+    a user-keyed part_aggregate (every user's buckets co-located, so
+    distinct counts are exact) emitting only per-(tier, side) counts;
+    driver sums a 3x2 table. All integers; expired_frac one exact
+    division."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def mx_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": np.asarray([us.max()], np.int64)})
+
+    max_us = int(ds.map_batches(mx_part, batch_format="pandas")
+                   .to_pandas()["m"].max())
+    cutoff = (max_us // 86_400_000_000) * 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        frames = []
+        for tier, w, _ in _RET_PLAN:
+            b = (us // w) * w
+            g = (pd.DataFrame({"u": df["user_id"].to_numpy(), "b": b})
+                 .groupby(["u", "b"], sort=False).size())
+            gi = g.index.to_frame(index=False)
+            frames.append(pd.DataFrame({
+                "u": gi["u"].to_numpy(np.int64),
+                "tier": tier,
+                "b": gi["b"].to_numpy(np.int64),
+                "ne": g.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        f = (g.groupby(["u", "tier", "b"], sort=False)["ne"].sum()
+              .reset_index())
+        rows = []
+        for tier, _, hd in _RET_PLAN:
+            sub = f[f["tier"] == tier]
+            exp = sub["b"].to_numpy(np.int64) < cutoff - hd * 86_400_000_000
+            rows.append({
+                "tier": tier, "horizon_days": np.int64(hd),
+                "n_rows": np.int64(len(sub)),
+                "n_rows_expired": np.int64(int(exp.sum())),
+                "n_events_expired": np.int64(
+                    int(sub["ne"].to_numpy(np.int64)[exp].sum())),
+            })
+        return pd.DataFrame(rows)
+
+    parts = part_aggregate(pre, census, key_col="u").to_pandas()
+    agg = (parts.groupby(["tier", "horizon_days"], sort=True)
+                .sum().reset_index())
+    agg["n_rows_kept"] = agg["n_rows"] - agg["n_rows_expired"]
+    agg["expired_frac"] = (
+        agg["n_rows_expired"].to_numpy(np.float64)
+        / agg["n_rows"].to_numpy(np.float64))
+    return (agg[["tier", "horizon_days", "n_rows", "n_rows_expired",
+                 "n_rows_kept", "n_events_expired", "expired_frac"]]
+            .sort_values("tier").reset_index(drop=True))

@@ -398,3 +398,33 @@ def test_lighttae_and_lightgbm_are_real_factories():
         acc = (np.asarray(model["labels"], dtype=object)[
             predict_probs(model, X).argmax(axis=1)] == y).mean()
         assert acc > 0.9
+
+
+def test_view_table_downsample_pivot():
+    """sits_view_table: LTTB downsample -> wide pivot, one column per
+    series, NaN where a series has no picked point (the headless
+    plot-data verb)."""
+    t = pa.table({
+        "conv_id": pa.array(["a", "b"]),
+        "tier": pa.array(["1h", "1h"]),
+        "bucket_ts": pa.array([list(range(10)), [0, 5]],
+                              pa.list_(pa.int64())),
+        "mean_latency": pa.array(
+            [[float(i) for i in range(10)], [7.0, 8.0]],
+            pa.list_(pa.float64())),
+    })
+    out = api.sits_view_table(rd.from_arrow(t), n_out=4)
+    assert list(out.columns) == ["bucket_ts", "a", "b"]
+    # timestamps come back as datetime64[us]; compare on the us value
+    us = out["bucket_ts"].astype("datetime64[us]").astype("int64")
+    # series a: <= 4 picked points incl. first and last
+    a = out["a"].dropna()
+    assert 2 <= len(a) <= 4
+    assert out.loc[us == 0, "a"].iloc[0] == 0.0
+    assert out.loc[us == 9, "a"].iloc[0] == 9.0
+    # series b passes through whole (2 <= n_out), NaN elsewhere
+    b = out["b"].to_numpy()
+    assert b[(us == 0).to_numpy()][0] == 7.0
+    assert b[(us == 5).to_numpy()][0] == 8.0
+    import numpy as _np
+    assert _np.isnan(b[((us != 0) & (us != 5)).to_numpy()]).all()
