@@ -14561,3 +14561,97 @@ def retention_expiry_plan(sf_dir):
     return (agg[["tier", "horizon_days", "n_rows", "n_rows_expired",
                  "n_rows_kept", "n_events_expired", "expired_frac"]]
             .sort_values("tier").reset_index(drop=True))
+
+
+# --- SLO burn-rate audit over turn latencies (r5) -----------------------------
+_SLO_WINDOWS = (("1h", 3_600_000_000), ("6h", 21_600_000_000))
+_SLO_THRESH = 300.0   # seconds; error budget = 1% above threshold
+
+
+def _slo_sql() -> str:
+    wins = ", ".join(f"('{n}', {us})" for n, us in _SLO_WINDOWS)
+    return f"""
+with lagged as (
+  select user_id, ts,
+         epoch(ts - lag(ts) over (partition by user_id
+                                  order by ts, event_id)) as lat
+  from events),
+mx as (select max(epoch_us(ts)) as m from events),
+w(win, us) as (select * from (values {wins}) v),
+sel as (
+  select w.win, w.us, l.lat
+  from lagged l cross join mx cross join w
+  where epoch_us(l.ts) > mx.m - w.us and l.lat is not null)
+select win,
+       cast(count(*) as bigint) as n_latencies,
+       cast(count(*) filter (where lat > {_SLO_THRESH!r}e0) as bigint)
+         as n_bad,
+       case when count(*) = 0 then 0.0e0
+            else cast(count(*) filter (where lat > {_SLO_THRESH!r}e0)
+                      as double) / cast(count(*) as double) end as bad_frac,
+       case when count(*) = 0 then 0.0e0
+            else cast(count(*) filter (where lat > {_SLO_THRESH!r}e0)
+                      as double) / cast(count(*) as double)
+                 * 100.0e0 end as burn_rate
+from sel
+group by win
+order by win
+"""
+
+
+@q("slo_burn_rate", _slo_sql())
+def slo_burn_rate(sf_dir):
+    """Multi-window SLO burn-rate audit (the SRE error-budget alert
+    rule applied to turn latency): over the corpus's trailing 1h and
+    6h windows, the fraction of inter-event latencies above the 300 s
+    objective, expressed as a burn rate against a 1% budget
+    (bad_frac / 0.01). Latency uses the repo's pinned day-split float
+    contract (days*86400 + rem/1e6 == SQL epoch(ts - lag(ts))); per-
+    user lags finish inside a user-keyed part_aggregate (every user's
+    events co-located, so the lag is exact across batch boundaries);
+    only per-(window) counts reach the driver. Counts integer;
+    bad_frac/burn_rate pinned float trees."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id"])
+
+    def mx_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": np.asarray([us.max()], np.int64)})
+
+    max_us = int(ds.map_batches(mx_part, batch_format="pandas")
+                   .to_pandas()["m"].max())
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, us, u))
+        us_s, u_s = us[o], u[o]
+        delta = np.empty(us_s.size, np.int64)
+        delta[0] = -1
+        delta[1:] = np.where(u_s[1:] == u_s[:-1],
+                             us_s[1:] - us_s[:-1], -1)
+        valid = delta >= 0
+        d = delta[valid]
+        # pinned day-split latency contract
+        lat = ((d // 86_400_000_000).astype(np.float64) * 86400.0
+               + (d % 86_400_000_000).astype(np.float64) / 1e6)
+        ev_us = us_s[valid]
+        rows = []
+        for name, wus in _SLO_WINDOWS:
+            m = ev_us > max_us - wus
+            rows.append({"win": name,
+                         "n_latencies": np.int64(int(m.sum())),
+                         "n_bad": np.int64(
+                             int((lat[m] > _SLO_THRESH).sum()))})
+        return pd.DataFrame(rows)
+
+    parts = part_aggregate(ds, census, key_col="user_id").to_pandas()
+    agg = parts.groupby("win", sort=True).sum().reset_index()
+    n = agg["n_latencies"].to_numpy(np.float64)
+    nb = agg["n_bad"].to_numpy(np.float64)
+    frac = np.where(n > 0, nb / np.maximum(n, 1), 0.0)
+    agg["bad_frac"] = frac
+    agg["burn_rate"] = frac * 100.0
+    return agg.sort_values("win").reset_index(drop=True)
