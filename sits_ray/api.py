@@ -669,3 +669,11 @@ def sits_view_table(nested_ds, n_out: int = 20,
                         values="value", aggfunc="first", sort=True)
     pv.columns = [str(c) for c in pv.columns]
     return pv.reset_index()
+
+
+def sits_export_training_shards(docs_ds, out_dir, **kw):
+    """Resumable curated+shuffled training-shard export (the trainer-
+    facing sink; pipelines/training_export.py)."""
+    from sits_ray.pipelines.training_export import export_training_shards
+
+    return export_training_shards(docs_ds, out_dir, **kw)
