@@ -14655,3 +14655,90 @@ def slo_burn_rate(sf_dir):
     agg["bad_frac"] = frac
     agg["burn_rate"] = frac * 100.0
     return agg.sort_values("win").reset_index(drop=True)
+
+
+# --- embedding covariance audit (r5) ------------------------------------------
+def _embcov_sql(k: int = 16) -> str:
+    num = "cast(n as hugeint) * sij - cast(si as hugeint) * sj"
+    return f"""
+with el as (
+  select vec_id, unnest(q) as x, generate_subscripts(q, 1) as i
+  from (select vec_id,
+               list_transform(embedding,
+                 e -> cast(floor(cast(e as double) * 10000.0 + 0.5)
+                           as bigint)) as q
+        from embeddings)),
+nn as (select cast(count(distinct vec_id) as bigint) as n from el),
+s1 as (select i, cast(sum(x) as bigint) as s from el group by 1),
+s2 as (
+  select a.i as i, b.i as j, cast(sum(a.x * b.x) as bigint) as sij
+  from el a join el b on b.vec_id = a.vec_id and b.i > a.i
+  group by 1, 2),
+sel as (
+  select s2.i, s2.j, s2.sij, sa.s as si, sb.s as sj, nn.n,
+         {num} as num
+  from s2 join s1 sa on sa.i = s2.i
+          join s1 sb on sb.i = s2.j
+          cross join nn)
+select cast(i as bigint) as dim_i, cast(j as bigint) as dim_j,
+       cast(num as bigint) as cov_num,
+       {_i2d("num")} / {_i2d("cast(n as hugeint) * (n - 1)")} as cov
+from sel
+qualify row_number() over (order by abs(num) desc, i, j) <= {k}
+order by abs(num) desc, i, j
+"""
+
+
+@q("embedding_cov_topk", _embcov_sql())
+def embedding_cov_topk(sf_dir):
+    """Embedding feature-correlation audit: the 16 most-covarying
+    off-diagonal dimension pairs of the corpus embedding matrix — the
+    screen a whitening/PCA step (or a Matryoshka truncation decision)
+    runs first; large off-diagonal mass means prefix dims are not
+    axis-aligned. Integer-exact: 1e-4 quantization grid, per-batch
+    int64 partials of the dim sums and the upper-triangle Gram matrix
+    (one int matmul per batch, order-free), python-int driver fold
+    (overflow-free), covariance numerator ``n*S_ij - S_i*S_j`` an
+    exact integer ranked by |.| (deterministic ties (i, j)); cov ONE
+    division of two-limb exact casts. Bounded driver state:
+    64 + 2080 counters."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    from sits_ray.stages.similarity import quantize_i64
+
+    def partial(t: pa.Table) -> pa.Table:
+        from sits_ray.arrowutil import list_matrix
+
+        q = quantize_i64(list_matrix(t["embedding"]))
+        g = q.T @ q                      # int64 Gram, order-free exact
+        s = q.sum(axis=0)
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d, k=1)
+        return pa.table({
+            "i": pa.array(np.concatenate([iu + 1, np.arange(1, d + 1)])),
+            "j": pa.array(np.concatenate([ju + 1, np.zeros(d, np.int64)])),
+            "v": pa.array(np.concatenate([g[iu, ju], s])),
+            "n": pa.array(np.full(iu.size + d, t.num_rows, np.int64)),
+        })
+
+    p = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["i", "j"], sort=True).sum().reset_index())
+    n = int(p.loc[(p["i"] == 1) & (p["j"] == 0), "n"].iloc[0])
+    s1 = {int(r["i"]): int(r["v"]) for _, r in p[p["j"] == 0].iterrows()}
+    off = p[p["j"] > 0]
+    rows = []
+    for _, r in off.iterrows():
+        i, j, sij = int(r["i"]), int(r["j"]), int(r["v"])
+        num = n * sij - s1[i] * s1[j]          # python ints: exact
+        rows.append({"dim_i": i, "dim_j": j, "num": num})
+    rows.sort(key=lambda r: (-abs(r["num"]), r["dim_i"], r["dim_j"]))
+    top = rows[:16]
+    den = float(n * (n - 1))
+    return pd.DataFrame({
+        "dim_i": np.asarray([r["dim_i"] for r in top], np.int64),
+        "dim_j": np.asarray([r["dim_j"] for r in top], np.int64),
+        "cov_num": np.asarray([r["num"] for r in top], np.int64),
+        "cov": np.asarray([float(r["num"]) / den for r in top],
+                          np.float64),
+    })

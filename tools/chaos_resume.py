@@ -92,8 +92,8 @@ def _wait_parse(proc: subprocess.Popen) -> dict | None:
     return None
 
 
-def _find_stage2_worker(pgid: int) -> int | None:
-    """PID of a ray stage-2 worker belonging to the child's session."""
+def _find_worker(pgid: int, needle: str) -> int | None:
+    """PID of a ray worker running ``needle`` in the child's session."""
     ps = subprocess.run(["ps", "-eo", "pid,pgid,cmd"],
                         capture_output=True, text=True).stdout
     for line in ps.splitlines()[1:]:
@@ -101,13 +101,17 @@ def _find_stage2_worker(pgid: int) -> int | None:
         if len(parts) < 3:
             continue
         pid_s, pgid_s, cmd = parts
-        if "_build_write_part" in cmd and "ray::" in cmd:
+        if needle in cmd and "ray::" in cmd:
             try:
                 if int(pgid_s) == pgid:
                     return int(pid_s)
             except ValueError:
                 continue
     return None
+
+
+def _find_stage2_worker(pgid: int) -> int | None:
+    return _find_worker(pgid, "_build_write_part")
 
 
 def _killpg(proc: subprocess.Popen) -> None:
@@ -181,6 +185,36 @@ def run_chaos(n_convs: int, files: int, n_parts: int,
         summary["worker_kill"] = {"killed_pid": None,
                                   "note": "no stage-2 window hit in 3 tries"}
 
+    # --- 2b. stage-1 (split/read) worker kill ----------------------------
+    for attempt in range(3):
+        s1_dir = os.path.join(scratch, "s1kill")
+        shutil.rmtree(s1_dir, ignore_errors=True)
+        p = _spawn(in_dir, s1_dir, n_parts)
+        pgid = os.getpgid(p.pid)
+        killed = None
+        deadline = time.time() + 600
+        while p.poll() is None and time.time() < deadline:
+            w = _find_worker(pgid, "_split_one")
+            if w is not None:
+                os.kill(w, signal.SIGKILL)
+                killed = w
+                break
+            time.sleep(0.02)
+        res = _wait_parse(p)
+        if killed is None:
+            continue
+        summary["stage1_kill"] = {
+            "killed_pid": killed,
+            "driver_exit": p.returncode,
+            "digests_equal": _digests(s1_dir) == ref_dig,
+            "attempts": attempt + 1,
+            **(res or {}),
+        }
+        break
+    else:
+        summary["stage1_kill"] = {"killed_pid": None,
+                                  "note": "no stage-1 window hit in 3 tries"}
+
     # --- 3. driver kill + resume -----------------------------------------
     for attempt in range(3):
         dk_dir = os.path.join(scratch, "dkill")
@@ -222,6 +256,11 @@ def run_chaos(n_convs: int, files: int, n_parts: int,
         summary["reference"]["ok"]
         and summary.get("worker_kill", {}).get("digests_equal") is True
         and summary.get("worker_kill", {}).get("driver_exit") == 0
+        # stage-1 windows are short; a missed window is not a failure,
+        # but a HIT window must converge byte-identically
+        and (summary.get("stage1_kill", {}).get("killed_pid") is None
+             or (summary["stage1_kill"].get("digests_equal") is True
+                 and summary["stage1_kill"].get("driver_exit") == 0))
         and summary.get("driver_kill", {}).get("digests_equal") is True
         and summary.get("driver_kill", {}).get("resume_skipped_some") is True
         and summary.get("driver_kill", {}).get("resume_built_rest") is True
