@@ -14742,3 +14742,118 @@ def embedding_cov_topk(sf_dir):
         "cov": np.asarray([float(r["num"]) / den for r in top],
                           np.float64),
     })
+
+
+# --- isotonic calibration (max-min closed form) over reliability bins ---------
+def _isotonic_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    cases = []
+    for j in range(3):
+        conds = " and ".join(f"p{j} >= p{k}" for k in range(j + 1, 4))
+        cases.append(f"when {conds} then {j}")
+    argmax = "case " + " ".join(cases) + " else 3 end"
+    return f"""
+with s as (
+  select vec_id, label, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+p as (select vec_id, label,
+             exp(l0 - mx) / z as p0, exp(l1 - mx) / z as p1,
+             exp(l2 - mx) / z as p2, exp(l3 - mx) / z as p3
+      from zt),
+c as (select vec_id,
+             greatest(p0, p1, p2, p3) as conf,
+             ({argmax}) = (label % 4) as correct
+      from p),
+b as (select least(cast(floor(conf * 10) as bigint), 9) as bin, correct
+      from c),
+agg as (select bin, cast(count(*) as bigint) as n,
+               cast(count(*) filter (where correct) as bigint) as n_correct
+        from b group by 1),
+pr as (select bin, n, n_correct,
+              row_number() over (order by bin) as rk,
+              sum(n) over (order by bin) as cn,
+              sum(n_correct) over (order by bin) as cc
+       from agg),
+rng as (
+  select j.rk as j, k.rk as k,
+         cast(k.cc - coalesce(jm.cc, 0) as double)
+           / cast(k.cn - coalesce(jm.cn, 0) as double) as avgr
+  from pr j
+  join pr k on k.rk >= j.rk
+  left join pr jm on jm.rk = j.rk - 1),
+mn as (
+  select i.rk, r2.j, min(r2.avgr) as m
+  from pr i join rng r2 on r2.j <= i.rk and r2.k >= i.rk
+  group by i.rk, r2.j),
+fit as (select rk, max(m) as rate_iso from mn group by rk)
+select pr.bin, pr.n, pr.n_correct,
+       cast(pr.n_correct as double) / cast(pr.n as double) as rate_raw,
+       fit.rate_iso
+from pr join fit using (rk)
+order by pr.bin
+"""
+
+
+@q("isotonic_calibration", _isotonic_sql())
+def isotonic_calibration(sf_dir):
+    """Isotonic (PAVA) probability calibration of the seeded scorer
+    over its reliability bins (Zadrozny & Elkan 2002): the
+    non-decreasing weighted-least-squares fit of per-bin accuracy via
+    the minimax CLOSED FORM ``f_i = max_{j<=i} min_{k>=i}
+    avg(j..k)`` — no iterative pooling walk, so both engines evaluate
+    the identical bounded max/min over the identical exact-int-ratio
+    doubles. Distributed shape: the same integer (bin, n, n_correct)
+    partials as calibration_bins (zero shuffle, 10-bin driver table);
+    the fit is O(B^2) on <= 10 bins. Returns per present bin:
+    (bin, n, n_correct, rate_raw, rate_iso) with rate_iso
+    non-decreasing."""
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        conf = p.max(axis=1)
+        pred = p.argmax(axis=1)
+        truth = t["label"].to_numpy() % 4
+        correct = (pred == truth).astype(np.int64)
+        bins = np.minimum(np.floor(conf * 10).astype(np.int64), 9)
+        out = (pd.DataFrame({"bin": bins, "n": 1, "n_correct": correct})
+               .groupby("bin", sort=False).sum().reset_index())
+        return pa.table({
+            "bin": pa.array(out["bin"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "n_correct": pa.array(out["n_correct"].to_numpy(np.int64)),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("bin", sort=True).sum().reset_index())
+    n = agg["n"].to_numpy(np.int64)
+    c = agg["n_correct"].to_numpy(np.int64)
+    B = len(agg)
+    cn = np.concatenate([[0], np.cumsum(n)])
+    cc = np.concatenate([[0], np.cumsum(c)])
+    # avg(j..k) for 0-based j <= k, as the identical double division
+    A = np.full((B, B), np.nan)
+    for j in range(B):
+        for k in range(j, B):
+            A[j, k] = float(cc[k + 1] - cc[j]) / float(cn[k + 1] - cn[j])
+    iso = np.empty(B)
+    for i in range(B):
+        iso[i] = max(min(A[j, k] for k in range(i, B))
+                     for j in range(i + 1))
+    return pd.DataFrame({
+        "bin": agg["bin"].to_numpy(np.int64),
+        "n": n, "n_correct": c,
+        "rate_raw": c.astype(np.float64) / n.astype(np.float64),
+        "rate_iso": iso,
+    })

@@ -51,3 +51,47 @@ def test_dispersion_overdispersed(ray_session):
 
     out = dispersion_daily(_mk([(0, 1), (1, 1), (2, 100)]))
     assert float(out.dispersion.iloc[0]) > 10.0
+
+
+def test_isotonic_minimax_matches_pava():
+    """The minimax closed form used by isotonic_calibration equals the
+    classical pool-adjacent-violators fit on hand-checked weighted
+    sequences (monotone input untouched; one violation pools; all-equal
+    untouched)."""
+    import numpy as np
+
+    def minimax(c, n):
+        B = len(n)
+        cn = np.concatenate([[0], np.cumsum(n)])
+        cc = np.concatenate([[0], np.cumsum(c)])
+        A = {}
+        for j in range(B):
+            for k in range(j, B):
+                A[j, k] = (cc[k + 1] - cc[j]) / (cn[k + 1] - cn[j])
+        return [max(min(A[j, k] for k in range(i, B))
+                    for j in range(i + 1)) for i in range(B)]
+
+    def pava(c, n):
+        blocks = []  # (sum_c, sum_n, width)
+        for ci, ni in zip(c, n):
+            blocks.append([ci, ni, 1])
+            while (len(blocks) > 1 and
+                   blocks[-2][0] * blocks[-1][1]
+                   > blocks[-1][0] * blocks[-2][1]):
+                b2 = blocks.pop()
+                blocks[-1][0] += b2[0]
+                blocks[-1][1] += b2[1]
+                blocks[-1][2] += b2[2]
+            # keep pooling transitively
+        out = []
+        for sc, sn, w in blocks:
+            out.extend([sc / sn] * w)
+        return out
+
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        B = int(rng.integers(1, 11))
+        n = rng.integers(1, 50, size=B)
+        c = np.array([rng.integers(0, ni + 1) for ni in n])
+        assert np.allclose(minimax(c, n), pava(c, n), rtol=0, atol=1e-12)
+        assert (np.diff(minimax(c, n)) >= -1e-12).all()
