@@ -14857,3 +14857,90 @@ def isotonic_calibration(sf_dir):
         "rate_raw": c.astype(np.float64) / n.astype(np.float64),
         "rate_iso": iso,
     })
+
+
+# --- Wilson-interval latency-violation rates per event type (r5) --------------
+def _wilson_sql(thresh: float = 300.0, z: float = 1.96) -> str:
+    zz = f"{z!r}e0"
+    # Wilson score interval of p = bad/n at z: every operand an exact
+    # int ratio; the tree is written once and reused for both bounds
+    p = "cast(bad as double) / cast(n as double)"
+    nn = "cast(n as double)"
+    center = f"({p} + {zz} * {zz} / (2.0e0 * {nn}))"
+    half = (f"({zz} * sqrt({p} * (1.0e0 - {p}) / {nn}"
+            f" + {zz} * {zz} / (4.0e0 * {nn} * {nn})))")
+    denom = f"(1.0e0 + {zz} * {zz} / {nn})"
+    return f"""
+with lagged as (
+  select user_id, event_type,
+         epoch(ts - lag(ts) over (partition by user_id
+                                  order by ts, event_id)) as lat
+  from events),
+agg as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(count(*) filter (where lat > {thresh!r}e0) as bigint) as bad
+  from lagged where lat is not null
+  group by 1)
+select event_type, n, bad,
+       cast(bad as double) / cast(n as double) as rate,
+       greatest(({center} - {half}) / {denom}, 0.0e0) as wilson_lo,
+       least(({center} + {half}) / {denom}, 1.0e0) as wilson_hi
+from agg
+order by event_type
+""";
+
+
+@q("latency_violation_wilson", _wilson_sql())
+def latency_violation_wilson(sf_dir):
+    """Per-event-type latency-violation rates with Wilson score
+    intervals (Wilson 1927; the binomial CI that behaves at small n and
+    extreme rates — what a monitoring page should draw instead of
+    normal-approximation bars): violation = inter-event latency above
+    the 300 s objective, attributed to the LATER event's type. Per-user
+    lags finish inside a user-keyed part_aggregate; only per-type
+    int counts reach the driver; rate and both bounds are pinned float
+    trees of exact integer ratios (z = 1.96 an e-notation literal,
+    clamped to [0, 1] on both sides)."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        o = np.lexsort((eid, us, u))
+        us_s, u_s, et_s = us[o], u[o], et[o]
+        delta = np.empty(us_s.size, np.int64)
+        delta[0] = -1
+        delta[1:] = np.where(u_s[1:] == u_s[:-1],
+                             us_s[1:] - us_s[:-1], -1)
+        valid = delta >= 0
+        d = delta[valid]
+        lat = ((d // 86_400_000_000).astype(np.float64) * 86400.0
+               + (d % 86_400_000_000).astype(np.float64) / 1e6)
+        df = pd.DataFrame({"event_type": et_s[valid],
+                           "n": 1,
+                           "bad": (lat > 300.0).astype(np.int64)})
+        return (df.groupby("event_type", sort=False).sum()
+                  .reset_index())
+
+    parts = part_aggregate(ds, census, key_col="user_id").to_pandas()
+    agg = parts.groupby("event_type", sort=True).sum().reset_index()
+    n = agg["n"].to_numpy(np.float64)
+    bad = agg["bad"].to_numpy(np.float64)
+    z = 1.96
+    p = bad / n
+    center = p + z * z / (2.0 * n)
+    half = z * np.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    denom = 1.0 + z * z / n
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].to_numpy(np.int64),
+        "bad": agg["bad"].to_numpy(np.int64),
+        "rate": p,
+        "wilson_lo": np.maximum((center - half) / denom, 0.0),
+        "wilson_hi": np.minimum((center + half) / denom, 1.0),
+    })
