@@ -14944,3 +14944,103 @@ def latency_violation_wilson(sf_dir):
         "wilson_lo": np.maximum((center - half) / denom, 0.0),
         "wilson_hi": np.minimum((center + half) / denom, 1.0),
     })
+
+
+# --- CUPED variance reduction (experimentation platform audit, r5) ------------
+def _cuped_sql() -> str:
+    sxx = "cast(n as hugeint) * sxx_r - sx * sx"
+    syy = "cast(n as hugeint) * syy_r - sy * sy"
+    sxy = "cast(n as hugeint) * sxy_r - sx * sy"
+    return f"""
+with bounds as (select min(epoch_us(ts)) as a, max(epoch_us(ts)) as b
+                from events),
+mid as (select (a + b) // 2 as m from bounds),
+e as (select user_id, epoch_us(ts) < mid.m as pre,
+             cast(floor(value / 0.01e0) as bigint) as c
+      from events cross join mid),
+pu as (select user_id,
+              cast(coalesce(sum(c) filter (where pre), 0) as bigint) as x,
+              cast(count(*) filter (where pre) as bigint) as nx,
+              cast(coalesce(sum(c) filter (where not pre), 0) as bigint)
+                as y,
+              cast(count(*) filter (where not pre) as bigint) as ny
+       from e group by 1),
+bo as (select * from pu where nx > 0 and ny > 0),
+mo as (select cast(count(*) as bigint) as n,
+              cast(sum(cast(x as hugeint)) as hugeint) as sx,
+              cast(sum(cast(y as hugeint)) as hugeint) as sy,
+              sum(cast(x as hugeint) * x) as sxx_r,
+              sum(cast(y as hugeint) * y) as syy_r,
+              sum(cast(x as hugeint) * y) as sxy_r
+       from bo)
+select n as n_users,
+       case when {sxx} = 0 then 0.0e0
+            else {_i2d(sxy)} / {_i2d(sxx)} end as theta,
+       case when {sxx} = 0 or {syy} = 0 then 0.0e0
+            else ({_i2d(sxy)} * {_i2d(sxy)})
+                 / ({_i2d(sxx)} * {_i2d(syy)}) end as var_reduction
+from mo
+"""
+
+
+@q("cuped_variance_reduction", _cuped_sql())
+def cuped_variance_reduction(sf_dir):
+    """CUPED pre-period covariate adjustment (Deng et al. 2013): the
+    experimentation-platform audit of how much metric variance a
+    pre-period covariate removes. Periods = the corpus time range
+    halved at (min+max)//2 µs; per user X = pre-period cents total,
+    Y = post-period cents total (users present in BOTH periods);
+    theta = Sxy/Sxx and the achieved variance reduction = the squared
+    correlation Sxy^2/(Sxx*Syy) — using the closed form avoids any
+    per-user float adjustment, so every moment is an ORDER-FREE
+    integer (per-user sums finished in a user-keyed part_aggregate,
+    partition moment partials, python-int driver fold) and the two
+    reported floats are pinned trees of two-limb exact casts."""
+    from sits_ray.stages.hashagg import part_aggregate
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def bounds_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"a": [int(us.min())], "b": [int(us.max())]})
+
+    bp = ds.map_batches(bounds_part, batch_format="pandas").to_pandas()
+    mid = (int(bp["a"].min()) + int(bp["b"].max())) // 2
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = np.floor(g["value"].to_numpy(np.float64) / 0.01
+                     ).astype(np.int64)
+        pre = us < mid
+        f = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                          "x": np.where(pre, c, 0),
+                          "nx": pre.astype(np.int64),
+                          "y": np.where(pre, 0, c),
+                          "ny": (~pre).astype(np.int64)})
+        pu = f.groupby("u", sort=False).sum()
+        both = pu[(pu["nx"] > 0) & (pu["ny"] > 0)]
+        x = both["x"].to_numpy(np.int64)
+        y = both["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(both))],
+            "sx": [np.int64(int(x.sum()))],
+            "sy": [np.int64(int(y.sum()))],
+            "sxx": [np.int64(int((x.astype(object) * x).sum()))],
+            "syy": [np.int64(int((y.astype(object) * y).sum()))],
+            "sxy": [np.int64(int((x.astype(object) * y).sum()))],
+        })
+
+    parts = part_aggregate(ds, census, key_col="user_id").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx_r = int(parts["sxx"].sum())
+    syy_r = int(parts["syy"].sum())
+    sxy_r = int(parts["sxy"].sum())
+    Sxx = n * sxx_r - sx * sx
+    Syy = n * syy_r - sy * sy
+    Sxy = n * sxy_r - sx * sy
+    theta = 0.0 if Sxx == 0 else float(Sxy) / float(Sxx)
+    vr = (0.0 if Sxx == 0 or Syy == 0
+          else (float(Sxy) * float(Sxy)) / (float(Sxx) * float(Syy)))
+    return pd.DataFrame([{"n_users": np.int64(n), "theta": theta,
+                          "var_reduction": vr}])
