@@ -15044,3 +15044,124 @@ def cuped_variance_reduction(sf_dir):
           else (float(Sxy) * float(Sxy)) / (float(Sxx) * float(Syy)))
     return pd.DataFrame([{"n_users": np.int64(n), "theta": theta,
                           "var_reduction": vr}])
+
+
+# --- Wald SPRT over the conversion stream (sequential testing, r5) ------------
+_SPRT_P0, _SPRT_P1 = 0.01, 0.02
+_SPRT_A = math.log(0.95 / 0.05)        # accept-H1 bound  (+2.944...)
+_SPRT_B = math.log(0.05 / 0.95)        # accept-H0 bound  (-2.944...)
+_SPRT_C1 = math.log(_SPRT_P1 / _SPRT_P0)            # per purchase
+_SPRT_C0 = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per non-purchase
+
+
+def _sprt_sql() -> str:
+    c1, c0 = repr(_SPRT_C1), repr(_SPRT_C0)
+    a, b = repr(_SPRT_A), repr(_SPRT_B)
+    return f"""
+with e as (
+  select row_number() over (order by ts, event_id) as n,
+         sum(case when event_type = 'purchase' then 1 else 0 end)
+           over (order by ts, event_id
+                 rows unbounded preceding) as k
+  from events),
+l as (select n, cast(k as bigint) as k,
+             cast(k as double) * {c1}
+               + cast(n - k as double) * {c0} as llr
+      from e),
+hit as (select min(n) as nstar from l
+        where llr >= {a} or llr <= {b}),
+tot as (select max(n) as n_total from l)
+select cast(coalesce(hit.nstar, tot.n_total) as bigint) as n_decision,
+       l.k as k_decision,
+       l.llr,
+       case when l.llr >= {a} then 'accept_h1'
+            when l.llr <= {b} then 'accept_h0'
+            else 'continue' end as decision
+from hit cross join tot
+join l on l.n = coalesce(hit.nstar, tot.n_total)
+"""
+
+
+@q("sprt_conversion", _sprt_sql())
+def sprt_conversion(sf_dir):
+    """Wald's sequential probability ratio test (Wald 1945) on the
+    purchase-conversion stream — the always-monitoring complement of
+    the fixed-horizon tests (welch/chi2/mcnemar): H0 p=1%, H1 p=2%,
+    alpha=beta=5%; the earliest event (in the total (ts, event_id)
+    order) where the log-likelihood ratio leaves (log(1/19),
+    log(19)). Because the Bernoulli LLR is a CLOSED FORM of the
+    prefix counts — llr(n, k) = k*log(p1/p0) + (n-k)*log(q1/q0) — no
+    sequential float accumulation exists anywhere: both engines
+    evaluate the identical two-product expression at integer (n, k).
+
+    Distributed first-crossing WITHOUT a global sort: a bounded
+    per-day census gives exact day-boundary (N, K) prefixes; a day is
+    a CANDIDATE iff the conservative envelope
+    [K_prev*c1 + (N_day - K_prev)*c0, K_day*c1] straddles a bound
+    (c0 < 0 < c1 makes those the extremes over any intra-day path);
+    only candidate days' events are pulled (one filtered read each,
+    day-bounded) and scanned exactly. The twin is the plain window-SQL
+    formulation over the full stream."""
+    ds = _events(sf_dir, columns=["ts", "event_id", "event_type"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        pur = (df["event_type"].to_numpy() == "purchase").astype(np.int64)
+        g = (pd.DataFrame({"day": day, "n": 1, "k": pur})
+             .groupby("day", sort=False).sum().reset_index())
+        return g
+
+    days = (ds.map_batches(census, batch_format="pandas").to_pandas()
+              .groupby("day", sort=True).sum().reset_index())
+    N = days["n"].to_numpy(np.int64).cumsum()
+    K = days["k"].to_numpy(np.int64).cumsum()
+    dlist = days["day"].to_numpy(np.int64)
+
+    def llr(n: int, k: int) -> float:
+        return float(k) * _SPRT_C1 + float(n - k) * _SPRT_C0
+
+    n_dec = int(N[-1])
+    k_dec = int(K[-1])
+    found = False
+    for i, d in enumerate(dlist):
+        n_prev = int(N[i - 1]) if i else 0
+        k_prev = int(K[i - 1]) if i else 0
+        lo = float(k_prev) * _SPRT_C1 + float(int(N[i]) - k_prev) * _SPRT_C0
+        hi = float(int(K[i])) * _SPRT_C1
+        if not (hi >= _SPRT_A or lo <= _SPRT_B):
+            continue
+        # candidate day: exact scan of its (bounded) events
+        lo_us, hi_us = d * 86_400_000_000, (d + 1) * 86_400_000_000
+
+        def pick(t: pa.Table, lo_us=lo_us, hi_us=hi_us) -> pa.Table:
+            us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            m = (us >= lo_us) & (us < hi_us)
+            return t.filter(pa.array(m))
+
+        sub = (ds.map_batches(pick, batch_format="pyarrow").to_pandas())
+        us = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = sub["event_id"].to_numpy(np.int64)
+        pur = (sub["event_type"].to_numpy() == "purchase").astype(np.int64)
+        o = np.lexsort((eid, us))
+        ks = k_prev + pur[o].cumsum()
+        ns = n_prev + np.arange(1, len(o) + 1)
+        v = (ks.astype(np.float64) * _SPRT_C1
+             + (ns - ks).astype(np.float64) * _SPRT_C0)
+        cross = np.flatnonzero((v >= _SPRT_A) | (v <= _SPRT_B))
+        if cross.size:
+            j = int(cross[0])
+            n_dec, k_dec = int(ns[j]), int(ks[j])
+            found = True
+            break
+    final = llr(n_dec, k_dec)
+    decision = ("accept_h1" if final >= _SPRT_A
+                else "accept_h0" if final <= _SPRT_B
+                else "continue")
+    if not found:
+        decision = "continue" if not (
+            final >= _SPRT_A or final <= _SPRT_B) else decision
+    return pd.DataFrame([{
+        "n_decision": np.int64(n_dec), "k_decision": np.int64(k_dec),
+        "llr": final, "decision": decision,
+    }])
