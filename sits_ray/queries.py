@@ -4469,18 +4469,213 @@ def texture_glcm_2d(sf_dir):
     )
 
 
-@q("texture_image_glcm")
+_GLCM32 = (
+    (0, 11, 11,
+     "2552774155334420451457642421654426533427436433746436063334474372"
+     "352644535534613347413235412552644432556253152335244554346"),
+    (2, 23, 9,
+     "3305510353266444165133136153456453035605322443326233623355634713"
+     "4462331451753532624034252723735525542632337624053425153532075234"
+     "2444526334162632513454740235534336242655765315716654513422316605"
+     "362363763371333"),
+    (4, 25, 16,
+     "3633434412264144433254343535532425250553540563334464522325032436"
+     "6601533642264312537234256425344423333454123305444153244314343141"
+     "4135520233544136674403536333221313344665375166323354444353113615"
+     "2255423120432233272346532446654424223244232353337143416416164223"
+     "3444234314214534455552245245475624223433733532344442242217414432"
+     "3322421544133342355325353152523457225335414331333332531353642233"
+     "4347143426646244"),
+    (6, 23, 27,
+     "5343352336244452326345563136733136233333410153343152143442032435"
+     "5135432752554554334546255634555261053363342474347355344735532427"
+     "3433542342457331523242464653445345144275532433645443435446444045"
+     "5153422535331553024443514225255234443163443242365412225505256333"
+     "3554242116243462244573242555645646763412545464425431274442433251"
+     "1435433043044524544334242133276444272130524423421234515365173624"
+     "5345343635445343034133244421453250242124514244355545253525333653"
+     "5346553553335354541710633324643454332543324730246433214243255472"
+     "4214233714547122222523320221344556233453352423432216426262221544"
+     "706333244245353342427566452442144435244523355"),
+    (8, 22, 32,
+     "4323432624535332553133345434221351323414344503435543543455335322"
+     "1345733576325534332243235364315544454644454633444543626263242332"
+     "1236322143433444433242425140333323254042141523264234763432324624"
+     "6434342334436714422731352445443433543232544243355231354363120446"
+     "5554444335054226443645432623432613432363215334323531220434543545"
+     "4531433446463362533232552424534632543343722612342744434143413235"
+     "3244133413444143313646175531512445532352113442062244334446252323"
+     "5517352452423534233435534465552172425353445435235545503356343441"
+     "4436735550341212265411673162353454353045253533313540446345234345"
+     "6236213303242630541141626335523114444422556534335216452347314243"
+     "4316232642413644645325242354332424620211121236347237535576525216"),
+    (10, 27, 14,
+     "3155435522533113354533324432433302346533661254525233146331445650"
+     "2223432331344420343525634553311532445253532566425355637311355434"
+     "1544614415423343552444552224622423416165144232302524573415343637"
+     "5444343344312650444474334241352152625313352375513335352643252545"
+     "1035553435433542544441555377363345355443445424412331440544333145"
+     "3352644353636212135464235225316235127564645526461432254732"),
+    (12, 31, 15,
+     "2445443513423432564343532315433423323334533353441462521245464253"
+     "4552222222435034240431444364235365622333324212243531544224243342"
+     "2322434122234423342464353535402416252533531543432055353573246344"
+     "1230263144342441352442550632324333333421135433544333322552143425"
+     "6143343431324342211253314231344335221352155320333423522623135243"
+     "4243225456531454344622034236364153114323434544222242443062422334"
+     "2224536635132545642433354423373412446237252022424330535413204411"
+     "35343240564324222"),
+    (14, 9, 10,
+     "3314222607341651336351376766453333233543353243443145373362225572"
+     "57555122467305424561442461"),
+    (16, 30, 27,
+     "5455313313454524335422366034424141513325453613455752012334105551"
+     "5242324155415464435523323644042313313343443454341322460403344242"
+     "4142334543155267346333525616164534105424364456312243232615300313"
+     "3442222522222355531325334332233534546342542545434563435476532422"
+     "6462554134552373222342242343242535342334145761651346356205332325"
+     "5127753436244633423420424243224345641462352355334751523343212146"
+     "4743442225654446331253243104061343363325334242452542344376514540"
+     "5352344312442352351452254523223345462133762732662436452365334251"
+     "5340552464053133363144546245424235553742724132233424364443255424"
+     "6453552444545452444330443416311356534155644336231324453651346345"
+     "5332445462646264411363432542524365574511354454553634424253522334"
+     "6153063253114735654555445332424244533274445216455244433472244716"
+     "504326351135223645554545646763733543652253"),
+    (18, 32, 29,
+     "5461055314342451232372524261343014302643325151353172153154643466"
+     "2323543226541523514124233563310433643346444623331132446135415245"
+     "3334555427644332533253245465364365333554534431143263534364664446"
+     "3532036154324633225241333445423334353212232174123234643335336251"
+     "2352131175444645533431362534423212342116455574433426244444352343"
+     "3423145652743366173441445652361164334121442331154245574516535362"
+     "2412422143453703444364447336245632422562302131231457451614545533"
+     "4444154632434324352434635542534452546443531514645346442543354566"
+     "3646324333373145343333542344144632542355637233132644354344125432"
+     "1434234136525536336773365634525522255433243234312231232615563262"
+     "5353544446240345353624320422425332635655424321652036243323544142"
+     "3653542033734453245443421222324444371445525415411462323343445653"
+     "1465433432546325033231134436344534365247503224245355334472220523"
+     "6323564343234334335367447224435635544424255553153462371653623533"
+     "55213245224633352355345524433531"),
+    (20, 22, 13,
+     "2126334244423562644331252555033354251013244024344012233356245033"
+     "4644446442731251231430423472213415223553152706533603312315425472"
+     "4056143143223440125113342131533633634174425454253364234426653363"
+     "2345312705604373663333423243122244603340515524423413636443244232"
+     "353245222363555253550342231463"),
+    (22, 8, 15,
+     "5345422442414344554354251325444104253114512324213242333520436435"
+     "44345564344525234453621722321343423130544354561633253261"),
+    (24, 25, 30,
+     "1501344121334644053321543417532423562513332333354242764235342513"
+     "2403135332432614343464224433474423653514453251361522253422537534"
+     "3634445217554265225035425464304433325424636314345143235444314354"
+     "3524634415265345311250214344530744662653236431232634536245433340"
+     "3322742137253334453334304354133325155425301233247263433524632523"
+     "6343327553333534153453323304633444131353232335435221445145334452"
+     "3334433556456735545015542144573534543232321426443134340425361224"
+     "3225502452513234231344322342634446465412344613263343624012462122"
+     "3523314411353242341431543543764332443236053272255413253054142124"
+     "2556555444430234455645243253552445562344603306213463355343434541"
+     "2335375334154433524135354465223342121204102733354014315342622251"
+     "6534434333332343423622431235155057665253144213"),
+    (26, 32, 11,
+     "3545633325363235164431236423362236436135534244432427376433567063"
+     "4264336663225144216433342635345413223242554403272453433165112534"
+     "5046262545545654375332163437236435255454355566626433444654224362"
+     "3213454353462543334414345177503127456233632315553730344165726254"
+     "3445647125552453344435451477456236513443542442245543235345756364"
+     "26242271432432721602373232444650"),
+    (28, 26, 28,
+     "2424252343527414634465401534224221561422324326443435313124230615"
+     "2435034341342252223332452316424552336534524543222373021425322544"
+     "4252533453123253353255242554334112232216340235352742342524155533"
+     "3606445553433527543136524542233314244413433532120314314331423424"
+     "5361344644524544422332053347535304331241534243324533531510305534"
+     "3615434605455154633274435544554340514566133523345446513342044335"
+     "3273266421062323403133513135362133552145644432134532234644546246"
+     "2334313744441423245212153314143155422344464423313542363363422332"
+     "4322415645453264432514403443422242236336426434446523255362253472"
+     "3427142331342320244324434342555635444462214232341543454353467252"
+     "2350435342322321353334434533264753241422424444423550334243555211"
+     "132353132041154223344334"),
+    (30, 30, 27,
+     "5224222322637165342342464340235164454327323242352625551613251346"
+     "3344455435526242553623342267551035225353242517450441244275462212"
+     "4373245544622731522432336233574444144446234464341534414246354432"
+     "1432334321243564424342345342334146341233535366433444143665512324"
+     "4323424213443414454462324353423762740673545254431435453367122427"
+     "3111332554654436153443352432234121422545555432363544210532455502"
+     "1372322242362231654245663542132256423334333054332464142436472144"
+     "3745243663240544253343644246355444353335571252134322324436654546"
+     "3621561154432532511421664552553353326713234163435233323512512346"
+     "2643124416321451443452555432343447322555333153253253263446202343"
+     "4354223345621622356312137121444356342516253523213533533336242324"
+     "1723162234644454535534147434264412224343643211267655557254253533"
+     "202523243413344533343324334544155251316251"),
+)
+
+
+def _texture_image_sql() -> str:
+    """DuckDB twin of the image-texture pipeline DOWNSTREAM of decode:
+    FROZEN quantized 8-level grids (_GLCM32 — pasted digit strings, one
+    char per pixel row-major, produced ONCE through the real
+    decode -> grayscale -> quantize_global path), then REAL SQL for
+    everything sits_texture computes: horizontal/vertical symmetric
+    co-occurrence pair joins and the shared Haralick literal-chain
+    tail (the texture_glcm_2d float core) keyed by
+    gk = media_id*2 + direction."""
+    vals = ", ".join(
+        f"({m}, {w}, {h}, '{ls}')" for m, w, h, ls in _GLCM32
+    )
+    return f"""
+with imgs(media_id, w, h, ls) as (select * from (values {vals}) v),
+px as (
+  select media_id, w,
+         cast((u.i - 1) // w as bigint) as r,
+         cast((u.i - 1) % w as bigint) as c,
+         cast(substr(ls, cast(u.i as integer), 1) as bigint) as q
+  from imgs,
+       unnest(generate_series(1, cast(w * h as bigint))) as u(i)),
+hp as (select a.media_id, a.q as qa, b.q as qb
+       from px a join px b on b.media_id = a.media_id
+                          and b.r = a.r and b.c = a.c + 1),
+vp as (select a.media_id, a.q as qa, b.q as qb
+       from px a join px b on b.media_id = a.media_id
+                          and b.r = a.r + 1 and b.c = a.c),
+sym as (
+  select media_id * 2 as gk, qa as i, qb as j from hp
+  union all select media_id * 2, qb, qa from hp
+  union all select media_id * 2 + 1, qa, qb from vp
+  union all select media_id * 2 + 1, qb, qa from vp),
+cooc as (select gk, i, j, count(*) as n from sym group by 1, 2, 3),
+tot as (select gk, sum(n) as tot from cooc group by 1)""" + _haralick_tail_sql(
+        8, "gk"
+    ) + """
+select cast(gk // 2 as bigint) as media_id,
+       case when gk % 2 = 0 then 'h' else 'v' end as direction,
+       contrast, dissimilarity, homogeneity, asm, energy,
+       glcm_mean, glcm_var, glcm_std, correlation
+from feats order by media_id, direction
+"""
+
+
+@q("texture_image_glcm", _texture_image_sql())
 def texture_image_glcm(sf_dir):
     """sits_texture over REAL raster images: decode the synthetic PPM/PNG
     media with the pure-numpy codecs, grayscale, 2-D GLCM (h + v) + 9
     Haralick features per image — an actor-pool map_batches stage
-    (stages/multimodal.ImageTexture). Rows-only check; 2-D GLCM math
-    pinned vs the 1-D kernel + hand-built grids in tests."""
+    (stages/multimodal.ImageTexture). SQL-EXACT since r5 (was rows-only):
+    the co-occurrence joins and the full Haralick float core replay as
+    real SQL over FROZEN pasted 8-level pixel grids (_GLCM32 — one
+    digit per pixel; decode/quantize regressions change the engine
+    output but not the constants, failing the gate). n fixed at 32 per
+    the frozen grids; decode additionally pinned by codec round-trip
+    tests."""
     from sits_ray.stages.multimodal import image_texture, synth_media_table
 
-    sf = _sf_of_dir(sf_dir)
-    n = max(32, int(sf * 6400))
-    tbl = synth_media_table(n=n, seed=11)
+    tbl = synth_media_table(n=32, seed=11)
     return image_texture(rd.from_arrow(tbl), levels=8, batch_size=16, concurrency=(1, 2))
 
 
