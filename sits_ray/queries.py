@@ -15360,3 +15360,75 @@ def sprt_conversion(sf_dir):
         "n_decision": np.int64(n_dec), "k_decision": np.int64(k_dec),
         "llr": final, "decision": decision,
     }])
+
+
+# --- seeded embedding near-dup certificate (r5) -------------------------------
+def _emb_seeded_sql(thr_num: int = 2, thr_den: int = 5,
+                    nlist: int = 16, dim: int = 64,
+                    seed: int = 11) -> str:
+    """DuckDB twin of stages/similarity.embedding_near_dups_seeded: the
+    seeded-centroid literal dot chains + first-max argmax (the ivf twin
+    contract), in-bucket pairs, INTEGER cosine-threshold predicate on
+    the 1e-4 grid, matryoshka pinned cosine tree."""
+    from sits_ray.stages.similarity import seed_centroids
+
+    C = seed_centroids(nlist, dim, seed)
+    exprs = []
+    for j in range(nlist):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * {C[j, d]:.17e}" for d in range(dim)
+        )
+        exprs.append(f"({terms}) as s{j}")
+    conds = []
+    for j in range(nlist - 1):
+        cc = " and ".join(f"s{j} >= s{i}" for i in range(j + 1, nlist))
+        conds.append(f"when {cc} then {j}")
+    case = "case " + " ".join(conds) + f" else {nlist - 1} end"
+    sel = ",\n       ".join(exprs)
+    num2, den2 = thr_num * thr_num, thr_den * thr_den
+    return f"""
+with s as (
+  select vec_id, embedding,
+       {sel}
+  from embeddings),
+a as (select vec_id, cast({case} as bigint) as bucket,
+             list_transform(embedding,
+               e -> cast(floor(cast(e as double) * 10000.0 + 0.5)
+                         as bigint)) as q
+      from s),
+pr as (select x.bucket, x.vec_id as id_a, y.vec_id as id_b,
+              x.q as qa, y.q as qb
+       from a x join a y on y.bucket = x.bucket
+                        and y.vec_id > x.vec_id),
+d as (select id_a, id_b,
+             cast(sum(ax * bx) as hugeint) as dq,
+             cast(sum(ax * ax) as hugeint) as na,
+             cast(sum(bx * bx) as hugeint) as nb
+      from (select id_a, id_b, unnest(qa) as ax, unnest(qb) as bx
+            from pr)
+      group by 1, 2)
+select id_a, id_b,
+       cast(dq as double) / sqrt({_i2d("na * nb")}) as cosine
+from d
+where dq > 0 and {den2} * dq * dq >= {num2} * na * nb
+order by id_a, id_b
+"""
+
+
+@q("embedding_near_dups_seeded", _emb_seeded_sql())
+def embedding_near_dups_seeded_q(sf_dir):
+    """Embedding-cosine near-dup pairs with the FULL pipeline
+    SQL-certified (stages/similarity.embedding_near_dups_seeded — the
+    certificate twin of the kmeans-blocked production
+    embedding_near_dups, the way ivf_ann_topk twins ivf_topk): seeded-
+    centroid argmax blocking via the sequential-fold dot contract,
+    in-bucket pairs through one bucket-keyed part_aggregate, and the
+    cosine >= 2/5 decision taken by an INTEGER predicate
+    (den^2 dq^2 >= num^2 na nb on the shared 1e-4 grid) so no float
+    comparison exists anywhere on the keep/drop boundary; the reported
+    cosine is the matryoshka pinned tree."""
+    from sits_ray.stages.similarity import embedding_near_dups_seeded
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dups_seeded(ds)

@@ -1203,3 +1203,98 @@ def dim_info_gain(ds, k: int = 10, vec_col: str = "embedding",
     out = pd.DataFrame(rows).sort_values(
         ["info_gain", "d"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def embedding_near_dups_seeded(ds, thr_num: int = 2, thr_den: int = 5,
+                               nlist: int = 16, seed: int = 11,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               n_parts: int = 16) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs with the ENTIRE pipeline
+    SQL-certifiable — the gate twin of :func:`dedup.embedding_near_dups`
+    the way ivf_topk_seeded twins ivf_topk: blocking = first-max argmax
+    against FIXED seeded centroids via the sequential-fold dot contract
+    (seq_dots == the SQL literal chains), verify = the INTEGER
+    predicate ``dq > 0 and den^2*dq^2 >= num^2*na*nb`` on the shared
+    1e-4 quantization grid (cos >= num/den decided without ANY float
+    comparison), reported cosine = the matryoshka pinned float tree.
+    The k-means-trained production blocking keeps its recall tests;
+    this path certifies the bucket/pair/verify SHAPE bit-for-bit.
+
+    Scale: one assignment pass, one bucket-keyed part_aggregate whose
+    kernel does an int64 Gram per bucket (bounded by bucket size);
+    only verified pairs leave the partition."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from sits_ray.arrowutil import list_matrix
+    from sits_ray.stages.hashagg import part_aggregate
+
+    t0 = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(t0[vec_col][0].as_py())
+    C = seed_centroids(nlist, dim, seed)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> "pd.DataFrame":
+        cc = ray.get(c_ref)
+        m = list_matrix(t[vec_col])
+        b = np.argmax(seq_dots(m, cc), axis=1).astype(np.int64)
+        q = quantize_i64(m)
+        return pd.DataFrame({
+            "vid": t[id_col].to_numpy(),
+            "bucket": b,
+            "q": list(q),
+        })
+
+    pre = ds.map_batches(assign, batch_format="pyarrow")
+
+    num2 = thr_num * thr_num
+    den2 = thr_den * thr_den
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby("bucket", sort=True):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("vid")
+            q = np.stack(sub["q"].to_numpy()).astype(np.int64)
+            ids = sub["vid"].to_numpy(np.int64)
+            G = q @ q.T
+            nrm = np.diag(G)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            dq = G[iu, ju]
+            na, nb = nrm[iu], nrm[ju]
+            # integer threshold predicate (object ints: dq^2 > 2^63)
+            keep = np.fromiter(
+                (int(d) > 0 and den2 * int(d) * int(d)
+                 >= num2 * int(x) * int(y)
+                 for d, x, y in zip(dq, na, nb)),
+                bool, dq.size)
+            if not keep.any():
+                continue
+            cos = np.asarray([
+                float(int(d)) / math.sqrt(float(int(x) * int(y)))
+                for d, x, y in zip(dq[keep], na[keep], nb[keep])
+            ])
+            frames.append(pd.DataFrame({
+                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                "cosine": cos}))
+        if not frames:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    out = part_aggregate(pre, pairs, key_col="bucket",
+                         n_parts=n_parts).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        # every partition empty: Ray loses the pandas schema
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
