@@ -15432,3 +15432,120 @@ def embedding_near_dups_seeded_q(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return embedding_near_dups_seeded(ds)
+
+
+# --- Brier decomposition over the reliability bins (Murphy 1973) --------------
+def _brier_sql() -> str:
+    l = _mlr_logit_sql(seed=13)
+    mx = f"greatest({', '.join(f'l{j}' for j in range(4))})"
+    z = " + ".join(f"exp(l{j} - mx)" for j in range(4))
+    cases = []
+    for j in range(3):
+        conds = " and ".join(f"p{j} >= p{k}" for k in range(j + 1, 4))
+        cases.append(f"when {conds} then {j}")
+    argmax = "case " + " ".join(cases) + " else 3 end"
+    # per-bin forecast f_b = mean quantized confidence (exact ints);
+    # REL/RES fold over bins in bin order (ordered list_reduce)
+    fb = "cast(sum_conf_q as double) / cast(n * 1000000 as double)"
+    ob = "cast(n_correct as double) / cast(n as double)"
+    return f"""
+with s as (
+  select vec_id, label, {l[0]} as l0, {l[1]} as l1, {l[2]} as l2, {l[3]} as l3
+  from embeddings),
+m as (select *, {mx} as mx from s),
+zt as (select *, {z} as z from m),
+p as (select vec_id, label,
+             exp(l0 - mx) / z as p0, exp(l1 - mx) / z as p1,
+             exp(l2 - mx) / z as p2, exp(l3 - mx) / z as p3
+      from zt),
+c as (select vec_id,
+             greatest(p0, p1, p2, p3) as conf,
+             ({argmax}) = (label % 4) as correct
+      from p),
+b as (select least(cast(floor(conf * 10) as bigint), 9) as bin,
+             cast(floor(conf * 1000000 + 0.5) as bigint) as conf_q,
+             correct
+      from c),
+agg as (select bin, cast(count(*) as bigint) as n,
+               cast(count(*) filter (where correct) as bigint) as n_correct,
+               cast(sum(conf_q) as bigint) as sum_conf_q
+        from b group by 1),
+tt as (select cast(sum(n) as bigint) as nn,
+              cast(sum(n_correct) as bigint) as cc
+       from agg),
+terms as (
+  select agg.bin, agg.n,
+         ({fb} - {ob}) * ({fb} - {ob}) * cast(agg.n as double) as rel_t,
+         ({ob} - cast(tt.cc as double) / cast(tt.nn as double))
+           * ({ob} - cast(tt.cc as double) / cast(tt.nn as double))
+           * cast(agg.n as double) as res_t
+  from agg cross join tt),
+folds as (
+  select list_reduce(list_prepend(0.0e0, list(rel_t order by bin)),
+                     (a, b2) -> a + b2) as rel_s,
+         list_reduce(list_prepend(0.0e0, list(res_t order by bin)),
+                     (a, b2) -> a + b2) as res_s
+  from terms)
+select tt.nn as n_total,
+       folds.rel_s / cast(tt.nn as double) as reliability,
+       folds.res_s / cast(tt.nn as double) as resolution,
+       (cast(tt.cc as double) / cast(tt.nn as double))
+         * (1.0e0 - cast(tt.cc as double) / cast(tt.nn as double))
+         as uncertainty
+from folds cross join tt
+"""
+
+
+@q("brier_decomposition", _brier_sql())
+def brier_decomposition(sf_dir):
+    """Murphy (1973) decomposition of the Brier score over the seeded
+    scorer's reliability bins: reliability (calibration error mass),
+    resolution (how much the bins separate outcomes) and uncertainty
+    (base-rate variance) — the standard summary next to
+    calibration_bins/isotonic_calibration. Same zero-shuffle integer
+    bin partials; per-bin forecast = mean quantized confidence (exact
+    ints), REL/RES folded strictly in bin order (<= 10 terms, the
+    ordered list_reduce contract), every float a pinned tree of exact
+    integer ratios."""
+    from sits_ray.kernels.ml import softmax
+    from sits_ray.stages.classify import list_matrix, make_linear_model
+
+    model = make_linear_model(64, 4, seed=13)
+    W, b = model["W"], model["b"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_matrix(t["embedding"])
+        p = softmax(X @ W + b)
+        conf = p.max(axis=1)
+        pred = p.argmax(axis=1)
+        truth = t["label"].to_numpy() % 4
+        correct = (pred == truth).astype(np.int64)
+        conf_q = np.floor(conf * 1000000.0 + 0.5).astype(np.int64)
+        bins = np.minimum(np.floor(conf * 10).astype(np.int64), 9)
+        out = (pd.DataFrame({"bin": bins, "n": 1, "n_correct": correct,
+                             "sum_conf_q": conf_q})
+               .groupby("bin", sort=False).sum().reset_index())
+        return pa.table({c: pa.array(out[c].to_numpy(np.int64))
+                         for c in ("bin", "n", "n_correct", "sum_conf_q")})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("bin", sort=True).sum().reset_index())
+    n = agg["n"].to_numpy(np.int64)
+    c = agg["n_correct"].to_numpy(np.int64)
+    sq = agg["sum_conf_q"].to_numpy(np.int64)
+    nn, cc = int(n.sum()), int(c.sum())
+    obar = float(cc) / float(nn)
+    rel = res = 0.0
+    for i in range(len(agg)):          # bin order, strict fold
+        fb = float(int(sq[i])) / float(int(n[i]) * 1000000)
+        ob = float(int(c[i])) / float(int(n[i]))
+        rel = rel + (fb - ob) * (fb - ob) * float(int(n[i]))
+        res = res + (ob - obar) * (ob - obar) * float(int(n[i]))
+    return pd.DataFrame([{
+        "n_total": np.int64(nn),
+        "reliability": rel / float(nn),
+        "resolution": res / float(nn),
+        "uncertainty": obar * (1.0 - obar),
+    }])
