@@ -382,3 +382,29 @@ def pacf_durbin_levinson(r: np.ndarray) -> np.ndarray:
         phi = new
         pacf[:, k] = a
     return pacf
+
+
+def page_hinkley(m: np.ndarray, delta: float = 0.0, lam: float = 1.0):
+    """Page-Hinkley mean-drift detector along time, vectorized across
+    series (rows) — the running-mean cousin of :func:`cusum` (CUSUM
+    tests against a FIXED reference; PH tests against the series' own
+    cumulative mean, the standard streaming-drift formulation):
+    ``S_t = S_{t-1} + x_t``, ``m_t = m_{t-1} + (x_t - S_t/t - delta)``,
+    ``M_t = min(M_{t-1}, m_t)`` with ``m_0 = M_0 = 0``; drift alarms
+    when ``m_t - M_t > lam``. Operand order pinned exactly as written —
+    the SQL recursive-CTE twin evaluates the same literal expressions
+    (the cusum/ewma walk trick). Returns (m, gap) matrices where
+    ``gap = m_t - M_t``."""
+    m = np.atleast_2d(np.asarray(m, dtype=np.float64))
+    ph = np.zeros_like(m)
+    gap = np.zeros_like(m)
+    S = np.zeros(m.shape[0])
+    mt = np.zeros(m.shape[0])
+    Mt = np.zeros(m.shape[0])
+    for t in range(m.shape[1]):
+        S = S + m[:, t]
+        mt = mt + (m[:, t] - S / np.float64(t + 1) - delta)
+        Mt = np.minimum(Mt, mt)
+        ph[:, t] = mt
+        gap[:, t] = mt - Mt
+    return ph, gap

@@ -15549,3 +15549,67 @@ def brier_decomposition(sf_dir):
         "resolution": res / float(nn),
         "uncertainty": obar * (1.0 - obar),
     }])
+
+
+# --- Page-Hinkley mean-drift detection (r5) -----------------------------------
+def _page_hinkley_sql(delta: float = 5000.0, lam: float = 50000.0) -> str:
+    """Recursive-CTE twin of kernels/smooth.page_hinkley: a
+    (cum-sum, m, min-m) walk from an i=0 zero state; the running mean
+    re-derives (s + x)/i inside the step so the float tree matches the
+    kernel's operand order exactly."""
+    ds_ = f"{float(delta):.17e}"
+    ls_ = f"{float(lam):.17e}"
+    step = "(xs[i + 1] - (s + xs[i + 1]) / cast(i + 1 as double) - " + ds_ + ")"
+    return _GAPFILL_1D_CTES + f""",
+ser as materialized (
+  select conv_id,
+         list(bucket_ts order by bucket_ts) as tss,
+         list(mean_latency order by bucket_ts) as xs,
+         count(*)::BIGINT as n
+  from filled_grid group by 1),
+walk as (
+  with recursive w as (
+    select conv_id, 0::BIGINT as i, n, tss, xs,
+           0.0::DOUBLE as s, 0.0::DOUBLE as mt, 0.0::DOUBLE as mmin
+    from ser
+    union all
+    select conv_id, i + 1, n, tss, xs,
+           s + xs[i + 1],
+           mt + {step},
+           least(mmin, mt + {step})
+    from w where i < n)
+  select * from w where i >= 1)
+select conv_id, tss[i] as bucket_ts, xs[i] as mean_latency,
+       mt as ph_m, mt - mmin as ph_gap,
+       (mt - mmin) > {ls_} as alarm
+from walk
+"""
+
+
+@q("page_hinkley_daily", _page_hinkley_sql())
+def page_hinkley_daily(sf_dir):
+    """Page-Hinkley mean-drift detection over per-conv daily
+    mean-latency series (kernels/smooth.page_hinkley): the RUNNING-MEAN
+    streaming drift test next to cusum_drift_daily's fixed-reference
+    CUSUM — delta=5000 s slack, lambda=50000 s alarm. Same vectorized
+    nested-form map (one scalar time loop across all series at once);
+    SQL-exact via a three-state recursive-CTE walk whose step re-derives
+    the running mean (s + x)/i in the kernel's exact operand order."""
+    from sits_ray.kernels.smooth import page_hinkley
+    from sits_ray.stages.series_ops import smooth_to_long
+
+    D, L = 5000.0, 50000.0
+    nested = _nested_tier(sf_dir, "1d")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = smooth_to_long(
+            b,
+            {
+                "ph_m": (lambda m: page_hinkley(m, D, L)[0], 1),
+                "ph_gap": (lambda m: page_hinkley(m, D, L)[1], 1),
+            },
+        )
+        alarm = pc.greater(t["ph_gap"], L)
+        return t.append_column("alarm", alarm)
+
+    return nested.map_batches(per_batch, batch_format="pyarrow")

@@ -378,3 +378,29 @@ def test_pacf_nan_rows_propagate():
     p = pacf_durbin_levinson(r)
     assert np.all(np.isnan(p[0]))
     assert not np.any(np.isnan(p[1]))
+
+
+def test_page_hinkley_scalar_walk_and_drift():
+    """Matrix kernel == scalar recursion; a mean step trips the alarm
+    gap while a flat series never leaves zero."""
+    import numpy as np
+
+    from sits_ray.kernels.smooth import page_hinkley
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(10.0, 1.0, size=24)
+    x[12:] += 8.0                       # upward mean shift
+    ph, gap = page_hinkley(x, delta=0.5, lam=5.0)
+
+    # scalar replay, identical operand order
+    S = mt = Mt = 0.0
+    for t, v in enumerate(x):
+        S = S + v
+        mt = mt + (v - S / float(t + 1) - 0.5)
+        Mt = min(Mt, mt)
+        assert ph[0, t] == mt and gap[0, t] == mt - Mt   # bit-exact
+
+    assert gap[0, -1] > 5.0             # drift detected
+    flat = np.full(30, 3.0)
+    _, g2 = page_hinkley(flat, delta=0.1, lam=1.0)
+    assert (g2 <= 1e-12).all()          # no drift on a constant series
